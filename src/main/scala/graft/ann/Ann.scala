@@ -1,0 +1,101 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query set, scan the
+  * corpus once, rank per query). Scale path: random-hyperplane LSH — bucket
+  * the corpus by sign bits, probe only matching buckets; or IVF — k-means-ish
+  * coarse centroids (here: LSH buckets double as the coarse quantizer).
+  *
+  * All math is `Column`-level (`zip_with`/`aggregate` folds in index order,
+  * double precision) — deterministic and engine-reproducible.
+  */
+object Ann {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact top-k by cosine. `queries` must be small enough to
+    * broadcast (it is hash-joined on a constant — a broadcast nested loop
+    * over corpus x queries); the corpus side streams through one scan.
+    * Returns (query id, neighbor id, rank). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    var scored = c.crossJoin(broadcast(q))
+    if (excludeSelf) scored = scored.filter(col("query_id") =!= col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("__cos").as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component h[p][d] derived from
+    * a hash of (p, d), mapped to [-1, 1). No RNG state, so plans are
+    * reproducible and the "model" needs no storage. */
+  private def hyperplaneBit(vec: Column, plane: Int): Column = {
+    val proj = aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) => {
+        val h = xxhash64(lit(plane), d)
+        val unit = (h.cast("double") / lit(Long.MaxValue.toDouble))
+        x.cast("double") * unit
+      }),
+      lit(0.0), (acc, v) => acc + v)
+    when(proj >= 0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** Sign-bucket signature of `numPlanes` hyperplane bits packed to a long. */
+  def lshBucket(vec: Column, numPlanes: Int = 12): Column =
+    (0 until numPlanes).map(p => shiftleft(hyperplaneBit(vec, p), p))
+      .reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k: rank only within the query's LSH bucket. One
+    * shuffle on the bucket id; recall tunes with `numPlanes` (fewer planes
+    * = bigger buckets = higher recall, more compute). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numPlanes: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      lshBucket(col(vecCol), numPlanes).as("__b"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      lshBucket(col(vecCol), numPlanes).as("__b"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("__b"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("__cos").as("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket candidates verified
+    * with exact cosine >= threshold. */
+  def cosineDedupPairs(df: DataFrame, threshold: Double, numPlanes: Int = 8,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val b = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      lshBucket(col(vecCol), numPlanes).as("__b"))
+    b.alias("x").join(b.alias("y"),
+        col("x.__b") === col("y.__b") && col("x.__id") < col("y.__id"))
+      .withColumn("cosine", cosine(col("x.__v"), col("y.__v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("x.__id").as("id_1"), col("y.__id").as("id_2"), col("cosine"))
+  }
+}

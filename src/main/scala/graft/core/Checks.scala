@@ -1,0 +1,112 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relation-level invariant predicates over interval relations.
+  *
+  * Mirrors the reference's `core/checks.py` family. Split in two tiers:
+  *  - schema checks: free, driver-side, on `df.schema`;
+  *  - data checks: distributed aggregates (each forces a scan — opt-in,
+  *    mirroring the reference's `raise_errors=` flags; reference runs
+  *    `is_bedframe` eagerly at every operator entry, `ops.py:448-449`,
+  *    which we deliberately do NOT do on the hot path).
+  */
+object Checks {
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+    case _ => false
+  }
+
+  /** Schema part of `is_bedframe` (reference `core/checks.py:20-87`):
+    * coordinate columns present, chrom stringy, start/end integral. */
+  def hasBedSchema(df: DataFrame, cols: ColSpec = ColSpec.default): Boolean = {
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    cols.names.forall(fields.contains) &&
+    (fields(cols.chrom) == StringType) &&
+    isIntegral(fields(cols.start)) && isIntegral(fields(cols.end))
+  }
+
+  /** Per-row violation predicate for the data part of `is_bedframe`:
+    * null discipline (triple all-null or none-null, `checks.py:70-77`) and
+    * `start <= end` (`checks.py:79-86`). */
+  def bedViolation(cols: ColSpec = ColSpec.default): Column = {
+    val anyNull =
+      cols.chromCol.isNull || cols.startCol.isNull || cols.endCol.isNull
+    val allNull =
+      cols.chromCol.isNull && cols.startCol.isNull && cols.endCol.isNull
+    (anyNull && !allNull) ||
+    (!anyNull && cols.startCol > cols.endCol)
+  }
+
+  def isBedframe(df: DataFrame, cols: ColSpec = ColSpec.default): Boolean =
+    hasBedSchema(df, cols) && df.filter(bedViolation(cols)).isEmpty
+
+  /** Any internal overlap? (reference `checks.py:148-180`). Window check:
+    * exists a row whose start < running max of previous ends within chrom. */
+  def isOverlapping(df: DataFrame, cols: ColSpec = ColSpec.default): Boolean = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(cols.chromCol)
+      .orderBy(cols.startCol, cols.endCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    !df
+      .withColumn("__prev_end", max(cols.endCol).over(w))
+      .filter(col("__prev_end").isNotNull && cols.startCol < col("__prev_end"))
+      .isEmpty
+  }
+
+  /** ViewFrame invariant (reference `checks.py:183-252`): bedframe + unique
+    * non-null `name` + non-overlapping regions. */
+  def isViewframe(df: DataFrame, nameCol: String = "name",
+                  cols: ColSpec = ColSpec.default): Boolean = {
+    hasBedSchema(df, cols) &&
+    df.filter(bedViolation(cols) || cols.chromCol.isNull || col(nameCol).isNull)
+      .isEmpty &&
+    df.groupBy(col(nameCol)).count().filter(col("count") > 1).isEmpty &&
+    !isOverlapping(df, cols)
+  }
+
+  /** df's view labels all appear in the view (reference `checks.py:90-145`). */
+  def isCataloged(df: DataFrame, view: DataFrame,
+                  dfViewCol: String = "view_region",
+                  viewNameCol: String = "name"): Boolean =
+    df.select(col(dfViewCol).as("__l"))
+      .distinct()
+      .join(view.select(col(viewNameCol).as("__l")), Seq("__l"), "left_anti")
+      .isEmpty
+
+  /** Every interval contained in its assigned view region
+    * (reference `checks.py:255-342`). */
+  def isContained(df: DataFrame, view: DataFrame,
+                  dfViewCol: String = "view_region",
+                  viewNameCol: String = "name",
+                  cols: ColSpec = ColSpec.default,
+                  colsView: ColSpec = ColSpec.default): Boolean = {
+    val v = view.select(
+      col(viewNameCol).as("__vname"),
+      col(colsView.start).as("__vs"),
+      col(colsView.end).as("__ve"))
+    df.join(broadcast(v), col(dfViewCol) === col("__vname"), "left")
+      .filter(
+        col("__vname").isNull ||
+          cols.startCol < col("__vs") || cols.endCol > col("__ve"))
+      .isEmpty
+  }
+
+  /** Monotone-sorted by (chrom, start, end) — window check, cheaper than
+    * sort+compare (reference `checks.py:474-540` sorts and compares). */
+  def isSorted(df: DataFrame, cols: ColSpec = ColSpec.default): Boolean = {
+    import org.apache.spark.sql.expressions.Window
+    // A single global ordering check needs one pass with a lag over the
+    // file order; emulate with a monotonic row id (preserves input order).
+    val w = Window.orderBy(col("__rid"))
+    val key = struct(cols.chromCol, cols.startCol, cols.endCol)
+    df.withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__prev", lag(key, 1).over(w))
+      .filter(col("__prev").isNotNull && col("__prev") > key)
+      .isEmpty
+  }
+}

@@ -1,0 +1,163 @@
+package graft.dedup
+
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for corpus curation at scale.
+  *
+  * Layers, cheapest first:
+  *  - exact: one hash-groupBy shuffle on md5(text);
+  *  - n-gram Jaccard: exact similarity via a shared-shingle equi-join
+  *    (never all-pairs — only docs sharing a shingle meet);
+  *  - MinHash + LSH: signatures per doc, banded bucket join for candidate
+  *    pairs, exact-Jaccard verification of candidates only;
+  *  - SimHash: 64-bit signature, banded (4 x 16-bit) join for
+  *    Hamming-distance <= 3 candidates;
+  *  - embedding cosine: random-hyperplane LSH buckets + exact verify.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash. Adds `canonical_id` (min id among equal
+    * texts) and `is_dup`. One shuffle; at 100 TB the groupBy key is the
+    * 128-bit hash, never the text. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = TextOps.fingerprintMd5(col(textCol))
+    val withH = df.withColumn("__h", h)
+    val canon = withH.groupBy(col("__h").as("__h2"))
+      .agg(min(col(idCol)).as("canonical_id"))
+    withH.join(canon, col("__h") === col("__h2"), "inner")
+      .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
+      .drop("__h", "__h2")
+  }
+
+  /** Distinct-shingle relation: (id, shingle). */
+  private def shingleRel(df: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+        explode(TextOps.shingles(col(textCol), n)).as("__sh"))
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
+    * Returns (id_1, id_2, n_common, n_1, n_2, jaccard) with id_1 < id_2.
+    * The equi-join on shingle is the only quadratic-risk step; extremely
+    * common shingles can be capped with `maxShingleDf` (off by default —
+    * changes semantics only by dropping stop-shingles). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.0,
+                        maxShingleDf: Option[Long] = None): DataFrame = {
+    var sh = shingleRel(df, idCol, textCol, n)
+    maxShingleDf.foreach { cap =>
+      val hot = sh.groupBy(col("__sh")).count().filter(col("count") > cap)
+        .select(col("__sh"))
+      sh = sh.join(broadcast(hot), Seq("__sh"), "left_anti")
+    }
+    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val a = sh.select(col("__id").as("id_1"), col("__sh"))
+    val b = sh.select(col("__id").as("id_2"), col("__sh"))
+    val inter = a.join(b, Seq("__sh"))
+      .filter(col("id_1") < col("id_2"))
+      .groupBy(col("id_1"), col("id_2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("__id").as("id_1"), col("__n").as("n_1")), Seq("id_1"))
+      .join(sizes.select(col("__id").as("id_2"), col("__n").as("n_2")), Seq("id_2"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_1") + col("n_2") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_1", "id_2", "n_common", "n_1", "n_2", "jaccard")
+  }
+
+  /** MinHash signature column: array of `numHashes` minimums of affine
+    * permutations of the shingle hash (xxhash64). Deterministic: the
+    * permutation constants derive from the hash index. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val p = 2305843009213693951L // 2^61-1
+    val hashes = transform(shingles, s => pmod(xxhash64(s), lit(p)))
+    val perms = (0 until numHashes).map { i =>
+      val a = 2L * i + 1
+      val b = 0x9e3779b97f4a7c15L % p
+      aggregate(hashes, lit(Long.MaxValue),
+        (acc, h) => least(acc, pmod(h * lit(a) + lit(b) * lit(i + 1), lit(p))))
+    }
+    array(perms: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs: shingle -> minhash signature -> banded
+    * bucket join -> exact-Jaccard verification of candidates.
+    * `bands * rowsPerBand` must equal `numHashes`. Output like
+    * [[ngramJaccardPairs]] (verified), so LSH only affects recall. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 32, bands: Int = 16,
+                      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = df.select(col(idCol).as("__id"),
+      minhashSignature(TextOps.shingles(col(textCol), n), numHashes).as("__sig"))
+    val banded = sig.select(col("__id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("__sig"), b * lit(r) + 1, lit(r)))))).as(Seq("__band", "__bh")))
+    val cand = banded.alias("x")
+      .join(banded.alias("y"),
+        col("x.__band") === col("y.__band") && col("x.__bh") === col("y.__bh") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_1"), col("y.__id").as("id_2"))
+      .distinct()
+    // verify candidates with exact jaccard
+    val sh = shingleRel(df, idCol, textCol, n)
+    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val inter = cand
+      .join(sh.select(col("__id").as("id_1"), col("__sh")), Seq("id_1"))
+      .join(sh.select(col("__id").as("id_2"), col("__sh").as("__sh2")), Seq("id_2"))
+      .filter(col("__sh") === col("__sh2"))
+      .groupBy(col("id_1"), col("id_2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("__id").as("id_1"), col("__n").as("n_1")), Seq("id_1"))
+      .join(sizes.select(col("__id").as("id_2"), col("__n").as("n_2")), Seq("id_2"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_1") + col("n_2") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_1", "id_2", "jaccard")
+  }
+
+  /** 64-bit SimHash over word tokens (xxhash64 per token; per-bit majority
+    * vote), as a single higher-order expression — no UDF. */
+  def simhash64(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    val th = transform(toks, t => xxhash64(t))
+    val bits = transform(sequence(lit(0), lit(63)), b =>
+      when(aggregate(th, lit(0L),
+        (acc, h) => acc + call_function("shiftright", h, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+        > 0, lit(1L)).otherwise(lit(0L)))
+    aggregate(zip_with(bits, sequence(lit(0), lit(63)),
+      (bit, i) => call_function("shiftleft", bit, i)), lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash near-dup candidate pairs with Hamming distance <= maxHamming,
+    * found via banded 16-bit chunks (any equal chunk -> candidate; complete
+    * for maxHamming <= 3 by pigeonhole), then exact popcount verification. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sig"))
+    val banded = sigs.select(col("__id"), col("__sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("__sig"), b * 16).bitwiseAND(lit(0xffffL))))
+        .as(Seq("__band", "__chunk")))
+    val cand = banded.alias("x")
+      .join(banded.alias("y"),
+        col("x.__band") === col("y.__band") &&
+          col("x.__chunk") === col("y.__chunk") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_1"), col("x.__sig").as("__s1"),
+        col("y.__id").as("id_2"), col("y.__sig").as("__s2"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("__s1").bitwiseXOR(col("__s2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_1", "id_2", "hamming")
+  }
+}

@@ -1,0 +1,179 @@
+package graft.ops
+
+import graft.core.ColSpec
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** k-nearest-neighbor join by genomic distance (reference
+  * `ops.py:919-1240`, kernels `arrops.py:506-754`) — the engine's as-of
+  * join.
+  *
+  * Shape (all shuffle-friendly, no cartesian products):
+  *  1. overlap candidates via [[IntervalJoin]] (distance 0);
+  *  2. per side, the k nearest non-overlapping neighbors found with a
+  *     distributed ''as-of'' lookup: number the right rows per chromosome
+  *     (ordered by end resp. start), locate each left row's insertion
+  *     position with a union + running-max window (the classic streaming
+  *     as-of pattern), then `sequence`+`explode` the k neighbor ordinals
+  *     and equi-join them back — O(k) rows per left row, never a scan of
+  *     the whole right side;
+  *  3. rank the union with the reference's overlap-first ordering
+  *     (non-overlap sort distance = dist+1, `arrops.py:722-730`), keep the
+  *     top k per left row, and left-join back so rows with no neighbor
+  *     survive with nulls.
+  */
+object Closest {
+
+  /** @param df2 None -> self-closest, excluding identical rows
+    *            (reference `arrops.py:655-657`).
+    * @param directionCol df1 column (e.g. strand); rows with value "-" have
+    *                     upstream/downstream flipped (`ops.py:1009-1012`).
+    * @param tieBreakingCol df2 column; lower wins (`arrops.py:737-740`).
+    */
+  def closest(df1: DataFrame, df2: Option[DataFrame] = None, k: Int = 1,
+              ignoreOverlaps: Boolean = false,
+              ignoreUpstream: Boolean = false,
+              ignoreDownstream: Boolean = false,
+              directionCol: Option[String] = None,
+              tieBreakingCol: Option[String] = None,
+              suffixes: (String, String) = ("", "_"),
+              cols1: ColSpec = ColSpec.default,
+              cols2: ColSpec = ColSpec.default,
+              binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(!(ignoreOverlaps && ignoreUpstream && ignoreDownstream),
+      "cannot ignore overlaps, upstream, and downstream at once")
+    val selfJoin = df2.isEmpty
+    val (sf1, sf2) = suffixes
+    val base2 = df2.getOrElse(df1)
+    val c1 = cols1.withSuffix(sf1)
+    val c2 = cols2.withSuffix(sf2)
+
+    val l = ColSpec.suffixAll(df1, sf1)
+      .withColumn("__id1", monotonically_increasing_id())
+    val r = ColSpec.suffixAll(base2, sf2)
+      .withColumn("__id2", monotonically_increasing_id())
+
+    val tie: Column = tieBreakingCol match {
+      case Some(t) => col(t + sf2)
+      case None    => lit(0L)
+    }
+    val lCols = l.columns.toSeq
+    val rCols = r.columns.toSeq
+    val allCols = lCols ++ rCols
+
+    // ---- candidate set A: overlapping pairs (distance 0) ----------------
+    val overlaps =
+      if (ignoreOverlaps) None
+      else Some(
+        IntervalJoin.pairs(l, r, c1, c2, Nil, IntervalJoin.Binned, binSize)
+          .withColumn("__dist", lit(0L))
+          .withColumn("__sortdist", lit(0L)))
+
+    // ---- candidate sets B/C: k nearest per side via as-of lookup --------
+    // B: right rows strictly left of the query (end2 <= start1), nearest =
+    //    largest end2. Ordinals ascend by end2; preferred tie-values are
+    //    placed LAST among equal end2 so that taking ordinals from the tail
+    //    keeps them.
+    val takeK = if (selfJoin) k + 1 else k
+    def sideCandidates(leftSide: Boolean): DataFrame = {
+      val seqOrder =
+        if (leftSide) Seq(col("__k").asc, tie.desc, col("__id2").desc)
+        else Seq(col("__k").asc, tie.asc, col("__id2").asc)
+      val wSeq = Window.partitionBy(c2.chromCol).orderBy(seqOrder: _*)
+      val rs = r
+        .withColumn("__k", if (leftSide) c2.endCol else c2.startCol)
+        .withColumn("__seq", row_number().over(wSeq))
+      // union-based as-of: right events tagged to sort before (B) / after
+      // (C) left probes that share the same coordinate
+      val rEvents = rs.select(
+        c2.chromCol.as("__ch"), col("__k").as("__key"),
+        lit(if (leftSide) 0 else 1).as("__tag"),
+        col("__seq"), lit(null).cast(LongType).as("__pid"))
+      val lEvents = l.select(
+        c1.chromCol.as("__ch"),
+        (if (leftSide) c1.startCol else c1.endCol).as("__key"),
+        lit(if (leftSide) 1 else 0).as("__tag"),
+        lit(null).cast(IntegerType).as("__seq"), col("__id1").as("__pid"))
+      val wAsof = Window.partitionBy(col("__ch"))
+        .orderBy(col("__key").asc, col("__tag").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val positioned = rEvents.unionByName(lEvents)
+        .withColumn("__pos", max(col("__seq")).over(wAsof))
+        .filter(col("__pid").isNotNull)
+        .select(col("__pid"), col("__pos"))
+      // B: neighbors at ordinals pos-takeK+1..pos ; C: pos+1..pos+takeK
+      val wanted = positioned
+        .withColumn("__want",
+          if (leftSide)
+            when(col("__pos").isNull, array().cast(ArrayType(IntegerType)))
+              .otherwise(sequence(
+                greatest(lit(1), col("__pos") - lit(takeK - 1)).cast("int"),
+                col("__pos").cast("int")))
+          else
+            sequence((coalesce(col("__pos"), lit(0)) + lit(1)).cast("int"),
+              (coalesce(col("__pos"), lit(0)) + lit(takeK)).cast("int")))
+        .select(col("__pid"), explode(col("__want")).as("__wseq"))
+      val lk = l.join(wanted, col("__id1") === col("__pid"), "inner")
+        .drop("__pid")
+      val rsJ = rs.withColumnRenamed("__seq", "__rseq")
+      lk.join(rsJ,
+          c1.chromCol === c2.chromCol && col("__wseq") === col("__rseq"),
+          "inner")
+        .drop("__wseq", "__rseq", "__k")
+        .withColumn("__dist",
+          if (leftSide) c1.startCol - c2.endCol else c2.startCol - c1.endCol)
+        .withColumn("__sortdist", col("__dist") + lit(1L))
+    }
+
+    // a side is needed unless ignored for every row
+    val upstreamC =
+      if (ignoreUpstream && directionCol.isEmpty) None
+      else Some(sideCandidates(leftSide = true))
+    val downstreamC =
+      if (ignoreDownstream && directionCol.isEmpty) None
+      else Some(sideCandidates(leftSide = false))
+
+    val selCols = allCols.map(col) :+ col("__dist") :+ col("__sortdist")
+    var cands = (overlaps.toSeq ++ upstreamC.toSeq ++ downstreamC.toSeq)
+      .map(_.select(selCols: _*))
+      .reduce(_ unionByName _)
+
+    if (selfJoin) cands = cands.filter(col("__id1") =!= col("__id2"))
+
+    // direction-aware masking: genomic-left = upstream for "+" rows,
+    // downstream for "-" rows
+    if (ignoreUpstream || ignoreDownstream) {
+      val isMinus = directionCol match {
+        case Some(d) => col(d + sf1) === "-"
+        case None    => lit(false)
+      }
+      val genomicLeft = c2.endCol <= c1.startCol && col("__sortdist") > 0
+      val genomicRight = c2.startCol >= c1.endCol && col("__sortdist") > 0
+      val isUpstream = when(isMinus, genomicRight).otherwise(genomicLeft)
+      val isDownstream = when(isMinus, genomicLeft).otherwise(genomicRight)
+      if (ignoreUpstream) cands = cands.filter(!isUpstream)
+      if (ignoreDownstream) cands = cands.filter(!isDownstream)
+    }
+
+    val wRank = Window.partitionBy(col("__id1"))
+      .orderBy(col("__sortdist").asc, tie.asc, col("__id2").asc)
+    val ranked = cands
+      .withColumn("__rk", row_number().over(wRank))
+      .filter(col("__rk") <= k)
+      .withColumn("distance", col("__dist"))
+
+    // left-join back: df1 rows with no candidate survive with nulls
+    val rNulls = r.schema.fields.toSeq
+      .map(f => lit(null).cast(f.dataType).as(f.name)) :+
+      lit(null).cast(LongType).as("distance")
+    val unmatched = l
+      .join(ranked.select(col("__id1")), Seq("__id1"), "left_anti")
+      .select(lCols.map(col) ++ rNulls: _*)
+    ranked.select((lCols ++ rCols).map(col) :+ col("distance"): _*)
+      .unionByName(unmatched)
+      .drop("__id1", "__id2")
+  }
+}

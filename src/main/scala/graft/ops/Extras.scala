@@ -1,0 +1,138 @@
+package graft.ops
+
+import graft.core.ColSpec
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Derived operators (reference `extras.py`). */
+object Extras {
+
+  /** Tile each chromosome `[0, length)` into `binsize` bins, last bin
+    * clipped (reference `extras.py:125-167`). Input: a chromsizes relation
+    * `(chromCol, lengthCol)`. `sequence`+`explode` generates bins
+    * distributively — no driver loop. */
+  def binnify(chromsizes: DataFrame, binsize: Long,
+              chromCol: String = "chrom", lengthCol: String = "length",
+              relIds: Boolean = false): DataFrame = {
+    require(binsize > 0, "binsize must be > 0")
+    val out = chromsizes
+      .select(col(chromCol).as("chrom"), col(lengthCol).cast("long").as("__len"))
+      .withColumn("start",
+        explode(sequence(lit(0L), col("__len") - 1, lit(binsize))))
+      .withColumn("end", least(col("start") + lit(binsize), col("__len")))
+      .drop("__len")
+    if (relIds) out.withColumn("rel_id", (col("start") / lit(binsize)).cast("long"))
+    else out
+  }
+
+  /** Split chromosomes into p/q arms at centromere midpoints (reference
+    * `extras.py:23-122`). `mids`: (chrom, mid). Chroms without a mid entry
+    * yield a single unnamed-arm row spanning the whole chromosome. */
+  def makeChromarms(chromsizes: DataFrame, mids: DataFrame,
+                    chromCol: String = "chrom", lengthCol: String = "length",
+                    midCol: String = "mid"): DataFrame = {
+    val cs = chromsizes.select(col(chromCol).as("chrom"),
+      col(lengthCol).cast("long").as("__len"))
+    val m = mids.select(col(chromCol).as("chrom"), col(midCol).cast("long").as("__mid"))
+    cs.join(broadcast(m), Seq("chrom"), "left")
+      .select(col("chrom"), col("__len"), col("__mid"),
+        explode(when(col("__mid").isNotNull,
+          array(
+            struct(lit(0L).as("start"), col("__mid").as("end"), lit("_p").as("sfx")),
+            struct(col("__mid").as("start"), col("__len").as("end"), lit("_q").as("sfx"))))
+          .otherwise(array(
+            struct(lit(0L).as("start"), col("__len").as("end"), lit("").as("sfx")))))
+          .as("__arm"))
+      .select(col("chrom"), col("__arm.start").as("start"),
+        col("__arm.end").as("end"),
+        concat(col("chrom"), col("__arm.sfx")).as("name"))
+  }
+
+  /** All unique interval pairs separated by `[minSep, maxSep]` bp (midpoint-
+    * or endpoint-anchored) with an intervening-interval-count filter
+    * (reference `extras.py:389-543`). Reproduces the reference's probe
+    * trick: each interval emits a right-handed and a left-handed probe
+    * interval; an inner interval join of right-probes x left-probes yields
+    * exactly the in-band pairs (first of each pair is upstream). Intervening
+    * counts are per-chrom dense ranks — same-chromosome pairs make the
+    * global rank difference equal the per-chrom one, so no global sort is
+    * needed. */
+  def pairByDistance(df: DataFrame, minSep: Long, maxSep: Long,
+                     minIntervening: Option[Long] = None,
+                     maxIntervening: Option[Long] = None,
+                     relativeTo: String = "midpoints",
+                     suffixes: (String, String) = ("_1", "_2"),
+                     cols: ColSpec = ColSpec.default,
+                     binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
+    require(minSep >= 0 && minSep < maxSep, "need 0 <= minSep < maxSep")
+    require(relativeTo == "midpoints" || relativeTo == "endpoints",
+      "relativeTo must be 'midpoints' or 'endpoints'")
+    val wRank = Window.partitionBy(cols.chromCol)
+      .orderBy(cols.startCol, cols.endCol)
+    val mid = floor((cols.startCol + cols.endCol) / lit(2)).cast("long")
+    val ranked = df
+      .withColumn("__mid", mid)
+      .withColumn("__rank", row_number().over(wRank))
+    val (refR, refL) =
+      if (relativeTo == "endpoints") (cols.endCol, cols.startCol)
+      else (col("__mid"), col("__mid"))
+    val rightProbe = ranked
+      .withColumn("__ps", refR + lit(minSep / 2))
+      .withColumn("__pe", refR + lit((maxSep + 1) / 2))
+    val leftProbe = ranked
+      .withColumn("__ps", refL - lit(maxSep / 2))
+      .withColumn("__pe", refL - lit((minSep + 1) / 2))
+    val (s1, s2) = suffixes
+    val a = ColSpec.suffixAll(rightProbe, s1)
+    val b = ColSpec.suffixAll(leftProbe, s2)
+    val pc1 = ColSpec(cols.chrom + s1, "__ps" + s1, "__pe" + s1)
+    val pc2 = ColSpec(cols.chrom + s2, "__ps" + s2, "__pe" + s2)
+    var p = IntervalJoin.pairs(a, b, pc1, pc2, Nil, IntervalJoin.Binned, binSize)
+      .withColumn("__intervening",
+        abs(col("__rank" + s1) - col("__rank" + s2)) - 1)
+    minIntervening.foreach(v => p = p.filter(col("__intervening") >= v))
+    maxIntervening.foreach(v => p = p.filter(col("__intervening") <= v))
+    val dropCols = Seq(s1, s2).flatMap(s =>
+      Seq("__ps" + s, "__pe" + s, "__mid" + s, "__rank" + s)) :+ "__intervening"
+    p.drop(dropCols: _*)
+  }
+
+  /** Mark runs of spatially consecutive (abutting, non-overlapping)
+    * intervals sharing the same value of `valueCol` (reference
+    * `extras.py:546-650`). Run ids reset per chromosome. Same window sweep
+    * as [[Ops.cluster]] with an extra value-change border. */
+  def markRuns(df: DataFrame, valueCol: String, runCol: String = "run",
+               cols: ColSpec = ColSpec.default): DataFrame = {
+    val w = Window.partitionBy(cols.chromCol).orderBy(cols.startCol, cols.endCol)
+    val prevMax = max(cols.endCol).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val prevVal = lag(col(valueCol), 1).over(w)
+    val border =
+      when(prevMax.isNull, lit(1L))
+        .otherwise((cols.startCol > prevMax ||
+          !(col(valueCol) <=> prevVal)).cast("long"))
+    df.withColumn("__border", border)
+      .withColumn(runCol,
+        sum(col("__border")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+      .drop("__border")
+  }
+
+  /** Merge runs of equal-valued abutting intervals with optional extra
+    * aggregations (reference `extras.py:653-735`). */
+  def mergeRuns(df: DataFrame, valueCol: String,
+                agg: Map[String, Column] = Map.empty,
+                cols: ColSpec = ColSpec.default): DataFrame = {
+    val marked = markRuns(df, valueCol, "__run", cols)
+    val aggs = Seq(
+      min(cols.startCol).as(cols.start),
+      max(cols.endCol).as(cols.end)) ++
+      agg.map { case (n, c) => c.as(n) }
+    val outCols = Seq(cols.chromCol, cols.startCol, cols.endCol,
+      col(valueCol)) ++ agg.keys.toSeq.map(col)
+    marked
+      .groupBy(cols.chromCol, col(valueCol), col("__run"))
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("__run")
+      .select(outCols: _*)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.core.ColSpec
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical strategies for the interval (range-overlap) join — the one
+  * operator Spark genuinely lacks. The reference implements it as a
+  * single-node sort + double-`searchsorted` sweep (`core/arrops.py:290-375`);
+  * a naive Spark translation (`join` on `s1 < e2 && s2 < e1`) degenerates to
+  * a broadcast-nested-loop / cartesian plan. Instead:
+  *
+  *  - '''Binned equi-join''' (the scale path): explode each side onto fixed
+  *    genome bins of width `binSize`, equi-join on `(chrom, on..., bin)`,
+  *    re-check the true interval predicate, and keep each pair only in the
+  *    bin containing `max(start1, start2)` — a closed-form dedup that avoids
+  *    a `distinct()` shuffle. Both sides shuffle-partition by `(chrom, bin)`,
+  *    which simultaneously parallelizes within chromosomes and defuses
+  *    per-chromosome skew (chr1 >> chrM; see SURVEY §4). AQE handles any
+  *    residual skew.
+  *  - '''Broadcast''': when one side is small (views, chromsizes, dimension
+  *    tables), hash-join on `(chrom, on...)` with the range predicate in the
+  *    join condition — no shuffle of the big side at all.
+  *
+  * Point intervals (`start == end`) are promoted to length-1 pseudo-segments
+  * inside the predicate (reference `core/arrops.py:271-287`).
+  */
+object IntervalJoin {
+
+  sealed trait Strategy
+  /** Pick broadcast if the right side's estimated plan size is under the
+    * session's autoBroadcastJoinThreshold, else binned. */
+  case object Auto extends Strategy
+  case object Binned extends Strategy
+  case object BroadcastRight extends Strategy
+
+  val DefaultBinSize: Long = 1000000L
+
+  /** Integer floor-division that is exact for negative coordinates. */
+  private def fdiv(c: Column, w: Long): Column =
+    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+
+  /** The overlap predicate with point promotion, on already-suffixed specs. */
+  def overlapPredicate(c1: ColSpec, c2: ColSpec): Column =
+    c1.startCol < c2.promotedEnd && c2.startCol < c1.promotedEnd
+
+  /** Inner interval join of two relations whose column names are already
+    * disjoint. Returns all columns of both sides for each overlapping pair.
+    *
+    * @param on extra equi-key column name pairs (left name, right name),
+    *           mirroring the reference's `on=` (`ops.py:456-462`).
+    */
+  def pairs(left: DataFrame, right: DataFrame,
+            c1: ColSpec, c2: ColSpec,
+            on: Seq[(String, String)] = Nil,
+            strategy: Strategy = Auto,
+            binSize: Long = DefaultBinSize): DataFrame = {
+    val resolved = strategy match {
+      case Auto =>
+        val threshold =
+          right.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            .stripSuffix("b").toLong
+        val sizeEstimate =
+          right.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (threshold > 0 && sizeEstimate <= threshold) BroadcastRight else Binned
+      case s => s
+    }
+    resolved match {
+      case BroadcastRight | Auto =>
+        val cond = (c1.chromCol === c2.chromCol) &&
+          on.map { case (a, b) => col(a) === col(b) }
+            .foldLeft(overlapPredicate(c1, c2))(_ && _)
+        left.join(broadcast(right), cond, "inner")
+      case Binned =>
+        val lb = left.withColumn(
+          "__bin",
+          explode(sequence(fdiv(c1.startCol, binSize),
+                           fdiv(c1.promotedEnd - 1, binSize))))
+        val rb = right.withColumn(
+          "__bin2",
+          explode(sequence(fdiv(c2.startCol, binSize),
+                           fdiv(c2.promotedEnd - 1, binSize))))
+        val cond = (c1.chromCol === c2.chromCol) &&
+          on.map { case (a, b) => col(a) === col(b) }
+            .foldLeft(col("__bin") === col("__bin2"))(_ && _)
+        lb.join(rb, cond, "inner")
+          .filter(overlapPredicate(c1, c2))
+          // emit each pair only from the bin holding the overlap's start —
+          // dedup without a distinct() shuffle
+          .filter(col("__bin") === fdiv(greatest(c1.startCol, c2.startCol), binSize))
+          .drop("__bin", "__bin2")
+    }
+  }
+}

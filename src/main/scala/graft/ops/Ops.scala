@@ -1,0 +1,550 @@
+package graft.ops
+
+import graft.core.{ColSpec, NatOrder, Region}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The public interval-relational operators (reference `ops.py`), rebuilt as
+  * declarative Spark plans: window sweeps for the sorted-scan kernels, the
+  * binned/broadcast interval join of [[IntervalJoin]] for pair discovery,
+  * plain aggregations for the rest. Every function returns a lazy
+  * `DataFrame` — Catalyst sees the whole composed plan (pushdown, pruning,
+  * AQE all apply).
+  */
+object Ops {
+
+  import IntervalJoin.{Strategy, Auto}
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Typed null literals for every column of `schema`, used to null-extend
+    * the unmatched side of left/right/outer interval joins (the reference
+    * nulls out `-1` partners and promotes dtypes, `ops.py:510-544`; Spark
+    * columns are natively nullable so only the literal is needed). */
+  private def nullCols(schema: StructType): Seq[Column] =
+    schema.fields.toSeq.map(f => lit(null).cast(f.dataType).as(f.name))
+
+  private def grp(cols: ColSpec, on: Seq[String]): Seq[Column] =
+    cols.chromCol +: on.map(col)
+
+  // ---------------------------------------------------------------- select
+
+  /** Rows overlapping a scalar region (reference `ops.py:116-147`); the
+    * region string is parsed driver-side, the result is a pure filter that
+    * Catalyst pushes into the scan. */
+  def select(df: DataFrame, region: String,
+             cols: ColSpec = ColSpec.default): DataFrame =
+    df.filter(Region.parseString(region).predicate(cols))
+
+  def selectMask(region: String, cols: ColSpec = ColSpec.default): Column =
+    Region.parseString(region).predicate(cols)
+
+  // ---------------------------------------------------------------- expand
+
+  /** Pad both/one side(s) by `pad`, or rescale around the midpoint by
+    * `scale`; negative pad clamps at the midpoint (reference
+    * `ops.py:150-225`). `scale` rounds half-even like numpy (`bround`). */
+  def expand(df: DataFrame, pad: Option[Long] = None,
+             scale: Option[Double] = None, side: String = "both",
+             cols: ColSpec = ColSpec.default): DataFrame = {
+    require(pad.isDefined ^ scale.isDefined,
+      "exactly one of pad or scale must be supplied")
+    val s = cols.startCol
+    val e = cols.endCol
+    val doLeft = side == "both" || side == "left"
+    val doRight = side == "both" || side == "right"
+    (pad, scale) match {
+      case (Some(p), _) =>
+        val ns = if (doLeft) s - lit(p) else s
+        val ne = if (doRight) e + lit(p) else e
+        if (p >= 0)
+          df.withColumn(cols.start, ns).withColumn(cols.end, ne)
+        else {
+          // midpoint clamp: mid = start + floor((end-start)/2)
+          val mid = s + floor((e - s) / lit(2)).cast("long")
+          df.withColumn("__mid", mid)
+            .withColumn(cols.start, least(ns, col("__mid")))
+            .withColumn(cols.end, greatest(ne, col("__mid")))
+            .drop("__mid")
+        }
+      case (_, Some(sc)) =>
+        require(sc >= 0, "multiplicative scale must be >= 0")
+        val pads = lit(0.5 * (sc - 1)) * (e - s)
+        val ns = if (doLeft) bround(s - pads).cast("long") else s
+        val ne = if (doRight) bround(e + pads).cast("long") else e
+        df.withColumn(cols.start, ns).withColumn(cols.end, ne)
+      case _ => df
+    }
+  }
+
+  // ---------------------------------------------------------------- overlap
+
+  /** The workhorse interval join (reference `ops.py:361-556`).
+    *
+    * `how` in inner/left/right/outer; `on` adds extra equi-keys; both
+    * inputs come back suffixed; `returnOverlap` adds the intersection
+    * coords `[max(s1,s2), min(e1,e2))` (reference `ops.py:486-494`);
+    * `keepOrder` restores df1 input order (`ops.py:549-550`).
+    */
+  def overlap(df1: DataFrame, df2: DataFrame, how: String = "left",
+              suffixes: (String, String) = ("", "_"),
+              returnIndex: Boolean = false,
+              returnOverlap: Boolean = false,
+              keepOrder: Boolean = false,
+              on: Seq[String] = Nil,
+              cols1: ColSpec = ColSpec.default,
+              cols2: ColSpec = ColSpec.default,
+              strategy: Strategy = Auto,
+              binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
+    require(Set("inner", "left", "right", "outer").contains(how),
+      s"unknown how=$how")
+    val (sf1, sf2) = suffixes
+    val needId1 = how == "left" || how == "outer" || keepOrder || returnIndex
+    val needId2 = how == "right" || how == "outer" || returnIndex
+    var l = ColSpec.suffixAll(df1, sf1)
+    if (needId1) l = l.withColumn("__id1", monotonically_increasing_id())
+    var r = ColSpec.suffixAll(df2, sf2)
+    if (needId2) r = r.withColumn("__id2", monotonically_increasing_id())
+    val c1 = cols1.withSuffix(sf1)
+    val c2 = cols2.withSuffix(sf2)
+
+    var p = IntervalJoin.pairs(l, r, c1, c2,
+      on.map(k => (k + sf1, k + sf2)), strategy, binSize)
+    val overlapCols =
+      if (returnOverlap)
+        Seq(greatest(c1.startCol, c2.startCol).as("overlap_start"),
+            least(c1.endCol, c2.endCol).as("overlap_end"))
+      else Nil
+    if (returnOverlap) p = p.select(col("*") +: overlapCols: _*)
+
+    val lNames = l.columns.toSeq
+    val rNames = r.columns.toSeq
+    val oNames = if (returnOverlap) Seq("overlap_start", "overlap_end") else Nil
+    val rNulls = nullCols(r.schema) ++
+      oNames.map(n => lit(null).cast(LongType).as(n))
+    val lNulls = nullCols(l.schema)
+
+    val leftRest = () =>
+      l.join(p.select(col("__id1")), Seq("__id1"), "left_anti")
+        .select(lNames.map(col) ++ rNulls: _*)
+    val rightRest = () =>
+      r.join(p.select(col("__id2")), Seq("__id2"), "left_anti")
+        .select(lNulls ++ rNames.map(col) ++
+          oNames.map(n => lit(null).cast(LongType).as(n)): _*)
+    val pOrdered = p.select((lNames ++ rNames ++ oNames).map(col): _*)
+
+    var out = how match {
+      case "inner" => pOrdered
+      case "left"  => pOrdered.unionByName(leftRest())
+      case "right" => pOrdered.unionByName(rightRest())
+      case "outer" => pOrdered.unionByName(leftRest()).unionByName(rightRest())
+    }
+    if (keepOrder) out = out.orderBy(col("__id1").asc_nulls_last)
+    if (!returnIndex) out = out.drop("__id1", "__id2")
+    else out = out
+      .withColumnRenamed("__id1", "index" + sf1)
+      .withColumnRenamed("__id2", "index" + sf2)
+    out
+  }
+
+  // ------------------------------------------------------- count / setdiff
+
+  /** Per-df1-row count of overlapping df2 rows, zeros kept (reference
+    * `ops.py:1371-1438`). */
+  def countOverlaps(df1: DataFrame, df2: DataFrame,
+                    countCol: String = "count",
+                    on: Seq[String] = Nil,
+                    cols1: ColSpec = ColSpec.default,
+                    cols2: ColSpec = ColSpec.default,
+                    strategy: Strategy = Auto,
+                    binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
+    val l = df1.withColumn("__id1", monotonically_increasing_id())
+    val sfx = "__r_"
+    val r = ColSpec.suffixAll(df2.select((cols2.names ++ on).distinct.map(col): _*), sfx)
+    val c2 = cols2.withSuffix(sfx)
+    val p = IntervalJoin.pairs(l, r, cols1, c2,
+      on.map(k => (k, k + sfx)), strategy, binSize)
+    val counts = p.groupBy(col("__id1").as("__cid")).agg(count(lit(1)).as(countCol))
+    l.join(counts, col("__id1") === col("__cid"), "left")
+      .withColumn(countCol, coalesce(col(countCol), lit(0L)))
+      .drop("__id1", "__cid")
+  }
+
+  /** df1 rows with no overlap in df2 — a semantic anti-join (reference
+    * `ops.py:1333-1368`). */
+  def setdiff(df1: DataFrame, df2: DataFrame,
+              on: Seq[String] = Nil,
+              cols1: ColSpec = ColSpec.default,
+              cols2: ColSpec = ColSpec.default,
+              strategy: Strategy = Auto,
+              binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
+    val l = df1.withColumn("__id1", monotonically_increasing_id())
+    val sfx = "__r_"
+    val r = ColSpec.suffixAll(df2.select((cols2.names ++ on).distinct.map(col): _*), sfx)
+    val p = IntervalJoin.pairs(l, r, cols1, cols2.withSuffix(sfx),
+      on.map(k => (k, k + sfx)), strategy, binSize)
+    l.join(p.select(col("__id1")), Seq("__id1"), "left_anti").drop("__id1")
+  }
+
+  // ------------------------------------------------------- cluster / merge
+
+  /** Border flag for the sorted sweep: a new cluster starts when the gap to
+    * the running max of previous ends exceeds `minDist` — `None` means
+    * strict overlap only (touching intervals stay separate), exactly the
+    * `min_dist=None` vs `0` distinction of reference `arrops.py:459-477`. */
+  private def borderFlag(prevMax: Column, start: Column,
+                         minDist: Option[Long]): Column = {
+    val isNew = minDist match {
+      case Some(d) => start > prevMax + lit(d)
+      case None    => start >= prevMax
+    }
+    when(prevMax.isNull, lit(1L)).otherwise(isNew.cast("long"))
+  }
+
+  /** Connected components of the overlap graph along the line (reference
+    * `ops.py:559-708`): adds `cluster` (id, unique within `(chrom, on)`
+    * group), `cluster_start`, `cluster_end`. Single window sweep — the
+    * distributed equivalent of the reference's cummax/cumsum kernel
+    * (`arrops.py:462-477`).
+    */
+  def cluster(df: DataFrame, minDist: Option[Long] = Some(0),
+              on: Seq[String] = Nil,
+              cols: ColSpec = ColSpec.default): DataFrame = {
+    val keys = grp(cols, on)
+    val w = Window.partitionBy(keys: _*).orderBy(cols.startCol, cols.endCol)
+    val prevMax = max(cols.endCol).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, 0)
+    val withId = df
+      .withColumn("__new", borderFlag(prevMax, cols.startCol, minDist))
+      .withColumn("cluster", sum(col("__new")).over(wAll) - 1)
+      .drop("__new")
+    val wc = Window.partitionBy(keys :+ col("cluster"): _*)
+    withId
+      .withColumn("cluster_start", min(cols.startCol).over(wc))
+      .withColumn("cluster_end", max(cols.endCol).over(wc))
+  }
+
+  sealed trait MergeStrategy
+  /** One window sweep per `(chrom, on)` group — simple, but each group is a
+    * single partition (fine locally; skew-prone at extreme scale). */
+  case object WindowSweep extends MergeStrategy
+  /** Scale path: range-partition by (group, start), merge locally inside
+    * each partition with a streaming sweep, then stitch the (tiny) set of
+    * partial runs with a second window pass. Cluster-safe: no single
+    * partition ever holds a whole chromosome. */
+  case object RangePartitioned extends MergeStrategy
+
+  /** Merge overlapping/nearby intervals to their spans + interval count
+    * (reference `ops.py:711-839`). Output: group keys, start, end,
+    * `n_intervals`. */
+  def merge(df: DataFrame, minDist: Option[Long] = Some(0),
+            on: Seq[String] = Nil,
+            cols: ColSpec = ColSpec.default,
+            mergeStrategy: MergeStrategy = RangePartitioned): DataFrame =
+    mergeStrategy match {
+      case WindowSweep =>
+        cluster(df, minDist, on, cols)
+          .groupBy(grp(cols, on) :+ col("cluster"): _*)
+          .agg(min(cols.startCol).as(cols.start),
+               max(cols.endCol).as(cols.end),
+               count(lit(1)).as("n_intervals"))
+          .drop("cluster")
+      case RangePartitioned =>
+        mergeRangePartitioned(df, minDist, on, cols)
+    }
+
+  /** Local sweep over rows pre-sorted by (group, start, end) within each
+    * range partition, emitting partial merged runs; a second, cheap window
+    * merge over the runs stitches across partition boundaries. */
+  private def mergeRangePartitioned(df: DataFrame, minDist: Option[Long],
+                                    on: Seq[String], cols: ColSpec): DataFrame = {
+    val keyNames = cols.chrom +: on
+    val proj = df.select((keyNames :+ cols.start :+ cols.end).map(col): _*)
+    val sortCols = (keyNames.map(col) :+ cols.startCol :+ cols.endCol)
+    val parted = proj
+      .repartitionByRange(keyNames.map(col) :+ cols.startCol: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val nKeys = keyNames.length
+    val outSchema = StructType(
+      keyNames.map(n => proj.schema(n)) ++
+        Seq(StructField(cols.start, LongType, nullable = false),
+            StructField(cols.end, LongType, nullable = false),
+            StructField("n_intervals", LongType, nullable = false)))
+    val gapOk: (Long, Long) => Boolean = minDist match {
+      case Some(d) => (s, pe) => s <= pe + d
+      case None    => (s, pe) => s < pe
+    }
+    val partial = parted.mapPartitions { rows =>
+      new Iterator[Row] {
+        private var cur: Array[Any] = null // keys ++ (start, maxEnd, n)
+        private var nextOut: Row = null
+        private def sameKeys(r: Row): Boolean =
+          (0 until nKeys).forall(i => r.get(i) == cur(i))
+        private def emit(): Row =
+          Row.fromSeq(cur.toIndexedSeq)
+        private def advance(): Unit = {
+          while (nextOut == null && rows.hasNext) {
+            val r = rows.next()
+            val s = r.getLong(nKeys)
+            val e = r.getLong(nKeys + 1)
+            if (cur == null) {
+              cur = (0 until nKeys).map(r.get).toArray ++ Array[Any](s, e, 1L)
+            } else if (sameKeys(r) && gapOk(s, cur(nKeys + 1).asInstanceOf[Long])) {
+              cur(nKeys + 1) =
+                math.max(cur(nKeys + 1).asInstanceOf[Long], e)
+              cur(nKeys + 2) = cur(nKeys + 2).asInstanceOf[Long] + 1L
+            } else {
+              nextOut = emit()
+              cur = (0 until nKeys).map(r.get).toArray ++ Array[Any](s, e, 1L)
+            }
+          }
+          if (nextOut == null && cur != null) { nextOut = emit(); cur = null }
+        }
+        override def hasNext: Boolean = { advance(); nextOut != null }
+        override def next(): Row = {
+          advance(); val r = nextOut; nextOut = null; r
+        }
+      }
+    }(Encoders.row(outSchema))
+    // stitch partial runs (cardinality ~ clusters + #partitions, tiny)
+    val keys = keyNames.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(cols.startCol, cols.endCol)
+    val prevMax = max(cols.endCol).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, 0)
+    partial
+      .withColumn("__new", borderFlag(prevMax, cols.startCol, minDist))
+      .withColumn("__cid", sum(col("__new")).over(wAll))
+      .groupBy(keys :+ col("__cid"): _*)
+      .agg(min(cols.startCol).as(cols.start),
+           max(cols.endCol).as(cols.end),
+           sum(col("n_intervals")).as("n_intervals"))
+      .drop("__cid")
+  }
+
+  // ------------------------------------------------------------- coverage
+
+  /** Per-df1-interval count of bp covered by df2; df2 is merged first so
+    * overlapping df2 rows don't double-count (reference `ops.py:842-916`,
+    * merge at `ops.py:888`). */
+  def coverage(df1: DataFrame, df2: DataFrame,
+               coverageCol: String = "coverage",
+               cols1: ColSpec = ColSpec.default,
+               cols2: ColSpec = ColSpec.default,
+               strategy: Strategy = Auto,
+               binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
+    val sfx = "__r_"
+    val merged = ColSpec.suffixAll(
+      merge(df2, Some(0), Nil, cols2).drop("n_intervals"), sfx)
+    val c2 = ColSpec(cols2.chrom + sfx, cols2.start + sfx, cols2.end + sfx)
+    val l = df1.withColumn("__id1", monotonically_increasing_id())
+    val p = IntervalJoin.pairs(l, merged, cols1, c2, Nil, strategy, binSize)
+    val covered = p
+      .groupBy(col("__id1").as("__cid"))
+      .agg(sum(greatest(lit(0L),
+        least(cols1.endCol, c2.endCol) - greatest(cols1.startCol, c2.startCol)))
+        .as(coverageCol))
+    l.join(covered, col("__id1") === col("__cid"), "left")
+      .withColumn(coverageCol, coalesce(col(coverageCol), lit(0L)))
+      .drop("__id1", "__cid")
+  }
+
+  // ------------------------------------------------------------- subtract
+
+  /** Remove df2-covered bp from each df1 interval, emitting the surviving
+    * fragments (reference `ops.py:1243-1330`). Fully-covered rows drop out;
+    * an uncovered zero-length point survives as itself. `returnIndex` adds
+    * the per-parent fragment counter `sub_index_` (`ops.py:1323-1329`).
+    */
+  def subtract(df1: DataFrame, df2: DataFrame,
+               returnIndex: Boolean = false,
+               cols1: ColSpec = ColSpec.default,
+               cols2: ColSpec = ColSpec.default,
+               strategy: Strategy = Auto,
+               binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
+    val sfx = "__r_"
+    val merged = ColSpec.suffixAll(
+      merge(df2, Some(0), Nil, cols2).drop("n_intervals"), sfx)
+    val c2 = ColSpec(cols2.chrom + sfx, cols2.start + sfx, cols2.end + sfx)
+    val l = df1.withColumn("__id1", monotonically_increasing_id())
+    val p = IntervalJoin.pairs(l, merged, cols1, c2, Nil, strategy, binSize)
+      .withColumn("__ms", greatest(c2.startCol, cols1.startCol))
+      .withColumn("__me", least(c2.endCol, cols1.endCol))
+
+    val wid = Window.partitionBy(col("__id1")).orderBy(col("__ms"))
+    // gap before each covering run + one tail gap after the last
+    val head = p
+      .withColumn("__ps", coalesce(lag(col("__me"), 1).over(wid), cols1.startCol))
+      .withColumn("__pe", col("__ms"))
+    val tail = p
+      .groupBy(col("__id1").as("__tid"))
+      .agg(max(col("__me")).as("__ps"))
+    val lTail = l
+      .join(tail, col("__id1") === col("__tid"), "inner")
+      .withColumn("__pe", cols1.endCol)
+      .drop("__tid")
+    val matchedFrags = head
+      .select((l.columns.map(col) :+ col("__ps") :+ col("__pe")).toIndexedSeq: _*)
+      .unionByName(lTail
+        .select((l.columns.map(col) :+ col("__ps") :+ col("__pe")).toIndexedSeq: _*))
+      .filter(col("__ps") < col("__pe"))
+    // rows with no overlap at all survive whole (incl. uncovered points)
+    val untouched = l
+      .join(p.select(col("__id1")), Seq("__id1"), "left_anti")
+      .withColumn("__ps", cols1.startCol)
+      .withColumn("__pe", cols1.endCol)
+    var out = matchedFrags
+      .unionByName(untouched
+        .select((l.columns.map(col) :+ col("__ps") :+ col("__pe")).toIndexedSeq: _*))
+      .withColumn(cols1.start, col("__ps"))
+      .withColumn(cols1.end, col("__pe"))
+    if (returnIndex) {
+      val wf = Window.partitionBy(col("__id1")).orderBy(col("__ps"))
+      out = out.withColumn("sub_index_", row_number().over(wf) - 1)
+    }
+    out.drop("__ps", "__pe", "__id1")
+  }
+
+  // ----------------------------------------------------------- complement
+
+  /** Gaps of df within each view region (reference `ops.py:1560-1687`).
+    * df intervals are merged (min_dist=0), intersected with each region,
+    * and the per-region gaps emitted; regions with no intervals return
+    * whole (reference `ops.py:1652-1657`). View is a small dimension —
+    * broadcast join. Output: (chrom, start, end, view_region).
+    */
+  def complement(df: DataFrame, view: DataFrame,
+                 viewNameCol: String = "name",
+                 cols: ColSpec = ColSpec.default,
+                 colsView: ColSpec = ColSpec.default): DataFrame = {
+    val m = merge(df, Some(0), Nil, cols).drop("n_intervals")
+    val v = view.select(
+      col(colsView.chrom).as("__vc"),
+      col(colsView.start).as("__vs"),
+      col(colsView.end).as("__ve"),
+      col(viewNameCol).as("view_region"))
+    // merged runs clipped to each region they intersect (strict: zero-length
+    // touch contributes no coverage)
+    val inRegion = m.join(broadcast(v),
+        cols.chromCol === col("__vc") &&
+          cols.startCol < col("__ve") && col("__vs") < cols.endCol,
+        "inner")
+      .withColumn("__ms", greatest(cols.startCol, col("__vs")))
+      .withColumn("__me", least(cols.endCol, col("__ve")))
+    val wv = Window.partitionBy(col("view_region")).orderBy(col("__ms"))
+    val headGaps = inRegion
+      .withColumn("__gs", coalesce(lag(col("__me"), 1).over(wv), col("__vs")))
+      .withColumn("__ge", col("__ms"))
+    val tailGaps = inRegion
+      .groupBy(col("__vc"), col("__ve"), col("view_region"))
+      .agg(max(col("__me")).as("__gs"))
+      .withColumn("__ge", col("__ve"))
+    val gapsCols = Seq(col("__vc").as(cols.chrom), col("__gs").as(cols.start),
+      col("__ge").as(cols.end), col("view_region"))
+    val emptyRegions = v
+      .join(inRegion.select(col("view_region")).distinct(),
+        Seq("view_region"), "left_anti")
+      .select(col("__vc").as(cols.chrom), col("__vs").as(cols.start),
+        col("__ve").as(cols.end), col("view_region"))
+    headGaps.select(gapsCols: _*)
+      .unionByName(tailGaps.select(gapsCols: _*))
+      .filter(col(cols.start) < col(cols.end))
+      .unionByName(emptyRegions)
+  }
+
+  // ----------------------------------------------------- view-keyed ops
+
+  /** View with an explicit `ord` column materializing its row order — the
+    * Spark replacement for the reference's ordered-categorical trick
+    * (`ops.py:1792-1796`). Views are small; the global window is fine. */
+  def withOrd(view: DataFrame, ordCol: String = "ord"): DataFrame = {
+    val w = Window.orderBy(monotonically_increasing_id())
+    view.withColumn(ordCol, row_number().over(w) - 1)
+  }
+
+  /** Tag each interval with the view region of largest overlap, ties broken
+    * by view order (reference `ops.py:1807-1901`). */
+  def assignView(df: DataFrame, view: DataFrame,
+                 dropUnassigned: Boolean = false,
+                 dfViewCol: String = "view_region",
+                 viewNameCol: String = "name",
+                 cols: ColSpec = ColSpec.default,
+                 colsView: ColSpec = ColSpec.default): DataFrame = {
+    val v = withOrd(view, "__vord").select(
+      col(colsView.chrom).as("__vc"), col(colsView.start).as("__vs"),
+      col(colsView.end).as("__ve"), col(viewNameCol).as(dfViewCol),
+      col("__vord"))
+    val l = df.withColumn("__id1", monotonically_increasing_id())
+    val c2 = ColSpec("__vc", "__vs", "__ve")
+    val p = l.join(broadcast(v),
+      cols.chromCol === col("__vc") &&
+        IntervalJoin.overlapPredicate(cols, c2), "inner")
+    val wbest = Window.partitionBy(col("__id1")).orderBy(
+      (least(cols.endCol, col("__ve")) - greatest(cols.startCol, col("__vs"))).desc,
+      col("__vord").asc)
+    val best = p.withColumn("__rk", row_number().over(wbest))
+      .filter(col("__rk") === 1)
+      .select(col("__id1").as("__bid"), col(dfViewCol))
+    val joined = l.join(best, col("__id1") === col("__bid"),
+      if (dropUnassigned) "inner" else "left")
+    joined.drop("__id1", "__bid")
+  }
+
+  /** Clip intervals to their view region; unassigned rows get a null triple
+    * (reference `ops.py:1441-1557`). */
+  def trim(df: DataFrame, view: DataFrame,
+           dfViewCol: Option[String] = None,
+           viewNameCol: String = "name",
+           cols: ColSpec = ColSpec.default,
+           colsView: ColSpec = ColSpec.default): DataFrame = {
+    val withRegion = dfViewCol match {
+      case Some(_) => df
+      case None => assignView(df, view, dropUnassigned = false,
+        dfViewCol = "__region", viewNameCol = viewNameCol,
+        cols = cols, colsView = colsView)
+    }
+    val regionCol = dfViewCol.getOrElse("__region")
+    val v = view.select(
+      col(viewNameCol).as("__vname"), col(colsView.start).as("__vs"),
+      col(colsView.end).as("__ve"))
+    val joined = withRegion.join(broadcast(v),
+      col(regionCol) === col("__vname"), "left")
+    val assigned = col("__vname").isNotNull
+    joined
+      .withColumn(cols.start,
+        when(assigned, greatest(cols.startCol, col("__vs")))
+          .otherwise(lit(null).cast(LongType)))
+      .withColumn(cols.end,
+        when(assigned, least(cols.endCol, col("__ve")))
+          .otherwise(lit(null).cast(LongType)))
+      .withColumn(cols.chrom,
+        when(assigned, cols.chromCol).otherwise(lit(null).cast(StringType)))
+      .drop("__vname", "__vs", "__ve", "__region")
+  }
+
+  /** Sort by (chrom natural-order, start, end), or by view row order then
+    * coords when a view is given (reference `ops.py:1690-1804`). Returns a
+    * globally sorted DataFrame (range-partitioned sort — no single-node
+    * bottleneck). */
+  def sortBedframe(df: DataFrame, view: Option[DataFrame] = None,
+                   viewNameCol: String = "name",
+                   cols: ColSpec = ColSpec.default,
+                   colsView: ColSpec = ColSpec.default): DataFrame =
+    view match {
+      case None =>
+        df.orderBy(cols.chromCol.asc_nulls_last,
+          cols.startCol.asc_nulls_last, cols.endCol.asc_nulls_last)
+      case Some(v) =>
+        val assigned = assignView(df, v, dropUnassigned = false,
+          dfViewCol = "__region", viewNameCol = viewNameCol,
+          cols = cols, colsView = colsView)
+        val ord = withOrd(v, "__vord")
+          .select(col(viewNameCol).as("__vname"), col("__vord"))
+        assigned
+          .join(broadcast(ord), col("__region") === col("__vname"), "left")
+          .orderBy(col("__vord").asc_nulls_last, cols.startCol.asc_nulls_last,
+            cols.endCol.asc_nulls_last)
+          .drop("__region", "__vname", "__vord")
+    }
+}

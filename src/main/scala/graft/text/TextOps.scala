@@ -1,0 +1,101 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus curation: token
+  * counting, quality signals, language ID, fingerprinting, shingling.
+  * All pure `Column` expressions (codegen-friendly, no UDFs) so they
+  * vectorize inside whole-stage codegen and push through Catalyst.
+  */
+object TextOps {
+
+  /** Whitespace-token count. */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+
+  /** BPE-ish subword-ish count: word pieces + digits + punctuation marks
+    * counted separately (a cheap, deterministic proxy for tokenizer load). */
+  def bpeishCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[\\p{Punct}]"))
+
+  def upperCount(text: Column): Column = regexp_count(text, lit("[A-Z]"))
+
+  def digitCount(text: Column): Column = regexp_count(text, lit("[0-9]"))
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "and", "of", "to", "in", "a", "is", "that", "it", "for",
+      "on", "with", "as", "was", "at", "by", "an", "be", "this", "are")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    regexp_count(lower(text),
+      lit("\\b(" + stopwords.mkString("|") + ")\\b"))
+
+  /** Composite quality score in [0,1]-ish from integer signals; the exact
+    * arithmetic (IEEE double of exact long ratios) is reproducible across
+    * engines. Higher = cleaner prose. */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val toks = tokenCount(text).cast("double")
+    val punct = punctCount(text).cast("double")
+    val stop = stopwordCount(text).cast("double")
+    val upper = upperCount(text).cast("double")
+    val lenScore = least(n / lit(500.0), lit(1.0))
+    val stopScore = least(stop / greatest(toks, lit(1.0)) * lit(4.0), lit(1.0))
+    val punctPenalty = least(punct / greatest(n, lit(1.0)) * lit(5.0), lit(1.0))
+    val upperPenalty = least(upper / greatest(n, lit(1.0)) * lit(4.0), lit(1.0))
+    (lenScore * lit(0.3) + stopScore * lit(0.4) +
+      (lit(1.0) - punctPenalty) * lit(0.15) +
+      (lit(1.0) - upperPenalty) * lit(0.15))
+  }
+
+  /** Marker-word languages for the n-gram/stopword language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "with", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "pour"),
+    "es" -> Seq("el", "los", "las", "es", "una", "para", "con", "del"),
+    "it" -> Seq("il", "di", "che", "per", "sono", "una", "con", "della"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    regexp_count(lower(text), lit("\\b(" + markers.mkString("|") + ")\\b"))
+
+  /** Predicted language = argmax of marker-word hit counts; ties resolve in
+    * `LangMarkers` declaration order; zero hits -> "und" (undetermined). */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, m) => lang -> langScore(text, m) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // outermost `when` = first declared language = highest tie priority
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Content fingerprint: md5 of the raw text (exact-dup key). */
+  def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
+
+  /** 64-bit rolling polynomial hash (base 31, mod 2^61-1) over characters —
+    * an order-sensitive fingerprint computed with a higher-order fold, no
+    * UDF. */
+  def rollingHash(text: Column): Column = {
+    val p = 2305843009213693951L // 2^61 - 1
+    aggregate(split(text, ""), lit(0L),
+      (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch), lit(0)), lit(p)))
+  }
+
+  /** Lower-cased word tokens. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Distinct word n-gram shingles (space-joined). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array()))
+  }
+}
