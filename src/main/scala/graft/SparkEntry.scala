@@ -1,13 +1,766 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{ColSpec, NatOrder, Region}
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.ops.{Closest, Extras, IntervalJoin, Ops}
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2) + equivalent DuckDB SQL in `oracleSql` for the driver's
+  * correctness gate. Column names and BIGINT-normalized types match between
+  * both sides exactly.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  import TestTables._
+
+  /** Flagship query on sf0.001: interval join iv1 x iv2 + per-chrom agg. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Ops.overlap(iv1(spark, dir), iv2(spark, dir), how = "inner",
+        suffixes = ("_1", "_2"), binSize = 256)
+      .groupBy(col("chrom_1")).agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private val B = 256L // genome-bin width for the binned interval joins here
+
+  // ------------------------------------------------------------ relational
+
+  private def q1(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("sum_base_cents"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long")).as("sum_disc_cents"),
+        count(lit(1)).as("count_order"))
+
+  private def q3(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer")
+      .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(table(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long")).as("revenue_cents"),
+        count(lit(1)).as("n"))
+
+  // ---------------------------------------------------------- interval ops
+
+  private def ivSelect(s: SparkSession, dir: String): DataFrame =
+    Ops.select(iv1(s, dir), "c1:100-500")
+      .select(col("id"), col("chrom"), col("start"), col("end"))
+
+  private def ivExpand(s: SparkSession, dir: String): DataFrame =
+    Ops.expand(iv1(s, dir), pad = Some(-3L))
+      .select(col("id"), col("chrom"), col("start"), col("end"))
+
+  private def ivExpandScale(s: SparkSession, dir: String): DataFrame =
+    Ops.expand(iv1(s, dir), scale = Some(1.5))
+      .select(col("id"), col("chrom"), col("start"), col("end"))
+
+  private def ivOverlap(how: String)(s: SparkSession, dir: String): DataFrame =
+    Ops.overlap(iv1(s, dir), iv2(s, dir), how = how, suffixes = ("_1", "_2"),
+        returnOverlap = how == "inner", binSize = B)
+      .select(col("id_1") +: col("id_2") +:
+        (if (how == "inner") Seq(col("overlap_start"), col("overlap_end"))
+         else Nil): _*)
+
+  private def ivOverlapOn(s: SparkSession, dir: String): DataFrame =
+    Ops.overlap(iv1(s, dir), iv2(s, dir), how = "inner",
+        suffixes = ("_1", "_2"), on = Seq("strand"), binSize = B)
+      .select(col("id_1"), col("id_2"), col("strand_1"))
+
+  private def ivCountOverlaps(s: SparkSession, dir: String): DataFrame =
+    Ops.countOverlaps(iv1(s, dir), iv2(s, dir), countCol = "n", binSize = B)
+      .select(col("id"), col("n"))
+
+  private def ivSetdiff(s: SparkSession, dir: String): DataFrame =
+    Ops.setdiff(iv1(s, dir), iv2(s, dir), binSize = B)
+      .select(col("id"), col("chrom"), col("start"), col("end"))
+
+  private def ivCluster(s: SparkSession, dir: String): DataFrame =
+    Ops.cluster(iv1(s, dir), minDist = Some(0))
+      .select(col("id"), col("chrom"), col("start"), col("end"),
+        col("cluster_start"), col("cluster_end"))
+
+  private def ivMerge(minDist: Option[Long])(s: SparkSession, dir: String): DataFrame =
+    Ops.merge(iv1(s, dir), minDist = minDist)
+      .select(col("chrom"), col("start"), col("end"), col("n_intervals"))
+
+  private def ivCoverage(s: SparkSession, dir: String): DataFrame =
+    Ops.coverage(iv2(s, dir), iv1(s, dir), coverageCol = "coverage", binSize = B)
+      .select(col("id"), col("chrom"), col("start"), col("end"), col("coverage"))
+
+  private def ivClosest(s: SparkSession, dir: String): DataFrame =
+    Closest.closest(iv3(s, dir), Some(iv2(s, dir)), k = 1,
+        tieBreakingCol = Some("id"), suffixes = ("_1", "_2"), binSize = B)
+      .select(col("id_1"), col("id_2"), col("distance"))
+
+  private def ivClosestK3(s: SparkSession, dir: String): DataFrame =
+    Closest.closest(iv3(s, dir), Some(iv2(s, dir)), k = 3,
+        tieBreakingCol = Some("id"), suffixes = ("_1", "_2"), binSize = B)
+      .select(col("id_1"), col("id_2"), col("distance"))
+
+  private def ivClosestUpstream(s: SparkSession, dir: String): DataFrame =
+    Closest.closest(iv3(s, dir), Some(iv2(s, dir)), k = 1,
+        ignoreDownstream = true, tieBreakingCol = Some("id"),
+        suffixes = ("_1", "_2"), binSize = B)
+      .select(col("id_1"), col("id_2"), col("distance"))
+
+  private def ivSubtract(s: SparkSession, dir: String): DataFrame =
+    Ops.subtract(iv2(s, dir), iv1(s, dir), binSize = B)
+      .select(col("id"), col("chrom"), col("start"), col("end"))
+
+  private def ivComplement(s: SparkSession, dir: String): DataFrame =
+    Ops.complement(iv1(s, dir), view(s))
+      .select(col("chrom"), col("start"), col("end"), col("view_region"))
+
+  private def ivTrim(s: SparkSession, dir: String): DataFrame =
+    Ops.trim(Ops.expand(iv1(s, dir), pad = Some(10L)), view(s),
+        viewOrdCol = Some("ord"))
+      .select(col("id"), col("chrom"), col("start"), col("end"))
+
+  private def ivAssignView(s: SparkSession, dir: String): DataFrame =
+    Ops.assignView(iv1(s, dir), view(s), viewOrdCol = Some("ord"))
+      .select(col("id"), col("view_region"))
+
+  private def ivSortRank(s: SparkSession, dir: String): DataFrame = {
+    val assigned = Ops.assignView(iv1(s, dir), view(s), viewOrdCol = Some("ord"))
+    val ords = view(s).select(col("name").as("__vn"), col("ord"))
+    assigned.join(broadcast(ords), col("view_region") === col("__vn"), "inner")
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("ord"), col("start"), col("end"), col("id"))).cast("long"))
+      .select(col("id"), col("rk"))
+  }
+
+  private def ivBinnify(s: SparkSession, dir: String): DataFrame =
+    Extras.binnify(chromsizes(s), 100L, relIds = true)
+      .select(col("chrom"), col("start"), col("end"), col("rel_id"))
+
+  private def ivChromarms(s: SparkSession, dir: String): DataFrame = {
+    val mids = s.range(8).select(
+      concat(lit("c"), col("id").cast("string")).as("chrom"),
+      lit(1300L).as("mid"))
+    Extras.makeChromarms(chromsizes(s), mids)
+      .select(col("chrom"), col("start"), col("end"), col("name"))
+  }
+
+  private def ivPairByDistance(s: SparkSession, dir: String): DataFrame =
+    Extras.pairByDistance(iv3(s, dir), minSep = 10L, maxSep = 200L,
+        maxIntervening = Some(5L), suffixes = ("_1", "_2"), binSize = B)
+      .select(col("id_1"), col("id_2"))
+
+  /** Abutting per-chrom bins valued by iv1-start presence — the bedGraph-
+    * like input for mark_runs/merge_runs. */
+  private def binsValued(s: SparkSession, dir: String): DataFrame = {
+    val bins = Extras.binnify(chromsizes(s), 100L)
+    val counts = iv1(s, dir)
+      .groupBy(col("chrom").as("__c"),
+        (floor(col("start") / 100) * 100).cast("long").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    bins.join(counts,
+        bins("chrom") === col("__c") && bins("start") === col("__b"), "left")
+      .withColumn("value", when(col("__n").isNotNull, 1L).otherwise(0L))
+      .select(col("chrom"), col("start"), col("end"), col("value"))
+  }
+
+  private def ivMarkRuns(s: SparkSession, dir: String): DataFrame =
+    Extras.markRuns(binsValued(s, dir), "value")
+      .select(col("chrom"), col("start"), col("end"), col("value"),
+        col("run").cast("long").as("run"))
+
+  private def ivMergeRuns(s: SparkSession, dir: String): DataFrame =
+    Extras.mergeRuns(binsValued(s, dir), "value",
+        agg = Map("n_bins" -> count(lit(1))))
+      .select(col("chrom"), col("start"), col("end"), col("value"), col("n_bins"))
+
+  private def chkInvariants(s: SparkSession, dir: String): DataFrame = {
+    val cols = ColSpec.default
+    val w = Window.partitionBy(col("chrom")).orderBy(col("start"), col("end"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    iv1(s, dir)
+      .withColumn("__pm", max(col("end")).over(w))
+      .agg(
+        (count(when(graft.core.Checks.bedViolation(cols), 1)) === 0).as("bed_ok"),
+        bool_or(col("start") === col("end")).as("has_points"),
+        bool_or(col("__pm").isNotNull && col("start") < col("__pm"))
+          .as("is_overlapping"))
+  }
+
+  private def utilNatsort(s: SparkSession, dir: String): DataFrame = {
+    val names = table(s, dir, "part")
+      .select(concat(lit("c"), (col("p_partkey") % 12).cast("string")).as("name"))
+      .distinct()
+    names.withColumn("nat_rank",
+        row_number().over(Window.orderBy(NatOrder.sortKeys(col("name")): _*))
+          .cast("long"))
+      .select(col("name"), col("nat_rank"))
+  }
+
+  private val regionFixtures = Seq(
+    "c1:100-500", "c2:1,000-2kb", "c3", "c4:50-", "c5:1.5K-0.002M",
+    "c6 : 10 - 20")
+
+  private def regionParse(s: SparkSession, dir: String): DataFrame = {
+    val rows = regionFixtures.map { str =>
+      val r = Region.parseString(str)
+      (str, r.chrom, r.start.map(java.lang.Long.valueOf).orNull,
+        r.end.map(java.lang.Long.valueOf).orNull)
+    }
+    import s.implicits._
+    rows.toDF("input", "chrom", "start", "end")
+  }
+
+  // -------------------------------------------------------------- events
+
+  private def eventsMs(s: SparkSession, dir: String): DataFrame = {
+    // the events table carries TIMESTAMP(NANOS) — read as raw nanos
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, dir, "events")
+      .withColumn("tms", expr("ts div 1000000"))
+  }
+
+  private def evtSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("event_id"))
+    eventsMs(s, dir)
+      .withColumn("__prev", lag(col("tms"), 1).over(w))
+      .withColumn("__brd",
+        when(col("__prev").isNull || col("tms") - col("__prev") > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__brd")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("tms")).as("session_start"), count(lit(1)).as("n_events"))
+
+  }
+
+  private def evtWindowAgg(s: SparkSession, dir: String): DataFrame =
+    eventsMs(s, dir)
+      .withColumn("hour_bucket", expr("ts div 3600000000000"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("sum_value_cents"))
+
+  // ---------------------------------------------------- text / dedup / ann
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+
+  private def txtStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextOps.punctCount(col("text")).cast("long").as("n_punct"),
+      TextOps.stopwordCount(col("text")).cast("long").as("n_stop"),
+      TextOps.upperCount(col("text")).cast("long").as("n_upper"),
+      TextOps.qualityScore(col("text")).as("quality"))
+
+  private def txtLangid(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+
+  private def txtFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextOps.fingerprintMd5(col("text")).as("md5"),
+      octet_length(col("text")).cast("long").as("n_bytes"))
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("canonical_id"), col("is_dup"))
+
+  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3,
+        threshold = 0.6)
+      .select(col("id_1"), col("id_2"), col("n_common"), col("n_1"),
+        col("n_2"), col("jaccard"))
+
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 3,
+        numHashes = 32, bands = 16, threshold = 0.6)
+      .select(col("id_1"), col("id_2"), col("jaccard"))
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+
+  private def embCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Ann.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
+  private def embAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Ann.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5, numPlanes = 6)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  private def embCosineDedup(s: SparkSession, dir: String): DataFrame =
+    Ann.cosineDedupPairs(table(s, dir, "embeddings"), threshold = 0.9,
+      numPlanes = 6)
+
+  /** Multimodal plumbing demo: documents' text treated as an opaque binary
+    * payload; "decode" is a deterministic stub over the byte length (real
+    * image/audio decoders slot into `graft.mm.Multimodal`). */
+  private def mmMeta(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("__payload", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        octet_length(col("__payload")).cast("long").as("n_bytes"),
+        (octet_length(col("__payload")).cast("long") % 640).as("fake_width"),
+        (octet_length(col("__payload")).cast("long") * 7 % 480).as("fake_height"))
+
+  // ---------------------------------------------------------------- wiring
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1 _),
+    "q3_segment_revenue" -> (q3 _),
+    "iv_select" -> (ivSelect _),
+    "iv_expand" -> (ivExpand _),
+    "iv_expand_scale" -> (ivExpandScale _),
+    "iv_overlap_inner" -> ivOverlap("inner") _,
+    "iv_overlap_left" -> ivOverlap("left") _,
+    "iv_overlap_outer" -> ivOverlap("outer") _,
+    "iv_overlap_on" -> (ivOverlapOn _),
+    "iv_count_overlaps" -> (ivCountOverlaps _),
+    "iv_setdiff" -> (ivSetdiff _),
+    "iv_cluster" -> (ivCluster _),
+    "iv_merge" -> ivMerge(Some(0)) _,
+    "iv_merge_mindist" -> ivMerge(Some(5)) _,
+    "iv_merge_strict" -> ivMerge(None) _,
+    "iv_coverage" -> (ivCoverage _),
+    "iv_closest" -> (ivClosest _),
+    "iv_closest_k3" -> (ivClosestK3 _),
+    "iv_closest_upstream" -> (ivClosestUpstream _),
+    "iv_subtract" -> (ivSubtract _),
+    "iv_complement" -> (ivComplement _),
+    "iv_trim" -> (ivTrim _),
+    "iv_assign_view" -> (ivAssignView _),
+    "iv_sort_rank" -> (ivSortRank _),
+    "iv_binnify" -> (ivBinnify _),
+    "iv_chromarms" -> (ivChromarms _),
+    "iv_pair_by_distance" -> (ivPairByDistance _),
+    "iv_mark_runs" -> (ivMarkRuns _),
+    "iv_merge_runs" -> (ivMergeRuns _),
+    "chk_invariants" -> (chkInvariants _),
+    "util_natsort" -> (utilNatsort _),
+    "region_parse" -> (regionParse _),
+    "evt_sessionize" -> (evtSessionize _),
+    "evt_window_agg" -> (evtWindowAgg _),
+    "txt_stats" -> (txtStats _),
+    "txt_langid" -> (txtLangid _),
+    "txt_fingerprint" -> (txtFingerprint _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "emb_cosine_topk" -> (embCosineTopk _),
+    "emb_ann_lsh" -> (embAnnLsh _),
+    "emb_cosine_dedup" -> (embCosineDedup _),
+    "mm_meta" -> (mmMeta _))
+
+  // ------------------------------------------------------------- oracles
+
+  import TestTables.{overlapSql => ovl}
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        | SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+        | SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_segment_revenue" ->
+      """SELECT c_mktsegment,
+        | SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+        | COUNT(*) AS n
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "iv_select" ->
+      s"""WITH $iv1Sql
+         |SELECT id, chrom, start, "end" FROM iv1
+         |WHERE chrom = 'c1'
+         |  AND (CASE WHEN "end" = start THEN start + 1 ELSE "end" END) > 100
+         |  AND start < 500""".stripMargin,
+    "iv_expand" ->
+      s"""WITH $iv1Sql
+         |SELECT id, chrom,
+         |  LEAST(start + 3, start + ("end" - start) // 2) AS start,
+         |  GREATEST("end" - 3, start + ("end" - start) // 2) AS "end"
+         |FROM iv1""".stripMargin,
+    "iv_expand_scale" ->
+      s"""WITH $iv1Sql
+         |SELECT id, chrom,
+         |  CAST(roundbankers(start - 0.25 * ("end" - start), 0) AS BIGINT) AS start,
+         |  CAST(roundbankers("end" + 0.25 * ("end" - start), 0) AS BIGINT) AS "end"
+         |FROM iv1""".stripMargin,
+    "iv_overlap_inner" ->
+      s"""WITH $iv1Sql, $iv2Sql
+         |SELECT a.id AS id_1, b.id AS id_2,
+         |  GREATEST(a.start, b.start) AS overlap_start,
+         |  LEAST(a."end", b."end") AS overlap_end
+         |FROM iv1 a JOIN iv2 b ON a.chrom = b.chrom AND ${ovl("a", "b")}""".stripMargin,
+    "iv_overlap_left" ->
+      s"""WITH $iv1Sql, $iv2Sql
+         |SELECT a.id AS id_1, b.id AS id_2
+         |FROM iv1 a LEFT JOIN iv2 b ON a.chrom = b.chrom AND ${ovl("a", "b")}""".stripMargin,
+    "iv_overlap_outer" ->
+      s"""WITH $iv1Sql, $iv2Sql
+         |SELECT a.id AS id_1, b.id AS id_2
+         |FROM iv1 a FULL OUTER JOIN iv2 b ON a.chrom = b.chrom AND ${ovl("a", "b")}""".stripMargin,
+    "iv_overlap_on" ->
+      s"""WITH $iv1Sql, $iv2Sql
+         |SELECT a.id AS id_1, b.id AS id_2, a.strand AS strand_1
+         |FROM iv1 a JOIN iv2 b ON a.chrom = b.chrom AND a.strand = b.strand
+         |  AND ${ovl("a", "b")}""".stripMargin,
+    "iv_count_overlaps" ->
+      s"""WITH $iv1Sql, $iv2Sql
+         |SELECT a.id, COUNT(b.id) AS n
+         |FROM iv1 a LEFT JOIN iv2 b ON a.chrom = b.chrom AND ${ovl("a", "b")}
+         |GROUP BY a.id""".stripMargin,
+    "iv_setdiff" ->
+      s"""WITH $iv1Sql, $iv2Sql
+         |SELECT id, chrom, start, "end" FROM iv1 a
+         |WHERE NOT EXISTS (SELECT 1 FROM iv2 b
+         |  WHERE b.chrom = a.chrom AND ${ovl("a", "b")})""".stripMargin,
+    "iv_cluster" ->
+      s"""WITH $iv1Sql,
+         |x AS (SELECT id, chrom, start, "end",
+         |        MAX("end") OVER (PARTITION BY chrom ORDER BY start, "end", id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |      FROM iv1),
+         |y AS (SELECT *, CASE WHEN pm IS NULL OR start > pm THEN 1 ELSE 0 END AS brd FROM x),
+         |z AS (SELECT *, SUM(brd) OVER (PARTITION BY chrom ORDER BY start, "end", id
+         |        ROWS UNBOUNDED PRECEDING) AS cid FROM y)
+         |SELECT id, chrom, start, "end",
+         |  MIN(start) OVER (PARTITION BY chrom, cid) AS cluster_start,
+         |  MAX("end") OVER (PARTITION BY chrom, cid) AS cluster_end
+         |FROM z""".stripMargin,
+    "iv_merge" ->
+      s"""WITH $iv1Sql, $mergedIv1Sql
+         |SELECT chrom, start, "end", n_intervals FROM m1""".stripMargin,
+    "iv_merge_mindist" ->
+      s"""WITH $iv1Sql,
+         |x AS (SELECT id, chrom, start, "end",
+         |        MAX("end") OVER (PARTITION BY chrom ORDER BY start, "end", id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |      FROM iv1),
+         |y AS (SELECT *, CASE WHEN pm IS NULL OR start > pm + 5 THEN 1 ELSE 0 END AS brd FROM x),
+         |z AS (SELECT *, SUM(brd) OVER (PARTITION BY chrom ORDER BY start, "end", id
+         |        ROWS UNBOUNDED PRECEDING) AS cid FROM y)
+         |SELECT chrom, MIN(start) AS start, MAX("end") AS "end",
+         |  COUNT(*) AS n_intervals
+         |FROM z GROUP BY chrom, cid""".stripMargin,
+    "iv_merge_strict" ->
+      s"""WITH $iv1Sql,
+         |x AS (SELECT id, chrom, start, "end",
+         |        MAX("end") OVER (PARTITION BY chrom ORDER BY start, "end", id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |      FROM iv1),
+         |y AS (SELECT *, CASE WHEN pm IS NULL OR start >= pm THEN 1 ELSE 0 END AS brd FROM x),
+         |z AS (SELECT *, SUM(brd) OVER (PARTITION BY chrom ORDER BY start, "end", id
+         |        ROWS UNBOUNDED PRECEDING) AS cid FROM y)
+         |SELECT chrom, MIN(start) AS start, MAX("end") AS "end",
+         |  COUNT(*) AS n_intervals
+         |FROM z GROUP BY chrom, cid""".stripMargin,
+    "iv_coverage" ->
+      s"""WITH $iv1Sql, $iv2Sql, $mergedIv1Sql
+         |SELECT a.id, a.chrom, a.start, a."end",
+         |  COALESCE(SUM(CASE WHEN m.start IS NULL THEN NULL
+         |    ELSE GREATEST(LEAST(a."end", m."end") - GREATEST(a.start, m.start), 0) END), 0) AS coverage
+         |FROM iv2 a LEFT JOIN m1 m
+         |  ON a.chrom = m.chrom AND a.start < m."end" AND m.start < a."end"
+         |GROUP BY a.id, a.chrom, a.start, a."end"""".stripMargin,
+    "iv_closest" ->
+      s"""WITH $iv2Sql, $iv3Sql,
+         |cand AS (
+         |  SELECT a.id AS id_1, b.id AS id_2,
+         |    GREATEST(a.start - b."end", b.start - a."end", 0) AS dist,
+         |    CASE WHEN ${ovl("a", "b")} THEN 0
+         |         ELSE GREATEST(a.start - b."end", b.start - a."end", 0) + 1 END AS sortdist
+         |  FROM iv3 a JOIN iv2 b ON a.chrom = b.chrom),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1
+         |    ORDER BY sortdist, id_2) AS rn FROM cand)
+         |SELECT a.id AS id_1, r.id_2, r.dist AS distance
+         |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 1""".stripMargin,
+    "iv_closest_k3" ->
+      s"""WITH $iv2Sql, $iv3Sql,
+         |cand AS (
+         |  SELECT a.id AS id_1, b.id AS id_2,
+         |    GREATEST(a.start - b."end", b.start - a."end", 0) AS dist,
+         |    CASE WHEN ${ovl("a", "b")} THEN 0
+         |         ELSE GREATEST(a.start - b."end", b.start - a."end", 0) + 1 END AS sortdist
+         |  FROM iv3 a JOIN iv2 b ON a.chrom = b.chrom),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1
+         |    ORDER BY sortdist, id_2) AS rn FROM cand)
+         |SELECT a.id AS id_1, r.id_2, r.dist AS distance
+         |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 3""".stripMargin,
+    "iv_closest_upstream" ->
+      s"""WITH $iv2Sql, $iv3Sql,
+         |cand AS (
+         |  SELECT a.id AS id_1, b.id AS id_2,
+         |    GREATEST(a.start - b."end", b.start - a."end", 0) AS dist,
+         |    CASE WHEN ${ovl("a", "b")} THEN 0
+         |         ELSE GREATEST(a.start - b."end", b.start - a."end", 0) + 1 END AS sortdist
+         |  FROM iv3 a JOIN iv2 b ON a.chrom = b.chrom
+         |  WHERE (${ovl("a", "b")}) OR b."end" <= a.start),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1
+         |    ORDER BY sortdist, id_2) AS rn FROM cand)
+         |SELECT a.id AS id_1, r.id_2, r.dist AS distance
+         |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 1""".stripMargin,
+    "iv_subtract" ->
+      s"""WITH $iv1Sql, $iv2Sql, $mergedIv1Sql,
+         |mm AS (
+         |  SELECT a.id, a.chrom, a.start AS s1, a."end" AS e1,
+         |    GREATEST(m.start, a.start) AS ms, LEAST(m."end", a."end") AS me
+         |  FROM iv2 a JOIN m1 m
+         |    ON a.chrom = m.chrom AND a.start < m."end" AND m.start < a."end"),
+         |frag1 AS (SELECT id, chrom,
+         |    COALESCE(LAG(me) OVER (PARTITION BY id ORDER BY ms), s1) AS fs,
+         |    ms AS fe FROM mm),
+         |frag2 AS (SELECT id, chrom, MAX(me) AS fs, MAX(e1) AS fe
+         |  FROM mm GROUP BY id, chrom),
+         |untouched AS (SELECT id, chrom, start AS fs, "end" AS fe FROM iv2 a
+         |  WHERE NOT EXISTS (SELECT 1 FROM m1 m
+         |    WHERE m.chrom = a.chrom AND a.start < m."end" AND m.start < a."end"))
+         |SELECT id, chrom, fs AS start, fe AS "end" FROM (
+         |  SELECT * FROM frag1 UNION ALL SELECT * FROM frag2
+         |  UNION ALL SELECT * FROM untouched) u
+         |WHERE fs < fe""".stripMargin,
+    "iv_complement" ->
+      s"""WITH $iv1Sql, ${viewSql}, $mergedIv1Sql,
+         |inreg AS (
+         |  SELECT v.chrom, v.start AS vs, v."end" AS ve, v.name,
+         |    GREATEST(m.start, v.start) AS ms, LEAST(m."end", v."end") AS me
+         |  FROM m1 m JOIN vw v
+         |    ON m.chrom = v.chrom AND m.start < v."end" AND v.start < m."end"),
+         |g1 AS (SELECT chrom, name,
+         |    COALESCE(LAG(me) OVER (PARTITION BY name ORDER BY ms), vs) AS gs,
+         |    ms AS ge FROM inreg),
+         |g2 AS (SELECT chrom, name, MAX(me) AS gs, MAX(ve) AS ge
+         |  FROM inreg GROUP BY chrom, name),
+         |empty AS (SELECT chrom, name, start AS gs, "end" AS ge FROM vw v
+         |  WHERE NOT EXISTS (SELECT 1 FROM inreg i WHERE i.name = v.name))
+         |SELECT chrom, gs AS start, ge AS "end", name AS view_region FROM (
+         |  SELECT * FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2) gg
+         |  WHERE gs < ge
+         |  UNION ALL SELECT * FROM empty) u""".stripMargin,
+    "iv_trim" ->
+      s"""WITH $iv1Sql, ${viewSql},
+         |e AS (SELECT id, chrom, start - 10 AS start, "end" + 10 AS "end" FROM iv1),
+         |cand AS (
+         |  SELECT a.id, v.name, v.start AS vs, v."end" AS ve, v.ord,
+         |    LEAST(a."end", v."end") - GREATEST(a.start, v.start) AS olen
+         |  FROM e a JOIN vw v ON a.chrom = v.chrom AND ${ovl("a", "v")}),
+         |best AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+         |    ORDER BY olen DESC, ord) AS rn FROM cand) WHERE rn = 1)
+         |SELECT a.id,
+         |  CASE WHEN b.id IS NULL THEN NULL ELSE a.chrom END AS chrom,
+         |  CASE WHEN b.id IS NULL THEN NULL ELSE GREATEST(a.start, b.vs) END AS start,
+         |  CASE WHEN b.id IS NULL THEN NULL ELSE LEAST(a."end", b.ve) END AS "end"
+         |FROM e a LEFT JOIN best b ON a.id = b.id""".stripMargin,
+    "iv_assign_view" ->
+      s"""WITH $iv1Sql, ${viewSql},
+         |cand AS (
+         |  SELECT a.id, v.name, v.ord,
+         |    LEAST(a."end", v."end") - GREATEST(a.start, v.start) AS olen
+         |  FROM iv1 a JOIN vw v ON a.chrom = v.chrom AND ${ovl("a", "v")}),
+         |best AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+         |    ORDER BY olen DESC, ord) AS rn FROM cand) WHERE rn = 1)
+         |SELECT a.id, b.name AS view_region
+         |FROM iv1 a LEFT JOIN best b ON a.id = b.id""".stripMargin,
+    "iv_sort_rank" ->
+      s"""WITH $iv1Sql, ${viewSql},
+         |cand AS (
+         |  SELECT a.id, a.start, a."end", v.name, v.ord,
+         |    LEAST(a."end", v."end") - GREATEST(a.start, v.start) AS olen
+         |  FROM iv1 a JOIN vw v ON a.chrom = v.chrom AND ${ovl("a", "v")}),
+         |best AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+         |    ORDER BY olen DESC, ord) AS rn FROM cand) WHERE rn = 1)
+         |SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY ord, start, "end", id) AS BIGINT) AS rk
+         |FROM best""".stripMargin,
+    "iv_binnify" ->
+      s"""WITH $chromsizesSql
+         |SELECT chrom, CAST(s AS BIGINT) AS start,
+         |  LEAST(CAST(s AS BIGINT) + 100, length) AS "end",
+         |  CAST(s // 100 AS BIGINT) AS rel_id
+         |FROM chroms CROSS JOIN range(0, 2570, 100) r(s)""".stripMargin,
+    "iv_chromarms" ->
+      s"""WITH $chromsizesSql
+         |SELECT chrom, CAST(0 AS BIGINT) AS start, CAST(1300 AS BIGINT) AS "end",
+         |  chrom || '_p' AS name FROM chroms
+         |UNION ALL
+         |SELECT chrom, CAST(1300 AS BIGINT), length, chrom || '_q' FROM chroms""".stripMargin,
+    "iv_pair_by_distance" ->
+      s"""WITH $iv3Sql,
+         |m AS (SELECT id, chrom, (start + "end") // 2 AS mid,
+         |    ROW_NUMBER() OVER (PARTITION BY chrom ORDER BY start, "end") AS rnk
+         |  FROM iv3)
+         |SELECT a.id AS id_1, b.id AS id_2
+         |FROM m a JOIN m b ON a.chrom = b.chrom
+         |  AND (a.mid + 5) < (b.mid - 5) AND (b.mid - 100) < (a.mid + 100)
+         |  AND ABS(a.rnk - b.rnk) - 1 <= 5""".stripMargin,
+    "iv_mark_runs" ->
+      s"""WITH $iv1Sql, $chromsizesSql,
+         |bins AS (SELECT chrom, CAST(s AS BIGINT) AS start,
+         |    LEAST(CAST(s AS BIGINT) + 100, length) AS "end"
+         |  FROM chroms CROSS JOIN range(0, 2570, 100) r(s)),
+         |counts AS (SELECT chrom, (start // 100) * 100 AS b, COUNT(*) AS n
+         |  FROM iv1 GROUP BY chrom, (start // 100) * 100),
+         |valued AS (SELECT bins.chrom, bins.start, bins."end",
+         |    CASE WHEN counts.n IS NOT NULL THEN 1 ELSE 0 END AS value
+         |  FROM bins LEFT JOIN counts
+         |    ON bins.chrom = counts.chrom AND bins.start = counts.b),
+         |marked AS (SELECT *, CASE WHEN LAG(value) OVER w IS NULL
+         |      OR value <> LAG(value) OVER w THEN 1 ELSE 0 END AS brd
+         |  FROM valued WINDOW w AS (PARTITION BY chrom ORDER BY start))
+         |SELECT chrom, start, "end", CAST(value AS BIGINT) AS value,
+         |  SUM(brd) OVER (PARTITION BY chrom ORDER BY start
+         |    ROWS UNBOUNDED PRECEDING) - 1 AS run
+         |FROM marked""".stripMargin,
+    "iv_merge_runs" ->
+      s"""WITH $iv1Sql, $chromsizesSql,
+         |bins AS (SELECT chrom, CAST(s AS BIGINT) AS start,
+         |    LEAST(CAST(s AS BIGINT) + 100, length) AS "end"
+         |  FROM chroms CROSS JOIN range(0, 2570, 100) r(s)),
+         |counts AS (SELECT chrom, (start // 100) * 100 AS b, COUNT(*) AS n
+         |  FROM iv1 GROUP BY chrom, (start // 100) * 100),
+         |valued AS (SELECT bins.chrom, bins.start, bins."end",
+         |    CASE WHEN counts.n IS NOT NULL THEN 1 ELSE 0 END AS value
+         |  FROM bins LEFT JOIN counts
+         |    ON bins.chrom = counts.chrom AND bins.start = counts.b),
+         |marked AS (SELECT *, CASE WHEN LAG(value) OVER w IS NULL
+         |      OR value <> LAG(value) OVER w THEN 1 ELSE 0 END AS brd
+         |  FROM valued WINDOW w AS (PARTITION BY chrom ORDER BY start)),
+         |runs AS (SELECT *, SUM(brd) OVER (PARTITION BY chrom ORDER BY start
+         |    ROWS UNBOUNDED PRECEDING) - 1 AS run FROM marked)
+         |SELECT chrom, MIN(start) AS start, MAX("end") AS "end",
+         |  CAST(value AS BIGINT) AS value, COUNT(*) AS n_bins
+         |FROM runs GROUP BY chrom, value, run""".stripMargin,
+    "chk_invariants" ->
+      s"""WITH $iv1Sql,
+         |x AS (SELECT *, MAX("end") OVER (PARTITION BY chrom ORDER BY start, "end", id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv1)
+         |SELECT
+         |  COUNT(CASE WHEN chrom IS NULL OR start IS NULL OR "end" IS NULL
+         |    OR start > "end" THEN 1 END) = 0 AS bed_ok,
+         |  BOOL_OR(start = "end") AS has_points,
+         |  BOOL_OR(pm IS NOT NULL AND start < pm) AS is_overlapping
+         |FROM x""".stripMargin,
+    "util_natsort" ->
+      """WITH names AS (SELECT DISTINCT 'c' || CAST(p_partkey % 12 AS VARCHAR) AS name FROM part)
+        |SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY
+        |  regexp_extract(name, '^(\D*)', 1),
+        |  CAST(regexp_extract(name, '(\d+)', 1) AS BIGINT), name) AS BIGINT) AS nat_rank
+        |FROM names""".stripMargin,
+    "region_parse" ->
+      """SELECT * FROM (VALUES
+        |  ('c1:100-500', 'c1', CAST(100 AS BIGINT), CAST(500 AS BIGINT)),
+        |  ('c2:1,000-2kb', 'c2', 1000, 2000),
+        |  ('c3', 'c3', NULL, NULL),
+        |  ('c4:50-', 'c4', 50, NULL),
+        |  ('c5:1.5K-0.002M', 'c5', 1500, 2000),
+        |  ('c6 : 10 - 20', 'c6', 10, 20)) t(input, chrom, start, "end")""".stripMargin,
+    "evt_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
+        |s AS (SELECT *, CASE WHEN LAG(tms) OVER w IS NULL
+        |    OR tms - LAG(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS brd
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+        |sess AS (SELECT user_id, tms, SUM(brd) OVER (PARTITION BY user_id
+        |    ORDER BY tms, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM s)
+        |SELECT user_id, session_id, MIN(tms) AS session_start,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "evt_window_agg" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "txt_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS n_punct,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a|is|that|it|for|on|with|as|was|at|by|an|be|this|are)\b')) AS BIGINT) AS n_stop,
+        |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+        |  (LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+        |   + LEAST(CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a|is|that|it|for|on|with|as|was|at|by|an|be|this|are)\b')) AS DOUBLE) / GREATEST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 4.0, 1.0) * 0.4
+        |   + (1.0 - LEAST(CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0) * 5.0, 1.0)) * 0.15
+        |   + (1.0 - LEAST(CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.15) AS quality
+        |FROM documents""".stripMargin,
+    "txt_langid" -> {
+      val markers = TextOps.LangMarkers
+      val scoreExprs = markers.map { case (lang, ws) =>
+        s"CAST(len(regexp_extract_all(lower(text), '\\b(${ws.mkString("|")})\\b')) AS BIGINT) AS s_$lang"
+      }.mkString(",\n  ")
+      val best = "GREATEST(" + markers.map(m => "s_" + m._1).mkString(", ") + ")"
+      val cases = markers.map { case (lang, _) =>
+        s"WHEN s_$lang = m AND m > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH sc AS (SELECT doc_id,
+         |  $scoreExprs
+         |FROM documents),
+         |mm AS (SELECT *, $best AS m FROM sc)
+         |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM mm""".stripMargin
+    },
+    "txt_fingerprint" ->
+      """SELECT doc_id, md5(text) AS md5, CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+    "dedup_exact" ->
+      """SELECT doc_id,
+        |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM documents""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_1, id_2, n_common, x.n AS n_1, y.n AS n_2,
+        |  CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
+        |FROM inter JOIN sizes x ON id_1 = x.doc_id JOIN sizes y ON id_2 = y.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.6""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_1, id_2,
+        |  CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
+        |FROM inter JOIN sizes x ON id_1 = x.doc_id JOIN sizes y ON id_2 = y.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.6""".stripMargin,
+    "emb_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+        |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qv, v) AS c
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, neighbor_id) AS rn FROM scored) z
+        |WHERE rn <= 5""".stripMargin,
+    "mm_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(strlen(text) AS BIGINT) % 640 AS fake_width,
+        |  CAST(strlen(text) AS BIGINT) * 7 % 480 AS fake_height
+        |FROM documents""".stripMargin)
 }

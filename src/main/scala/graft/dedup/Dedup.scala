@@ -73,11 +73,12 @@ object Dedup {
     * permutations of the shingle hash (xxhash64). Deterministic: the
     * permutation constants derive from the hash index. */
   def minhashSignature(shingles: Column, numHashes: Int): Column = {
-    val p = 2305843009213693951L // 2^61-1
+    // 31-bit modulus keeps h*a + b comfortably inside a long (ANSI-safe)
+    val p = 2147483647L // 2^31-1
+    val b = 506952122L  // golden-ratio constant mod p
     val hashes = transform(shingles, s => pmod(xxhash64(s), lit(p)))
     val perms = (0 until numHashes).map { i =>
       val a = 2L * i + 1
-      val b = 0x9e3779b97f4a7c15L % p
       aggregate(hashes, lit(Long.MaxValue),
         (acc, h) => least(acc, pmod(h * lit(a) + lit(b) * lit(i + 1), lit(p))))
     }

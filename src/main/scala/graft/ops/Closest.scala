@@ -51,10 +51,8 @@ object Closest {
     val c1 = cols1.withSuffix(sf1)
     val c2 = cols2.withSuffix(sf2)
 
-    val l = ColSpec.suffixAll(df1, sf1)
-      .withColumn("__id1", monotonically_increasing_id())
-    val r = ColSpec.suffixAll(base2, sf2)
-      .withColumn("__id2", monotonically_increasing_id())
+    val l = RowId.withRowId(ColSpec.suffixAll(df1, sf1), "__id1")
+    val r = RowId.withRowId(ColSpec.suffixAll(base2, sf2), "__id2")
 
     val tie: Column = tieBreakingCol match {
       case Some(t) => col(t + sf2)
@@ -91,7 +89,8 @@ object Closest {
       val rEvents = rs.select(
         c2.chromCol.as("__ch"), col("__k").as("__key"),
         lit(if (leftSide) 0 else 1).as("__tag"),
-        col("__seq"), lit(null).cast(LongType).as("__pid"))
+        col("__seq"),
+        lit(null).cast(l.schema("__id1").dataType).as("__pid"))
       val lEvents = l.select(
         c1.chromCol.as("__ch"),
         (if (leftSide) c1.startCol else c1.endCol).as("__key"),

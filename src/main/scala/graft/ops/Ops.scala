@@ -74,7 +74,8 @@ object Ops {
         val pads = lit(0.5 * (sc - 1)) * (e - s)
         val ns = if (doLeft) bround(s - pads).cast("long") else s
         val ne = if (doRight) bround(e + pads).cast("long") else e
-        df.withColumn(cols.start, ns).withColumn(cols.end, ne)
+        // single withColumns: both expressions must see the ORIGINAL coords
+        df.withColumns(Map(cols.start -> ns, cols.end -> ne))
       case _ => df
     }
   }
@@ -104,9 +105,9 @@ object Ops {
     val needId1 = how == "left" || how == "outer" || keepOrder || returnIndex
     val needId2 = how == "right" || how == "outer" || returnIndex
     var l = ColSpec.suffixAll(df1, sf1)
-    if (needId1) l = l.withColumn("__id1", monotonically_increasing_id())
+    if (needId1) l = RowId.withRowId(l, "__id1")
     var r = ColSpec.suffixAll(df2, sf2)
-    if (needId2) r = r.withColumn("__id2", monotonically_increasing_id())
+    if (needId2) r = RowId.withRowId(r, "__id2")
     val c1 = cols1.withSuffix(sf1)
     val c2 = cols2.withSuffix(sf2)
 
@@ -160,7 +161,7 @@ object Ops {
                     cols2: ColSpec = ColSpec.default,
                     strategy: Strategy = Auto,
                     binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
-    val l = df1.withColumn("__id1", monotonically_increasing_id())
+    val l = RowId.withRowId(df1, "__id1")
     val sfx = "__r_"
     val r = ColSpec.suffixAll(df2.select((cols2.names ++ on).distinct.map(col): _*), sfx)
     val c2 = cols2.withSuffix(sfx)
@@ -180,7 +181,7 @@ object Ops {
               cols2: ColSpec = ColSpec.default,
               strategy: Strategy = Auto,
               binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
-    val l = df1.withColumn("__id1", monotonically_increasing_id())
+    val l = RowId.withRowId(df1, "__id1")
     val sfx = "__r_"
     val r = ColSpec.suffixAll(df2.select((cols2.names ++ on).distinct.map(col): _*), sfx)
     val p = IntervalJoin.pairs(l, r, cols1, cols2.withSuffix(sfx),
@@ -338,7 +339,7 @@ object Ops {
     val merged = ColSpec.suffixAll(
       merge(df2, Some(0), Nil, cols2).drop("n_intervals"), sfx)
     val c2 = ColSpec(cols2.chrom + sfx, cols2.start + sfx, cols2.end + sfx)
-    val l = df1.withColumn("__id1", monotonically_increasing_id())
+    val l = RowId.withRowId(df1, "__id1")
     val p = IntervalJoin.pairs(l, merged, cols1, c2, Nil, strategy, binSize)
     val covered = p
       .groupBy(col("__id1").as("__cid"))
@@ -367,7 +368,7 @@ object Ops {
     val merged = ColSpec.suffixAll(
       merge(df2, Some(0), Nil, cols2).drop("n_intervals"), sfx)
     val c2 = ColSpec(cols2.chrom + sfx, cols2.start + sfx, cols2.end + sfx)
-    val l = df1.withColumn("__id1", monotonically_increasing_id())
+    val l = RowId.withRowId(df1, "__id1")
     val p = IntervalJoin.pairs(l, merged, cols1, c2, Nil, strategy, binSize)
       .withColumn("__ms", greatest(c2.startCol, cols1.startCol))
       .withColumn("__me", least(c2.endCol, cols1.endCol))
@@ -469,13 +470,18 @@ object Ops {
                  dropUnassigned: Boolean = false,
                  dfViewCol: String = "view_region",
                  viewNameCol: String = "name",
+                 viewOrdCol: Option[String] = None,
                  cols: ColSpec = ColSpec.default,
                  colsView: ColSpec = ColSpec.default): DataFrame = {
-    val v = withOrd(view, "__vord").select(
+    val ordered = viewOrdCol match {
+      case Some(o) => view.withColumn("__vord", col(o))
+      case None    => withOrd(view, "__vord")
+    }
+    val v = ordered.select(
       col(colsView.chrom).as("__vc"), col(colsView.start).as("__vs"),
       col(colsView.end).as("__ve"), col(viewNameCol).as(dfViewCol),
       col("__vord"))
-    val l = df.withColumn("__id1", monotonically_increasing_id())
+    val l = RowId.withRowId(df, "__id1")
     val c2 = ColSpec("__vc", "__vs", "__ve")
     val p = l.join(broadcast(v),
       cols.chromCol === col("__vc") &&
@@ -496,13 +502,14 @@ object Ops {
   def trim(df: DataFrame, view: DataFrame,
            dfViewCol: Option[String] = None,
            viewNameCol: String = "name",
+           viewOrdCol: Option[String] = None,
            cols: ColSpec = ColSpec.default,
            colsView: ColSpec = ColSpec.default): DataFrame = {
     val withRegion = dfViewCol match {
       case Some(_) => df
       case None => assignView(df, view, dropUnassigned = false,
         dfViewCol = "__region", viewNameCol = viewNameCol,
-        cols = cols, colsView = colsView)
+        viewOrdCol = viewOrdCol, cols = cols, colsView = colsView)
     }
     val regionCol = dfViewCol.getOrElse("__region")
     val v = view.select(
