@@ -1,0 +1,164 @@
+package graft
+
+import graft.ops.Extras
+import org.apache.spark.sql.functions._
+
+class ExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binnify tiles chromosomes, clips the last bin (extras.py:125-167)") {
+    val cs = Seq(("chr1", 250L), ("chr2", 100L)).toDF("chrom", "length")
+    val out = Extras.binnify(cs, 100L, relIds = true)
+    assertFrame(out, Seq(
+      Seq("chr1", 0L, 100L, 0L), Seq("chr1", 100L, 200L, 1L),
+      Seq("chr1", 200L, 250L, 2L), Seq("chr2", 0L, 100L, 0L)),
+      "chrom", "start", "end", "rel_id")
+  }
+
+  test("makeChromarms splits at mid; missing mid -> whole chrom") {
+    val cs = Seq(("chr1", 100L), ("chrM", 16L)).toDF("chrom", "length")
+    val mids = Seq(("chr1", 30L)).toDF("chrom", "mid")
+    val out = Extras.makeChromarms(cs, mids)
+    assertFrame(out, Seq(
+      Seq("chr1", 0L, 30L, "chr1_p"), Seq("chr1", 30L, 100L, "chr1_q"),
+      Seq("chrM", 0L, 16L, "chrM")), "chrom", "start", "end", "name")
+  }
+
+  test("pairByDistance midpoint band (extras.py:389-543)") {
+    // mids: 5, 25, 55, 105
+    val df = Seq(("chr1", 0L, 10L, "a"), ("chr1", 20L, 30L, "b"),
+      ("chr1", 50L, 60L, "c"), ("chr1", 100L, 110L, "d"))
+      .toDF("chrom", "start", "end", "name")
+    val out = Extras.pairByDistance(df, minSep = 10L, maxSep = 40L,
+      suffixes = ("_1", "_2"), binSize = 16)
+    assertFrame(out.select($"name_1", $"name_2"),
+      Seq(Seq("a", "b"), Seq("b", "c")), "name_1", "name_2")
+  }
+
+  test("pairByDistance intervening count filter") {
+    val df = Seq(("chr1", 0L, 2L, "a"), ("chr1", 10L, 12L, "b"),
+      ("chr1", 20L, 22L, "c")).toDF("chrom", "start", "end", "name")
+    // a..c are 20 apart with b intervening; maxIntervening=0 kills (a,c)
+    val all = Extras.pairByDistance(df, 5L, 25L, suffixes = ("_1", "_2"),
+      binSize = 16)
+    assert(all.count() == 3)
+    val strict = Extras.pairByDistance(df, 5L, 25L,
+      maxIntervening = Some(0L), suffixes = ("_1", "_2"), binSize = 16)
+    assertFrame(strict.select($"name_1", $"name_2"),
+      Seq(Seq("a", "b"), Seq("b", "c")), "name_1", "name_2")
+  }
+
+  test("markRuns / mergeRuns on a bedGraph-like frame (extras.py:546-735)") {
+    val df = Seq(
+      ("chr1", 0L, 100L, 1L), ("chr1", 100L, 200L, 1L), ("chr1", 200L, 300L, 1L),
+      ("chr1", 300L, 400L, 2L), ("chr1", 400L, 500L, 2L), ("chr1", 500L, 600L, 2L))
+      .toDF("chrom", "start", "end", "value")
+    val marked = Extras.markRuns(df, "value")
+    assertFrame(marked.select($"start", $"run"),
+      Seq(Seq(0L, 0L), Seq(100L, 0L), Seq(200L, 0L),
+        Seq(300L, 1L), Seq(400L, 1L), Seq(500L, 1L)), "start", "run")
+    val merged = Extras.mergeRuns(df, "value",
+      agg = Map("vsum" -> sum(col("value"))))
+    assertFrame(merged, Seq(
+      Seq("chr1", 0L, 300L, 1L, 3L), Seq("chr1", 300L, 600L, 2L, 6L)),
+      "chrom", "start", "end", "value", "vsum")
+  }
+
+  test("markRuns breaks runs at spatial gaps even with equal values") {
+    val df = Seq(("chr1", 0L, 100L, 1L), ("chr1", 150L, 250L, 1L))
+      .toDF("chrom", "start", "end", "value")
+    assert(Extras.markRuns(df, "value").select("run").distinct().count() == 2)
+  }
+}
+
+class TextDedupSpec extends SparkSpec {
+  import graft.dedup.Dedup
+  import graft.text.TextOps
+  import spark.implicits._
+
+  test("token/quality/langid expressions") {
+    val df = Seq(
+      (1L, "The cat and the dog sat on the mat, happily."),
+      (2L, "Der Hund und die Katze sind nicht da."),
+      (3L, ""),
+      (4L, "xyzzy qwerty 12345"))
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      TextOps.tokenCount($"text").as("n"),
+      TextOps.langId($"text").as("lang"))
+    assertFrame(out, Seq(
+      Seq(1L, 10, "en"), Seq(2L, 8, "de"), Seq(3L, 0, "und"), Seq(4L, 3, "und")),
+      "doc_id", "n", "lang")
+  }
+
+  test("shingles builds distinct word 3-grams") {
+    val df = Seq((1L, "a b c d b c d")).toDF("id", "t")
+    val sh = df.select(explode(TextOps.shingles($"t", 3)).as("s"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(sh == Seq("a b c", "b c d", "c d b", "d b c"))
+  }
+
+  test("exact dedup finds identical texts") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text")
+    assertFrame(out.select($"doc_id", $"canonical_id", $"is_dup"),
+      Seq(Seq(1L, 1L, false), Seq(2L, 1L, true), Seq(3L, 3L, false)),
+      "doc_id", "canonical_id", "is_dup")
+  }
+
+  test("minhash LSH finds the near-dup pair that exact jaccard finds") {
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val near = (0 until 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (100 until 160).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+    val exact = rowsOf(Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      threshold = 0.5).select($"id_1", $"id_2"))
+    val lsh = rowsOf(Dedup.minhashLshPairs(df, "doc_id", "text",
+      threshold = 0.5).select($"id_1", $"id_2"))
+    assert(exact == Seq(Seq(1L, 2L)))
+    assert(lsh == exact)
+  }
+
+  test("simhash: near-identical docs within small hamming distance") {
+    val base = (0 until 80).map(i => s"tok$i").mkString(" ")
+    val near = base + " extraword"
+    val far = (0 until 80).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = rowsOf(Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .select($"id_1", $"id_2"))
+    assert(pairs == Seq(Seq(1L, 2L)))
+  }
+}
+
+class AnnSpec extends SparkSpec {
+  import graft.ann.Ann
+  import spark.implicits._
+
+  private def vecs = {
+    val rnd = new scala.util.Random(3)
+    (0 until 50).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force topk: ranks are ordered by cosine within each query") {
+    val out = Ann.bruteForceTopK(vecs, vecs.filter($"vec_id" < 3), k = 5)
+    assert(out.count() == 15)
+    val byQuery = out.select("query_id", "rank", "cosine").collect()
+      .groupBy(_.getLong(0))
+    byQuery.values.foreach { rows =>
+      val ordered = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      assert(ordered == ordered.sorted.reverse)
+    }
+  }
+
+  test("lsh topk cosines agree with brute force on shared pairs") {
+    val bf = Ann.bruteForceTopK(vecs, vecs.filter($"vec_id" < 5), k = 50)
+      .select($"query_id", $"neighbor_id", $"cosine".as("bf_cos"))
+    val lsh = Ann.lshTopK(vecs, vecs.filter($"vec_id" < 5), k = 5, numPlanes = 4)
+    val joined = lsh.join(bf, Seq("query_id", "neighbor_id"), "left")
+    assert(joined.filter($"bf_cos".isNull).count() == 0)
+    assert(joined.filter(abs($"cosine" - $"bf_cos") > 1e-12).count() == 0)
+  }
+}
