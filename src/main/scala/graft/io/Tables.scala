@@ -1,0 +1,127 @@
+package graft.io
+
+import graft.core.NatOrder
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources/sinks for genomic tabular text (reference `io/fileops.py`,
+  * `io/bed.py`, `sandbox/gtf_io.py`). All readers produce plain DataFrames
+  * (gzip handled natively by Spark's text source); binary genomics formats
+  * (bigWig/bigBed/BAM/tabix/FASTA) are declared out of scope for v1, as in
+  * SURVEY §2.5 — parity lives at the bedGraph/BED text level.
+  */
+object Tables {
+
+  /** Headerless TSV with a named schema preset (reference
+    * `io/fileops.py:42-83`). `.`-placeholders in numeric columns parse to
+    * null (reference parse leniency, FIXTURES §4). */
+  def readTable(spark: SparkSession, path: String, schema: String = "bed3",
+                comment: String = "#"): DataFrame =
+    spark.read
+      .option("sep", "\t")
+      .option("comment", comment)
+      .option("nullValue", ".")
+      .schema(Schemas(schema))
+      .csv(path)
+
+  /** UCSC chrom.sizes (2-col TSV) -> naturally-ordered DataFrame + map
+    * (reference `io/fileops.py:86-160`). `filterChroms` regexes keep only
+    * matching names (default mirrors the reference's canonical-chrom
+    * filter). */
+  def readChromsizes(spark: SparkSession, path: String,
+                     filterChroms: Seq[String] =
+                       Seq("^chr[0-9]+$", "^chr[XY]$", "^chrM$"),
+                     natsort: Boolean = true): DataFrame = {
+    var df = spark.read
+      .option("sep", "\t")
+      .schema("chrom STRING, length LONG")
+      .csv(path)
+    if (filterChroms.nonEmpty) {
+      val keep = filterChroms.map(p => col("chrom").rlike(p)).reduce(_ || _)
+      df = df.filter(keep)
+    }
+    if (natsort) df.orderBy(NatOrder.sortKeys(col("chrom")): _*) else df
+  }
+
+  def chromsizesAsMap(df: DataFrame): Map[String, Long] =
+    df.select("chrom", "length").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  // ------------------------------------------------------------------ BED
+
+  /** Per-column BED validators (subset of reference `io/bed.py:127-475`):
+    * each returns a violation predicate. */
+  def bedViolations(schema: String): Seq[(String, Column)] = {
+    val fields = Schemas(schema).fieldNames.toSet
+    val checks = Seq(
+      "chrom" -> (col("chrom").isNull || !col("chrom").rlike("^[!-~]{1,255}$")),
+      "start" -> (col("start").isNull || col("start") < 0),
+      "end" -> (col("end").isNull || col("end") < col("start")),
+      "score" -> (col("score").isNotNull && col("score").cast("long").isNotNull &&
+        (col("score").cast("long") < 0 || col("score").cast("long") > 1000)),
+      "strand" -> (col("strand").isNotNull && !col("strand").isin("+", "-", ".")),
+      "thickStart" -> (col("thickStart").isNotNull && col("thickStart") < 0),
+      "itemRgb" -> (col("itemRgb").isNotNull &&
+        !col("itemRgb").rlike("^(\\d{1,3},\\d{1,3},\\d{1,3}|\\d{1,3}|0)$")),
+      "blockSizes" -> (col("blockSizes").isNotNull &&
+        !col("blockSizes").rlike("^(\\d+,)*\\d+,?$")))
+    checks.filter { case (name, _) => fields.contains(name) }
+  }
+
+  /** Validate a BED-flavored frame; returns offending (column, count)
+    * pairs. One aggregate pass — no per-validator scans. */
+  def validateBed(df: DataFrame, schema: String): Seq[(String, Long)] = {
+    val checks = bedViolations(schema)
+    if (checks.isEmpty) return Nil
+    val aggs = checks.map { case (n, c) =>
+      sum(when(c, 1L).otherwise(0L)).as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    checks.map(_._1).zipWithIndex
+      .map { case (n, i) => n -> row.getLong(i) }
+      .filter(_._2 > 0)
+  }
+
+  /** BED writer (reference `io/bed.py:602-738`): validates, orders columns
+    * per the schema, fills nulls with `.`, writes headerless TSV. Sorted
+    * by (chrom, start) to satisfy the BED sortedness convention
+    * (`io/bed.py:546-578`). `singleFile` coalesces for small parity
+    * outputs; leave false for scale. */
+  def toBed(df: DataFrame, path: String, schema: String = "bed6",
+            validate: Boolean = true, singleFile: Boolean = false): Unit = {
+    if (validate) {
+      val bad = validateBed(df, schema)
+      require(bad.isEmpty, s"BED validation failed: $bad")
+    }
+    val ordered = Schemas(schema).fieldNames.toSeq
+    var out = df
+      .select(ordered.map(c => col(c).cast("string")): _*)
+      .na.fill(".")
+      .orderBy(col(ordered.head), col(ordered(1)).cast("long"))
+    if (singleFile) out = out.coalesce(1)
+    out.write
+      .option("sep", "\t")
+      .option("emptyValue", ".")
+      .mode("overwrite")
+      .csv(path)
+  }
+
+  // ------------------------------------------------------------------ GTF
+
+  /** Expand a GTF `attributes` column (`key "value"; ...`) into a map
+    * column (reference `sandbox/gtf_io.py:4-16`), no UDF: normalize the
+    * `key "value";` syntax to `key=value;` then `str_to_map`. */
+  def gtfAttributes(attr: Column): Column =
+    str_to_map(
+      regexp_replace(
+        regexp_replace(attr, "\\s*([A-Za-z0-9_]+)\\s+\"([^\"]*)\";?", "$1=$2;"),
+        ";$", ""),
+      lit(";"), lit("="))
+
+  /** Star-expand selected GTF attribute keys into columns. */
+  def parseGtfAttributes(df: DataFrame, attrCol: String = "attributes",
+                         keys: Seq[String]): DataFrame = {
+    val m = gtfAttributes(col(attrCol))
+    keys.foldLeft(df)((d, k) => d.withColumn(k, element_at(m, k)))
+  }
+}

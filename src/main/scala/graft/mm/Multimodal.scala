@@ -1,0 +1,75 @@
+package graft.mm
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing for training-data pipelines.
+  *
+  * Media ride as opaque `binary` columns with typed metadata structs; the
+  * Spark-side concerns — schema, batch shape, partition sizing, the
+  * mapPartitions decode boundary — are real and tested. The actual
+  * image/audio codecs are NOT available in this environment, so
+  * [[decodeStub]] derives deterministic fake features from the bytes; a
+  * real deployment swaps `fakeDecode` for a JNI/c-lib decoder with the
+  * same signature (the plan shape is unchanged).
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("mime", StringType)))
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("mime", StringType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** Deterministic stand-in for a media decoder: metadata + an 8-dim
+    * "feature" derived from byte statistics. Replace with a real codec. */
+  def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    val n = if (bytes == null) 0 else bytes.length
+    val w = (n % 640) + 1
+    val h = ((n * 7) % 480) + 1
+    val frames = (n % 24) + 1
+    val feat = new Array[Float](8)
+    var i = 0
+    while (i < n) { feat(i % 8) += (bytes(i) & 0xff) / 255.0f; i += 1 }
+    (w, h, frames, feat)
+  }
+
+  /** Decode boundary: per-partition batch iteration (one decoder init per
+    * partition, the pattern a JNI codec needs), preserving columnar
+    * upstream/downstream plans. Partition sizing: repartition so that
+    * `targetRowsPerPartition` media fit in executor memory at once. */
+  def decode(media: DataFrame, targetRowsPerPartition: Int = 1024): DataFrame = {
+    val n = media.rdd.getNumPartitions
+    val df = media.select("media_id", "payload", "mime")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("payload")
+        val (w, h, fr, feat) = fakeDecode(bytes)
+        Row(r.getLong(0), r.getString(2),
+          if (bytes == null) 0L else bytes.length.toLong, w, h, fr, feat.toSeq)
+      }
+    }(Encoders.row(decodedSchema))
+  }
+
+  /** Frame sampling plumbing: every `step`-th frame index per video row,
+    * exploded — downstream per-frame decode hangs off (media_id, frame). */
+  def sampleFrames(decoded: DataFrame, step: Int): DataFrame =
+    decoded.select(col("media_id"),
+      explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame"))
+
+  /** Wrap a text/binary-ish table into the media schema (for tests and
+    * for treating raw docs as payloads). */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String,
+              mime: String): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      col(payloadCol).cast("binary").as("payload"), lit(mime).as("mime"))
+}

@@ -1,0 +1,120 @@
+package graft
+
+import graft.io.{Schemas, Tables}
+import graft.mm.Multimodal
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tmp = java.nio.file.Files.createTempDirectory("graft-io").toString
+
+  test("read_table with jaspar preset parses the reference fixture shape") {
+    val p = s"$tmp/jaspar.bed"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      "chr1\t10470\t10489\tCTCF\t803\t390\t-\nchr1\t200\t220\tCTCF\t100\t5\t+\n")
+    val df = Tables.readTable(spark, p, "jaspar")
+    assert(df.schema == Schemas("jaspar"))
+    assertFrame(df.select($"chrom", $"start", $"end", $"score"),
+      Seq(Seq("chr1", 10470L, 10489L, 803L), Seq("chr1", 200L, 220L, 100L)),
+      "chrom", "start", "end", "score")
+  }
+
+  test("read_table: '.' placeholders in typed columns become null (bed9)") {
+    val p = s"$tmp/b9.bed"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      "chr1\t193500\t194500\t.\t400\t+\t.\t.\t179,45,0\n")
+    val df = Tables.readTable(spark, p, "bed9")
+    val r = df.collect()(0)
+    assert(r.getAs[Any]("thickStart") == null && r.getLong(1) == 193500L)
+  }
+
+  test("to_bed round trip (tests/test_bed.py:17)") {
+    val df = Seq(("chr1", 5L, 10L, "a", "100", "+"),
+      ("chr1", 0L, 8L, "b", "900", "-")).toDF(Schemas("bed6").fieldNames.toIndexedSeq: _*)
+    val out = s"$tmp/out_bed"
+    Tables.toBed(df, out, "bed6", singleFile = true)
+    val back = Tables.readTable(spark, out, "bed6")
+    assert(rowsOf(back.select($"chrom", $"start", $"end", $"name")) ==
+      rowsOf(df.select($"chrom", $"start", $"end", $"name")))
+  }
+
+  test("BED validation catches out-of-range scores and bad strands") {
+    val bad = Seq(("chr1", 5L, 10L, "a", "5000", "x"))
+      .toDF(Schemas("bed6").fieldNames.toIndexedSeq: _*)
+    val violations = Tables.validateBed(bad, "bed6").toMap
+    assert(violations.contains("score") && violations.contains("strand"))
+  }
+
+  test("chromsizes reader filters and natural-sorts") {
+    val p = s"$tmp/test.chrom.sizes"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      "chr10\t1000\nchr2\t2000\nchr1\t3000\nchr1_gl000191_random\t50\nchrM\t16000\n")
+    val df = Tables.readChromsizes(spark, p)
+    assert(df.select("chrom").collect().map(_.getString(0)).toSeq ==
+      Seq("chr1", "chr2", "chr10", "chrM"))
+    assert(Tables.chromsizesAsMap(df)("chr2") == 2000L)
+  }
+
+  test("GTF attribute expansion") {
+    val df = Seq(("""gene_id "ENSG1"; gene_name "TP53";"""))
+      .toDF("attributes")
+    val out = Tables.parseGtfAttributes(df, "attributes",
+      Seq("gene_id", "gene_name"))
+    assertFrame(out.select($"gene_id", $"gene_name"),
+      Seq(Seq("ENSG1", "TP53")), "gene_id", "gene_name")
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binary payload decode plumbing: schema, determinism, frame sampling") {
+    val docs = Seq((1L, "hello world"), (2L, "abc")).toDF("id", "txt")
+    val media = Multimodal.asMedia(docs, "id", "txt", "text/plain")
+    assert(media.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Multimodal.mediaSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val dec = Multimodal.decode(media)
+    val rows = dec.orderBy("media_id").collect()
+    assert(rows(0).getAs[Long]("n_bytes") == 11L)
+    assert(rows(1).getAs[Long]("n_bytes") == 3L)
+    // deterministic: re-decoding yields identical features
+    val again = Multimodal.decode(media).orderBy("media_id").collect()
+    assert(rows.map(_.getSeq[Float](6)).toSeq == again.map(_.getSeq[Float](6)).toSeq)
+    val frames = Multimodal.sampleFrames(dec, step = 4)
+    assert(frames.filter($"media_id" === 1L).count() == 3) // frames 0,4,8 of 12
+  }
+}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming merge emits closed runs across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[StreamOps.Iv]
+    val q = StreamOps.streamingMerge(input.toDS(), minDist = 0)
+      .writeStream.format("memory").queryName("merged")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamOps.Iv("chr1", 0, 10), StreamOps.Iv("chr1", 5, 12))
+      q.processAllAvailable()
+      input.addData(StreamOps.Iv("chr1", 11, 20)) // extends the open run
+      q.processAllAvailable()
+      input.addData(StreamOps.Iv("chr1", 100, 110)) // gap -> closes run
+      q.processAllAvailable()
+      val out = spark.sql("SELECT * FROM merged").as[StreamOps.MergedRun]
+        .collect().toSeq
+      assert(out == Seq(StreamOps.MergedRun("chr1", 0, 20, 3)))
+    } finally q.stop()
+  }
+
+  test("windowed event counts run in batch mode over the events table") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val out = StreamOps.windowedEventCounts(events)
+    assert(out.count() > 0)
+  }
+}
