@@ -25,7 +25,11 @@ object SparkEntry {
       .groupBy(col("chrom_1")).agg(count(lit(1)).as("n_pairs"))
   }
 
-  private val B = 256L // genome-bin width for the binned interval joins here
+  // Genome-bin width for the binned interval joins. Coordinate space here
+  // is ~[0, 2530]; 64 gives ~320 (chrom, bin) join keys — enough spread
+  // for 32 cores and ~4x fewer candidate pairs than width 256 at ~1.5
+  // exploded bins per interval (avg span ~15).
+  private val B = 64L
 
   // ------------------------------------------------------------ relational
 
@@ -281,7 +285,7 @@ object SparkEntry {
 
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 3,
-        numHashes = 32, bands = 16, threshold = 0.6)
+        numHashes = 48, bands = 16, threshold = 0.6)
       .select(col("id_1"), col("id_2"), col("jaccard"))
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =

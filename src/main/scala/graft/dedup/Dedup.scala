@@ -73,16 +73,18 @@ object Dedup {
     * permutations of the shingle hash (xxhash64). Deterministic: the
     * permutation constants derive from the hash index. */
   def minhashSignature(shingles: Column, numHashes: Int): Column = {
-    // 31-bit modulus keeps h*a + b comfortably inside a long (ANSI-safe)
+    // 31-bit modulus keeps h*a + b comfortably inside a long (ANSI-safe).
+    // Single fold producing the whole signature array: one aggregate()
+    // hashes each shingle once and updates all minima via zip_with —
+    // N separate aggregate() expressions would each re-hash every shingle
+    // after CollapseProject inlining (observed ~50x slowdown).
     val p = 2147483647L // 2^31-1
     val b = 506952122L  // golden-ratio constant mod p
     val hashes = transform(shingles, s => pmod(xxhash64(s), lit(p)))
-    val perms = (0 until numHashes).map { i =>
-      val a = 2L * i + 1
-      aggregate(hashes, lit(Long.MaxValue),
-        (acc, h) => least(acc, pmod(h * lit(a) + lit(b) * lit(i + 1), lit(p))))
-    }
-    array(perms: _*)
+    val init = array_repeat(lit(Long.MaxValue), numHashes)
+    aggregate(hashes, init, (acc, h) =>
+      zip_with(acc, sequence(lit(0L), lit(numHashes - 1L)), (m, i) =>
+        least(m, pmod(h * (i * 2 + 1) + lit(b) * (i + 1), lit(p)))))
   }
 
   /** MinHash+LSH near-dup pairs: shingle -> minhash signature -> banded
@@ -90,12 +92,18 @@ object Dedup {
     * `bands * rowsPerBand` must equal `numHashes`. Output like
     * [[ngramJaccardPairs]] (verified), so LSH only affects recall. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      n: Int = 3, numHashes: Int = 32, bands: Int = 16,
+                      n: Int = 3, numHashes: Int = 48, bands: Int = 16,
                       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // The repartition is a materialization barrier: without it,
+    // CollapseProject inlines the numHashes-fold signature expression into
+    // every band expression AND both sides of the candidate self-join
+    // (~2*bands recomputes per doc). The exchange computes it once and is
+    // reused by both join sides.
     val sig = df.select(col(idCol).as("__id"),
       minhashSignature(TextOps.shingles(col(textCol), n), numHashes).as("__sig"))
+      .repartition(col("__id"))
     val banded = sig.select(col("__id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
@@ -109,10 +117,11 @@ object Dedup {
     // verify candidates with exact jaccard
     val sh = shingleRel(df, idCol, textCol, n)
     val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val sh2 = sh.select(col("__id").as("__rid2"), col("__sh").as("__sh2"))
     val inter = cand
       .join(sh.select(col("__id").as("id_1"), col("__sh")), Seq("id_1"))
-      .join(sh.select(col("__id").as("id_2"), col("__sh").as("__sh2")), Seq("id_2"))
-      .filter(col("__sh") === col("__sh2"))
+      // composite join key (id, shingle) — never the id-only blowup
+      .join(sh2, col("id_2") === col("__rid2") && col("__sh") === col("__sh2"))
       .groupBy(col("id_1"), col("id_2"))
       .agg(count(lit(1)).as("n_common"))
     inter
@@ -128,14 +137,18 @@ object Dedup {
   /** 64-bit SimHash over word tokens (xxhash64 per token; per-bit majority
     * vote), as a single higher-order expression — no UDF. */
   def simhash64(text: Column): Column = {
-    val toks = TextOps.tokens(text)
-    val th = transform(toks, t => xxhash64(t))
-    val bits = transform(sequence(lit(0), lit(63)), b =>
-      when(aggregate(th, lit(0L),
-        (acc, h) => acc + call_function("shiftright", h, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
-        > 0, lit(1L)).otherwise(lit(0L)))
-    aggregate(zip_with(bits, sequence(lit(0), lit(63)),
-      (bit, i) => call_function("shiftleft", bit, i)), lit(0L), (acc, v) => acc.bitwiseOR(v))
+    // single fold: each token hashed once, all 64 bit-counters updated via
+    // zip_with (64 separate aggregates would re-hash every token each)
+    val th = transform(TextOps.tokens(text), t => xxhash64(t))
+    val counts = aggregate(th, array_repeat(lit(0L), 64), (acc, h) =>
+      zip_with(acc, sequence(lit(0L), lit(63L)), (c, b) =>
+        c + call_function("shiftright", h, b.cast("int"))
+          .bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
+    aggregate(
+      zip_with(counts, sequence(lit(0L), lit(63L)), (c, b) =>
+        when(c > 0, call_function("shiftleft", lit(1L), b.cast("int")))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
   /** SimHash near-dup candidate pairs with Hamming distance <= maxHamming,
@@ -143,7 +156,9 @@ object Dedup {
     * for maxHamming <= 3 by pigeonhole), then exact popcount verification. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // barrier: materialize signatures once (see minhashLshPairs)
     val sigs = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sig"))
+      .repartition(col("__id"))
     val banded = sigs.select(col("__id"), col("__sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("__sig"), b * 16).bitwiseAND(lit(0xffffL))))

@@ -57,12 +57,17 @@ object IntervalJoin {
             binSize: Long = DefaultBinSize): DataFrame = {
     val resolved = strategy match {
       case Auto =>
-        val threshold =
-          right.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-            .stripSuffix("b").toLong
+        // Broadcast is only right for true dimension tables (views,
+        // chromsizes): the hash join keys on `chrom` alone, so every left
+        // row scans ALL same-chrom right rows — cost O(|L| * |R| / nChrom),
+        // catastrophic for a non-tiny right side (observed 650s vs 15s at
+        // 600k x 150k). Keep a hard few-thousand-row cap regardless of the
+        // session broadcast threshold; everything else takes the binned
+        // shuffle join, whose cost tracks the true pair count.
+        val cap = 65536L
         val sizeEstimate =
           right.queryExecution.optimizedPlan.stats.sizeInBytes
-        if (threshold > 0 && sizeEstimate <= threshold) BroadcastRight else Binned
+        if (sizeEstimate <= cap) BroadcastRight else Binned
       case s => s
     }
     resolved match {
