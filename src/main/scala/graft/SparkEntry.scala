@@ -196,6 +196,18 @@ object SparkEntry {
           .as("is_overlapping"))
   }
 
+  /** sanitize_bedframe semantics (reference construction.py:265-343) on a
+    * deliberately dirty frame derived from part (some start > end). */
+  private def utilSanitize(s: SparkSession, dir: String): DataFrame = {
+    val dirty = table(s, dir, "part").select(
+      col("p_partkey").cast("long").as("id"),
+      concat(lit("c"), (col("p_partkey") % 8).cast("string")).as("chrom"),
+      ((col("p_partkey") * 13) % 1000).cast("long").as("start"),
+      ((col("p_partkey") * 7) % 1000).cast("long").as("end"))
+    graft.core.Construction.sanitizeBedframe(dirty)
+      .select(col("id"), col("chrom"), col("start"), col("end"))
+  }
+
   private def utilNatsort(s: SparkSession, dir: String): DataFrame = {
     val names = table(s, dir, "part")
       .select(concat(lit("c"), (col("p_partkey") % 12).cast("string")).as("name"))
@@ -353,6 +365,7 @@ object SparkEntry {
     "iv_mark_runs" -> (ivMarkRuns _),
     "iv_merge_runs" -> (ivMergeRuns _),
     "chk_invariants" -> (chkInvariants _),
+    "util_sanitize" -> (utilSanitize _),
     "util_natsort" -> (utilNatsort _),
     "region_parse" -> (regionParse _),
     "evt_sessionize" -> (evtSessionize _),
@@ -659,6 +672,14 @@ object SparkEntry {
          |  BOOL_OR(start = "end") AS has_points,
          |  BOOL_OR(pm IS NOT NULL AND start < pm) AS is_overlapping
          |FROM x""".stripMargin,
+    "util_sanitize" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS id,
+        |  'c' || CAST(p_partkey % 8 AS VARCHAR) AS chrom,
+        |  LEAST(CAST((p_partkey * 13) % 1000 AS BIGINT),
+        |        CAST((p_partkey * 7) % 1000 AS BIGINT)) AS start,
+        |  GREATEST(CAST((p_partkey * 13) % 1000 AS BIGINT),
+        |           CAST((p_partkey * 7) % 1000 AS BIGINT)) AS "end"
+        |FROM part""".stripMargin,
     "util_natsort" ->
       """WITH names AS (SELECT DISTINCT 'c' || CAST(p_partkey % 12 AS VARCHAR) AS name FROM part)
         |SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY

@@ -96,6 +96,26 @@ object Checks {
       .isEmpty
   }
 
+  /** complement(df, view) empty — df covers every view region
+    * (reference `checks.py:345-391`). */
+  def isCovering(df: DataFrame, view: DataFrame,
+                 viewNameCol: String = "name",
+                 cols: ColSpec = ColSpec.default,
+                 colsView: ColSpec = ColSpec.default): Boolean =
+    graft.ops.Ops.complement(df, view, viewNameCol, cols, colsView).isEmpty
+
+  /** Non-overlapping AND covering AND contained (reference
+    * `checks.py:394-471`); requires the df be assignable per region. */
+  def isTiling(df: DataFrame, view: DataFrame,
+               dfViewCol: String = "view_region",
+               viewNameCol: String = "name",
+               cols: ColSpec = ColSpec.default,
+               colsView: ColSpec = ColSpec.default): Boolean =
+    !isOverlapping(df, cols) &&
+      isCovering(df, view, viewNameCol, cols, colsView) &&
+      (!df.columns.contains(dfViewCol) ||
+        isContained(df, view, dfViewCol, viewNameCol, cols, colsView))
+
   /** Monotone-sorted by (chrom, start, end) — window check, cheaper than
     * sort+compare (reference `checks.py:474-540` sorts and compares). */
   def isSorted(df: DataFrame, cols: ColSpec = ColSpec.default): Boolean = {

@@ -1,0 +1,92 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Constructors / coercion into interval relations (reference
+  * `core/construction.py:20-343`): the `from_any` family accepts
+  * chromsizes maps, (chrom,start,end[,name]) tuples and UCSC strings;
+  * `makeViewframe` validates + auto-names; `sanitizeBedframe` repairs
+  * common defects.
+  */
+object Construction {
+
+  /** `{chrom -> length}` means `[0, length)` per chrom (reference
+    * `construction.py:20-61`). */
+  def fromChromsizes(spark: SparkSession, sizes: Map[String, Long],
+                     cols: ColSpec = ColSpec.default): DataFrame = {
+    import spark.implicits._
+    sizes.toSeq.sortBy(_._1).map { case (c, len) => (c, 0L, len) }
+      .toDF(cols.chrom, cols.start, cols.end)
+  }
+
+  def fromTuples(spark: SparkSession, regions: Seq[(String, Long, Long)],
+                 cols: ColSpec = ColSpec.default): DataFrame = {
+    import spark.implicits._
+    regions.toDF(cols.chrom, cols.start, cols.end)
+  }
+
+  def fromNamedTuples(spark: SparkSession,
+                      regions: Seq[(String, Long, Long, String)],
+                      nameCol: String = "name",
+                      cols: ColSpec = ColSpec.default): DataFrame = {
+    import spark.implicits._
+    regions.toDF(cols.chrom, cols.start, cols.end, nameCol)
+  }
+
+  /** List of UCSC strings -> bedframe (reference
+    * `construction.py:83-171`); missing ends require chromsizes. */
+  def fromUcscStrings(spark: SparkSession, strs: Seq[String],
+                      chromsizes: Map[String, Long] = Map.empty,
+                      cols: ColSpec = ColSpec.default): DataFrame = {
+    val rows = strs.map { s =>
+      val r = Region.parseString(s).resolve(chromsizes, checkBounds = chromsizes.nonEmpty)
+      (r.chrom, r.start.getOrElse(0L),
+        r.end.getOrElse(throw new IllegalArgumentException(
+          s"end unknown for '$s' and no chromsizes given")))
+    }
+    fromTuples(spark, rows, cols)
+  }
+
+  /** Coerce + validate a view (reference `construction.py:189-262`):
+    * auto-generates `name` as `chrom:start-end` when absent, and checks
+    * the viewframe invariant. */
+  def makeViewframe(df: DataFrame, nameCol: String = "name",
+                    cols: ColSpec = ColSpec.default,
+                    check: Boolean = true): DataFrame = {
+    val named =
+      if (df.columns.contains(nameCol)) df
+      else df.withColumn(nameCol,
+        concat(cols.chromCol, lit(":"), cols.startCol, lit("-"), cols.endCol))
+    if (check)
+      require(Checks.isViewframe(named, nameCol, cols),
+        "not a valid viewframe (need unique non-null names, no overlaps)")
+    named
+  }
+
+  /** Repair pass (reference `construction.py:265-343`): complete partial
+    * null triples to full nulls, optionally flip or drop start>end rows. */
+  def sanitizeBedframe(df: DataFrame,
+                       dropNull: Boolean = false,
+                       startExceedEnd: String = "flip", // flip | drop | keep
+                       cols: ColSpec = ColSpec.default): DataFrame = {
+    val anyNull =
+      cols.chromCol.isNull || cols.startCol.isNull || cols.endCol.isNull
+    var out = df
+      .withColumn(cols.chrom, when(anyNull, lit(null)).otherwise(cols.chromCol))
+      .withColumn("__s", when(anyNull, lit(null)).otherwise(cols.startCol))
+      .withColumn("__e", when(anyNull, lit(null)).otherwise(cols.endCol))
+    val flipped = col("__s") > col("__e")
+    out = startExceedEnd match {
+      case "flip" => out
+        .withColumn(cols.start, when(flipped, col("__e")).otherwise(col("__s")))
+        .withColumn(cols.end, when(flipped, col("__s")).otherwise(col("__e")))
+      case "drop" => out.filter(!coalesce(flipped, lit(false)))
+        .withColumn(cols.start, col("__s")).withColumn(cols.end, col("__e"))
+      case _ => out
+        .withColumn(cols.start, col("__s")).withColumn(cols.end, col("__e"))
+    }
+    out = out.drop("__s", "__e")
+    if (dropNull) out.filter(cols.chromCol.isNotNull) else out
+  }
+}

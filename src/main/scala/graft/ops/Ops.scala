@@ -127,11 +127,29 @@ object Ops {
       oNames.map(n => lit(null).cast(LongType).as(n))
     val lNulls = nullCols(l.schema)
 
+    // Unmatched-row detection runs against the MERGED other side, not the
+    // raw one: overlap-exists against min_dist=0 merged runs is exact
+    // (runs are gap-free unions of their members, and point members are
+    // absorbed into covering runs without changing the promoted match
+    // set), and merged genomic relations are typically orders of
+    // magnitude smaller — so the anti branch costs one merge shuffle
+    // instead of a second full pair join.
+    def existsPairs(side: DataFrame, cSide: ColSpec, sideSfx: String,
+                    other: DataFrame, cOther: ColSpec,
+                    otherOn: Seq[String]): DataFrame = {
+      val msfx = "__m_"
+      val m = ColSpec.suffixAll(
+        Ops.merge(other, Some(0), otherOn, cOther).drop("n_intervals"), msfx)
+      IntervalJoin.pairs(side, m, cSide, cOther.withSuffix(msfx),
+        otherOn.map(k => (k + sideSfx, k + msfx)), strategy, binSize)
+    }
     val leftRest = () =>
-      l.join(p.select(col("__id1")), Seq("__id1"), "left_anti")
+      l.join(existsPairs(l, c1, sf1, df2, cols2, on).select(col("__id1")),
+          Seq("__id1"), "left_anti")
         .select(lNames.map(col) ++ rNulls: _*)
     val rightRest = () =>
-      r.join(p.select(col("__id2")), Seq("__id2"), "left_anti")
+      r.join(existsPairs(r, c2, sf2, df1, cols1, on).select(col("__id2")),
+          Seq("__id2"), "left_anti")
         .select(lNulls ++ rNames.map(col) ++
           oNames.map(n => lit(null).cast(LongType).as(n)): _*)
     val pOrdered = p.select((lNames ++ rNames ++ oNames).map(col): _*)
@@ -183,7 +201,10 @@ object Ops {
               binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
     val l = RowId.withRowId(df1, "__id1")
     val sfx = "__r_"
-    val r = ColSpec.suffixAll(df2.select((cols2.names ++ on).distinct.map(col): _*), sfx)
+    // anti-join against the merged df2 — exact for overlap-EXISTS and far
+    // smaller than the raw pair relation (see overlap's unmatched branch)
+    val r = ColSpec.suffixAll(
+      merge(df2, Some(0), on, cols2).drop("n_intervals"), sfx)
     val p = IntervalJoin.pairs(l, r, cols1, cols2.withSuffix(sfx),
       on.map(k => (k, k + sfx)), strategy, binSize)
     l.join(p.select(col("__id1")), Seq("__id1"), "left_anti").drop("__id1")

@@ -1,0 +1,64 @@
+package graft
+
+import graft.core.{Checks, Construction}
+import graft.syntax._
+import org.apache.spark.sql.functions._
+
+class ConstructionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fromChromsizes / fromUcscStrings build bedframes") {
+    val cs = Construction.fromChromsizes(spark, Map("chr1" -> 100L, "chr2" -> 50L))
+    assertFrame(cs, Seq(Seq("chr1", 0L, 100L), Seq("chr2", 0L, 50L)),
+      "chrom", "start", "end")
+    val u = Construction.fromUcscStrings(spark,
+      Seq("chr1:10-20", "chr2:0-1k"), Map("chr1" -> 100L, "chr2" -> 2000L))
+    assertFrame(u, Seq(Seq("chr1", 10L, 20L), Seq("chr2", 0L, 1000L)),
+      "chrom", "start", "end")
+    // missing end filled from chromsizes
+    val f = Construction.fromUcscStrings(spark, Seq("chr1"), Map("chr1" -> 77L))
+    assertFrame(f, Seq(Seq("chr1", 0L, 77L)), "chrom", "start", "end")
+  }
+
+  test("makeViewframe auto-names and validates") {
+    val v = Construction.makeViewframe(
+      Construction.fromChromsizes(spark, Map("chr1" -> 10L)))
+    assertFrame(v.select($"name"), Seq(Seq("chr1:0-10")), "name")
+    val overlapping = Seq(("chr1", 0L, 5L), ("chr1", 3L, 8L))
+      .toDF("chrom", "start", "end")
+    intercept[IllegalArgumentException] {
+      Construction.makeViewframe(overlapping)
+    }
+  }
+
+  test("sanitizeBedframe: null-triple completion + start/end flip") {
+    val dirty = Seq(
+      (Some("chr1"), Some(9L), Some(3L)),
+      (Some("chr1"), None, Some(5L)),
+      (Some("chr2"), Some(1L), Some(2L)))
+      .toDF("chrom", "start", "end")
+    val out = Construction.sanitizeBedframe(dirty)
+    assertFrame(out, Seq(
+      Seq("chr1", 3L, 9L), Seq(null, null, null), Seq("chr2", 1L, 2L)),
+      "chrom", "start", "end")
+    assert(Checks.isBedframe(out))
+  }
+
+  test("is_covering / is_tiling on a complete tiling") {
+    val view = Seq(("chr1", 0L, 10L, "r1")).toDF("chrom", "start", "end", "name")
+    val tiles = Seq(("chr1", 0L, 4L), ("chr1", 4L, 10L)).toDF("chrom", "start", "end")
+    assert(Checks.isCovering(tiles, view))
+    assert(Checks.isTiling(tiles, view))
+    val gappy = Seq(("chr1", 0L, 4L), ("chr1", 6L, 10L)).toDF("chrom", "start", "end")
+    assert(!Checks.isCovering(gappy, view))
+  }
+
+  test("fluent syntax delegates to Ops") {
+    val a = Seq(("chr1", 0L, 5L), ("chr1", 20L, 30L)).toDF("chrom", "start", "end")
+    val b = Seq(("chr1", 3L, 8L)).toDF("chrom", "start", "end")
+    assert(a.bf.overlap(b, how = "inner").count() == 1)
+    assert(a.bf.countOverlaps(b).filter($"count" === 0).count() == 1)
+    assert(a.bf.merge().count() == 2)
+    assert(a.bf.closestTo(b).count() == 2)
+  }
+}
