@@ -196,6 +196,10 @@ object SparkEntry {
           .as("is_overlapping"))
   }
 
+  private def ivPileup(s: SparkSession, dir: String): DataFrame =
+    Extras.pileup(iv1(s, dir))
+      .select(col("chrom"), col("start"), col("end"), col("depth"))
+
   /** sanitize_bedframe semantics (reference construction.py:265-343) on a
     * deliberately dirty frame derived from part (some start > end). */
   private def utilSanitize(s: SparkSession, dir: String): DataFrame = {
@@ -362,6 +366,7 @@ object SparkEntry {
     "iv_binnify" -> (ivBinnify _),
     "iv_chromarms" -> (ivChromarms _),
     "iv_pair_by_distance" -> (ivPairByDistance _),
+    "iv_pileup" -> (ivPileup _),
     "iv_mark_runs" -> (ivMarkRuns _),
     "iv_merge_runs" -> (ivMergeRuns _),
     "chk_invariants" -> (chkInvariants _),
@@ -625,6 +630,18 @@ object SparkEntry {
          |FROM m a JOIN m b ON a.chrom = b.chrom
          |  AND (a.mid + 5) < (b.mid - 5) AND (b.mid - 100) < (a.mid + 100)
          |  AND ABS(a.rnk - b.rnk) - 1 <= 5""".stripMargin,
+    "iv_pileup" ->
+      s"""WITH $iv1Sql,
+         |ev AS (SELECT chrom, start AS pos, CAST(1 AS BIGINT) AS d FROM iv1
+         |  UNION ALL SELECT chrom, "end", CAST(-1 AS BIGINT) FROM iv1),
+         |agg AS (SELECT chrom, pos, SUM(d) AS delta FROM ev GROUP BY chrom, pos),
+         |c AS (SELECT chrom, pos,
+         |    SUM(delta) OVER (PARTITION BY chrom ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS depth,
+         |    LEAD(pos) OVER (PARTITION BY chrom ORDER BY pos) AS next
+         |  FROM agg)
+         |SELECT chrom, pos AS start, next AS "end", depth FROM c
+         |WHERE next IS NOT NULL""".stripMargin,
     "iv_mark_runs" ->
       s"""WITH $iv1Sql, $chromsizesSql,
          |bins AS (SELECT chrom, CAST(s AS BIGINT) AS start,

@@ -98,6 +98,35 @@ object Extras {
     p.drop(dropCols: _*)
   }
 
+  /** Genome-wide pileup: the stepwise coverage-depth function of `df`
+    * (reference kernel `coverage_intervals_rle`, `arrops.py:757-770`).
+    * Event-list formulation: +w at starts / -w at ends, aggregated per
+    * breakpoint, running-sum per chromosome, segments between consecutive
+    * breakpoints. Zero-length points contribute nothing (their +w/-w
+    * cancel at the same breakpoint). The per-chrom window is the only
+    * serial stage; the breakpoint relation is already collapsed by the
+    * groupBy, so it is |distinct endpoints|, not |rows|. Output:
+    * (chrom, start, end, depth) covering [min endpoint, max endpoint). */
+  def pileup(df: DataFrame, valueCol: Option[String] = None,
+             cols: ColSpec = ColSpec.default): DataFrame = {
+    val w = valueCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val events = df.select(cols.chromCol.as("chrom"),
+      explode(array(
+        struct(cols.startCol.as("pos"), w.as("d")),
+        struct(cols.endCol.as("pos"), (-w).as("d")))).as("__e"))
+      .select(col("chrom"), col("__e.pos").as("pos"), col("__e.d").as("d"))
+    val agg = events.groupBy(col("chrom"), col("pos"))
+      .agg(sum(col("d")).as("__delta"))
+    val win = Window.partitionBy(col("chrom")).orderBy(col("pos"))
+    agg
+      .withColumn("depth",
+        sum(col("__delta")).over(win.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__next", lead(col("pos"), 1).over(win))
+      .filter(col("__next").isNotNull)
+      .select(col("chrom"), col("pos").as(cols.start),
+        col("__next").as(cols.end), col("depth"))
+  }
+
   /** Mark runs of spatially consecutive (abutting, non-overlapping)
     * intervals sharing the same value of `valueCol` (reference
     * `extras.py:546-650`). Run ids reset per chromosome. Same window sweep

@@ -64,6 +64,17 @@ class ExtrasSpec extends SparkSpec {
       "chrom", "start", "end", "value", "vsum")
   }
 
+  test("pileup: stepwise depth with overlaps, gaps, and points") {
+    val df = Seq(("chr1", 0L, 10L), ("chr1", 5L, 15L), ("chr1", 20L, 25L),
+      ("chr1", 7L, 7L)).toDF("chrom", "start", "end")
+    val out = Extras.pileup(df)
+    assertFrame(out, Seq(
+      Seq("chr1", 0L, 5L, 1L), Seq("chr1", 5L, 7L, 2L),
+      Seq("chr1", 7L, 10L, 2L), Seq("chr1", 10L, 15L, 1L),
+      Seq("chr1", 15L, 20L, 0L), Seq("chr1", 20L, 25L, 1L)),
+      "chrom", "start", "end", "depth")
+  }
+
   test("markRuns breaks runs at spatial gaps even with equal values") {
     val df = Seq(("chr1", 0L, 100L, 1L), ("chr1", 150L, 250L, 1L))
       .toDF("chrom", "start", "end", "value")
