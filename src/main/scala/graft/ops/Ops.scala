@@ -105,9 +105,9 @@ object Ops {
     val needId1 = how == "left" || how == "outer" || keepOrder || returnIndex
     val needId2 = how == "right" || how == "outer" || returnIndex
     var l = ColSpec.suffixAll(df1, sf1)
-    if (needId1) l = RowId.withRowId(l, "__id1")
+    if (needId1) l = RowId.withContentId(l, "__id1")
     var r = ColSpec.suffixAll(df2, sf2)
-    if (needId2) r = RowId.withRowId(r, "__id2")
+    if (needId2) r = RowId.withContentId(r, "__id2")
     val c1 = cols1.withSuffix(sf1)
     val c2 = cols2.withSuffix(sf2)
 
@@ -199,7 +199,7 @@ object Ops {
               cols2: ColSpec = ColSpec.default,
               strategy: Strategy = Auto,
               binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
-    val l = RowId.withRowId(df1, "__id1")
+    val l = RowId.withContentId(df1, "__id1")
     val sfx = "__r_"
     // anti-join against the merged df2 — exact for overlap-EXISTS and far
     // smaller than the raw pair relation (see overlap's unmatched branch)
@@ -502,7 +502,7 @@ object Ops {
       col(colsView.chrom).as("__vc"), col(colsView.start).as("__vs"),
       col(colsView.end).as("__ve"), col(viewNameCol).as(dfViewCol),
       col("__vord"))
-    val l = RowId.withRowId(df, "__id1")
+    val l = RowId.withContentId(df, "__id1")
     val c2 = ColSpec("__vc", "__vs", "__ve")
     val p = l.join(broadcast(v),
       cols.chromCol === col("__vc") &&

@@ -31,6 +31,15 @@ object RowId {
       xxhash64(lit(2) +: cs: _*).as("h2"))
   }
 
+  /** Content hash alone — no duplicate disambiguation, no shuffle. Safe
+    * when the operator's use of identity is duplicate-invariant: anti-join
+    * membership (all copies match or none), or best-candidate selection
+    * joined back per id (every copy receives the same winner). NOT safe
+    * for per-row aggregation (counts/sums would merge copies) or per-row
+    * top-k. */
+  def withContentId(df: DataFrame, name: String): DataFrame =
+    df.withColumn(name, hashColumn(df))
+
   /** Unique deterministic id: (content hash, duplicate rank). The rank
     * window disambiguates full-duplicate rows; since those rows are
     * indistinguishable, any rank assignment yields the same id set in
