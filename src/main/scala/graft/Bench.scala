@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,9 +16,18 @@ object Bench {
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
     val results = wanted.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val n = try { fn(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
+      // Non-prunable sink: checksum every output column so Catalyst can't
+      // drop projection-only work (a bare count() lets it prune the whole
+      // select list down to a parquet row count).
+      val n = try {
+        val df = fn(spark, sfDir)
+        val row = df
+          .select(xxhash64(df.columns.map(col): _*).as("__h"))
+          .agg(count(lit(1)).as("__n"), sum(col("__h")))
+          .head()
+        row.getLong(0)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $dt%8.2fs  rows=$n")
       name -> dt

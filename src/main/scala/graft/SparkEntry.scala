@@ -79,6 +79,19 @@ object SparkEntry {
         suffixes = ("_1", "_2"), on = Seq("strand"), binSize = B)
       .select(col("id_1"), col("id_2"), col("strand_1"))
 
+  /** Regression for the merged-anti point-promotion bug: df2 carries
+    * zero-length points abutting its own intervals; the left join must not
+    * emit spurious null-extended rows for df1 rows starting exactly at a
+    * point's coordinate. */
+  private def ivOverlapLeftPts(s: SparkSession, dir: String): DataFrame =
+    Ops.overlap(iv1(s, dir), iv2p(s, dir), how = "left",
+        suffixes = ("_1", "_2"), binSize = B)
+      .select(col("id_1"), col("id_2"))
+
+  private def ivSetdiffPts(s: SparkSession, dir: String): DataFrame =
+    Ops.setdiff(iv1(s, dir), iv2p(s, dir), binSize = B)
+      .select(col("id"), col("chrom"), col("start"), col("end"))
+
   private def ivCountOverlaps(s: SparkSession, dir: String): DataFrame =
     Ops.countOverlaps(iv1(s, dir), iv2(s, dir), countCol = "n", binSize = B)
       .select(col("id"), col("n"))
@@ -348,6 +361,8 @@ object SparkEntry {
     "iv_overlap_left" -> ivOverlap("left") _,
     "iv_overlap_outer" -> ivOverlap("outer") _,
     "iv_overlap_on" -> (ivOverlapOn _),
+    "iv_overlap_left_pts" -> (ivOverlapLeftPts _),
+    "iv_setdiff_pts" -> (ivSetdiffPts _),
     "iv_count_overlaps" -> (ivCountOverlaps _),
     "iv_setdiff" -> (ivSetdiff _),
     "iv_cluster" -> (ivCluster _),
@@ -394,14 +409,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-        | SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-        | SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+        | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        | CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
         | COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_segment_revenue" ->
       """SELECT c_mktsegment,
-        | SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+        | CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         | COUNT(*) AS n
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -443,6 +458,15 @@ object SparkEntry {
          |SELECT a.id AS id_1, b.id AS id_2, a.strand AS strand_1
          |FROM iv1 a JOIN iv2 b ON a.chrom = b.chrom AND a.strand = b.strand
          |  AND ${ovl("a", "b")}""".stripMargin,
+    "iv_overlap_left_pts" ->
+      s"""WITH $iv1Sql, $iv2Sql, $iv2pSql
+         |SELECT a.id AS id_1, b.id AS id_2
+         |FROM iv1 a LEFT JOIN iv2p b ON a.chrom = b.chrom AND ${ovl("a", "b")}""".stripMargin,
+    "iv_setdiff_pts" ->
+      s"""WITH $iv1Sql, $iv2Sql, $iv2pSql
+         |SELECT id, chrom, start, "end" FROM iv1 a
+         |WHERE NOT EXISTS (SELECT 1 FROM iv2p b
+         |  WHERE b.chrom = a.chrom AND ${ovl("a", "b")})""".stripMargin,
     "iv_count_overlaps" ->
       s"""WITH $iv1Sql, $iv2Sql
          |SELECT a.id, COUNT(b.id) AS n
@@ -496,8 +520,8 @@ object SparkEntry {
     "iv_coverage" ->
       s"""WITH $iv1Sql, $iv2Sql, $mergedIv1Sql
          |SELECT a.id, a.chrom, a.start, a."end",
-         |  COALESCE(SUM(CASE WHEN m.start IS NULL THEN NULL
-         |    ELSE GREATEST(LEAST(a."end", m."end") - GREATEST(a.start, m.start), 0) END), 0) AS coverage
+         |  CAST(COALESCE(SUM(CASE WHEN m.start IS NULL THEN NULL
+         |    ELSE GREATEST(LEAST(a."end", m."end") - GREATEST(a.start, m.start), 0) END), 0) AS BIGINT) AS coverage
          |FROM iv2 a LEFT JOIN m1 m
          |  ON a.chrom = m.chrom AND a.start < m."end" AND m.start < a."end"
          |GROUP BY a.id, a.chrom, a.start, a."end"""".stripMargin,
@@ -636,8 +660,8 @@ object SparkEntry {
          |  UNION ALL SELECT chrom, "end", CAST(-1 AS BIGINT) FROM iv1),
          |agg AS (SELECT chrom, pos, SUM(d) AS delta FROM ev GROUP BY chrom, pos),
          |c AS (SELECT chrom, pos,
-         |    SUM(delta) OVER (PARTITION BY chrom ORDER BY pos
-         |      ROWS UNBOUNDED PRECEDING) AS depth,
+         |    CAST(SUM(delta) OVER (PARTITION BY chrom ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS depth,
          |    LEAD(pos) OVER (PARTITION BY chrom ORDER BY pos) AS next
          |  FROM agg)
          |SELECT chrom, pos AS start, next AS "end", depth FROM c
@@ -657,8 +681,8 @@ object SparkEntry {
          |      OR value <> LAG(value) OVER w THEN 1 ELSE 0 END AS brd
          |  FROM valued WINDOW w AS (PARTITION BY chrom ORDER BY start))
          |SELECT chrom, start, "end", CAST(value AS BIGINT) AS value,
-         |  SUM(brd) OVER (PARTITION BY chrom ORDER BY start
-         |    ROWS UNBOUNDED PRECEDING) - 1 AS run
+         |  CAST(SUM(brd) OVER (PARTITION BY chrom ORDER BY start
+         |    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS run
          |FROM marked""".stripMargin,
     "iv_merge_runs" ->
       s"""WITH $iv1Sql, $chromsizesSql,
@@ -716,15 +740,15 @@ object SparkEntry {
         |s AS (SELECT *, CASE WHEN LAG(tms) OVER w IS NULL
         |    OR tms - LAG(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS brd
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
-        |sess AS (SELECT user_id, tms, SUM(brd) OVER (PARTITION BY user_id
-        |    ORDER BY tms, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM s)
+        |sess AS (SELECT user_id, tms, CAST(SUM(brd) OVER (PARTITION BY user_id
+        |    ORDER BY tms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s)
         |SELECT user_id, session_id, MIN(tms) AS session_start,
         |  COUNT(*) AS n_events
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
     "evt_window_agg" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         |  COUNT(*) AS n,
-        |  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
     "txt_stats" ->
       """SELECT doc_id,

@@ -21,20 +21,25 @@ object TestTables {
   private def days(c: String) =
     datediff(col(c).cast("date"), lit("1995-01-01").cast("date")).cast("long")
 
-  /** Total ordering of lineitem for a deterministic synthetic row id —
-    * (l_orderkey, l_linenumber) is NOT unique in this data; rows that tie
-    * on all these keys are full duplicates, for which id assignment is
+  /** Within-order ordering of lineitem for a deterministic synthetic row
+    * id — (l_orderkey, l_linenumber) is NOT unique in this data; rows that
+    * tie on all these keys are full duplicates, for which id assignment is
     * interchangeable. */
-  private val liOrder = Seq("l_orderkey", "l_linenumber", "l_partkey",
+  private val liOrder = Seq("l_linenumber", "l_partkey",
     "l_suppkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
     "l_returnflag", "l_linestatus", "l_shipdate")
 
-  /** ~60k rows at sf0.01; includes zero-length points. */
+  /** ~60k rows at sf0.01; includes zero-length points.
+    * `id = l_orderkey*100 + rank within order` is unique and deterministic
+    * without a global sort: the window partitions by l_orderkey, so id
+    * assignment parallelizes across the cluster (TPC-H has <= 7 lines per
+    * order; 100 leaves slack for duplicate rows). */
   def iv1(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(liOrder.map(col): _*)
     table(s, dir, "lineitem")
       .withColumn("id",
-        row_number().over(Window.orderBy(liOrder.map(col): _*)).cast("long"))
+        col("l_orderkey").cast("long") * 100 + row_number().over(w))
       .select(
         col("id"),
         concat(lit("c"), (col("l_suppkey") % 8).cast("string")).as("chrom"),
@@ -45,7 +50,7 @@ object TestTables {
 
   val iv1Sql: String =
     s"""iv1 AS (
-      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY ${liOrder.mkString(", ")}) AS BIGINT) AS id,
+      |  SELECT CAST(l_orderkey AS BIGINT) * 100 + ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY ${liOrder.mkString(", ")}) AS id,
       |         'c' || CAST(l_suppkey % 8 AS VARCHAR) AS chrom,
       |         CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS start,
       |         CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) + CAST(l_quantity AS BIGINT) % 30 AS BIGINT) AS "end",
@@ -69,6 +74,24 @@ object TestTables {
       |         CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) + 1 + o_orderkey % 25 AS BIGINT) AS "end",
       |         CASE WHEN o_orderkey % 3 = 0 THEN '+' ELSE '-' END AS strand
       |  FROM orders)""".stripMargin
+
+  /** iv2 plus planted zero-length points `[end, end)` abutting every 7th
+    * iv2 interval — the regression fixture for the merged-anti promotion
+    * bug (a point absorbed into an abutting merged run must still match
+    * df1 rows starting exactly at its coordinate). */
+  def iv2p(s: SparkSession, dir: String): DataFrame = {
+    val base = iv2(s, dir)
+    base.unionByName(base.filter(col("id") % 7 === 0).select(
+      (col("id") + 10000000L).as("id"), col("chrom"),
+      col("end").as("start"), col("end").as("end"), col("strand")))
+  }
+
+  val iv2pSql: String =
+    """iv2p AS (
+      |  SELECT * FROM iv2
+      |  UNION ALL
+      |  SELECT id + 10000000, chrom, "end", "end", strand
+      |  FROM iv2 WHERE id % 7 = 0)""".stripMargin
 
   /** ~1.5k rows at sf0.01 — the small probe side for closest/pairing. */
   def iv3(s: SparkSession, dir: String): DataFrame =

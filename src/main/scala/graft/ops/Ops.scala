@@ -29,6 +29,18 @@ object Ops {
   private def grp(cols: ColSpec, on: Seq[String]): Seq[Column] =
     cols.chromCol +: on.map(col)
 
+  /** Zero-length intervals promoted to length-1 pseudo-segments
+    * (end -> start+1), the same promotion the join predicate applies
+    * (reference `core/arrops.py:271-287`). Applied to a relation BEFORE
+    * merging it for overlap-exists checks: merge(min_dist=0) would
+    * otherwise absorb a point `[e,e)` into an abutting run `[s,e)` and
+    * lose the point's promoted reach `[e,e+1)` — rows starting exactly at
+    * `e` would wrongly count as unmatched. */
+  private def promotePoints(df: DataFrame, cols: ColSpec): DataFrame =
+    df.withColumn(cols.end,
+      when(cols.endCol === cols.startCol, cols.startCol + 1)
+        .otherwise(cols.endCol))
+
   // ---------------------------------------------------------------- select
 
   /** Rows overlapping a scalar region (reference `ops.py:116-147`); the
@@ -128,18 +140,21 @@ object Ops {
     val lNulls = nullCols(l.schema)
 
     // Unmatched-row detection runs against the MERGED other side, not the
-    // raw one: overlap-exists against min_dist=0 merged runs is exact
-    // (runs are gap-free unions of their members, and point members are
-    // absorbed into covering runs without changing the promoted match
-    // set), and merged genomic relations are typically orders of
-    // magnitude smaller — so the anti branch costs one merge shuffle
-    // instead of a second full pair join.
+    // raw one: after point promotion (end -> start+1, below) merge(0) runs
+    // are gap-free unions of their members, so overlap-exists against the
+    // runs equals overlap-exists against the members — and merged genomic
+    // relations are typically orders of magnitude smaller, so the anti
+    // branch costs one merge shuffle instead of a second full pair join.
+    // Promotion must happen BEFORE the merge: otherwise a point [e,e)
+    // abutting a run [s,e) is absorbed and its promoted reach [e,e+1) is
+    // lost, spuriously null-extending rows that start exactly at e.
     def existsPairs(side: DataFrame, cSide: ColSpec, sideSfx: String,
                     other: DataFrame, cOther: ColSpec,
                     otherOn: Seq[String]): DataFrame = {
       val msfx = "__m_"
       val m = ColSpec.suffixAll(
-        Ops.merge(other, Some(0), otherOn, cOther).drop("n_intervals"), msfx)
+        Ops.merge(promotePoints(other, cOther), Some(0), otherOn, cOther)
+          .drop("n_intervals"), msfx)
       IntervalJoin.pairs(side, m, cSide, cOther.withSuffix(msfx),
         otherOn.map(k => (k + sideSfx, k + msfx)), strategy, binSize)
     }
@@ -201,10 +216,12 @@ object Ops {
               binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
     val l = RowId.withContentId(df1, "__id1")
     val sfx = "__r_"
-    // anti-join against the merged df2 — exact for overlap-EXISTS and far
-    // smaller than the raw pair relation (see overlap's unmatched branch)
+    // anti-join against the merged, point-promoted df2 — exact for
+    // overlap-EXISTS and far smaller than the raw pair relation (see
+    // overlap's unmatched branch for why promotion precedes the merge)
     val r = ColSpec.suffixAll(
-      merge(df2, Some(0), on, cols2).drop("n_intervals"), sfx)
+      merge(promotePoints(df2, cols2), Some(0), on, cols2)
+        .drop("n_intervals"), sfx)
     val p = IntervalJoin.pairs(l, r, cols1, cols2.withSuffix(sfx),
       on.map(k => (k, k + sfx)), strategy, binSize)
     l.join(p.select(col("__id1")), Seq("__id1"), "left_anti").drop("__id1")

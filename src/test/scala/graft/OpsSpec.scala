@@ -128,6 +128,25 @@ class OpsSpec extends SparkSpec {
     assertFrame(out.select($"name"), Seq(Seq("a3")), "name")
   }
 
+  test("merged-anti promotion: abutting point in df2 still matches " +
+    "(reference arrops.py:271-287)") {
+    // df2's point [7,7) abuts [0,7): merge(0) absorbs it into the run
+    // [0,7), but the point's promoted reach [7,8) must still match df1's
+    // [7,9) — no spurious null-extended row, and setdiff drops the row.
+    val a = Seq(("chr1", 7L, 9L, "a1")).toDF("chrom", "start", "end", "name")
+    val b = Seq(("chr1", 0L, 7L, "b1"), ("chr1", 7L, 7L, "b2"))
+      .toDF("chrom", "start", "end", "name")
+    val left = Ops.overlap(a, b, how = "left", suffixes = ("_1", "_2"),
+      binSize = 4)
+    assertFrame(left.select($"name_1", $"name_2"),
+      Seq(Seq("a1", "b2")), "name_1", "name_2")
+    val outer = Ops.overlap(a, b, how = "outer", suffixes = ("_1", "_2"),
+      binSize = 4)
+    assertFrame(outer.select($"name_1", $"name_2"),
+      Seq(Seq("a1", "b2"), Seq(null, "b1")), "name_1", "name_2")
+    assert(Ops.setdiff(a, b, binSize = 4).count() == 0)
+  }
+
   // ---- coverage (tests/test_ops.py:1494+) ----
   test("coverage merges df2 first so overlaps don't double-count") {
     val a = Seq(("chr1", 0L, 10L)).toDF("chrom", "start", "end")
