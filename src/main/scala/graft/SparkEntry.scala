@@ -319,6 +319,7 @@ object SparkEntry {
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+      .select(col("id_1"), col("id_2"), col("hamming").cast("long").as("hamming"))
 
   private def embCosineTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
@@ -333,9 +334,22 @@ object SparkEntry {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Embeddings plus planted near-duplicates: every 50th vector rescaled
+    * by 0.5 under a fresh id. Power-of-two scaling is exact in IEEE
+    * arithmetic, so the planted copy provably lands in the same LSH bucket
+    * (every hyperplane projection is exactly halved) with cosine ~1 — the
+    * dedup gate cannot be vacuously green. */
+  private def augEmb(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    emb.select(col("vec_id"), col("embedding")).unionByName(
+      emb.filter(col("vec_id") % 50 === 0).select(
+        (col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5f)).as("embedding")))
+  }
+
   private def embCosineDedup(s: SparkSession, dir: String): DataFrame =
-    Ann.cosineDedupPairs(table(s, dir, "embeddings"), threshold = 0.9,
-      numPlanes = 6)
+    Ann.cosineDedupPairs(augEmb(s, dir), threshold = 0.9, numPlanes = 6)
+      .select(col("id_1"), col("id_2"))
 
   /** Multimodal plumbing demo: documents' text treated as an opaque binary
     * payload; "decode" is a deterministic stub over the byte length (real
@@ -401,6 +415,25 @@ object SparkEntry {
     "emb_ann_lsh" -> (embAnnLsh _),
     "emb_cosine_dedup" -> (embCosineDedup _),
     "mm_meta" -> (mmMeta _))
+
+  /** Auxiliary relations dumped by Verify alongside the query results.
+    * DuckDB cannot recompute xxhash64, so the hash-based operators'
+    * oracles re-derive pairs/rankings from these Spark-computed
+    * signatures/buckets instead (band equality + bit_count(xor) for
+    * simhash; bucket-group cosine rank for LSH) — verifying the banding,
+    * candidate, and verification logic end to end. `{AUX_DIR}` in
+    * `oracleSql` is substituted with the dump directory by Verify (a
+    * sibling of its output dir, so the driver's gate only sees real
+    * query results). */
+  def auxDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "simhash_sigs" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))),
+    "emb_buckets" -> ((s, dir) =>
+      table(s, dir, "embeddings").select(col("vec_id"),
+        Ann.lshBucket(col("embedding"), 6).as("bucket"))),
+    "emb_dedup_buckets" -> ((s, dir) =>
+      augEmb(s, dir).select(col("vec_id"),
+        Ann.lshBucket(col("embedding"), 6).as("bucket"))))
 
   // ------------------------------------------------------------- oracles
 
@@ -814,6 +847,47 @@ object SparkEntry {
         |  CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
         |FROM inter JOIN sizes x ON id_1 = x.doc_id JOIN sizes y ON id_2 = y.doc_id
         |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.6""".stripMargin,
+    "dedup_simhash" ->
+      """WITH sigs AS (SELECT doc_id, sig
+        |  FROM read_parquet('{AUX_DIR}/simhash_sigs/*.parquet')),
+        |cand AS (
+        |  SELECT x.doc_id AS id_1, y.doc_id AS id_2, x.sig AS s1, y.sig AS s2
+        |  FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id AND (
+        |    ((x.sig >> 0) & 65535) = ((y.sig >> 0) & 65535) OR
+        |    ((x.sig >> 16) & 65535) = ((y.sig >> 16) & 65535) OR
+        |    ((x.sig >> 32) & 65535) = ((y.sig >> 32) & 65535) OR
+        |    ((x.sig >> 48) & 65535) = ((y.sig >> 48) & 65535)))
+        |SELECT id_1, id_2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(s1, s2)) <= 3""".stripMargin,
+    "emb_ann_lsh" ->
+      """WITH bk AS (SELECT vec_id, bucket
+        |  FROM read_parquet('{AUX_DIR}/emb_buckets/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cand AS (
+        |  SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qe.v, ce.v) AS c
+        |  FROM bk qb JOIN bk cb ON qb.bucket = cb.bucket
+        |  JOIN e qe ON qe.vec_id = qb.vec_id
+        |  JOIN e ce ON ce.vec_id = cb.vec_id
+        |  WHERE qb.vec_id % 100 = 0 AND cb.vec_id <> qb.vec_id)
+        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, neighbor_id) AS rn FROM cand) z
+        |WHERE rn <= 5""".stripMargin,
+    "emb_cosine_dedup" ->
+      """WITH bk AS (SELECT vec_id, bucket
+        |  FROM read_parquet('{AUX_DIR}/emb_dedup_buckets/*.parquet')),
+        |aug AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000,
+        |    CAST(list_transform(embedding, x -> x * CAST(0.5 AS FLOAT)) AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id % 50 = 0)
+        |SELECT x.vec_id AS id_1, y.vec_id AS id_2
+        |FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        |JOIN aug a1 ON a1.vec_id = x.vec_id
+        |JOIN aug a2 ON a2.vec_id = y.vec_id
+        |WHERE list_cosine_similarity(a1.v, a2.v) >= 0.9""".stripMargin,
     "emb_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),

@@ -23,6 +23,31 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // signature/bucket dumps for the hash-based oracles go to a SIBLING
+    // dir: the driver's gate scans outDir and must only see query results
+    val auxDir = new java.io.File(outDir).getAbsolutePath + "__aux"
+    SparkEntry.auxDumps.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$auxDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] aux $name failed: ${e.getMessage}")
+      }
+    }
+    // measured LSH quality: recall of the bucketed ANN vs exact top-k
+    try {
+      import org.apache.spark.sql.functions.col
+      val emb = TestTables.table(spark, sfDir, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      val exact = graft.ann.Ann.bruteForceTopK(emb, q, 5)
+        .select("query_id", "neighbor_id")
+      val approx = graft.ann.Ann.lshTopK(emb, q, 5, 6)
+        .select("query_id", "neighbor_id")
+      val hit = exact.intersect(approx).count()
+      val tot = exact.count()
+      System.err.println(s"[verify] emb_ann_lsh recall@5 = $hit/$tot")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] recall probe failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -35,8 +60,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // {AUX_DIR} marks oracles that read Verify's own signature/bucket
+    // dumps (DuckDB cannot recompute xxhash64) — resolve it here so the
+    // SQL the driver executes carries the real absolute path.
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{AUX_DIR}", auxDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
