@@ -142,6 +142,12 @@ object SparkEntry {
         viewOrdCol = Some("ord"))
       .select(col("id"), col("chrom"), col("start"), col("end"))
 
+  /** Viewless trim: negative starts after a pad-out are clipped at zero
+    * (reference ops.py:1495-1506). */
+  private def ivTrimNoview(s: SparkSession, dir: String): DataFrame =
+    Ops.trim(Ops.expand(iv1(s, dir), pad = Some(10L)))
+      .select(col("id"), col("chrom"), col("start"), col("end"))
+
   private def ivAssignView(s: SparkSession, dir: String): DataFrame =
     Ops.assignView(iv1(s, dir), view(s), viewOrdCol = Some("ord"))
       .select(col("id"), col("view_region"))
@@ -390,6 +396,7 @@ object SparkEntry {
     "iv_subtract" -> (ivSubtract _),
     "iv_complement" -> (ivComplement _),
     "iv_trim" -> (ivTrim _),
+    "iv_trim_noview" -> (ivTrimNoview _),
     "iv_assign_view" -> (ivAssignView _),
     "iv_sort_rank" -> (ivSortRank _),
     "iv_binnify" -> (ivBinnify _),
@@ -646,6 +653,11 @@ object SparkEntry {
          |  CASE WHEN b.id IS NULL THEN NULL ELSE GREATEST(a.start, b.vs) END AS start,
          |  CASE WHEN b.id IS NULL THEN NULL ELSE LEAST(a."end", b.ve) END AS "end"
          |FROM e a LEFT JOIN best b ON a.id = b.id""".stripMargin,
+    "iv_trim_noview" ->
+      s"""WITH $iv1Sql
+         |SELECT id, chrom, GREATEST(start - 10, 0) AS start,
+         |  GREATEST("end" + 10, 0) AS "end"
+         |FROM iv1""".stripMargin,
     "iv_assign_view" ->
       s"""WITH $iv1Sql, ${viewSql},
          |cand AS (

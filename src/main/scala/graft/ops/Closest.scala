@@ -31,6 +31,11 @@ object Closest {
     * @param directionCol df1 column (e.g. strand); rows with value "-" have
     *                     upstream/downstream flipped (`ops.py:1009-1012`).
     * @param tieBreakingCol df2 column; lower wins (`arrops.py:737-740`).
+    * @param returnInput include both sides' input columns (`ops.py:1110`).
+    * @param returnDistance include `distance` (zero for overlaps,
+    *                       `ops.py:1113-1115`).
+    * @param returnOverlap add `have_overlap`/`overlap_start`/`overlap_end`,
+    *                      nulls when not overlapping (`ops.py:1117-1121`).
     */
   def closest(df1: DataFrame, df2: Option[DataFrame] = None, k: Int = 1,
               ignoreOverlaps: Boolean = false,
@@ -38,11 +43,16 @@ object Closest {
               ignoreDownstream: Boolean = false,
               directionCol: Option[String] = None,
               tieBreakingCol: Option[String] = None,
+              returnInput: Boolean = true,
+              returnDistance: Boolean = true,
+              returnOverlap: Boolean = false,
               suffixes: (String, String) = ("", "_"),
               cols1: ColSpec = ColSpec.default,
               cols2: ColSpec = ColSpec.default,
               binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    require(returnInput || returnDistance || returnOverlap,
+      "at least one of returnInput/returnDistance/returnOverlap required")
     require(!(ignoreOverlaps && ignoreUpstream && ignoreDownstream),
       "cannot ignore overlaps, upstream, and downstream at once")
     val selfJoin = df2.isEmpty
@@ -159,20 +169,45 @@ object Closest {
 
     val wRank = Window.partitionBy(col("__id1"))
       .orderBy(col("__sortdist").asc, tie.asc, col("__id2").asc)
+    val ovlStart = greatest(c1.startCol, c2.startCol)
+    val ovlEnd = least(c1.endCol, c2.endCol)
+    val hasOvl = ovlStart < ovlEnd
+    val extraRanked: Seq[Column] =
+      (if (returnOverlap)
+        Seq(hasOvl.as("have_overlap"),
+          when(hasOvl, ovlStart).otherwise(lit(null).cast(LongType))
+            .as("overlap_start"),
+          when(hasOvl, ovlEnd).otherwise(lit(null).cast(LongType))
+            .as("overlap_end"))
+      else Nil) ++
+      (if (returnDistance) Seq(col("__dist").as("distance")) else Nil)
+    val extraNulls: Seq[Column] =
+      (if (returnOverlap)
+        Seq(lit(null).cast(BooleanType).as("have_overlap"),
+          lit(null).cast(LongType).as("overlap_start"),
+          lit(null).cast(LongType).as("overlap_end"))
+      else Nil) ++
+      (if (returnDistance) Seq(lit(null).cast(LongType).as("distance"))
+       else Nil)
     val ranked = cands
       .withColumn("__rk", row_number().over(wRank))
       .filter(col("__rk") <= k)
-      .withColumn("distance", col("__dist"))
 
     // left-join back: df1 rows with no candidate survive with nulls
+    val dataRanked =
+      if (returnInput) (lCols ++ rCols).map(col)
+      else lCols.map(col) // __id columns dropped below; keeps join keys
     val rNulls = r.schema.fields.toSeq
-      .map(f => lit(null).cast(f.dataType).as(f.name)) :+
-      lit(null).cast(LongType).as("distance")
+      .map(f => lit(null).cast(f.dataType).as(f.name))
+    val dataNulls =
+      if (returnInput) lCols.map(col) ++ rNulls else lCols.map(col)
     val unmatched = l
       .join(ranked.select(col("__id1")), Seq("__id1"), "left_anti")
-      .select(lCols.map(col) ++ rNulls: _*)
-    ranked.select((lCols ++ rCols).map(col) :+ col("distance"): _*)
+      .select(dataNulls ++ extraNulls: _*)
+    val out = ranked.select(dataRanked ++ extraRanked: _*)
       .unionByName(unmatched)
       .drop("__id1", "__id2")
+    if (returnInput) out
+    else out.drop(l.columns.filter(_ != "__id1").toIndexedSeq: _*)
   }
 }

@@ -99,13 +99,21 @@ object Ops {
     * `how` in inner/left/right/outer; `on` adds extra equi-keys; both
     * inputs come back suffixed; `returnOverlap` adds the intersection
     * coords `[max(s1,s2), min(e1,e2))` (reference `ops.py:486-494`);
-    * `keepOrder` restores df1 input order (`ops.py:549-550`).
+    * `keepOrder` sorts the output back to the inputs' order
+    * (`ops.py:549-550`, by (df1 index, df2 index)): name explicit ordinal
+    * columns via `orderCol1`/`orderCol2` (the robust, Spark-first analog
+    * of the pandas index — any shuffle-surviving column works), or leave
+    * them unset to fall back to the inputs' physical read order
+    * (`monotonically_increasing_id`), which matches file order for freshly
+    * read inputs but is unspecified for shuffled ones.
     */
   def overlap(df1: DataFrame, df2: DataFrame, how: String = "left",
               suffixes: (String, String) = ("", "_"),
               returnIndex: Boolean = false,
               returnOverlap: Boolean = false,
               keepOrder: Boolean = false,
+              orderCol1: Option[String] = None,
+              orderCol2: Option[String] = None,
               on: Seq[String] = Nil,
               cols1: ColSpec = ColSpec.default,
               cols2: ColSpec = ColSpec.default,
@@ -114,11 +122,15 @@ object Ops {
     require(Set("inner", "left", "right", "outer").contains(how),
       s"unknown how=$how")
     val (sf1, sf2) = suffixes
-    val needId1 = how == "left" || how == "outer" || keepOrder || returnIndex
+    val needId1 = how == "left" || how == "outer" || returnIndex
     val needId2 = how == "right" || how == "outer" || returnIndex
     var l = ColSpec.suffixAll(df1, sf1)
+    if (keepOrder) l = l.withColumn("__ord1",
+      orderCol1.map(c => col(c + sf1)).getOrElse(monotonically_increasing_id()))
     if (needId1) l = RowId.withContentId(l, "__id1")
     var r = ColSpec.suffixAll(df2, sf2)
+    if (keepOrder) r = r.withColumn("__ord2",
+      orderCol2.map(c => col(c + sf2)).getOrElse(monotonically_increasing_id()))
     if (needId2) r = RowId.withContentId(r, "__id2")
     val c1 = cols1.withSuffix(sf1)
     val c2 = cols2.withSuffix(sf2)
@@ -175,7 +187,9 @@ object Ops {
       case "right" => pOrdered.unionByName(rightRest())
       case "outer" => pOrdered.unionByName(leftRest()).unionByName(rightRest())
     }
-    if (keepOrder) out = out.orderBy(col("__id1").asc_nulls_last)
+    if (keepOrder) out = out
+      .orderBy(col("__ord1").asc_nulls_last, col("__ord2").asc_nulls_last)
+      .drop("__ord1", "__ord2")
     if (!returnIndex) out = out.drop("__id1", "__id2")
     else out = out
       .withColumnRenamed("__id1", "index" + sf1)
@@ -534,6 +548,19 @@ object Ops {
       if (dropUnassigned) "inner" else "left")
     joined.drop("__id1", "__bid")
   }
+
+  /** Trim with no view (reference `ops.py:1495-1506`): every chromosome's
+    * implied region is `[0, int64max)`, so trimming reduces to clipping
+    * both coordinates at zero. Null coordinates stay null (Spark's
+    * `greatest` would otherwise swallow them). */
+  def trim(df: DataFrame, cols: ColSpec): DataFrame = {
+    def clip(c: Column) =
+      when(c.isNull, lit(null).cast(LongType)).otherwise(greatest(c, lit(0L)))
+    df.withColumn(cols.start, clip(cols.startCol))
+      .withColumn(cols.end, clip(cols.endCol))
+  }
+
+  def trim(df: DataFrame): DataFrame = trim(df, ColSpec.default)
 
   /** Clip intervals to their view region; unassigned rows get a null triple
     * (reference `ops.py:1441-1557`). */

@@ -36,7 +36,8 @@ object syntax {
                 on: Seq[String] = Nil,
                 cols2: ColSpec = ColSpec.default): DataFrame =
       Ops.overlap(df, other, how, suffixes, returnIndex = false,
-        returnOverlap, keepOrder = false, on, cols, cols2)
+        returnOverlap, keepOrder = false, on = on, cols1 = cols,
+        cols2 = cols2)
 
     def countOverlaps(other: DataFrame, countCol: String = "count",
                       on: Seq[String] = Nil): DataFrame =
@@ -70,6 +71,7 @@ object syntax {
         ignoreDownstream, directionCol, tieBreakingCol, cols1 = cols)
 
     def trim(view: DataFrame): DataFrame = Ops.trim(df, view, cols = cols)
+    def trim(): DataFrame = Ops.trim(df, cols)
 
     def assignView(view: DataFrame, dropUnassigned: Boolean = false): DataFrame =
       Ops.assignView(df, view, dropUnassigned, cols = cols)

@@ -87,6 +87,31 @@ class OpsSpec extends SparkSpec {
       "name_1", "name_2")
   }
 
+  test("overlap keepOrder restores df1 input order " +
+    "(reference ops.py:408-413,549-550)") {
+    // deliberately un-sorted df1 with an explicit input ordinal
+    val a = Seq((0L, "chr1", 7L, 10L, "a2"), (1L, "chr2", 3L, 5L, "a3"),
+      (2L, "chr1", 1L, 5L, "a1"))
+      .toDF("idx", "chrom", "start", "end", "name")
+    val out = Ops.overlap(a, ivB, how = "left", suffixes = ("_1", "_2"),
+      keepOrder = true, orderCol1 = Some("idx"), binSize = 4)
+    assert(out.select("name_1").collect().map(_.getString(0)).toSeq ==
+      Seq("a2", "a3", "a1"))
+  }
+
+  test("closest returnOverlap adds have_overlap/overlap coords " +
+    "(reference ops.py:1117-1121,1176-1235)") {
+    val a = Seq(("chr1", 4L, 9L)).toDF("chrom", "start", "end")
+    val b = Seq(("chr1", 6L, 8L, "near"), ("chr1", 20L, 25L, "far"),
+      ("chr2", 0L, 1L, "other")).toDF("chrom", "start", "end", "name")
+    val out = Closest.closest(a, Some(b), k = 2, suffixes = ("_1", "_2"),
+      returnOverlap = true, binSize = 4)
+    assertFrame(out.select($"name_2", $"have_overlap", $"overlap_start",
+      $"overlap_end", $"distance"),
+      Seq(Seq("near", true, 6L, 8L, 0L), Seq("far", false, null, null, 11L)),
+      "name_2", "have_overlap", "overlap_start", "overlap_end", "distance")
+  }
+
   test("overlap outer adds unmatched rows from both sides") {
     val out = Ops.overlap(ivA, ivB, how = "outer", suffixes = ("_1", "_2"),
       binSize = 4)
@@ -145,6 +170,18 @@ class OpsSpec extends SparkSpec {
     assertFrame(outer.select($"name_1", $"name_2"),
       Seq(Seq("a1", "b2"), Seq(null, "b1")), "name_1", "name_2")
     assert(Ops.setdiff(a, b, binSize = 4).count() == 0)
+  }
+
+  test("trim without a view clips at zero, nulls stay null " +
+    "(reference ops.py:1495-1506, tests/test_ops.py trim cases)") {
+    val df = Seq(
+      (Some("chr1"), Some(-5L), Some(3L)),
+      (Some("chr1"), Some(2L), Some(4L)),
+      (None: Option[String], None: Option[Long], None: Option[Long]))
+      .toDF("chrom", "start", "end")
+    assertFrame(Ops.trim(df), Seq(
+      Seq("chr1", 0L, 3L), Seq("chr1", 2L, 4L), Seq(null, null, null)),
+      "chrom", "start", "end")
   }
 
   // ---- coverage (tests/test_ops.py:1494+) ----
