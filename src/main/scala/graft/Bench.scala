@@ -18,12 +18,13 @@ object Bench {
       val t0 = System.nanoTime()
       // Non-prunable sink: checksum every output column so Catalyst can't
       // drop projection-only work (a bare count() lets it prune the whole
-      // select list down to a parquet row count).
+      // select list down to a parquet row count). bit_xor, not sum: a sum
+      // of 64-bit hashes overflows under ANSI mode.
       val n = try {
         val df = fn(spark, sfDir)
         val row = df
           .select(xxhash64(df.columns.map(col): _*).as("__h"))
-          .agg(count(lit(1)).as("__n"), sum(col("__h")))
+          .agg(count(lit(1)).as("__n"), bit_xor(col("__h")))
           .head()
         row.getLong(0)
       } catch { case e: Throwable =>

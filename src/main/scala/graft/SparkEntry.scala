@@ -100,8 +100,12 @@ object SparkEntry {
     Ops.setdiff(iv1(s, dir), iv2(s, dir), binSize = B)
       .select(col("id"), col("chrom"), col("start"), col("end"))
 
+  // bucketSize 256 over the ~[0, 2530] fixture coordinate space exercises
+  // the two-level scans' cross-bucket carry (~10 buckets per chrom)
+  private val SCAN_BUCKET = 256L
+
   private def ivCluster(s: SparkSession, dir: String): DataFrame =
-    Ops.cluster(iv1(s, dir), minDist = Some(0))
+    Ops.cluster(iv1(s, dir), minDist = Some(0), bucketSize = SCAN_BUCKET)
       .select(col("id"), col("chrom"), col("start"), col("end"),
         col("cluster_start"), col("cluster_end"))
 
@@ -115,18 +119,20 @@ object SparkEntry {
 
   private def ivClosest(s: SparkSession, dir: String): DataFrame =
     Closest.closest(iv3(s, dir), Some(iv2(s, dir)), k = 1,
-        tieBreakingCol = Some("id"), suffixes = ("_1", "_2"), binSize = B)
+        tieBreakingCol = Some("id"), suffixes = ("_1", "_2"), binSize = B,
+        bucketSize = SCAN_BUCKET)
       .select(col("id_1"), col("id_2"), col("distance"))
 
   private def ivClosestK3(s: SparkSession, dir: String): DataFrame =
     Closest.closest(iv3(s, dir), Some(iv2(s, dir)), k = 3,
-        tieBreakingCol = Some("id"), suffixes = ("_1", "_2"), binSize = B)
+        tieBreakingCol = Some("id"), suffixes = ("_1", "_2"), binSize = B,
+        bucketSize = SCAN_BUCKET)
       .select(col("id_1"), col("id_2"), col("distance"))
 
   private def ivClosestUpstream(s: SparkSession, dir: String): DataFrame =
     Closest.closest(iv3(s, dir), Some(iv2(s, dir)), k = 1,
         ignoreDownstream = true, tieBreakingCol = Some("id"),
-        suffixes = ("_1", "_2"), binSize = B)
+        suffixes = ("_1", "_2"), binSize = B, bucketSize = SCAN_BUCKET)
       .select(col("id_1"), col("id_2"), col("distance"))
 
   private def ivSubtract(s: SparkSession, dir: String): DataFrame =
@@ -193,13 +199,13 @@ object SparkEntry {
   }
 
   private def ivMarkRuns(s: SparkSession, dir: String): DataFrame =
-    Extras.markRuns(binsValued(s, dir), "value")
+    Extras.markRuns(binsValued(s, dir), "value", bucketSize = SCAN_BUCKET)
       .select(col("chrom"), col("start"), col("end"), col("value"),
         col("run").cast("long").as("run"))
 
   private def ivMergeRuns(s: SparkSession, dir: String): DataFrame =
     Extras.mergeRuns(binsValued(s, dir), "value",
-        agg = Map("n_bins" -> count(lit(1))))
+        agg = Map("n_bins" -> count(lit(1))), bucketSize = SCAN_BUCKET)
       .select(col("chrom"), col("start"), col("end"), col("value"), col("n_bins"))
 
   private def chkInvariants(s: SparkSession, dir: String): DataFrame = {
@@ -216,7 +222,7 @@ object SparkEntry {
   }
 
   private def ivPileup(s: SparkSession, dir: String): DataFrame =
-    Extras.pileup(iv1(s, dir))
+    Extras.pileup(iv1(s, dir), bucketSize = SCAN_BUCKET)
       .select(col("chrom"), col("start"), col("end"), col("depth"))
 
   /** sanitize_bedframe semantics (reference construction.py:265-343) on a

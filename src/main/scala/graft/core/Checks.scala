@@ -116,17 +116,32 @@ object Checks {
       (!df.columns.contains(dfViewCol) ||
         isContained(df, view, dfViewCol, viewNameCol, cols, colsView))
 
-  /** Monotone-sorted by (chrom, start, end) — window check, cheaper than
-    * sort+compare (reference `checks.py:474-540` sorts and compares). */
+  /** Monotone-sorted by (chrom, start, end) in input (file) order, without
+    * a global single-partition window (reference `checks.py:474-540` sorts
+    * and compares): adjacent pairs are lag-checked inside each input
+    * partition in parallel, and partition boundaries are checked on the
+    * tiny per-partition (first, last) summary. */
   def isSorted(df: DataFrame, cols: ColSpec = ColSpec.default): Boolean = {
     import org.apache.spark.sql.expressions.Window
-    // A single global ordering check needs one pass with a lag over the
-    // file order; emulate with a monotonic row id (preserves input order).
-    val w = Window.orderBy(col("__rid"))
     val key = struct(cols.chromCol, cols.startCol, cols.endCol)
-    df.withColumn("__rid", monotonically_increasing_id())
-      .withColumn("__prev", lag(key, 1).over(w))
-      .filter(col("__prev").isNotNull && col("__prev") > key)
+    val base = df.select(key.as("__k"))
+      .withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__pid", spark_partition_id())
+    val wp = Window.partitionBy(col("__pid")).orderBy(col("__rid"))
+    val intraOk = base
+      .withColumn("__prev", lag(col("__k"), 1).over(wp))
+      .filter(col("__prev").isNotNull && col("__prev") > col("__k"))
       .isEmpty
+    def interOk = {
+      val bounds = base.groupBy(col("__pid")).agg(
+        min_by(col("__k"), col("__rid")).as("__first"),
+        max_by(col("__k"), col("__rid")).as("__last"))
+      val wb = Window.orderBy(col("__pid")) // one row per partition: tiny
+      bounds
+        .withColumn("__pl", lag(col("__last"), 1).over(wb))
+        .filter(col("__pl").isNotNull && col("__pl") > col("__first"))
+        .isEmpty
+    }
+    intraOk && interOk
   }
 }

@@ -13,12 +13,16 @@ import org.apache.spark.sql.types._
   * Shape (all shuffle-friendly, no cartesian products):
   *  1. overlap candidates via [[IntervalJoin]] (distance 0);
   *  2. per side, the k nearest non-overlapping neighbors found with a
-  *     distributed ''as-of'' lookup: number the right rows per chromosome
-  *     (ordered by end resp. start), locate each left row's insertion
-  *     position with a union + running-max window (the classic streaming
-  *     as-of pattern), then `sequence`+`explode` the k neighbor ordinals
-  *     and equi-join them back — O(k) rows per left row, never a scan of
-  *     the whole right side;
+  *     distributed ''as-of'' lookup: union slim right events (keyed by
+  *     end resp. start) with slim left probes and take ONE running count
+  *     of right events — for a right row that count is its per-chromosome
+  *     ordinal, for a probe it is the as-of insertion position; then
+  *     `sequence`+`explode` the k neighbor ordinals, equi-join them back
+  *     to the ordinal'd events, and fetch the full right rows by row id —
+  *     O(k) rows per left row, never a scan of the whole right side. The
+  *     count runs as a two-level prefix scan over (chrom,
+  *     coordinate-bucket) — no whole-chromosome single-partition window
+  *     (see [[Scan]]);
   *  3. rank the union with the reference's overlap-first ordering
   *     (non-overlap sort distance = dist+1, `arrops.py:722-730`), keep the
   *     top k per left row, and left-join back so rows with no neighbor
@@ -49,7 +53,8 @@ object Closest {
               suffixes: (String, String) = ("", "_"),
               cols1: ColSpec = ColSpec.default,
               cols2: ColSpec = ColSpec.default,
-              binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
+              binSize: Long = IntervalJoin.DefaultBinSize,
+              bucketSize: Long = 1L << 20): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(returnInput || returnDistance || returnOverlap,
       "at least one of returnInput/returnDistance/returnOverlap required")
@@ -62,12 +67,22 @@ object Closest {
     val c2 = cols2.withSuffix(sf2)
 
     val l = RowId.withRowId(ColSpec.suffixAll(df1, sf1), "__id1")
-    val r = RowId.withRowId(ColSpec.suffixAll(base2, sf2), "__id2")
+    // The right side's id only keys the ordinal->row fetch and the final
+    // tie-break; full-duplicate rows are interchangeable under both, so
+    // the shuffle-free content id suffices. Self-closest is the exception:
+    // there "identical row" must mean "same row", not "same content"
+    // (reference excludes only the row itself, arrops.py:655-657), so it
+    // pays the dup-rank shuffle for unique ids.
+    val r =
+      if (selfJoin) RowId.withRowId(ColSpec.suffixAll(base2, sf2), "__id2")
+      else RowId.withContentId(ColSpec.suffixAll(base2, sf2), "__id2")
 
     val tie: Column = tieBreakingCol match {
       case Some(t) => col(t + sf2)
       case None    => lit(0L)
     }
+    val tieType = tieBreakingCol
+      .map(t => r.schema(t + sf2).dataType).getOrElse(LongType)
     val lCols = l.columns.toSeq
     val rCols = r.columns.toSeq
     val allCols = lCols ++ rCols
@@ -85,53 +100,64 @@ object Closest {
     //    largest end2. Ordinals ascend by end2; preferred tie-values are
     //    placed LAST among equal end2 so that taking ordinals from the tail
     //    keeps them.
+    // One SLIM union scan does both jobs: the running count of right
+    // events is the right row's per-chromosome ordinal AND the probe's
+    // as-of position (right events at a probe's own key sort before the
+    // probe on the B side and after it on the C side, giving <= vs <
+    // semantics for free). Full-width r re-enters once, by row id.
     val takeK = if (selfJoin) k + 1 else k
     def sideCandidates(leftSide: Boolean): DataFrame = {
-      val seqOrder =
-        if (leftSide) Seq(col("__k").asc, tie.desc, col("__id2").desc)
-        else Seq(col("__k").asc, tie.asc, col("__id2").asc)
-      val wSeq = Window.partitionBy(c2.chromCol).orderBy(seqOrder: _*)
-      val rs = r
-        .withColumn("__k", if (leftSide) c2.endCol else c2.startCol)
-        .withColumn("__seq", row_number().over(wSeq))
-      // union-based as-of: right events tagged to sort before (B) / after
-      // (C) left probes that share the same coordinate
-      val rEvents = rs.select(
-        c2.chromCol.as("__ch"), col("__k").as("__key"),
+      val rEvents = r.select(
+        c2.chromCol.as("__ch"),
+        (if (leftSide) c2.endCol else c2.startCol).as("__key"),
         lit(if (leftSide) 0 else 1).as("__tag"),
-        col("__seq"),
+        tie.as("__tie"), col("__id2").as("__rid"),
         lit(null).cast(l.schema("__id1").dataType).as("__pid"))
       val lEvents = l.select(
         c1.chromCol.as("__ch"),
         (if (leftSide) c1.startCol else c1.endCol).as("__key"),
         lit(if (leftSide) 1 else 0).as("__tag"),
-        lit(null).cast(IntegerType).as("__seq"), col("__id1").as("__pid"))
-      val wAsof = Window.partitionBy(col("__ch"))
-        .orderBy(col("__key").asc, col("__tag").asc)
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val positioned = rEvents.unionByName(lEvents)
-        .withColumn("__pos", max(col("__seq")).over(wAsof))
-        .filter(col("__pid").isNotNull)
-        .select(col("__pid"), col("__pos"))
-      // B: neighbors at ordinals pos-takeK+1..pos ; C: pos+1..pos+takeK
-      val wanted = positioned
+        lit(null).cast(tieType).as("__tie"),
+        lit(null).cast(r.schema("__id2").dataType).as("__rid"),
+        col("__id1").as("__pid"))
+      val ord =
+        if (leftSide) Seq(col("__key").asc, col("__tag").asc,
+          col("__tie").desc, col("__rid").desc)
+        else Seq(col("__key").asc, col("__tag").asc,
+          col("__tie").asc, col("__rid").asc)
+      val scanned = Scan.prefixSum(
+        rEvents.unionByName(lEvents)
+          .withColumn("__b", Scan.bucketOf(col("__key"), bucketSize)),
+        Seq("__ch"), "__b", ord,
+        when(col("__rid").isNotNull, 1L).otherwise(0L),
+        inclusive = true, "__cnt")
+      // B: neighbors at ordinals cnt-takeK+1..cnt ; C: cnt+1..cnt+takeK
+      val wanted = scanned.filter(col("__pid").isNotNull)
         .withColumn("__want",
           if (leftSide)
-            when(col("__pos").isNull, array().cast(ArrayType(IntegerType)))
+            when(col("__cnt") < 1, array().cast(ArrayType(LongType)))
               .otherwise(sequence(
-                greatest(lit(1), col("__pos") - lit(takeK - 1)).cast("int"),
-                col("__pos").cast("int")))
+                greatest(lit(1L), col("__cnt") - lit(takeK - 1L)),
+                col("__cnt")))
           else
-            sequence((coalesce(col("__pos"), lit(0)) + lit(1)).cast("int"),
-              (coalesce(col("__pos"), lit(0)) + lit(takeK)).cast("int")))
+            sequence(col("__cnt") + lit(1L),
+              col("__cnt") + lit(takeK.toLong)))
         .select(col("__pid"), explode(col("__want")).as("__wseq"))
+      val rightSeq = scanned.filter(col("__rid").isNotNull)
+        .select(col("__ch"), col("__cnt").as("__rseq"), col("__rid"))
+      // content ids collide only for full-duplicate rows; one fetch row
+      // per id keeps the multiset exact (each duplicate has its own
+      // ordinal event, and the fetched contents are identical)
+      val rFetch = (if (selfJoin) r else r.dropDuplicates("__id2"))
+        .withColumnRenamed("__id2", "__fid")
       val lk = l.join(wanted, col("__id1") === col("__pid"), "inner")
         .drop("__pid")
-      val rsJ = rs.withColumnRenamed("__seq", "__rseq")
-      lk.join(rsJ,
-          c1.chromCol === c2.chromCol && col("__wseq") === col("__rseq"),
+      lk.join(rightSeq,
+          c1.chromCol === col("__ch") && col("__wseq") === col("__rseq"),
           "inner")
-        .drop("__wseq", "__rseq", "__k")
+        .join(rFetch, col("__rid") === col("__fid"), "inner")
+        .withColumn("__id2", col("__rid"))
+        .drop("__wseq", "__rseq", "__ch", "__rid", "__fid")
         .withColumn("__dist",
           if (leftSide) c1.startCol - c2.endCol else c2.startCol - c1.endCol)
         .withColumn("__sortdist", col("__dist") + lit(1L))

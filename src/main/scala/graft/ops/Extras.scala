@@ -103,12 +103,15 @@ object Extras {
     * Event-list formulation: +w at starts / -w at ends, aggregated per
     * breakpoint, running-sum per chromosome, segments between consecutive
     * breakpoints. Zero-length points contribute nothing (their +w/-w
-    * cancel at the same breakpoint). The per-chrom window is the only
-    * serial stage; the breakpoint relation is already collapsed by the
-    * groupBy, so it is |distinct endpoints|, not |rows|. Output:
+    * cancel at the same breakpoint). The running sum is a two-level
+    * prefix scan over (chrom, pos-bucket) — no whole-chromosome window
+    * (see [[graft.ops.Scan]]); the next-breakpoint lookup is a
+    * within-bucket `lead` stitched across buckets with the (tiny)
+    * per-bucket first-breakpoint relation. Output:
     * (chrom, start, end, depth) covering [min endpoint, max endpoint). */
   def pileup(df: DataFrame, valueCol: Option[String] = None,
-             cols: ColSpec = ColSpec.default): DataFrame = {
+             cols: ColSpec = ColSpec.default,
+             bucketSize: Long = 1L << 20): DataFrame = {
     val w = valueCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val events = df.select(cols.chromCol.as("chrom"),
       explode(array(
@@ -117,11 +120,20 @@ object Extras {
       .select(col("chrom"), col("__e.pos").as("pos"), col("__e.d").as("d"))
     val agg = events.groupBy(col("chrom"), col("pos"))
       .agg(sum(col("d")).as("__delta"))
-    val win = Window.partitionBy(col("chrom")).orderBy(col("pos"))
-    agg
-      .withColumn("depth",
-        sum(col("__delta")).over(win.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("__next", lead(col("pos"), 1).over(win))
+      .withColumn("__b", Scan.bucketOf(col("pos"), bucketSize))
+    val withDepth = Scan.prefixSum(agg, Seq("chrom"), "__b",
+      Seq(col("pos").asc), col("__delta"), inclusive = true, "depth")
+    // next breakpoint: lead within the bucket, else the next populated
+    // bucket's first breakpoint (per-bucket summary is tiny -> broadcast)
+    val wLocal = Window.partitionBy(col("chrom"), col("__b")).orderBy(col("pos"))
+    val wB = Window.partitionBy(col("chrom")).orderBy(col("__b"))
+    val nextStarts = agg.groupBy(col("chrom"), col("__b"))
+      .agg(min(col("pos")).as("__bmin"))
+      .withColumn("__nextb", lead(col("__bmin"), 1).over(wB))
+      .drop("__bmin")
+    withDepth.join(broadcast(nextStarts), Seq("chrom", "__b"), "left")
+      .withColumn("__next",
+        coalesce(lead(col("pos"), 1).over(wLocal), col("__nextb")))
       .filter(col("__next").isNotNull)
       .select(col("chrom"), col("pos").as(cols.start),
         col("__next").as(cols.end), col("depth"))
@@ -129,29 +141,51 @@ object Extras {
 
   /** Mark runs of spatially consecutive (abutting, non-overlapping)
     * intervals sharing the same value of `valueCol` (reference
-    * `extras.py:546-650`). Run ids reset per chromosome. Same window sweep
-    * as [[Ops.cluster]] with an extra value-change border. */
+    * `extras.py:546-650`). Run ids reset per chromosome. Same sweep shape
+    * as [[Ops.cluster]] with an extra value-change border; the cummax and
+    * border-count scans are two-level (see [[graft.ops.Scan]]) and the
+    * previous-row value is a within-bucket `lag` stitched with each
+    * bucket's last value carried from the (tiny) bucket summary. */
   def markRuns(df: DataFrame, valueCol: String, runCol: String = "run",
-               cols: ColSpec = ColSpec.default): DataFrame = {
-    val w = Window.partitionBy(cols.chromCol).orderBy(cols.startCol, cols.endCol)
-    val prevMax = max(cols.endCol).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val prevVal = lag(col(valueCol), 1).over(w)
-    val border =
-      when(prevMax.isNull, lit(1L))
-        .otherwise((cols.startCol > prevMax ||
-          !(col(valueCol) <=> prevVal)).cast("long"))
-    df.withColumn("__border", border)
-      .withColumn(runCol,
-        sum(col("__border")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
-      .drop("__border")
+               cols: ColSpec = ColSpec.default,
+               bucketSize: Long = 1L << 20): DataFrame = {
+    val ord = Seq(cols.startCol.asc, cols.endCol.asc)
+    val bucketed = df.withColumn("__b", Scan.bucketOf(cols.startCol, bucketSize))
+    val withPrev = Scan.prefixMax(bucketed, Seq(cols.chrom), "__b", ord,
+      cols.endCol, inclusive = false, "__pm")
+    val wLocal = Window.partitionBy(cols.chromCol, col("__b"))
+      .orderBy(cols.startCol, cols.endCol)
+    val wB = Window.partitionBy(cols.chromCol).orderBy(col("__b"))
+    val lastVals = bucketed.groupBy(cols.chromCol, col("__b"))
+      .agg(max_by(col(valueCol), struct(cols.startCol, cols.endCol))
+        .as("__blast"))
+      .withColumn("__pvc", lag(col("__blast"), 1).over(wB))
+      .drop("__blast")
+    // row_number (not coalesce) picks the carry: a legitimately-null
+    // previous value must not fall through to the previous bucket's
+    val flagged = withPrev
+      .join(broadcast(lastVals), Seq(cols.chrom, "__b"), "left")
+      .withColumn("__rn", row_number().over(wLocal))
+      .withColumn("__pv",
+        when(col("__rn") === 1, col("__pvc"))
+          .otherwise(lag(col(valueCol), 1).over(wLocal)))
+      .withColumn("__border",
+        when(col("__pm").isNull, lit(1L))
+          .otherwise((cols.startCol > col("__pm") ||
+            !(col(valueCol) <=> col("__pv"))).cast("long")))
+    Scan.prefixSum(flagged, Seq(cols.chrom), "__b", ord,
+        col("__border"), inclusive = true, "__runs")
+      .withColumn(runCol, col("__runs") - 1)
+      .drop("__b", "__pm", "__pvc", "__rn", "__pv", "__border", "__runs")
   }
 
   /** Merge runs of equal-valued abutting intervals with optional extra
     * aggregations (reference `extras.py:653-735`). */
   def mergeRuns(df: DataFrame, valueCol: String,
                 agg: Map[String, Column] = Map.empty,
-                cols: ColSpec = ColSpec.default): DataFrame = {
-    val marked = markRuns(df, valueCol, "__run", cols)
+                cols: ColSpec = ColSpec.default,
+                bucketSize: Long = 1L << 20): DataFrame = {
+    val marked = markRuns(df, valueCol, "__run", cols, bucketSize)
     val aggs = Seq(
       min(cols.startCol).as(cols.start),
       max(cols.endCol).as(cols.end)) ++

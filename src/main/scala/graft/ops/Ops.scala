@@ -258,22 +258,29 @@ object Ops {
 
   /** Connected components of the overlap graph along the line (reference
     * `ops.py:559-708`): adds `cluster` (id, unique within `(chrom, on)`
-    * group), `cluster_start`, `cluster_end`. Single window sweep — the
-    * distributed equivalent of the reference's cummax/cumsum kernel
-    * (`arrops.py:462-477`).
+    * group), `cluster_start`, `cluster_end`. The cummax (previous max end)
+    * and cumsum (border count) sweeps of the reference's kernel
+    * (`arrops.py:462-477`) run as two-level prefix scans over
+    * `(group, start-bucket)` — no whole-chromosome single-partition
+    * window (see [[Scan]]); the per-cluster span window shuffles by
+    * cluster id, which is well spread.
     */
   def cluster(df: DataFrame, minDist: Option[Long] = Some(0),
               on: Seq[String] = Nil,
-              cols: ColSpec = ColSpec.default): DataFrame = {
-    val keys = grp(cols, on)
-    val w = Window.partitionBy(keys: _*).orderBy(cols.startCol, cols.endCol)
-    val prevMax = max(cols.endCol).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val wAll = w.rowsBetween(Window.unboundedPreceding, 0)
-    val withId = df
-      .withColumn("__new", borderFlag(prevMax, cols.startCol, minDist))
-      .withColumn("cluster", sum(col("__new")).over(wAll) - 1)
-      .drop("__new")
-    val wc = Window.partitionBy(keys :+ col("cluster"): _*)
+              cols: ColSpec = ColSpec.default,
+              bucketSize: Long = 1L << 20): DataFrame = {
+    val keyNames = cols.chrom +: on
+    val ord = Seq(cols.startCol.asc, cols.endCol.asc)
+    val bucketed = df.withColumn("__b", Scan.bucketOf(cols.startCol, bucketSize))
+    val withPrev = Scan.prefixMax(bucketed, keyNames, "__b", ord,
+      cols.endCol, inclusive = false, "__pm")
+    val flagged = withPrev
+      .withColumn("__new", borderFlag(col("__pm"), cols.startCol, minDist))
+    val withId = Scan.prefixSum(flagged, keyNames, "__b", ord,
+        col("__new"), inclusive = true, "__cid")
+      .withColumn("cluster", col("__cid") - 1)
+      .drop("__b", "__pm", "__new", "__cid")
+    val wc = Window.partitionBy(grp(cols, on) :+ col("cluster"): _*)
     withId
       .withColumn("cluster_start", min(cols.startCol).over(wc))
       .withColumn("cluster_end", max(cols.endCol).over(wc))

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-level distributed prefix scans.
+  *
+  * A window `PARTITION BY group ORDER BY k` puts one whole group (here: a
+  * chromosome) into a single task — the classic sweep-kernel scale ceiling
+  * (the reference's cummax/cumsum kernels in `arrops.py` are single-node
+  * for the same reason). These helpers compute the same running aggregate
+  * with bounded partitions:
+  *
+  *  1. bucket rows by `floor(orderKey / width)` so the window partitions
+  *     by `(group, bucket)` — parallel within a group;
+  *  2. aggregate one summary row per populated bucket (a relation of
+  *     ~|coordinate span| / width rows — tiny), compute each bucket's
+  *     carry-in over prior buckets with a window over that summary, and
+  *     broadcast-join the carry back;
+  *  3. combine: running = local-within-bucket ⊕ carry.
+  *
+  * Correct because the bucket id is monotone in the order key, so "prior
+  * buckets" is exactly "prior rows outside my bucket". Used by [[Closest]]
+  * (sequence numbering + as-of positions), [[Ops.cluster]], and
+  * `Extras.pileup`/`markRuns`.
+  */
+object Scan {
+
+  /** Floor-division bucket id, exact for negative coordinates. */
+  def bucketOf(key: Column, width: Long): Column =
+    ((key - pmod(key, lit(width))) / lit(width)).cast("long")
+
+  private def twoLevel(df: DataFrame, group: Seq[String], bucketCol: String,
+                       order: Seq[Column], value: Column, isMax: Boolean,
+                       inclusive: Boolean, outCol: String): DataFrame = {
+    val partKeys = group :+ bucketCol
+    def aggFn(c: Column) = if (isMax) max(c) else sum(c)
+    val wLocal = Window.partitionBy(partKeys.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, if (inclusive) 0 else -1)
+    val withLocal = df.withColumn("__tl_local", aggFn(value).over(wLocal))
+    val summary = df.groupBy(partKeys.map(col): _*)
+      .agg(aggFn(value).as("__tl_btot"))
+    val wCarry = Window.partitionBy(group.map(col): _*)
+      .orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = summary
+      .withColumn("__tl_carry", aggFn(col("__tl_btot")).over(wCarry))
+      .drop("__tl_btot")
+    val combined =
+      if (isMax) greatest(col("__tl_local"), col("__tl_carry"))
+      else coalesce(col("__tl_local"), lit(0L)) +
+        coalesce(col("__tl_carry"), lit(0L))
+    withLocal.join(broadcast(carry), partKeys, "left")
+      .withColumn(outCol, combined)
+      .drop("__tl_local", "__tl_carry")
+  }
+
+  /** `outCol` = SUM(value) OVER (PARTITION BY group ORDER BY order ROWS
+    * UNBOUNDED PRECEDING [AND 1 PRECEDING]), bucket-parallel. Returns 0
+    * (not null) over an empty frame. */
+  def prefixSum(df: DataFrame, group: Seq[String], bucketCol: String,
+                order: Seq[Column], value: Column, inclusive: Boolean,
+                outCol: String): DataFrame =
+    twoLevel(df, group, bucketCol, order, value, isMax = false, inclusive,
+      outCol)
+
+  /** `outCol` = MAX(value) OVER (same frame); null over an empty frame. */
+  def prefixMax(df: DataFrame, group: Seq[String], bucketCol: String,
+                order: Seq[Column], value: Column, inclusive: Boolean,
+                outCol: String): DataFrame =
+    twoLevel(df, group, bucketCol, order, value, isMax = true, inclusive,
+      outCol)
+}
