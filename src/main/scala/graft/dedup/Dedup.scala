@@ -40,12 +40,17 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
     * Returns (id_1, id_2, n_common, n_1, n_2, jaccard) with id_1 < id_2.
-    * The equi-join on shingle is the only quadratic-risk step; extremely
-    * common shingles can be capped with `maxShingleDf` (off by default —
-    * changes semantics only by dropping stop-shingles). */
+    * The equi-join on shingle is the only quadratic-risk step: one
+    * stop-shingle shared by f documents contributes f^2 join rows, so the
+    * hot-shingle cap is ON by default — a shingle in more than
+    * `maxShingleDf` docs is dropped from the similarity universe (a
+    * deliberate stop-shingle semantic, like IDF cutoffs). At the default
+    * 100k the cap is invisible at test scale and bounds the worst key to
+    * 1e10 candidate rows at corpus scale; pass `None` for exact semantics
+    * on corpora known to be free of boilerplate. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.0,
-                        maxShingleDf: Option[Long] = None): DataFrame = {
+                        maxShingleDf: Option[Long] = Some(100000L)): DataFrame = {
     var sh = shingleRel(df, idCol, textCol, n)
     maxShingleDf.foreach { cap =>
       val hot = sh.groupBy(col("__sh")).count().filter(col("count") > cap)

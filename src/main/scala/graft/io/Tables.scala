@@ -3,6 +3,7 @@ package graft.io
 import graft.core.NatOrder
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Sources/sinks for genomic tabular text (reference `io/fileops.py`,
   * `io/bed.py`, `sandbox/gtf_io.py`). All readers produce plain DataFrames
@@ -51,20 +52,56 @@ object Tables {
 
   /** Per-column BED validators (subset of reference `io/bed.py:127-475`):
     * each returns a violation predicate. */
+  /** Comma list "1,2,3[,]" parsed to array<long> (BED's stringly-encoded
+    * lists, io/bed.py:360-382) — a pure codegen'd expression. */
+  private def commaList(c: Column): Column =
+    transform(split(regexp_replace(c, ",$", ""), ","), _.cast("long"))
+
+  /** Per-column violation predicates mirroring the reference validator
+    * set (io/bed.py:127-475), incl. the bed12 block-structure rules:
+    * count agreement, in-range, first-at-start, last-at-end, sorted,
+    * non-overlapping. All higher-order Column expressions — one codegen'd
+    * pass, no UDFs. */
   def bedViolations(schema: String): Seq[(String, Column)] = {
     val fields = Schemas(schema).fieldNames.toSet
+    val starts = commaList(col("blockStarts"))
+    val sizes = commaList(col("blockSizes"))
+    val len = col("end") - col("start")
+    val n = size(starts)
     val checks = Seq(
       "chrom" -> (col("chrom").isNull || !col("chrom").rlike("^[!-~]{1,255}$")),
       "start" -> (col("start").isNull || col("start") < 0),
       "end" -> (col("end").isNull || col("end") < col("start")),
+      "name" -> (col("name").isNotNull &&
+        (length(col("name")) < 1 || length(col("name")) > 255)),
       "score" -> (col("score").isNotNull && col("score").cast("long").isNotNull &&
         (col("score").cast("long") < 0 || col("score").cast("long") > 1000)),
-      "strand" -> (col("strand").isNotNull && !col("strand").isin("+", "-", ".")),
-      "thickStart" -> (col("thickStart").isNotNull && col("thickStart") < 0),
+      "strand" -> (col("strand").isNotNull &&
+        !col("strand").isin("+", "-", ".", "?")),
+      "thickStart" -> (col("thickStart").isNotNull &&
+        (col("thickStart") < col("start") || col("thickStart") > col("end"))),
+      "thickEnd" -> (col("thickEnd").isNotNull &&
+        (col("thickEnd") < col("start") || col("thickEnd") > col("end"))),
       "itemRgb" -> (col("itemRgb").isNotNull &&
         !col("itemRgb").rlike("^(\\d{1,3},\\d{1,3},\\d{1,3}|\\d{1,3}|0)$")),
+      "blockCount" -> (col("blockCount").isNotNull && col("blockCount") <= 0),
       "blockSizes" -> (col("blockSizes").isNotNull &&
-        !col("blockSizes").rlike("^(\\d+,)*\\d+,?$")))
+        (!col("blockSizes").rlike("^(\\d+,)*\\d+,?$") ||
+          (col("blockCount").isNotNull && size(sizes) =!= col("blockCount")))),
+      "blockStarts" -> (col("blockStarts").isNotNull &&
+        (!col("blockStarts").rlike("^(\\d+,)*\\d+,?$") ||
+          (col("blockCount").isNotNull && n =!= col("blockCount")) ||
+          exists(starts, x => x < 0 || x > len) ||
+          element_at(starts, 1) =!= lit(0L) ||
+          element_at(starts, -1) + element_at(sizes, -1) =!= len ||
+          // sorted + non-overlapping: start[i] + size[i] <= start[i+1]
+          exists(
+            zip_with(
+              zip_with(starts, sizes, (s, z) => s + z),
+              concat(slice(starts, 2, 2147483646),
+                array(lit(null).cast(LongType))),
+              (blockEnd, nxt) => nxt.isNotNull && blockEnd > nxt),
+            x => x))))
     checks.filter { case (name, _) => fields.contains(name) }
   }
 
@@ -73,8 +110,10 @@ object Tables {
   def validateBed(df: DataFrame, schema: String): Seq[(String, Long)] = {
     val checks = bedViolations(schema)
     if (checks.isEmpty) return Nil
-    val aggs = checks.map { case (n, c) =>
-      sum(when(c, 1L).otherwise(0L)).as(n)
+    // "__v<i>" aliases: an agg alias equal to an input column name would
+    // be picked up as a lateral column alias by later agg expressions
+    val aggs = checks.zipWithIndex.map { case ((_, c), i) =>
+      sum(when(c, 1L).otherwise(0L)).as(s"__v$i")
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     checks.map(_._1).zipWithIndex

@@ -45,12 +45,14 @@ object Multimodal {
 
   /** Decode boundary: per-partition batch iteration (one decoder init per
     * partition, the pattern a JNI codec needs), preserving columnar
-    * upstream/downstream plans. Partition sizing: repartition so that
-    * `targetRowsPerPartition` media fit in executor memory at once. */
+    * upstream/downstream plans. Partition sizing: one metadata-cheap
+    * count sizes the repartition so ~`targetRowsPerPartition` media land
+    * in each decode task — bounded decoder memory per executor. */
   def decode(media: DataFrame, targetRowsPerPartition: Int = 1024): DataFrame = {
-    val n = media.rdd.getNumPartitions
     val df = media.select("media_id", "payload", "mime")
-    df.mapPartitions { rows =>
+    val parts = math.max(1,
+      math.ceil(df.count().toDouble / targetRowsPerPartition).toInt)
+    df.repartition(parts).mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("payload")
         val (w, h, fr, feat) = fakeDecode(bytes)

@@ -53,6 +53,29 @@ object Ops {
   def selectMask(region: String, cols: ColSpec = ColSpec.default): Column =
     Region.parseString(region).predicate(cols)
 
+  /** Attach a 0-based input ordinal in physical read order — the Spark
+    * analog of the pandas positional index (`zipWithIndex`; costs one
+    * extra job and a row-conversion barrier, so prefer an existing key
+    * column when one exists). Deterministic for inputs whose partition
+    * layout is stable (file reads). */
+  def withInputOrdinal(df: DataFrame, name: String = "input_ordinal"): DataFrame = {
+    val schema = df.schema.add(name, LongType, nullable = false)
+    val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Rows at the given input positions (reference `select_indices`,
+    * `ops.py:69-88`). */
+  def selectIndices(df: DataFrame, indices: Seq[Long]): DataFrame =
+    withInputOrdinal(df, "__ord")
+      .filter(col("__ord").isin(indices: _*)).drop("__ord")
+
+  /** Rows whose `labelCol` value is in `labels` (reference
+    * `select_labels`, `ops.py:91-113` — the label is an explicit column
+    * here, Spark relations having no implicit index). */
+  def selectLabels(df: DataFrame, labelCol: String, labels: Seq[Any]): DataFrame =
+    df.filter(col(labelCol).isin(labels: _*))
+
   // ---------------------------------------------------------------- expand
 
   /** Pad both/one side(s) by `pad`, or rescale around the midpoint by

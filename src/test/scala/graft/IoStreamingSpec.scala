@@ -48,6 +48,67 @@ class IoSpec extends SparkSpec {
     assert(violations.contains("score") && violations.contains("strand"))
   }
 
+  private def bed12Row(name: String = "a", thickEnd: Long = 90L,
+                       blockCount: Long = 2L, blockSizes: String = "10,20,",
+                       blockStarts: String = "0,80") =
+    ("chr1", 0L, 100L, name, "500", "+", 0L, thickEnd, "255,0,0",
+      blockCount, blockSizes, blockStarts)
+
+  test("bed12 block validators: count/range/first/last/sorted/overlap " +
+    "(io/bed.py:342-475)") {
+    val cols = Schemas("bed12").fieldNames.toIndexedSeq
+    // valid: blocks [0,10) and [80,100) inside [0,100)
+    assert(Tables.validateBed(Seq(bed12Row()).toDF(cols: _*), "bed12").isEmpty)
+    // thickEnd beyond end
+    assert(Tables.validateBed(Seq(bed12Row(thickEnd = 101L)).toDF(cols: _*),
+      "bed12").toMap.contains("thickEnd"))
+    // name too long
+    assert(Tables.validateBed(Seq(bed12Row(name = "x" * 256)).toDF(cols: _*),
+      "bed12").toMap.contains("name"))
+    // count mismatch flags both list columns
+    val mis = Tables.validateBed(Seq(bed12Row(blockCount = 3L)).toDF(cols: _*),
+      "bed12").toMap
+    assert(mis.contains("blockSizes") && mis.contains("blockStarts"))
+    // last block must end at end
+    assert(Tables.validateBed(
+      Seq(bed12Row(blockSizes = "10,19,")).toDF(cols: _*), "bed12")
+      .toMap.contains("blockStarts"))
+    // overlapping blocks
+    assert(Tables.validateBed(
+      Seq(bed12Row(blockSizes = "90,20,")).toDF(cols: _*), "bed12")
+      .toMap.contains("blockStarts"))
+  }
+
+  test("to_bed bed12 round trip (tests/test_bed.py:17)") {
+    val cols = Schemas("bed12").fieldNames.toIndexedSeq
+    val df = Seq(bed12Row(), bed12Row(name = "b")).toDF(cols: _*)
+    val out = s"$tmp/out_bed12"
+    Tables.toBed(df, out, "bed12", singleFile = true)
+    val back = Tables.readTable(spark, out, "bed12")
+    assert(rowsOf(back) == rowsOf(df))
+  }
+
+  test("assembly_info: packaged registry, role/unit filters, aliases " +
+    "(io/assembly.py:85-184, tests/test_assembly_info.py)") {
+    val hg38 = graft.io.Assembly.assemblyInfo(spark, "hg38")
+    assert(hg38.provider == "ucsc" && hg38.organism == "homo sapiens")
+    val names = hg38.chromnames
+    assert(names.contains("chr1") && names.contains("chrM"))
+    assert(!names.exists(_.contains("_alt"))) // default roles exclude alts
+    assert(hg38.aliasMap("1") == "chr1" &&
+      hg38.aliasMap("NC_000001.11") == "chr1")
+    assert(hg38.cytobands.get.filter($"chrom" === "chr1").count() > 0)
+    // provider-qualified + role widening
+    val ncbi = graft.io.Assembly.assemblyInfo(spark, "ncbi.GRCh38",
+      roles = Some(Seq("all")), units = Some(Seq("all")))
+    assert(ncbi.chromnames.size > names.size)
+    // viewframe is a valid view of the genome
+    assert(graft.core.Checks.isViewframe(hg38.viewframe))
+    intercept[IllegalArgumentException] {
+      graft.io.Assembly.assemblyInfo(spark, "nonexistent123")
+    }
+  }
+
   test("chromsizes reader filters and natural-sorts") {
     val p = s"$tmp/test.chrom.sizes"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(p),

@@ -87,6 +87,15 @@ class OpsSpec extends SparkSpec {
       "name_1", "name_2")
   }
 
+  test("selectIndices/selectLabels (reference ops.py:69-113)") {
+    val df = Seq(("chr1", 1L, 5L, "a"), ("chr1", 3L, 8L, "b"),
+      ("chr2", 0L, 2L, "c")).toDF("chrom", "start", "end", "name")
+    assertFrame(Ops.selectIndices(df, Seq(0L, 2L)).select($"name"),
+      Seq(Seq("a"), Seq("c")), "name")
+    assertFrame(Ops.selectLabels(df, "name", Seq("b")).select($"name"),
+      Seq(Seq("b")), "name")
+  }
+
   test("overlap keepOrder restores df1 input order " +
     "(reference ops.py:408-413,549-550)") {
     // deliberately un-sorted df1 with an explicit input ordinal
