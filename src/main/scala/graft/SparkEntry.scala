@@ -117,6 +117,13 @@ object SparkEntry {
     Ops.coverage(iv2(s, dir), iv1(s, dir), coverageCol = "coverage", binSize = B)
       .select(col("id"), col("chrom"), col("start"), col("end"), col("coverage"))
 
+  /** frac_gene_coverage composition (extras.py:357-387): iv2 "genes"
+    * covered and counted against iv1. */
+  private def ivGeneCoverage(s: SparkSession, dir: String): DataFrame =
+    Extras.fracGeneCoverage(iv2(s, dir), iv1(s, dir), binSize = B)
+      .select(col("id"), col("chrom"), col("start"), col("end"),
+        col("coverage"), col("count"))
+
   private def ivClosest(s: SparkSession, dir: String): DataFrame =
     Closest.closest(iv3(s, dir), Some(iv2(s, dir)), k = 1,
         tieBreakingCol = Some("id"), suffixes = ("_1", "_2"), binSize = B,
@@ -210,10 +217,11 @@ object SparkEntry {
 
   private def chkInvariants(s: SparkSession, dir: String): DataFrame = {
     val cols = ColSpec.default
-    val w = Window.partitionBy(col("chrom")).orderBy(col("start"), col("end"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    iv1(s, dir)
-      .withColumn("__pm", max(col("end")).over(w))
+    graft.ops.Scan.prefixMax(
+        iv1(s, dir).withColumn("__b",
+          graft.ops.Scan.bucketOf(col("start"), SCAN_BUCKET)),
+        Seq("chrom"), "__b", Seq(col("start").asc, col("end").asc),
+        col("end"), inclusive = false, "__pm")
       .agg(
         (count(when(graft.core.Checks.bedViolation(cols), 1)) === 0).as("bed_ok"),
         bool_or(col("start") === col("end")).as("has_points"),
@@ -396,6 +404,7 @@ object SparkEntry {
     "iv_merge_mindist" -> ivMerge(Some(5)) _,
     "iv_merge_strict" -> ivMerge(None) _,
     "iv_coverage" -> (ivCoverage _),
+    "iv_gene_coverage" -> (ivGeneCoverage _),
     "iv_closest" -> (ivClosest _),
     "iv_closest_k3" -> (ivClosestK3 _),
     "iv_closest_upstream" -> (ivClosestUpstream _),
@@ -571,6 +580,20 @@ object SparkEntry {
          |FROM iv2 a LEFT JOIN m1 m
          |  ON a.chrom = m.chrom AND a.start < m."end" AND m.start < a."end"
          |GROUP BY a.id, a.chrom, a.start, a."end"""".stripMargin,
+    "iv_gene_coverage" ->
+      s"""WITH $iv1Sql, $iv2Sql, $mergedIv1Sql,
+         |cov AS (SELECT a.id, a.chrom, a.start, a."end",
+         |  CAST(COALESCE(SUM(CASE WHEN m.start IS NULL THEN NULL
+         |    ELSE GREATEST(LEAST(a."end", m."end") - GREATEST(a.start, m.start), 0) END), 0) AS BIGINT) AS coverage
+         |  FROM iv2 a LEFT JOIN m1 m
+         |    ON a.chrom = m.chrom AND a.start < m."end" AND m.start < a."end"
+         |  GROUP BY a.id, a.chrom, a.start, a."end"),
+         |cnt AS (SELECT a.id, COUNT(b.id) AS n
+         |  FROM iv2 a LEFT JOIN iv1 b ON a.chrom = b.chrom AND ${ovl("a", "b")}
+         |  GROUP BY a.id)
+         |SELECT cov.id, cov.chrom, cov.start, cov."end", cov.coverage,
+         |  cnt.n AS "count"
+         |FROM cov JOIN cnt ON cov.id = cnt.id""".stripMargin,
     "iv_closest" ->
       s"""WITH $iv2Sql, $iv3Sql,
          |cand AS (

@@ -44,16 +44,18 @@ object Checks {
   def isBedframe(df: DataFrame, cols: ColSpec = ColSpec.default): Boolean =
     hasBedSchema(df, cols) && df.filter(bedViolation(cols)).isEmpty
 
-  /** Any internal overlap? (reference `checks.py:148-180`). Window check:
-    * exists a row whose start < running max of previous ends within chrom. */
-  def isOverlapping(df: DataFrame, cols: ColSpec = ColSpec.default): Boolean = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window
-      .partitionBy(cols.chromCol)
-      .orderBy(cols.startCol, cols.endCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    !df
-      .withColumn("__prev_end", max(cols.endCol).over(w))
+  /** Any internal overlap? (reference `checks.py:148-180`): exists a row
+    * whose start < running max of previous ends within chrom — computed as
+    * a bucket-parallel two-level prefix scan, not a whole-chromosome
+    * window (see [[graft.ops.Scan]]). */
+  def isOverlapping(df: DataFrame, cols: ColSpec = ColSpec.default,
+                    bucketSize: Long = 1L << 20): Boolean = {
+    import graft.ops.Scan
+    val bucketed = df.select(cols.chromCol, cols.startCol, cols.endCol)
+      .withColumn("__b", Scan.bucketOf(cols.startCol, bucketSize))
+    !Scan.prefixMax(bucketed, Seq(cols.chrom), "__b",
+        Seq(cols.startCol.asc, cols.endCol.asc), cols.endCol,
+        inclusive = false, "__prev_end")
       .filter(col("__prev_end").isNotNull && cols.startCol < col("__prev_end"))
       .isEmpty
   }

@@ -98,6 +98,21 @@ object Extras {
     p.drop(dropCols: _*)
   }
 
+  /** Per-interval covered-bp plus overlap count against an annotation
+    * relation (reference `frac_gene_coverage`, `extras.py:357-387` — the
+    * UCSC mRNA fetch becomes a caller-supplied relation in zero-egress
+    * Spark; any interval annotation table works). Output: df columns +
+    * `coverage` + `count`. */
+  def fracGeneCoverage(df: DataFrame, annotations: DataFrame,
+                       cols: ColSpec = ColSpec.default,
+                       colsAnn: ColSpec = ColSpec.default,
+                       binSize: Long = IntervalJoin.DefaultBinSize): DataFrame =
+    Ops.countOverlaps(
+      Ops.coverage(df, annotations, coverageCol = "coverage",
+        cols1 = cols, cols2 = colsAnn, binSize = binSize),
+      annotations, countCol = "count",
+      cols1 = cols, cols2 = colsAnn, binSize = binSize)
+
   /** Genome-wide pileup: the stepwise coverage-depth function of `df`
     * (reference kernel `coverage_intervals_rle`, `arrops.py:757-770`).
     * Event-list formulation: +w at starts / -w at ends, aggregated per

@@ -290,8 +290,13 @@ object Ops {
     */
   def cluster(df: DataFrame, minDist: Option[Long] = Some(0),
               on: Seq[String] = Nil,
+              returnInput: Boolean = true,
+              returnClusterIds: Boolean = true,
+              returnClusterIntervals: Boolean = true,
               cols: ColSpec = ColSpec.default,
               bucketSize: Long = 1L << 20): DataFrame = {
+    require(returnInput || returnClusterIds || returnClusterIntervals,
+      "at least one return flag required (reference ops.py:651-655)")
     val keyNames = cols.chrom +: on
     val ord = Seq(cols.startCol.asc, cols.endCol.asc)
     val bucketed = df.withColumn("__b", Scan.bucketOf(cols.startCol, bucketSize))
@@ -304,9 +309,17 @@ object Ops {
       .withColumn("cluster", col("__cid") - 1)
       .drop("__b", "__pm", "__new", "__cid")
     val wc = Window.partitionBy(grp(cols, on) :+ col("cluster"): _*)
-    withId
+    val full = withId
       .withColumn("cluster_start", min(cols.startCol).over(wc))
       .withColumn("cluster_end", max(cols.endCol).over(wc))
+    // reference keeps one output row per input row in every flag combo
+    // (ops.py:694-705); flags only select columns
+    val dropCols =
+      (if (returnInput) Nil else df.columns.toSeq) ++
+        (if (returnClusterIds) Nil else Seq("cluster")) ++
+        (if (returnClusterIntervals) Nil
+         else Seq("cluster_start", "cluster_end"))
+    full.drop(dropCols: _*)
   }
 
   sealed trait MergeStrategy
@@ -328,7 +341,7 @@ object Ops {
             mergeStrategy: MergeStrategy = RangePartitioned): DataFrame =
     mergeStrategy match {
       case WindowSweep =>
-        cluster(df, minDist, on, cols)
+        cluster(df, minDist, on, cols = cols)
           .groupBy(grp(cols, on) :+ col("cluster"): _*)
           .agg(min(cols.startCol).as(cols.start),
                max(cols.endCol).as(cols.end),

@@ -48,7 +48,7 @@ object syntax {
 
     def cluster(minDist: Option[Long] = Some(0),
                 on: Seq[String] = Nil): DataFrame =
-      Ops.cluster(df, minDist, on, cols)
+      Ops.cluster(df, minDist, on, cols = cols)
 
     def merge(minDist: Option[Long] = Some(0),
               on: Seq[String] = Nil): DataFrame =

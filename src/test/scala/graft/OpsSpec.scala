@@ -47,6 +47,16 @@ class OpsSpec extends SparkSpec {
       "animal", "start", "cluster_start", "cluster_end")
   }
 
+  test("cluster return flags select columns, one row per input " +
+    "(reference ops.py:694-705)") {
+    val ids = Ops.cluster(df1, returnInput = false,
+      returnClusterIntervals = false)
+    assert(ids.columns.toSeq == Seq("cluster") && ids.count() == 4)
+    val noIds = Ops.cluster(df1, returnClusterIds = false)
+    assert(!noIds.columns.contains("cluster") &&
+      noIds.columns.contains("cluster_start"))
+  }
+
   // ---- merge (tests/test_ops.py:953-1000) ----
   test("merge n_intervals for the three min_dist regimes") {
     def counts(md: Option[Long]) =
