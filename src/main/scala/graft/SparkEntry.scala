@@ -117,6 +117,18 @@ object SparkEntry {
     Ops.coverage(iv2(s, dir), iv1(s, dir), coverageCol = "coverage", binSize = B)
       .select(col("id"), col("chrom"), col("start"), col("end"), col("coverage"))
 
+  /** Sequence-backed ops over the synthetic md5-derived chunk store
+    * (extras.py:170-355): GC fraction per iv1 interval and a GATC digest
+    * of the genome. */
+  private def seqFracGc(s: SparkSession, dir: String): DataFrame =
+    graft.seq.SeqOps.fracGc(iv1(s, dir), seqChunks(s), binSize = B)
+      .select(col("id"), col("frac_gc"))
+
+  private def seqDigest(s: SparkSession, dir: String): DataFrame =
+    graft.seq.SeqOps.digest(seqChunks(s), "GATC", cutOffset = 0,
+        bucketSize = SCAN_BUCKET)
+      .select(col("chrom"), col("start"), col("end"))
+
   /** frac_gene_coverage composition (extras.py:357-387): iv2 "genes"
     * covered and counted against iv1. */
   private def ivGeneCoverage(s: SparkSession, dir: String): DataFrame =
@@ -405,6 +417,8 @@ object SparkEntry {
     "iv_merge_strict" -> ivMerge(None) _,
     "iv_coverage" -> (ivCoverage _),
     "iv_gene_coverage" -> (ivGeneCoverage _),
+    "seq_frac_gc" -> (seqFracGc _),
+    "seq_digest" -> (seqDigest _),
     "iv_closest" -> (ivClosest _),
     "iv_closest_k3" -> (ivClosestK3 _),
     "iv_closest_upstream" -> (ivClosestUpstream _),
@@ -594,6 +608,43 @@ object SparkEntry {
          |SELECT cov.id, cov.chrom, cov.start, cov."end", cov.coverage,
          |  cnt.n AS "count"
          |FROM cov JOIN cnt ON cov.id = cnt.id""".stripMargin,
+    "seq_frac_gc" ->
+      s"""WITH $iv1Sql, $seqChunksSql,
+         |sl AS (SELECT a.id, GREATEST(a.start, c.cstart) AS os,
+         |    LEAST(a."end", c.cend) AS oe,
+         |    substr(c.seq, CAST(GREATEST(a.start, c.cstart) - c.cstart + 1 AS INT),
+         |      CAST(LEAST(a."end", c.cend) - GREATEST(a.start, c.cstart) AS INT)) AS s
+         |  FROM iv1 a JOIN chunksq c
+         |    ON a.chrom = c.chrom AND a.start < c.cend AND c.cstart < a."end"),
+         |st AS (SELECT id,
+         |    SUM(length(s) - length(translate(s, 'GC', ''))) AS gc,
+         |    SUM(length(s) - length(translate(s, 'N', ''))) AS n,
+         |    SUM(oe - os) AS covered
+         |  FROM sl GROUP BY id)
+         |SELECT a.id, CASE WHEN COALESCE(st.covered - st.n, 0) > 0
+         |    THEN CAST(st.gc AS DOUBLE) / CAST(st.covered - st.n AS DOUBLE)
+         |    ELSE NULL END AS frac_gc
+         |FROM iv1 a LEFT JOIN st ON a.id = st.id""".stripMargin,
+    "seq_digest" ->
+      s"""WITH $seqChunksSql,
+         |ext AS (SELECT c.chrom, c.cstart, c.seq,
+         |    c.seq || COALESCE(n.pref, '') AS extseq
+         |  FROM chunksq c LEFT JOIN
+         |    (SELECT chrom AS nc, cstart AS ns, substr(seq, 1, 3) AS pref
+         |     FROM chunksq) n
+         |    ON c.chrom = n.nc AND c.cend = n.ns),
+         |sites AS (SELECT chrom, cstart + i - 1 AS pos
+         |  FROM ext, UNNEST(generate_series(1, length(seq))) u(i)
+         |  WHERE substr(extseq, CAST(i AS INT), 4) = 'GATC'),
+         |lens AS (SELECT chrom, MAX(cend) AS len FROM chunksq GROUP BY chrom),
+         |cuts AS (SELECT DISTINCT chrom, pos FROM (
+         |  SELECT s.chrom, s.pos FROM sites s JOIN lens l ON s.chrom = l.chrom
+         |    WHERE s.pos > 0 AND s.pos < l.len
+         |  UNION ALL SELECT chrom, CAST(0 AS BIGINT) FROM lens
+         |  UNION ALL SELECT chrom, len FROM lens) z)
+         |SELECT chrom, pos AS start,
+         |  LEAD(pos) OVER (PARTITION BY chrom ORDER BY pos) AS "end"
+         |FROM cuts QUALIFY "end" IS NOT NULL""".stripMargin,
     "iv_closest" ->
       s"""WITH $iv2Sql, $iv3Sql,
          |cand AS (

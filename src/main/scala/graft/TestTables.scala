@@ -134,6 +134,38 @@ object TestTables {
       |  CROSS JOIN (VALUES (0, 900, 'p', 0), (900, 1800, 'q', 1),
       |                     (1800, 2600, 'r', 2)) v(s, e, nm, o))""".stripMargin
 
+  /** Synthetic chunked sequence store for the seq operators: 8 chroms of
+    * length 2570 in 100 bp chunks; bases derive from md5 hex digits
+    * (identical in Spark and DuckDB) via `translate` — digit 'f' maps to
+    * N so mapped_only paths are exercised (~1/16 N rate). */
+  def seqChunks(s: SparkSession): DataFrame = {
+    val chroms = s.range(8).select(
+      concat(lit("c"), col("id").cast("string")).as("chrom"))
+    val js = s.range(26).select(col("id").as("__j"))
+    val raw = concat((0 until 4).map(t =>
+      md5(concat(col("chrom"), lit("_"), col("__j").cast("string"),
+        lit("_" + t)).cast("binary"))): _*)
+    chroms.crossJoin(js)
+      .withColumn("cstart", col("__j") * 100)
+      .withColumn("cend", least(col("cstart") + 100, lit(2570L)))
+      .withColumn("seq",
+        translate(raw, "0123456789abcdef", "ACGTACGTACGTACGN")
+          .substr(lit(1), (col("cend") - col("cstart")).cast("int")))
+      .drop("__j")
+  }
+
+  val seqChunksSql: String =
+    """chunksq AS (
+      |  SELECT 'c' || CAST(c AS VARCHAR) AS chrom,
+      |         CAST(j * 100 AS BIGINT) AS cstart,
+      |         LEAST(CAST(j * 100 + 100 AS BIGINT), 2570) AS cend,
+      |         substr(translate(
+      |             md5('c'||c||'_'||j||'_0') || md5('c'||c||'_'||j||'_1') ||
+      |             md5('c'||c||'_'||j||'_2') || md5('c'||c||'_'||j||'_3'),
+      |             '0123456789abcdef', 'ACGTACGTACGTACGN'),
+      |           1, CAST(LEAST(j * 100 + 100, 2570) - j * 100 AS INT)) AS seq
+      |  FROM range(8) t(c) CROSS JOIN range(26) u(j))""".stripMargin
+
   /** chromsizes: every chromosome has length 2570 (exercises last-bin clip
     * in binnify: 2570 % 100 != 0). */
   def chromsizes(s: SparkSession): DataFrame =

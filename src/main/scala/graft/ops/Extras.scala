@@ -138,17 +138,7 @@ object Extras {
       .withColumn("__b", Scan.bucketOf(col("pos"), bucketSize))
     val withDepth = Scan.prefixSum(agg, Seq("chrom"), "__b",
       Seq(col("pos").asc), col("__delta"), inclusive = true, "depth")
-    // next breakpoint: lead within the bucket, else the next populated
-    // bucket's first breakpoint (per-bucket summary is tiny -> broadcast)
-    val wLocal = Window.partitionBy(col("chrom"), col("__b")).orderBy(col("pos"))
-    val wB = Window.partitionBy(col("chrom")).orderBy(col("__b"))
-    val nextStarts = agg.groupBy(col("chrom"), col("__b"))
-      .agg(min(col("pos")).as("__bmin"))
-      .withColumn("__nextb", lead(col("__bmin"), 1).over(wB))
-      .drop("__bmin")
-    withDepth.join(broadcast(nextStarts), Seq("chrom", "__b"), "left")
-      .withColumn("__next",
-        coalesce(lead(col("pos"), 1).over(wLocal), col("__nextb")))
+    Scan.withNext(withDepth, Seq("chrom"), "__b", "pos", "__next")
       .filter(col("__next").isNotNull)
       .select(col("chrom"), col("pos").as(cols.start),
         col("__next").as(cols.end), col("depth"))

@@ -72,4 +72,24 @@ object Scan {
                 outCol: String): DataFrame =
     twoLevel(df, group, bucketCol, order, value, isMax = true, inclusive,
       outCol)
+
+  /** `outCol` = LEAD(posCol) OVER (PARTITION BY group ORDER BY posCol),
+    * bucket-parallel: lead within the bucket, stitched with the next
+    * populated bucket's first position from the (tiny, broadcast) bucket
+    * summary. Null for each group's last row. */
+  def withNext(df: DataFrame, group: Seq[String], bucketCol: String,
+               posCol: String, outCol: String): DataFrame = {
+    val partKeys = group :+ bucketCol
+    val wLocal = Window.partitionBy(partKeys.map(col): _*)
+      .orderBy(col(posCol))
+    val wB = Window.partitionBy(group.map(col): _*).orderBy(col(bucketCol))
+    val nextStarts = df.groupBy(partKeys.map(col): _*)
+      .agg(min(col(posCol)).as("__wn_bmin"))
+      .withColumn("__wn_nextb", lead(col("__wn_bmin"), 1).over(wB))
+      .drop("__wn_bmin")
+    df.join(broadcast(nextStarts), partKeys, "left")
+      .withColumn(outCol,
+        coalesce(lead(col(posCol), 1).over(wLocal), col("__wn_nextb")))
+      .drop("__wn_nextb")
+  }
 }

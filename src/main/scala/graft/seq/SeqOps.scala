@@ -1,0 +1,173 @@
+package graft.seq
+
+import graft.core.ColSpec
+import graft.ops.{IntervalJoin, RowId, Scan}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Sequence-backed operators (reference `extras.py:170-355`: `digest`,
+  * `frac_mapped`, `frac_gc`, `seq_gc`), built on a '''chunked sequence
+  * store''' instead of the reference's in-memory per-chromosome strings:
+  * a relation `(chrom, cstart, cend, seq)` of fixed-width substrings.
+  * Whole chromosomes as single values cannot distribute (chr1 is a 250 MB
+  * string); fixed chunks partition like any interval relation, join
+  * against query intervals through the binned interval join, and scale to
+  * any genome. FASTA is plain text, so no native-library dependency —
+  * the enzyme database is replaced by an explicit recognition site +
+  * cut offset (the Biopython dependency of the reference's `digest`).
+  *
+  * All per-base math is codegen'd `Column` expressions (`translate` char
+  * deletion for counting, `substr` slicing) — no UDFs.
+  */
+object SeqOps {
+
+  /** Count of G/C bases in a sequence column (case-insensitive). */
+  def gcCount(s: Column): Column = length(s) - length(translate(s, "GgCc", ""))
+
+  /** Count of unmapped (N) bases. */
+  def nCount(s: Column): Column = length(s) - length(translate(s, "Nn", ""))
+
+  /** GC fraction of one sequence string (reference `seq_gc`,
+    * `extras.py:324-355`): null when no (mapped) bases. */
+  def seqGc(s: Column, mappedOnly: Boolean = true): Column = {
+    val denom = if (mappedOnly) length(s) - nCount(s) else length(s)
+    when(denom > 0, gcCount(s).cast(DoubleType) / denom.cast(DoubleType))
+      .otherwise(lit(null).cast(DoubleType))
+  }
+
+  /** Parse a text FASTA file into the chunked store `(chrom, cstart,
+    * cend, seq)`. The parse itself streams record-by-record on the driver
+    * (FASTA records span lines, so a splittable distributed parse would
+    * need an indexed format anyway); chunk rows are handed to Spark as a
+    * local relation. For assembly-scale genomes run this once and persist
+    * the result as parquet — the store, not the FASTA, is the scale
+    * format. */
+  def readFasta(spark: SparkSession, path: String,
+                chunkSize: Int = 65536): DataFrame = {
+    val src = scala.io.Source.fromFile(path)
+    val rows = scala.collection.mutable.ArrayBuffer[(String, Long, Long, String)]()
+    var chrom: String = null
+    val sb = new StringBuilder
+    var offset = 0L
+    def flush(force: Boolean): Unit = {
+      while (sb.length >= chunkSize || (force && sb.nonEmpty)) {
+        val take = math.min(chunkSize, sb.length)
+        val chunk = sb.substring(0, take)
+        sb.delete(0, take)
+        rows += ((chrom, offset, offset + take, chunk))
+        offset += take
+      }
+    }
+    try {
+      for (line <- src.getLines()) {
+        if (line.startsWith(">")) {
+          if (chrom != null) flush(force = true)
+          chrom = line.drop(1).trim.split("\\s+").head
+          offset = 0L
+        } else if (chrom != null) {
+          sb ++= line.trim
+          flush(force = false)
+        }
+      }
+      if (chrom != null) flush(force = true)
+    } finally src.close()
+    import spark.implicits._
+    rows.toSeq.toDF("chrom", "cstart", "cend", "seq")
+  }
+
+  private val chunkSpec = ColSpec("__sc", "__ss", "__se")
+
+  /** Per-interval (gcCount, nCount, coveredLen) against the chunk store:
+    * the interval join clips each chunk to the interval and sums the
+    * per-slice character counts. */
+  private def sliceStats(df: DataFrame, chunks: DataFrame, cols: ColSpec,
+                         binSize: Long): DataFrame = {
+    val ch = chunks.select(col("chrom").as("__sc"), col("cstart").as("__ss"),
+      col("cend").as("__se"), col("seq").as("__seq"))
+    val l = RowId.withRowId(df, "__sid")
+    val p = IntervalJoin.pairs(l, ch, cols, chunkSpec, Nil,
+      IntervalJoin.Binned, binSize)
+    val os = greatest(cols.startCol, col("__ss"))
+    val oe = least(cols.endCol, col("__se"))
+    val slice = col("__seq").substr((os - col("__ss") + 1).cast("int"),
+      (oe - os).cast("int"))
+    val stats = p
+      .withColumn("__slice", slice)
+      .groupBy(col("__sid").as("__gid"))
+      .agg(sum(gcCount(col("__slice"))).as("__gc"),
+        sum(nCount(col("__slice"))).as("__n"),
+        sum(oe - os).as("__covered"))
+    l.join(stats, col("__sid") === col("__gid"), "left").drop("__gid")
+  }
+
+  /** Fraction of mapped (non-N) bases per interval (reference
+    * `frac_mapped`, `extras.py:220-267`; 0 when the interval covers no
+    * sequence). */
+  def fracMapped(df: DataFrame, chunks: DataFrame,
+                 cols: ColSpec = ColSpec.default,
+                 binSize: Long = IntervalJoin.DefaultBinSize): DataFrame =
+    sliceStats(df, chunks, cols, binSize)
+      .withColumn("frac_mapped",
+        when(coalesce(col("__covered"), lit(0L)) > 0,
+          (col("__covered") - col("__n")).cast(DoubleType) /
+            col("__covered").cast(DoubleType))
+          .otherwise(lit(0.0)))
+      .drop("__sid", "__gc", "__n", "__covered")
+
+  /** GC fraction per interval (reference `frac_gc`, `extras.py:269-321`;
+    * null when no (mapped) bases under the interval). */
+  def fracGc(df: DataFrame, chunks: DataFrame, mappedOnly: Boolean = true,
+             cols: ColSpec = ColSpec.default,
+             binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
+    val withStats = sliceStats(df, chunks, cols, binSize)
+    val denom =
+      if (mappedOnly) col("__covered") - col("__n") else col("__covered")
+    withStats
+      .withColumn("frac_gc",
+        when(coalesce(denom, lit(0L)) > 0,
+          col("__gc").cast(DoubleType) / denom.cast(DoubleType))
+          .otherwise(lit(null).cast(DoubleType)))
+      .drop("__sid", "__gc", "__n", "__covered")
+  }
+
+  /** Restriction digest: fragment the genome at every occurrence of
+    * `site`, cutting `cutOffset` bases after the match start (reference
+    * `digest`, `extras.py:170-218`; the enzyme name -> site/offset lookup
+    * was Biopython's job there — here the caller names them, e.g. DpnII =
+    * ("GATC", 0), HindIII = ("AAGCTT", 1)). Matches spanning chunk
+    * boundaries are caught by extending each chunk with the next chunk's
+    * first |site|-1 characters; fragments come from the breakpoint
+    * relation via a bucket-parallel next-position stitch. Output:
+    * (chrom, start, end). */
+  def digest(chunks: DataFrame, site: String, cutOffset: Int = 0,
+             bucketSize: Long = 1L << 20): DataFrame = {
+    require(site.nonEmpty, "site must be non-empty")
+    val L = site.length
+    val nxt = chunks.select(col("chrom").as("__nc"), col("cstart").as("__ns"),
+      substring(col("seq"), 1, L - 1).as("__pref"))
+    val ext = chunks
+      .join(nxt, col("chrom") === col("__nc") && col("cend") === col("__ns"),
+        "left")
+      .withColumn("__ext", concat(col("seq"), coalesce(col("__pref"), lit(""))))
+    // match positions whose START lies in this chunk (no double-count
+    // with the next chunk's scan of the same boundary window)
+    val sites = ext.select(col("chrom"), col("cstart"),
+        explode(filter(sequence(lit(1), length(col("seq"))),
+          i => col("__ext").substr(i, lit(L)) === lit(site))).as("__i"))
+      .select(col("chrom"),
+        (col("cstart") + col("__i") - 1 + lit(cutOffset.toLong)).as("pos"))
+    val lens = chunks.groupBy(col("chrom")).agg(max(col("cend")).as("__len"))
+    val cuts = sites
+      .join(broadcast(lens), Seq("chrom"))
+      .filter(col("pos") > 0 && col("pos") < col("__len"))
+      .select(col("chrom"), col("pos"))
+      .unionByName(lens.select(col("chrom"), lit(0L).as("pos")))
+      .unionByName(lens.select(col("chrom"), col("__len").as("pos")))
+      .distinct()
+      .withColumn("__b", Scan.bucketOf(col("pos"), bucketSize))
+    Scan.withNext(cuts, Seq("chrom"), "__b", "pos", "__next")
+      .filter(col("__next").isNotNull)
+      .select(col("chrom"), col("pos").as("start"), col("__next").as("end"))
+  }
+}
