@@ -35,38 +35,52 @@ object StreamOps {
 
   case class Iv(chrom: String, start: Long, end: Long)
   case class MergedRun(chrom: String, start: Long, end: Long, nIntervals: Long)
-  case class SweepState(curStart: Long, curEnd: Long, n: Long, maxSeen: Long)
+  case class MergeState(runs: List[MergedRun], maxStart: Long)
 
-  /** Stateful streaming merge: intervals arrive per chrom in event order
-    * (enforce with a sorted source or a watermark+sort upstream); emits a
-    * merged run whenever a gap > minDist closes it. The streaming analog of
-    * the reference's cummax sweep (`arrops.py:462-477`) via
-    * `flatMapGroupsWithState` — state is one open run per chrom, O(1).
+  /** Stateful streaming merge with bounded out-of-order tolerance: the
+    * streaming analog of the reference's cummax sweep
+    * (`arrops.py:462-477`) via `flatMapGroupsWithState`, keyed by chrom.
+    *
+    * The "watermark" here is genomic, not temporal: a sorted-scan source
+    * emits intervals roughly by start, and `allowedLag` bounds how far
+    * behind the per-chrom max start a late interval may arrive — the
+    * frontier is `maxStart - allowedLag`. Each batch folds its arrivals
+    * into the state's partially-merged runs (re-sweeping, so in-window
+    * disorder is fully repaired) and emits exactly the runs no future
+    * arrival can extend (`run.end + minDist < frontier`). State is the
+    * open runs inside the lag window: O(runs-per-window), not O(rows).
+    * `allowedLag = 0` assumes a fully sorted source and emits most
+    * eagerly. Late-beyond-lag arrivals start new (possibly overlapping)
+    * runs rather than being dropped — the batch operator's semantics
+    * degrade gracefully instead of silently losing data.
     */
-  def streamingMerge(intervals: Dataset[Iv], minDist: Long = 0)
-                    : Dataset[MergedRun] = {
+  def streamingMerge(intervals: Dataset[Iv], minDist: Long = 0,
+                     allowedLag: Long = 0): Dataset[MergedRun] = {
     import intervals.sparkSession.implicits._
     intervals
       .groupByKey(_.chrom)
-      .flatMapGroupsWithState[SweepState, MergedRun](
+      .flatMapGroupsWithState[MergeState, MergedRun](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (chrom: String, rows: Iterator[Iv], state: GroupState[SweepState]) =>
-          // batch arrivals are not globally ordered: sort this micro-batch
-          val sorted = rows.toSeq.sortBy(iv => (iv.start, iv.end))
-          var st = state.getOption.getOrElse(SweepState(Long.MinValue, Long.MinValue, 0L, Long.MinValue))
-          val out = scala.collection.mutable.ArrayBuffer.empty[MergedRun]
-          for (iv <- sorted) {
-            if (st.n == 0L) {
-              st = SweepState(iv.start, iv.end, 1L, iv.end)
-            } else if (iv.start <= st.curEnd + minDist) {
-              st = st.copy(curEnd = math.max(st.curEnd, iv.end), n = st.n + 1)
-            } else {
-              out += MergedRun(chrom, st.curStart, st.curEnd, st.n)
-              st = SweepState(iv.start, iv.end, 1L, iv.end)
-            }
+        (chrom: String, rows: Iterator[Iv], state: GroupState[MergeState]) =>
+          val st = state.getOption.getOrElse(MergeState(Nil, Long.MinValue))
+          val batch = rows.toSeq
+          val maxStart =
+            (st.maxStart +: batch.map(_.start)).max
+          // fold open runs + arrivals through one sorted sweep
+          val all = (st.runs.map(r => (r.start, r.end, r.nIntervals)) ++
+            batch.map(iv => (iv.start, iv.end, 1L))).sortBy(t => (t._1, t._2))
+          val runs = scala.collection.mutable.ArrayBuffer.empty[MergedRun]
+          for ((s, e, n) <- all) {
+            if (runs.nonEmpty && s <= runs.last.end + minDist) {
+              val last = runs.last
+              runs(runs.size - 1) = last.copy(
+                end = math.max(last.end, e), nIntervals = last.nIntervals + n)
+            } else runs += MergedRun(chrom, s, e, n)
           }
-          state.update(st)
-          out.iterator
+          val frontier = maxStart - allowedLag
+          val (closed, open) = runs.partition(_.end + minDist < frontier)
+          state.update(MergeState(open.toList, maxStart))
+          closed.iterator
       }
   }
 }

@@ -171,6 +171,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming merge repairs out-of-order arrivals within allowedLag") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[StreamOps.Iv]
+    val q = StreamOps.streamingMerge(input.toDS(), minDist = 0,
+        allowedLag = 50)
+      .writeStream.format("memory").queryName("merged_ooo")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamOps.Iv("chr1", 100, 110), StreamOps.Iv("chr1", 130, 140))
+      q.processAllAvailable()
+      // late by 35 < allowedLag: must merge into [95,110) before emission
+      input.addData(StreamOps.Iv("chr1", 95, 105))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM merged_ooo").count() == 0) // all open
+      input.addData(StreamOps.Iv("chr1", 400, 410)) // frontier 350
+      q.processAllAvailable()
+      val out = spark.sql("SELECT * FROM merged_ooo")
+        .as[StreamOps.MergedRun].collect().toSeq.sortBy(_.start)
+      assert(out == Seq(StreamOps.MergedRun("chr1", 95, 110, 2),
+        StreamOps.MergedRun("chr1", 130, 140, 1)))
+    } finally q.stop()
+  }
+
   test("windowed event counts run in batch mode over the events table") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
