@@ -74,6 +74,11 @@ object SparkEntry {
         (if (how == "inner") Seq(col("overlap_start"), col("overlap_end"))
          else Nil): _*)
 
+  private def ivOverlapRight(s: SparkSession, dir: String): DataFrame =
+    Ops.overlap(iv3(s, dir), iv2(s, dir), how = "right",
+        suffixes = ("_1", "_2"), binSize = B)
+      .select(col("id_1"), col("id_2"))
+
   private def ivOverlapOn(s: SparkSession, dir: String): DataFrame =
     Ops.overlap(iv1(s, dir), iv2(s, dir), how = "inner",
         suffixes = ("_1", "_2"), on = Seq("strand"), binSize = B)
@@ -146,6 +151,13 @@ object SparkEntry {
     Closest.closest(iv3(s, dir), Some(iv2(s, dir)), k = 3,
         tieBreakingCol = Some("id"), suffixes = ("_1", "_2"), binSize = B,
         bucketSize = SCAN_BUCKET)
+      .select(col("id_1"), col("id_2"), col("distance"))
+
+  /** Self-closest (df2 = None): nearest non-identical interval within
+    * iv3 (reference arrops.py:655-657 excludes only the row itself). */
+  private def ivClosestSelf(s: SparkSession, dir: String): DataFrame =
+    Closest.closest(iv3(s, dir), None, k = 1, tieBreakingCol = Some("id"),
+        suffixes = ("_1", "_2"), binSize = B, bucketSize = SCAN_BUCKET)
       .select(col("id_1"), col("id_2"), col("distance"))
 
   private def ivClosestUpstream(s: SparkSession, dir: String): DataFrame =
@@ -407,6 +419,8 @@ object SparkEntry {
     "iv_overlap_left" -> ivOverlap("left") _,
     "iv_overlap_outer" -> ivOverlap("outer") _,
     "iv_overlap_on" -> (ivOverlapOn _),
+    "iv_overlap_right" -> (ivOverlapRight _),
+    "iv_closest_self" -> (ivClosestSelf _),
     "iv_overlap_left_pts" -> (ivOverlapLeftPts _),
     "iv_setdiff_pts" -> (ivSetdiffPts _),
     "iv_count_overlaps" -> (ivCountOverlaps _),
@@ -527,6 +541,22 @@ object SparkEntry {
          |SELECT a.id AS id_1, b.id AS id_2, a.strand AS strand_1
          |FROM iv1 a JOIN iv2 b ON a.chrom = b.chrom AND a.strand = b.strand
          |  AND ${ovl("a", "b")}""".stripMargin,
+    "iv_overlap_right" ->
+      s"""WITH $iv2Sql, $iv3Sql
+         |SELECT a.id AS id_1, b.id AS id_2
+         |FROM iv3 a RIGHT JOIN iv2 b ON a.chrom = b.chrom AND ${ovl("a", "b")}""".stripMargin,
+    "iv_closest_self" ->
+      s"""WITH $iv3Sql,
+         |cand AS (
+         |  SELECT a.id AS id_1, b.id AS id_2,
+         |    GREATEST(a.start - b."end", b.start - a."end", 0) AS dist,
+         |    CASE WHEN ${ovl("a", "b")} THEN 0
+         |         ELSE GREATEST(a.start - b."end", b.start - a."end", 0) + 1 END AS sortdist
+         |  FROM iv3 a JOIN iv3 b ON a.chrom = b.chrom AND a.id <> b.id),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1
+         |    ORDER BY sortdist, id_2) AS rn FROM cand)
+         |SELECT a.id AS id_1, r.id_2, r.dist AS distance
+         |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 1""".stripMargin,
     "iv_overlap_left_pts" ->
       s"""WITH $iv1Sql, $iv2Sql, $iv2pSql
          |SELECT a.id AS id_1, b.id AS id_2
