@@ -32,11 +32,17 @@ object Dedup {
       .drop("__h", "__h2")
   }
 
-  /** Distinct-shingle relation: (id, shingle). */
+  /** Distinct-shingle relation: (id, shingle). The repartition is a
+    * materialization barrier binding the token array to a physical column
+    * before the shingle transform reads it element-wise — inlined, the
+    * regex tokenization would re-run once per shingle inside the
+    * interpreted lambda (measured ~4x on the shingle relation alone). */
   private def shingleRel(df: DataFrame, idCol: String, textCol: String,
                          n: Int): DataFrame =
-    df.select(col(idCol).as("__id"),
-        explode(TextOps.shingles(col(textCol), n)).as("__sh"))
+    df.select(col(idCol).as("__id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .repartition(col("__id"))
+      .select(col("__id"),
+        explode(TextOps.shinglesFromTokens(col("__toks"), n)).as("__sh"))
 
   /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
     * Returns (id_1, id_2, n_common, n_1, n_2, jaccard) with id_1 < id_2.
@@ -101,13 +107,19 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // The repartition is a materialization barrier: without it,
-    // CollapseProject inlines the numHashes-fold signature expression into
-    // every band expression AND both sides of the candidate self-join
-    // (~2*bands recomputes per doc). The exchange computes it once and is
-    // reused by both join sides.
-    val sig = df.select(col(idCol).as("__id"),
-      minhashSignature(TextOps.shingles(col(textCol), n), numHashes).as("__sig"))
+    // Two materialization barriers: the first binds the token array so
+    // the shingle transform reads an attribute (inlined, the regex split
+    // re-runs per shingle inside the interpreted lambda); the second
+    // stops CollapseProject inlining the numHashes-fold signature
+    // expression into every band expression AND both sides of the
+    // candidate self-join (~2*bands recomputes per doc). Both exchanges
+    // move only (id, toks/sig) — narrow rows.
+    val sig = df
+      .select(col(idCol).as("__id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .repartition(col("__id"))
+      .select(col("__id"),
+        minhashSignature(TextOps.shinglesFromTokens(col("__toks"), n),
+          numHashes).as("__sig"))
       .repartition(col("__id"))
     val banded = sig.select(col("__id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),

@@ -91,13 +91,23 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
 
-  /** Distinct word n-gram shingles (space-joined). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Distinct word n-gram shingles from an already-materialized token
+    * array column. Callers should bind the token array to a real column
+    * (behind an exchange) first: `toks` is referenced once per element
+    * here, and higher-order lambdas are interpreted — an inlined
+    * tokenization EXPRESSION would re-run the regex split per shingle
+    * (~tokens× slowdown; no codegen subexpression elimination inside
+    * lambdas). */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(
       when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
         .otherwise(array()))
-  }
+
+  /** Distinct word n-gram shingles (space-joined). Convenience form — for
+    * hot paths prefer materializing `tokens` first (see
+    * [[shinglesFromTokens]]). */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
 }
