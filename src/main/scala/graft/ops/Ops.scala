@@ -223,7 +223,10 @@ object Ops {
   // ------------------------------------------------------- count / setdiff
 
   /** Per-df1-row count of overlapping df2 rows, zeros kept (reference
-    * `ops.py:1371-1438`). */
+    * `ops.py:1371-1438`). The count is computed on the DISTINCT probe set
+    * (full-duplicate df1 rows have identical counts) and fanned back out
+    * to every copy — content ids + a slim dedup instead of the dup-rank
+    * window's full-width shuffle. */
   def countOverlaps(df1: DataFrame, df2: DataFrame,
                     countCol: String = "count",
                     on: Seq[String] = Nil,
@@ -231,11 +234,14 @@ object Ops {
                     cols2: ColSpec = ColSpec.default,
                     strategy: Strategy = Auto,
                     binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
-    val l = RowId.withRowId(df1, "__id1")
+    val l = RowId.withContentId(df1, "__id1")
+    val lDist = l
+      .select(((cols1.names ++ on).distinct.map(col) :+ col("__id1")): _*)
+      .dropDuplicates("__id1")
     val sfx = "__r_"
     val r = ColSpec.suffixAll(df2.select((cols2.names ++ on).distinct.map(col): _*), sfx)
     val c2 = cols2.withSuffix(sfx)
-    val p = IntervalJoin.pairs(l, r, cols1, c2,
+    val p = IntervalJoin.pairs(lDist, r, cols1, c2,
       on.map(k => (k, k + sfx)), strategy, binSize)
     val counts = p.groupBy(col("__id1").as("__cid")).agg(count(lit(1)).as(countCol))
     l.join(counts, col("__id1") === col("__cid"), "left")
@@ -434,8 +440,12 @@ object Ops {
     val merged = ColSpec.suffixAll(
       merge(df2, Some(0), Nil, cols2).drop("n_intervals"), sfx)
     val c2 = ColSpec(cols2.chrom + sfx, cols2.start + sfx, cols2.end + sfx)
-    val l = RowId.withRowId(df1, "__id1")
-    val p = IntervalJoin.pairs(l, merged, cols1, c2, Nil, strategy, binSize)
+    // distinct-probe aggregation + fan-out, as in countOverlaps: covered
+    // bp is identical for full-duplicate rows
+    val l = RowId.withContentId(df1, "__id1")
+    val lDist = l.select(cols1.names.map(col) :+ col("__id1"): _*)
+      .dropDuplicates("__id1")
+    val p = IntervalJoin.pairs(lDist, merged, cols1, c2, Nil, strategy, binSize)
     val covered = p
       .groupBy(col("__id1").as("__cid"))
       .agg(sum(greatest(lit(0L),
