@@ -87,13 +87,23 @@ object Closest {
     val rCols = r.columns.toSeq
     val allCols = lCols ++ rCols
 
+    // Candidates stay SLIM — (ids, coords, tie, dist) only — until after
+    // the top-k rank; the wide l/r payload columns re-enter by row id for
+    // just the k surviving rows per probe. Ranking 3.8M candidate rows at
+    // full user-column width measured 3x slower than the slim rank+join.
+    val slimOf: DataFrame => DataFrame = df => df.select(
+      col("__id1"), col("__id2"),
+      c1.startCol.as("__s1"), c1.endCol.as("__e1"),
+      c2.startCol.as("__s2"), c2.endCol.as("__e2"),
+      tie.as("__tie"), col("__dist"), col("__sortdist"))
+
     // ---- candidate set A: overlapping pairs (distance 0) ----------------
     val overlaps =
       if (ignoreOverlaps) None
-      else Some(
+      else Some(slimOf(
         IntervalJoin.pairs(l, r, c1, c2, Nil, IntervalJoin.Binned, binSize)
           .withColumn("__dist", lit(0L))
-          .withColumn("__sortdist", lit(0L)))
+          .withColumn("__sortdist", lit(0L))))
 
     // ---- candidate sets B/C: k nearest per side via as-of lookup --------
     // B: right rows strictly left of the query (end2 <= start1), nearest =
@@ -104,7 +114,8 @@ object Closest {
     // events is the right row's per-chromosome ordinal AND the probe's
     // as-of position (right events at a probe's own key sort before the
     // probe on the B side and after it on the C side, giving <= vs <
-    // semantics for free). Full-width r re-enters once, by row id.
+    // semantics for free). Events carry both coordinate pairs, so the
+    // candidate join never touches the wide relations.
     val takeK = if (selfJoin) k + 1 else k
     def sideCandidates(leftSide: Boolean): DataFrame = {
       val rEvents = r.select(
@@ -112,14 +123,20 @@ object Closest {
         (if (leftSide) c2.endCol else c2.startCol).as("__key"),
         lit(if (leftSide) 0 else 1).as("__tag"),
         tie.as("__tie"), col("__id2").as("__rid"),
-        lit(null).cast(l.schema("__id1").dataType).as("__pid"))
+        lit(null).cast(l.schema("__id1").dataType).as("__pid"),
+        lit(null).cast(LongType).as("__s1"),
+        lit(null).cast(LongType).as("__e1"),
+        c2.startCol.as("__s2"), c2.endCol.as("__e2"))
       val lEvents = l.select(
         c1.chromCol.as("__ch"),
         (if (leftSide) c1.startCol else c1.endCol).as("__key"),
         lit(if (leftSide) 1 else 0).as("__tag"),
         lit(null).cast(tieType).as("__tie"),
         lit(null).cast(r.schema("__id2").dataType).as("__rid"),
-        col("__id1").as("__pid"))
+        col("__id1").as("__pid"),
+        c1.startCol.as("__s1"), c1.endCol.as("__e1"),
+        lit(null).cast(LongType).as("__s2"),
+        lit(null).cast(LongType).as("__e2"))
       val ord =
         if (leftSide) Seq(col("__key").asc, col("__tag").asc,
           col("__tie").desc, col("__rid").desc)
@@ -142,24 +159,18 @@ object Closest {
           else
             sequence(col("__cnt") + lit(1L),
               col("__cnt") + lit(takeK.toLong)))
-        .select(col("__pid"), explode(col("__want")).as("__wseq"))
+        .select(col("__pid").as("__id1"), col("__ch").as("__pch"),
+          col("__s1"), col("__e1"), explode(col("__want")).as("__wseq"))
       val rightSeq = scanned.filter(col("__rid").isNotNull)
-        .select(col("__ch"), col("__cnt").as("__rseq"), col("__rid"))
-      // content ids collide only for full-duplicate rows; one fetch row
-      // per id keeps the multiset exact (each duplicate has its own
-      // ordinal event, and the fetched contents are identical)
-      val rFetch = (if (selfJoin) r else r.dropDuplicates("__id2"))
-        .withColumnRenamed("__id2", "__fid")
-      val lk = l.join(wanted, col("__id1") === col("__pid"), "inner")
-        .drop("__pid")
-      lk.join(rightSeq,
-          c1.chromCol === col("__ch") && col("__wseq") === col("__rseq"),
+        .select(col("__ch"), col("__cnt").as("__rseq"),
+          col("__rid").as("__id2"), col("__tie"), col("__s2"), col("__e2"))
+      wanted.join(rightSeq,
+          col("__pch") === col("__ch") && col("__wseq") === col("__rseq"),
           "inner")
-        .join(rFetch, col("__rid") === col("__fid"), "inner")
-        .withColumn("__id2", col("__rid"))
-        .drop("__wseq", "__rseq", "__ch", "__rid", "__fid")
+        .drop("__wseq", "__rseq", "__ch", "__pch")
         .withColumn("__dist",
-          if (leftSide) c1.startCol - c2.endCol else c2.startCol - c1.endCol)
+          if (leftSide) col("__s1") - col("__e2")
+          else col("__s2") - col("__e1"))
         .withColumn("__sortdist", col("__dist") + lit(1L))
     }
 
@@ -171,32 +182,37 @@ object Closest {
       if (ignoreDownstream && directionCol.isEmpty) None
       else Some(sideCandidates(leftSide = false))
 
-    val selCols = allCols.map(col) :+ col("__dist") :+ col("__sortdist")
     var cands = (overlaps.toSeq ++ upstreamC.toSeq ++ downstreamC.toSeq)
-      .map(_.select(selCols: _*))
       .reduce(_ unionByName _)
 
     if (selfJoin) cands = cands.filter(col("__id1") =!= col("__id2"))
 
     // direction-aware masking: genomic-left = upstream for "+" rows,
-    // downstream for "-" rows
+    // downstream for "-" rows. The direction column (an l attribute)
+    // joins in slim when needed.
+    if ((ignoreUpstream || ignoreDownstream) && directionCol.isDefined) {
+      val d = directionCol.get + sf1
+      cands = cands.join(
+        l.select(col("__id1"), col(d).as("__dir")), Seq("__id1"), "left")
+    }
     if (ignoreUpstream || ignoreDownstream) {
       val isMinus = directionCol match {
-        case Some(d) => col(d + sf1) === "-"
+        case Some(_) => col("__dir") === "-"
         case None    => lit(false)
       }
-      val genomicLeft = c2.endCol <= c1.startCol && col("__sortdist") > 0
-      val genomicRight = c2.startCol >= c1.endCol && col("__sortdist") > 0
+      val genomicLeft = col("__e2") <= col("__s1") && col("__sortdist") > 0
+      val genomicRight = col("__s2") >= col("__e1") && col("__sortdist") > 0
       val isUpstream = when(isMinus, genomicRight).otherwise(genomicLeft)
       val isDownstream = when(isMinus, genomicLeft).otherwise(genomicRight)
       if (ignoreUpstream) cands = cands.filter(!isUpstream)
       if (ignoreDownstream) cands = cands.filter(!isDownstream)
+      if (directionCol.isDefined) cands = cands.drop("__dir")
     }
 
     val wRank = Window.partitionBy(col("__id1"))
-      .orderBy(col("__sortdist").asc, tie.asc, col("__id2").asc)
-    val ovlStart = greatest(c1.startCol, c2.startCol)
-    val ovlEnd = least(c1.endCol, c2.endCol)
+      .orderBy(col("__sortdist").asc, col("__tie").asc, col("__id2").asc)
+    val ovlStart = greatest(col("__s1"), col("__s2"))
+    val ovlEnd = least(col("__e1"), col("__e2"))
     val hasOvl = ovlStart < ovlEnd
     val extraRanked: Seq[Column] =
       (if (returnOverlap)
@@ -218,22 +234,38 @@ object Closest {
     val ranked = cands
       .withColumn("__rk", row_number().over(wRank))
       .filter(col("__rk") <= k)
+      .select(col("__id1") +: col("__id2") +: extraRanked: _*)
+
+    // wide payload re-enters for just the top-k rows; content ids of the
+    // fetch side collide only for full-duplicate rows, so one fetch row
+    // per id keeps the multiset exact
+    val rFetch = (if (selfJoin) r else r.dropDuplicates("__id2"))
+      .withColumnRenamed("__id2", "__fid")
+    val matched =
+      if (returnInput)
+        ranked
+          .join(l, Seq("__id1"), "inner")
+          .join(rFetch, col("__id2") === col("__fid"), "inner")
+          .drop("__fid")
+      else ranked
 
     // left-join back: df1 rows with no candidate survive with nulls
-    val dataRanked =
-      if (returnInput) (lCols ++ rCols).map(col)
-      else lCols.map(col) // __id columns dropped below; keeps join keys
-    val rNulls = r.schema.fields.toSeq
+    val id2Null = lit(null).cast(r.schema("__id2").dataType).as("__id2")
+    val rDataNulls = r.schema.fields.toSeq.filter(_.name != "__id2")
       .map(f => lit(null).cast(f.dataType).as(f.name))
     val dataNulls =
-      if (returnInput) lCols.map(col) ++ rNulls else lCols.map(col)
+      if (returnInput) lCols.filter(_ != "__id1").map(col) ++ rDataNulls
+      else Nil
     val unmatched = l
       .join(ranked.select(col("__id1")), Seq("__id1"), "left_anti")
-      .select(dataNulls ++ extraNulls: _*)
-    val out = ranked.select(dataRanked ++ extraRanked: _*)
-      .unionByName(unmatched)
-      .drop("__id1", "__id2")
-    if (returnInput) out
-    else out.drop(l.columns.filter(_ != "__id1").toIndexedSeq: _*)
+      .select((col("__id1") +: id2Null +: dataNulls) ++ extraNulls: _*)
+    val extraColNames =
+      (if (returnOverlap) Seq("have_overlap", "overlap_start", "overlap_end")
+       else Nil) ++
+        (if (returnDistance) Seq("distance") else Nil)
+    val outNames =
+      (if (returnInput) (lCols ++ rCols).filterNot(Set("__id1", "__id2"))
+       else Nil) ++ extraColNames
+    matched.unionByName(unmatched).select(outNames.map(col): _*)
   }
 }

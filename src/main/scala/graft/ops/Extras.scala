@@ -68,12 +68,15 @@ object Extras {
     require(minSep >= 0 && minSep < maxSep, "need 0 <= minSep < maxSep")
     require(relativeTo == "midpoints" || relativeTo == "endpoints",
       "relativeTo must be 'midpoints' or 'endpoints'")
-    val wRank = Window.partitionBy(cols.chromCol)
-      .orderBy(cols.startCol, cols.endCol)
     val mid = floor((cols.startCol + cols.endCol) / lit(2)).cast("long")
-    val ranked = df
-      .withColumn("__mid", mid)
-      .withColumn("__rank", row_number().over(wRank))
+    // per-chrom dense ordinal as a bucket-parallel running count — not a
+    // whole-chromosome row_number window (see Scan)
+    val ranked = Scan.prefixSum(
+        df.withColumn("__mid", mid)
+          .withColumn("__b", Scan.bucketOf(cols.startCol, 1L << 20)),
+        Seq(cols.chrom), "__b", Seq(cols.startCol.asc, cols.endCol.asc),
+        lit(1L), inclusive = true, "__rank")
+      .drop("__b")
     val (refR, refL) =
       if (relativeTo == "endpoints") (cols.endCol, cols.startCol)
       else (col("__mid"), col("__mid"))
