@@ -985,13 +985,18 @@ object SparkEntry {
       """WITH bk AS (SELECT vec_id, bucket
         |  FROM read_parquet('{AUX_DIR}/emb_buckets/*.parquet')),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |probes AS (SELECT vec_id AS query_id,
+        |    CASE WHEN i = 0 THEN bucket
+        |         ELSE xor(bucket, CAST(1 AS BIGINT) << (i - 1)) END AS bucket
+        |  FROM bk, UNNEST(generate_series(0, 6)) u(i)
+        |  WHERE vec_id % 100 = 0),
         |cand AS (
-        |  SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+        |  SELECT p.query_id, cb.vec_id AS neighbor_id,
         |    list_cosine_similarity(qe.v, ce.v) AS c
-        |  FROM bk qb JOIN bk cb ON qb.bucket = cb.bucket
-        |  JOIN e qe ON qe.vec_id = qb.vec_id
+        |  FROM probes p JOIN bk cb ON p.bucket = cb.bucket
+        |  JOIN e qe ON qe.vec_id = p.query_id
         |  JOIN e ce ON ce.vec_id = cb.vec_id
-        |  WHERE qb.vec_id % 100 = 0 AND cb.vec_id <> qb.vec_id)
+        |  WHERE cb.vec_id <> p.query_id)
         |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY c DESC, neighbor_id) AS rn FROM cand) z

@@ -65,19 +65,30 @@ object Ann {
     (0 until numPlanes).map(p => shiftleft(hyperplaneBit(vec, p), p))
       .reduce((a, b) => a.bitwiseOR(b))
 
-  /** Approximate top-k: rank only within the query's LSH bucket. One
-    * shuffle on the bucket id; recall tunes with `numPlanes` (fewer planes
-    * = bigger buckets = higher recall, more compute). */
+  /** Approximate top-k: rank within the query's LSH bucket plus, with
+    * `probeHamming = 1` (the default), every bucket one sign-bit away —
+    * standard multi-probe LSH. Single-bucket probing has chance-level
+    * recall on weakly clustered data (each probe sees ~1/2^planes of the
+    * corpus); Hamming-1 probing multiplies candidates by numPlanes+1 and
+    * recall with them. One shuffle on the bucket id; a corpus row meets
+    * each query at most once (its own bucket matches at most one probe). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              numPlanes: Int = 8,
+              numPlanes: Int = 8, probeHamming: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(probeHamming == 0 || probeHamming == 1,
+      "probeHamming 0 or 1 supported")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      lshBucket(col(vecCol), numPlanes).as("__b"))
+      lshBucket(col(vecCol), numPlanes).as("__qb"))
+    val probeSet =
+      if (probeHamming == 0) array(col("__qb"))
+      else array(col("__qb") +: (0 until numPlanes)
+        .map(i => col("__qb").bitwiseXOR(lit(1L << i))): _*)
+    val probes = q.withColumn("__b", explode(probeSet)).drop("__qb")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       lshBucket(col(vecCol), numPlanes).as("__b"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__cos").desc, col("neighbor_id").asc)
-    c.join(broadcast(q), Seq("__b"))
+    c.join(broadcast(probes), Seq("__b"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("__cos", cosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(w))
