@@ -97,6 +97,22 @@ class OpsSpec extends SparkSpec {
       "name_1", "name_2")
   }
 
+  test("region select pushes filters into a stored bedframe's parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-push").toString
+    Seq(("chr1", 100L, 200L, "a"), ("chr2", 50L, 80L, "b"))
+      .toDF("chrom", "start", "end", "name")
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val plan = Ops.select(stored, "chr1:120-180").select($"chrom", $"start")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("IsNotNull(chrom)") && plan.contains("EqualTo(chrom,chr1)"),
+      s"expected chrom/start pushdown in:\n$plan")
+    // column pruning: name not read
+    assert(plan.contains("ReadSchema") && !plan.contains("name:string"),
+      "projection should prune unused columns")
+  }
+
   test("selectIndices/selectLabels (reference ops.py:69-113)") {
     val df = Seq(("chr1", 1L, 5L, "a"), ("chr1", 3L, 8L, "b"),
       ("chr2", 0L, 2L, "c")).toDF("chrom", "start", "end", "name")
@@ -323,6 +339,31 @@ class OpsSpec extends SparkSpec {
     assertFrame(out.select($"name_1", $"name_2", $"distance"),
       Seq(Seq("x", "y", 2L), Seq("y", "x", 2L), Seq("z", "y", 11L)),
       "name_1", "name_2", "distance")
+  }
+
+  test("BinnedMultiLevel matches Binned on heavy-tailed lengths " +
+    "(incl. megabase-analog spans and points)") {
+    val rnd = new scala.util.Random(7)
+    val mk = (n: Int) => (0 until n).map { i =>
+      val chrom = "chr" + (rnd.nextInt(3) + 1)
+      val s = rnd.nextInt(5000).toLong
+      // heavy tail: mostly short, some spanning most of the axis
+      val len = rnd.nextInt(4) match {
+        case 0 => 0L // points
+        case 1 => rnd.nextInt(10).toLong
+        case 2 => rnd.nextInt(100).toLong
+        case _ => 1000L + rnd.nextInt(4000).toLong
+      }
+      (chrom, s, s + len, i.toLong)
+    }.toDF("chrom", "start", "end", "id")
+    val a = ColSpec.suffixAll(mk(150), "_1")
+    val b = ColSpec.suffixAll(mk(120), "_2")
+    val (c1, c2) = (ColSpec.default.withSuffix("_1"), ColSpec.default.withSuffix("_2"))
+    def pairsOf(st: IntervalJoin.Strategy) = rowsOf(
+      IntervalJoin.pairs(a, b, c1, c2, Nil, st, binSize = 16)
+        .select($"id_1", $"id_2"))
+    assert(pairsOf(IntervalJoin.BinnedMultiLevel) ==
+      pairsOf(IntervalJoin.Binned))
   }
 
   // ---- brute-force cross-check on random intervals ----
