@@ -514,6 +514,20 @@ object Ops {
 
   // ----------------------------------------------------------- complement
 
+  /** Complement with an inferred view (reference `ops.py:1603-1604`):
+    * every chromosome present in df spans `[0, int64max)`, so each
+    * chromosome's final gap runs to int64max. */
+  def complement(df: DataFrame, cols: ColSpec): DataFrame = {
+    val v = df.filter(cols.chromCol.isNotNull)
+      .select(cols.chromCol.as("chrom")).distinct()
+      .select(col("chrom"), lit(0L).as("start"),
+        lit(Long.MaxValue).as("end"), col("chrom").as("name"))
+    complement(df, v, viewNameCol = "name", cols = cols,
+      colsView = ColSpec.default)
+  }
+
+  def complement(df: DataFrame): DataFrame = complement(df, ColSpec.default)
+
   /** Gaps of df within each view region (reference `ops.py:1560-1687`).
     * df intervals are merged (min_dist=0), intersected with each region,
     * and the per-region gaps emitted; regions with no intervals return

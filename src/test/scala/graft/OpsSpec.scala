@@ -240,6 +240,33 @@ class OpsSpec extends SparkSpec {
       Seq("pt", 20L, 20L)), "name", "start", "end")
   }
 
+  test("expand one side only (reference ops.py:150-225 side=)") {
+    val df = Seq(("chr1", 10L, 20L)).toDF("chrom", "start", "end")
+    assertFrame(Ops.expand(df, pad = Some(5L), side = "left"),
+      Seq(Seq("chr1", 5L, 20L)), "chrom", "start", "end")
+    assertFrame(Ops.expand(df, pad = Some(5L), side = "right"),
+      Seq(Seq("chr1", 10L, 25L)), "chrom", "start", "end")
+  }
+
+  test("subtract returnIndex numbers fragments per parent (ops.py:1323-1329)") {
+    val a = Seq(("chr1", 0L, 20L)).toDF("chrom", "start", "end")
+    val b = Seq(("chr1", 5L, 8L), ("chr1", 12L, 14L)).toDF("chrom", "start", "end")
+    val out = Ops.subtract(a, b, returnIndex = true)
+    assertFrame(out.select($"start", $"end", $"sub_index_"),
+      Seq(Seq(0L, 5L, 0), Seq(8L, 12L, 1), Seq(14L, 20L, 2)),
+      "start", "end", "sub_index_")
+  }
+
+  test("complement with no view clips to [0, int64max) per chrom " +
+    "(reference ops.py:1603-1604)") {
+    val df = Seq(("chr1", 1L, 5L), ("chr1", 10L, 14L))
+      .toDF("chrom", "start", "end")
+    assertFrame(Ops.complement(df).select($"start", $"end", $"view_region"),
+      Seq(Seq(0L, 1L, "chr1"), Seq(5L, 10L, "chr1"),
+        Seq(14L, Long.MaxValue, "chr1")),
+      "start", "end", "view_region")
+  }
+
   // ---- complement (tests/test_ops.py:1055+) ----
   test("complement returns gaps per region; empty regions whole") {
     val df = Seq(("chr1", 2L, 4L), ("chr1", 6L, 8L)).toDF("chrom", "start", "end")
