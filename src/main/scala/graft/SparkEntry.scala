@@ -75,11 +75,11 @@ object SparkEntry {
          else Nil): _*)
 
   /** Same join as iv_overlap_inner through the hierarchical-binning
-    * strategy — gate-validates BinnedMultiLevel's exactly-once emission. */
+    * strategy — gate-validates BinnedTwoLevel's exactly-once emission. */
   private def ivOverlapInnerMl(s: SparkSession, dir: String): DataFrame =
     Ops.overlap(iv1(s, dir), iv2(s, dir), how = "inner",
         suffixes = ("_1", "_2"),
-        strategy = IntervalJoin.BinnedMultiLevel, binSize = B)
+        strategy = IntervalJoin.BinnedTwoLevel, binSize = B)
       .select(col("id_1"), col("id_2"))
 
   private def ivOverlapRight(s: SparkSession, dir: String): DataFrame =
@@ -428,7 +428,7 @@ object SparkEntry {
     "iv_overlap_outer" -> ivOverlap("outer") _,
     "iv_overlap_on" -> (ivOverlapOn _),
     "iv_overlap_right" -> (ivOverlapRight _),
-    "iv_overlap_inner_ml" -> (ivOverlapInnerMl _),
+    "iv_overlap_inner_2l" -> (ivOverlapInnerMl _),
     "iv_closest_self" -> (ivClosestSelf _),
     "iv_overlap_left_pts" -> (ivOverlapLeftPts _),
     "iv_setdiff_pts" -> (ivSetdiffPts _),
@@ -550,7 +550,7 @@ object SparkEntry {
          |SELECT a.id AS id_1, b.id AS id_2, a.strand AS strand_1
          |FROM iv1 a JOIN iv2 b ON a.chrom = b.chrom AND a.strand = b.strand
          |  AND ${ovl("a", "b")}""".stripMargin,
-    "iv_overlap_inner_ml" ->
+    "iv_overlap_inner_2l" ->
       s"""WITH $iv1Sql, $iv2Sql
          |SELECT a.id AS id_1, b.id AS id_2
          |FROM iv1 a JOIN iv2 b ON a.chrom = b.chrom AND ${ovl("a", "b")}""".stripMargin,

@@ -32,52 +32,26 @@ object IntervalJoin {
     * session's autoBroadcastJoinThreshold, else binned. */
   case object Auto extends Strategy
   case object Binned extends Strategy
-  /** Hierarchical binning for mixed-length relations: an interval of span
-    * s explodes into s/binSize rows under [[Binned]], so megabase
-    * features (whole genes, SVs, chromosome arms) against a small
-    * binSize blow up the candidate relation. Here each interval registers
-    * at its OWN level — the smallest bin width that covers it in <= 2
-    * bins — plus <= 2 bins at every coarser level, so every interval
-    * contributes O(log(maxSpan/binSize)) rows regardless of length.
-    * Overlapping pairs are guaranteed to share a bin at the longer
-    * interval's level and are emitted exactly once there (level ==
-    * max(level1, level2), bin == the overlap start's bin). Costs a ~2x
-    * constant over [[Binned]] for uniformly short intervals — pick it
-    * when lengths are heavy-tailed. */
-  case object BinnedMultiLevel extends Strategy
+  /** Two-level binning for mixed-length relations: an interval of span s
+    * explodes into s/binSize rows under [[Binned]], so megabase features
+    * (whole genes, SVs, chromosome arms) against a small binSize blow up
+    * the candidate relation. Intervals are classed short (span <=
+    * 8*binSize) or long; the join is a union of three class-disjoint
+    * equi-joins — short x short on FINE bins (<= 9 rows each), and
+    * long x all / short x long on COARSE bins (64*binSize wide: <= 2
+    * rows for shorts, span/coarse for longs) — each with the closed-form
+    * overlap-start-bin dedup. No class pairs two crowded bucket sets, so
+    * no level degenerates into a cross product (a naive climb-all-levels
+    * hierarchy does exactly that at the level whose width exceeds the
+    * chromosome). Opt-in: uniformly short relations pay an extra pass. */
+  case object BinnedTwoLevel extends Strategy
   case object BroadcastRight extends Strategy
 
   val DefaultBinSize: Long = 1000000L
 
-  /** Levels above the base bin width (widths binSize..binSize<<MaxLevel);
-    * 16 doublings cover any chromosome from any practical binSize. */
-  val MaxLevel = 16
-
   /** Integer floor-division that is exact for negative coordinates. */
   private def fdiv(c: Column, w: Long): Column =
     ((c - pmod(c, lit(w))) / lit(w)).cast("long")
-
-  private def fdivC(c: Column, w: Column): Column =
-    ((c - pmod(c, w)) / w).cast("long")
-
-  /** Smallest level whose bin width covers the interval in <= 2 bins:
-    * ceil(log2(span/binSize)) clamped to [0, MaxLevel]. */
-  private def levelOf(start: Column, pend: Column, binSize: Long): Column =
-    least(greatest(
-      ceil(log2(greatest(pend - start, lit(1L)).cast("double") / binSize))
-        .cast("int"),
-      lit(0)), lit(MaxLevel))
-
-  /** (level, bin) registration rows: own level plus every coarser one. */
-  private def levelBins(start: Column, pend: Column,
-                        binSize: Long): Column = {
-    val own = levelOf(start, pend, binSize)
-    flatten(transform(sequence(own, lit(MaxLevel)), lvl => {
-      val w = call_function("shiftleft", lit(binSize), lvl).cast("long")
-      transform(sequence(fdivC(start, w), fdivC(pend - 1, w)),
-        b => struct(lvl.cast("long").as("l"), b.as("b")))
-    }))
-  }
 
   /** The overlap predicate with point promotion, on already-suffixed specs. */
   def overlapPredicate(c1: ColSpec, c2: ColSpec): Column =
@@ -115,33 +89,34 @@ object IntervalJoin {
           on.map { case (a, b) => col(a) === col(b) }
             .foldLeft(overlapPredicate(c1, c2))(_ && _)
         left.join(broadcast(right), cond, "inner")
-      case BinnedMultiLevel =>
-        val lb = left
-          .withColumn("__own1", levelOf(c1.startCol, c1.promotedEnd, binSize))
-          .withColumn("__lb",
-            explode(levelBins(c1.startCol, c1.promotedEnd, binSize)))
-        val rb = right
-          .withColumn("__own2", levelOf(c2.startCol, c2.promotedEnd, binSize))
-          .withColumn("__lb2",
-            explode(levelBins(c2.startCol, c2.promotedEnd, binSize)))
-          .hint("SHUFFLE_HASH")
-        val cond = (c1.chromCol === c2.chromCol) &&
+      case BinnedTwoLevel =>
+        val coarse = binSize * 64
+        val longCap = binSize * 8
+        def isLong(c: ColSpec) = (c.promotedEnd - c.startCol) > lit(longCap)
+        def bins(c: ColSpec, w: Long) =
+          sequence(fdiv(c.startCol, w), fdiv(c.promotedEnd - 1, w))
+        def cond0 = (c1.chromCol === c2.chromCol) &&
           on.map { case (a, b) => col(a) === col(b) }
-            .foldLeft(col("__lb.l") === col("__lb2.l") &&
-              col("__lb.b") === col("__lb2.b"))(_ && _)
-        val meetLevel = greatest(col("__own1"), col("__own2")).cast("long")
-        val meetWidth =
-          call_function("shiftleft", lit(binSize), meetLevel.cast("int"))
-            .cast("long")
-        lb.join(rb, cond, "inner")
-          .filter(overlapPredicate(c1, c2))
-          // every pair shares >= 1 bin at the longer side's level; emit it
-          // only there, in the bin holding the overlap start — exactly-once
-          // without a distinct() shuffle
-          .filter(col("__lb.l") === meetLevel &&
-            col("__lb.b") ===
-              fdivC(greatest(c1.startCol, c2.startCol), meetWidth))
-          .drop("__lb", "__lb2", "__own1", "__own2")
+            .foldLeft(col("__bin") === col("__bin2"))(_ && _)
+        def classJoin(lSide: DataFrame, rSide: DataFrame, w: Long) =
+          lSide.withColumn("__bin", explode(bins(c1, w)))
+            .join(rSide.withColumn("__bin2", explode(bins(c2, w)))
+              .hint("SHUFFLE_HASH"), cond0, "inner")
+            .filter(overlapPredicate(c1, c2))
+            // emit each pair only from this level's bin holding the
+            // overlap's start — dedup without a distinct() shuffle
+            .filter(col("__bin") ===
+              fdiv(greatest(c1.startCol, c2.startCol), w))
+            .drop("__bin", "__bin2")
+        val lShort = left.filter(!isLong(c1))
+        val lLong = left.filter(isLong(c1))
+        val rShort = right.filter(!isLong(c2))
+        val rLong = right.filter(isLong(c2))
+        // three class-disjoint joins: short x short fine, long x all and
+        // short x long coarse (shorts span <= coarse width -> <= 2 bins)
+        classJoin(lShort, rShort, binSize)
+          .unionByName(classJoin(lLong, right, coarse))
+          .unionByName(classJoin(lShort, rLong, coarse))
       case Binned =>
         val lb = left.withColumn(
           "__bin",

@@ -368,7 +368,7 @@ class OpsSpec extends SparkSpec {
       "name_1", "name_2", "distance")
   }
 
-  test("BinnedMultiLevel matches Binned on heavy-tailed lengths " +
+  test("BinnedTwoLevel matches Binned on heavy-tailed lengths " +
     "(incl. megabase-analog spans and points)") {
     val rnd = new scala.util.Random(7)
     val mk = (n: Int) => (0 until n).map { i =>
@@ -389,7 +389,7 @@ class OpsSpec extends SparkSpec {
     def pairsOf(st: IntervalJoin.Strategy) = rowsOf(
       IntervalJoin.pairs(a, b, c1, c2, Nil, st, binSize = 16)
         .select($"id_1", $"id_2"))
-    assert(pairsOf(IntervalJoin.BinnedMultiLevel) ==
+    assert(pairsOf(IntervalJoin.BinnedTwoLevel) ==
       pairsOf(IntervalJoin.Binned))
   }
 
