@@ -105,16 +105,39 @@ object Extras {
     * relation (reference `frac_gene_coverage`, `extras.py:357-387` — the
     * UCSC mRNA fetch becomes a caller-supplied relation in zero-egress
     * Spark; any interval annotation table works). Output: df columns +
-    * `coverage` + `count`. */
+    * `coverage` + `count`. Fused rather than composed from
+    * coverage+countOverlaps: both aggregates run over one distinct-probe
+    * relation and join back once, instead of the count operator
+    * re-evaluating the whole coverage plan in each of its branches. */
   def fracGeneCoverage(df: DataFrame, annotations: DataFrame,
                        cols: ColSpec = ColSpec.default,
                        colsAnn: ColSpec = ColSpec.default,
-                       binSize: Long = IntervalJoin.DefaultBinSize): DataFrame =
-    Ops.countOverlaps(
-      Ops.coverage(df, annotations, coverageCol = "coverage",
-        cols1 = cols, cols2 = colsAnn, binSize = binSize),
-      annotations, countCol = "count",
-      cols1 = cols, cols2 = colsAnn, binSize = binSize)
+                       binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
+    val sfx = "__r_"
+    val cAnn = colsAnn.withSuffix(sfx)
+    val l = RowId.withContentId(df, "__gid")
+    val lDist = l.select(cols.names.map(col) :+ col("__gid"): _*)
+      .dropDuplicates("__gid")
+    val merged = ColSpec.suffixAll(
+      Ops.merge(annotations, Some(0), Nil, colsAnn).drop("n_intervals"), sfx)
+    val covered = IntervalJoin.pairs(lDist, merged, cols, cAnn, Nil,
+        IntervalJoin.Auto, binSize)
+      .groupBy(col("__gid").as("__cid"))
+      .agg(sum(greatest(lit(0L),
+        least(cols.endCol, cAnn.endCol) - greatest(cols.startCol, cAnn.startCol)))
+        .as("coverage"))
+    val raw = ColSpec.suffixAll(
+      annotations.select(colsAnn.names.map(col): _*), sfx)
+    val counts = IntervalJoin.pairs(lDist, raw, cols, cAnn, Nil,
+        IntervalJoin.Auto, binSize)
+      .groupBy(col("__gid").as("__nid"))
+      .agg(count(lit(1)).as("count"))
+    l.join(covered, col("__gid") === col("__cid"), "left")
+      .join(counts, col("__gid") === col("__nid"), "left")
+      .withColumn("coverage", coalesce(col("coverage"), lit(0L)))
+      .withColumn("count", coalesce(col("count"), lit(0L)))
+      .drop("__gid", "__cid", "__nid")
+  }
 
   /** Genome-wide pileup: the stepwise coverage-depth function of `df`
     * (reference kernel `coverage_intervals_rle`, `arrops.py:757-770`).
