@@ -137,6 +137,10 @@ object SparkEntry {
     graft.seq.SeqOps.fracGc(iv1(s, dir), seqChunks(s), binSize = B)
       .select(col("id"), col("frac_gc"))
 
+  private def seqFracMapped(s: SparkSession, dir: String): DataFrame =
+    graft.seq.SeqOps.fracMapped(iv1(s, dir), seqChunks(s), binSize = B)
+      .select(col("id"), col("frac_mapped"))
+
   private def seqDigest(s: SparkSession, dir: String): DataFrame =
     graft.seq.SeqOps.digest(seqChunks(s), "GATC", cutOffset = 0,
         bucketSize = SCAN_BUCKET)
@@ -441,6 +445,7 @@ object SparkEntry {
     "iv_coverage" -> (ivCoverage _),
     "iv_gene_coverage" -> (ivGeneCoverage _),
     "seq_frac_gc" -> (seqFracGc _),
+    "seq_frac_mapped" -> (seqFracMapped _),
     "seq_digest" -> (seqDigest _),
     "iv_closest" -> (ivClosest _),
     "iv_closest_k3" -> (ivClosestK3 _),
@@ -667,6 +672,22 @@ object SparkEntry {
          |SELECT a.id, CASE WHEN COALESCE(st.covered - st.n, 0) > 0
          |    THEN CAST(st.gc AS DOUBLE) / CAST(st.covered - st.n AS DOUBLE)
          |    ELSE NULL END AS frac_gc
+         |FROM iv1 a LEFT JOIN st ON a.id = st.id""".stripMargin,
+    "seq_frac_mapped" ->
+      s"""WITH $iv1Sql, $seqChunksSql,
+         |sl AS (SELECT a.id, GREATEST(a.start, c.cstart) AS os,
+         |    LEAST(a."end", c.cend) AS oe,
+         |    substr(c.seq, CAST(GREATEST(a.start, c.cstart) - c.cstart + 1 AS INT),
+         |      CAST(LEAST(a."end", c.cend) - GREATEST(a.start, c.cstart) AS INT)) AS s
+         |  FROM iv1 a JOIN chunksq c
+         |    ON a.chrom = c.chrom AND a.start < c.cend AND c.cstart < a."end"),
+         |st AS (SELECT id,
+         |    SUM(length(s) - length(translate(s, 'N', ''))) AS n,
+         |    SUM(oe - os) AS covered
+         |  FROM sl GROUP BY id)
+         |SELECT a.id, CASE WHEN COALESCE(st.covered, 0) > 0
+         |    THEN CAST(st.covered - st.n AS DOUBLE) / CAST(st.covered AS DOUBLE)
+         |    ELSE 0.0 END AS frac_mapped
          |FROM iv1 a LEFT JOIN st ON a.id = st.id""".stripMargin,
     "seq_digest" ->
       s"""WITH $seqChunksSql,

@@ -1,9 +1,10 @@
 package graft.ops
 
 import graft.core.ColSpec
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** Derived operators (reference `extras.py`). */
 object Extras {
@@ -228,5 +229,61 @@ object Extras {
       .agg(aggs.head, aggs.tail: _*)
       .drop("__run")
       .select(outCols: _*)
+  }
+
+  /** Greedy first-fit stacking levels for plotting (reference
+    * `stack_intervals`, `arrops.py:773-798`, used by `vis.plot_intervals`):
+    * sweep each chromosome's borders in (position, ends-before-starts,
+    * longer-first) order, assigning each interval the smallest free level.
+    * First-fit is inherently sequential per chromosome, so this runs as a
+    * per-chrom `mapPartitions` sweep (repartition by chrom + local sort) —
+    * appropriate for a visualization-scale operator; levels are O(max
+    * overlap depth) deep. Zero-length points are promoted to length 1
+    * (the engine-wide convention) so they occupy a level at their
+    * position. Adds `levelCol` (0-based). */
+  def stackIntervals(df: DataFrame, levelCol: String = "level",
+                     cols: ColSpec = ColSpec.default): DataFrame = {
+    val l = RowId.withRowId(df, "__sid")
+    val pend = when(cols.endCol === cols.startCol, cols.startCol + 1)
+      .otherwise(cols.endCol)
+    val ev = l.select(cols.chromCol.as("__ch"),
+        col("__sid"), cols.startCol.as("__s"), pend.as("__e"))
+      .select(col("__ch"), col("__sid"), (col("__e") - col("__s")).as("__len"),
+        explode(array(
+          struct(col("__s").as("b"), lit(1).as("t")),
+          struct(col("__e").as("b"), lit(-1).as("t")))).as("__ev"))
+      .select(col("__ch"), col("__sid"), col("__len"),
+        col("__ev.b").as("__b"), col("__ev.t").as("__t"))
+    val parted = ev.repartition(col("__ch"))
+      .sortWithinPartitions(col("__ch"), col("__b").asc, col("__t").asc,
+        col("__len").desc)
+    val outSchema = StructType(Seq(
+      StructField("__lid", l.schema("__sid").dataType),
+      StructField(levelCol, IntegerType, nullable = false)))
+    val levels = parted.mapPartitions { rows =>
+      var curChrom: String = null
+      val freed = new java.util.TreeSet[Integer]()
+      var next = 0
+      val live = scala.collection.mutable.HashMap.empty[Any, Int]
+      rows.flatMap { r =>
+        val ch = r.getString(0)
+        if (ch != curChrom) {
+          curChrom = ch; freed.clear(); next = 0; live.clear()
+        }
+        val id = r.get(1)
+        if (r.getInt(4) > 0) { // start: assign smallest free level
+          val lvl =
+            if (!freed.isEmpty) { val v = freed.pollFirst(); v.intValue() }
+            else { val v = next; next += 1; v }
+          live.put(id, lvl)
+          Some(Row(id, lvl))
+        } else { // end: release
+          live.remove(id).foreach(lvl => freed.add(lvl))
+          None
+        }
+      }
+    }(Encoders.row(outSchema))
+    l.join(levels, col("__sid") === col("__lid"), "inner")
+      .drop("__sid", "__lid")
   }
 }

@@ -80,6 +80,22 @@ class ExtrasSpec extends SparkSpec {
       .toDF("chrom", "start", "end", "value")
     assert(Extras.markRuns(df, "value").select("run").distinct().count() == 2)
   }
+
+  test("stackIntervals assigns greedy first-fit levels per chrom " +
+    "(reference arrops.py:773-798)") {
+    val df = Seq(
+      ("chr1", 0L, 5L, "a"), ("chr1", 2L, 3L, "b"), ("chr1", 3L, 8L, "c"),
+      ("chr1", 8L, 10L, "d"), ("chr2", 0L, 4L, "e"), ("chr1", 4L, 4L, "pt"))
+      .toDF("chrom", "start", "end", "name")
+    val out = Extras.stackIntervals(df)
+    val levels = out.collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[Int]("level")).toMap
+    // sweep: a@0 -> L0; b@2 -> L1; b ends @3 (before c starts) -> c@3 -> L1;
+    // point pt@[4,5) -> L2 (a,c live); a ends @5; c ends @8; d@8 -> L0;
+    // chr2 resets: e -> L0
+    assert(levels == Map("a" -> 0, "b" -> 1, "c" -> 1, "pt" -> 2,
+      "d" -> 0, "e" -> 0))
+  }
 }
 
 class TextDedupSpec extends SparkSpec {
