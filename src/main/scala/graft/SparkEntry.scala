@@ -407,6 +407,27 @@ object SparkEntry {
     Ann.cosineDedupPairs(augEmb(s, dir), threshold = 0.9, numPlanes = 6)
       .select(col("id_1"), col("id_2"))
 
+  /** [[augEmb]] plus a deliberately crowded LSH bucket: 500 copies of
+    * vector 0, 0.5-scaled (positive scaling preserves every hyperplane
+    * projection's sign, so all 500 provably share vector 0's bucket). */
+  private def crowdEmb(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val crowd = emb.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(20000000L), lit(20000499L))).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+    augEmb(s, dir).unionByName(crowd)
+  }
+
+  /** Occupancy-cap gate: with `maxBucketSize = 400` the 500-row planted
+    * bucket is dropped from the candidate universe (no pair in the output
+    * touches it — neither crowd-crowd nor crowd-natural), while every
+    * normal bucket (~8-31 rows at test scale) and its planted near-dup
+    * pairs survive. Proves the cap bounds the self-join, non-vacuously. */
+  private def embLshCap(s: SparkSession, dir: String): DataFrame =
+    Ann.cosineDedupPairs(crowdEmb(s, dir), threshold = 0.9, numPlanes = 6,
+        maxBucketSize = Some(400L))
+      .select(col("id_1"), col("id_2"))
+
   /** Multimodal plumbing demo: documents' text treated as an opaque binary
     * payload; "decode" is a deterministic stub over the byte length (real
     * image/audio decoders slot into `graft.mm.Multimodal`). */
@@ -478,6 +499,7 @@ object SparkEntry {
     "emb_cosine_topk" -> (embCosineTopk _),
     "emb_ann_lsh" -> (embAnnLsh _),
     "emb_cosine_dedup" -> (embCosineDedup _),
+    "emb_lsh_cap" -> (embLshCap _),
     "mm_meta" -> (mmMeta _))
 
   /** Auxiliary relations dumped by Verify alongside the query results.
@@ -497,6 +519,9 @@ object SparkEntry {
         Ann.lshBucket(col("embedding"), 6).as("bucket"))),
     "emb_dedup_buckets" -> ((s, dir) =>
       augEmb(s, dir).select(col("vec_id"),
+        Ann.lshBucket(col("embedding"), 6).as("bucket"))),
+    "emb_cap_buckets" -> ((s, dir) =>
+      crowdEmb(s, dir).select(col("vec_id"),
         Ann.lshBucket(col("embedding"), 6).as("bucket"))))
 
   // ------------------------------------------------------------- oracles
@@ -1046,6 +1071,27 @@ object SparkEntry {
         |  FROM embeddings WHERE vec_id % 50 = 0)
         |SELECT x.vec_id AS id_1, y.vec_id AS id_2
         |FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        |JOIN aug a1 ON a1.vec_id = x.vec_id
+        |JOIN aug a2 ON a2.vec_id = y.vec_id
+        |WHERE list_cosine_similarity(a1.v, a2.v) >= 0.9""".stripMargin,
+    "emb_lsh_cap" ->
+      """WITH bk AS (SELECT vec_id, bucket
+        |  FROM read_parquet('{AUX_DIR}/emb_cap_buckets/*.parquet')),
+        |hot AS (SELECT bucket FROM bk GROUP BY bucket HAVING COUNT(*) > 400),
+        |ok AS (SELECT * FROM bk WHERE bucket NOT IN (SELECT bucket FROM hot)),
+        |aug AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000,
+        |    CAST(list_transform(embedding, x -> x * CAST(0.5 AS FLOAT)) AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id % 50 = 0
+        |  UNION ALL
+        |  SELECT 20000000 + i,
+        |    (SELECT CAST(list_transform(embedding, x -> x * CAST(0.5 AS FLOAT)) AS DOUBLE[])
+        |     FROM embeddings WHERE vec_id = 0)
+        |  FROM UNNEST(generate_series(0, 499)) t(i))
+        |SELECT x.vec_id AS id_1, y.vec_id AS id_2
+        |FROM ok x JOIN ok y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
         |JOIN aug a1 ON a1.vec_id = x.vec_id
         |JOIN aug a2 ON a2.vec_id = y.vec_id
         |WHERE list_cosine_similarity(a1.v, a2.v) >= 0.9""".stripMargin,

@@ -60,10 +60,31 @@ object Ann {
     when(proj >= 0, lit(1L)).otherwise(lit(0L))
   }
 
-  /** Sign-bucket signature of `numPlanes` hyperplane bits packed to a long. */
+  /** Sign-bucket signature of `numPlanes` hyperplane bits packed to a long.
+    *
+    * Sizing: expected occupancy is N / 2^numPlanes, so pick
+    * `numPlanes ~= log2(N / targetBucketSize)` — e.g. 1e9 vectors at a
+    * 10k-row target bucket needs ~17 planes. The toy default (12) is for
+    * test-scale corpora; at 100 TB always size explicitly. Crowded buckets
+    * beyond `maxBucketSize` are dropped by the join operators below, so a
+    * mis-sized `numPlanes` degrades recall, never cost. */
   def lshBucket(vec: Column, numPlanes: Int = 12): Column =
     (0 until numPlanes).map(p => shiftleft(hyperplaneBit(vec, p), p))
       .reduce((a, b) => a.bitwiseOR(b))
+
+  /** Drops rows whose `bucketCol` holds more than `cap` rows — the same
+    * stop-key semantics as [[graft.dedup.Dedup.ngramJaccardPairs]]'s
+    * `maxShingleDf`: one degenerate bucket of f rows contributes f^2 join
+    * rows, so an occupancy cap bounds the worst key's cost while only
+    * affecting recall (pairs inside a dropped bucket may still meet in
+    * another probe/band in multi-table variants). The hot-bucket list is
+    * tiny by construction (at most N/cap entries) — broadcast anti-join. */
+  private def dropHotBuckets(df: DataFrame, bucketCol: String,
+                             cap: Long): DataFrame = {
+    val hot = df.groupBy(col(bucketCol)).count()
+      .filter(col("count") > cap).select(col(bucketCol))
+    df.join(broadcast(hot), Seq(bucketCol), "left_anti")
+  }
 
   /** Approximate top-k: rank within the query's LSH bucket plus, with
     * `probeHamming = 1` (the default), every bucket one sign-bit away —
@@ -74,7 +95,8 @@ object Ann {
     * each query at most once (its own bucket matches at most one probe). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               numPlanes: Int = 8, probeHamming: Int = 1,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              maxBucketSize: Option[Long] = Some(100000L)): DataFrame = {
     require(probeHamming == 0 || probeHamming == 1,
       "probeHamming 0 or 1 supported")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
@@ -84,8 +106,9 @@ object Ann {
       else array(col("__qb") +: (0 until numPlanes)
         .map(i => col("__qb").bitwiseXOR(lit(1L << i))): _*)
     val probes = q.withColumn("__b", explode(probeSet)).drop("__qb")
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+    var c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       lshBucket(col(vecCol), numPlanes).as("__b"))
+    maxBucketSize.foreach(cap => c = dropHotBuckets(c, "__b", cap))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__cos").desc, col("neighbor_id").asc)
     c.join(broadcast(probes), Seq("__b"))
@@ -97,12 +120,20 @@ object Ann {
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucket candidates verified
-    * with exact cosine >= threshold. */
+    * with exact cosine >= threshold. The same-bucket self-join is the only
+    * quadratic-risk step, so the occupancy cap is ON by default — a bucket
+    * holding more than `maxBucketSize` rows is dropped from the candidate
+    * universe (bounding the worst bucket to cap^2 candidate rows); size
+    * `numPlanes` per [[lshBucket]]'s rule so the cap stays a safety net,
+    * not the recall path. Pass `None` for uncapped semantics on corpora
+    * with known-benign bucket distribution. */
   def cosineDedupPairs(df: DataFrame, threshold: Double, numPlanes: Int = 8,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
-    val b = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+                       vecCol: String = "embedding",
+                       maxBucketSize: Option[Long] = Some(100000L)): DataFrame = {
+    var b = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       lshBucket(col(vecCol), numPlanes).as("__b"))
+    maxBucketSize.foreach(cap => b = dropHotBuckets(b, "__b", cap))
     b.alias("x").join(b.alias("y"),
         col("x.__b") === col("y.__b") && col("x.__id") < col("y.__id"))
       .withColumn("cosine", cosine(col("x.__v"), col("y.__v")))

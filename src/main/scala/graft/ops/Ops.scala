@@ -147,14 +147,38 @@ object Ops {
     val (sf1, sf2) = suffixes
     val needId1 = how == "left" || how == "outer" || returnIndex
     val needId2 = how == "right" || how == "outer" || returnIndex
+    // keepOrder fallback (no explicit order column): a side that feeds TWO
+    // plan branches (pairs + its anti branch) must not carry an inline
+    // monotonically_increasing_id — Catalyst may evaluate the branches
+    // under different physical layouts and silently misalign the values
+    // (see [[RowId]]). Instead the fallback ordinal is computed in a
+    // separate slim relation, evaluated exactly once in the final plan,
+    // and joined back by content id after the union. A side feeding a
+    // single branch (inner, or the non-anti side) keeps the cheap inline
+    // id. Explicit order columns are real data — always branch-safe.
+    val fb1 = keepOrder && orderCol1.isEmpty && (how == "left" || how == "outer")
+    val fb2 = keepOrder && orderCol2.isEmpty && (how == "right" || how == "outer")
     var l = ColSpec.suffixAll(df1, sf1)
-    if (keepOrder) l = l.withColumn("__ord1",
-      orderCol1.map(c => col(c + sf1)).getOrElse(monotonically_increasing_id()))
     if (needId1) l = RowId.withContentId(l, "__id1")
+    if (keepOrder && !fb1) l = l.withColumn("__ord1",
+      orderCol1.map(c => col(c + sf1)).getOrElse(monotonically_increasing_id()))
     var r = ColSpec.suffixAll(df2, sf2)
-    if (keepOrder) r = r.withColumn("__ord2",
-      orderCol2.map(c => col(c + sf2)).getOrElse(monotonically_increasing_id()))
     if (needId2) r = RowId.withContentId(r, "__id2")
+    if (keepOrder && !fb2) r = r.withColumn("__ord2",
+      orderCol2.map(c => col(c + sf2)).getOrElse(monotonically_increasing_id()))
+    // fallback ordinal maps: same content-id derivation as l/r (the hash
+    // never includes ordinal columns); min() collapses full duplicates,
+    // which are indistinguishable anyway
+    def fbOrdMap(side: DataFrame, idName: String, ordName: String) =
+      RowId.withContentId(side, idName)
+        .withColumn("__o", monotonically_increasing_id())
+        .groupBy(col(idName)).agg(min(col("__o")).as(ordName))
+    val ordMap1 =
+      if (fb1) Some(fbOrdMap(ColSpec.suffixAll(df1, sf1), "__id1", "__ord1"))
+      else None
+    val ordMap2 =
+      if (fb2) Some(fbOrdMap(ColSpec.suffixAll(df2, sf2), "__id2", "__ord2"))
+      else None
     val c1 = cols1.withSuffix(sf1)
     val c2 = cols2.withSuffix(sf2)
 
@@ -210,9 +234,13 @@ object Ops {
       case "right" => pOrdered.unionByName(rightRest())
       case "outer" => pOrdered.unionByName(leftRest()).unionByName(rightRest())
     }
-    if (keepOrder) out = out
-      .orderBy(col("__ord1").asc_nulls_last, col("__ord2").asc_nulls_last)
-      .drop("__ord1", "__ord2")
+    if (keepOrder) {
+      ordMap1.foreach(m => out = out.join(m, Seq("__id1"), "left"))
+      ordMap2.foreach(m => out = out.join(m, Seq("__id2"), "left"))
+      out = out
+        .orderBy(col("__ord1").asc_nulls_last, col("__ord2").asc_nulls_last)
+        .drop("__ord1", "__ord2")
+    }
     if (!returnIndex) out = out.drop("__id1", "__id2")
     else out = out
       .withColumnRenamed("__id1", "index" + sf1)
@@ -662,10 +690,12 @@ object Ops {
       .drop("__vname", "__vs", "__ve", "__region")
   }
 
-  /** Sort by (chrom natural-order, start, end), or by view row order then
-    * coords when a view is given (reference `ops.py:1690-1804`). Returns a
-    * globally sorted DataFrame (range-partitioned sort — no single-node
-    * bottleneck). */
+  /** Sort by (chrom lexicographic, start, end) — matching the reference's
+    * plain `sort_values` (`ops.py:1690-1804`; natural chromosome order is
+    * the separate `natsort` utility there too, see
+    * [[graft.core.NatOrder]]) — or by view row order then coords when a
+    * view is given. Returns a globally sorted DataFrame (range-partitioned
+    * sort — no single-node bottleneck). */
   def sortBedframe(df: DataFrame, view: Option[DataFrame] = None,
                    viewNameCol: String = "name",
                    cols: ColSpec = ColSpec.default,
