@@ -13,6 +13,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
+    // Noise floor: run each query `reps` times and report the min — the
+    // run-to-run noise band at sf0.1 is roughly +-1s on multi-second
+    // queries (GC, page cache, thread scheduling), which otherwise masks
+    // real regressions of the same magnitude. Min, not mean: the noise is
+    // strictly additive, so the fastest run is the best cost estimate.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     // Untimed warmup: JIT, codegen, and parquet footer reads otherwise
     // land entirely on the alphabetically-first query (~8s of phantom
     // cost observed on a 0.3s query).
@@ -24,22 +30,26 @@ object Bench {
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
     val results = wanted.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // Non-prunable sink: checksum every output column so Catalyst can't
-      // drop projection-only work (a bare count() lets it prune the whole
-      // select list down to a parquet row count). bit_xor, not sum: a sum
-      // of 64-bit hashes overflows under ANSI mode.
-      val n = try {
-        val df = fn(spark, sfDir)
-        val row = df
-          .select(xxhash64(df.columns.map(col): _*).as("__h"))
-          .agg(count(lit(1)).as("__n"), bit_xor(col("__h")))
-          .head()
-        row.getLong(0)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $dt%8.2fs  rows=$n")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // Non-prunable sink: checksum every output column so Catalyst
+        // can't drop projection-only work (a bare count() lets it prune
+        // the whole select list down to a parquet row count). bit_xor,
+        // not sum: a sum of 64-bit hashes overflows under ANSI mode.
+        val n = try {
+          val df = fn(spark, sfDir)
+          val row = df
+            .select(xxhash64(df.columns.map(col): _*).as("__h"))
+            .agg(count(lit(1)).as("__n"), bit_xor(col("__h")))
+            .head()
+          row.getLong(0)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val dt = times.map(_._1).min
+      System.err.println(f"[bench] $name%-24s $dt%8.2fs  rows=${times.last._2}" +
+        times.map(t => f"${t._1}%.2f").mkString("  [", " ", "]"))
       name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
