@@ -4,7 +4,9 @@ import graft.core.{ColSpec, NatOrder, Region}
 import graft.ann.Ann
 import graft.dedup.Dedup
 import graft.ops.{Closest, Extras, IntervalJoin, Ops}
+import graft.streaming.StreamOps
 import graft.text.TextOps
+import graft.vis.Vis
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -200,6 +202,130 @@ object SparkEntry {
   private def ivAssignView(s: SparkSession, dir: String): DataFrame =
     Ops.assignView(iv1(s, dir), view(s), viewOrdCol = Some("ord"))
       .select(col("id"), col("view_region"))
+
+  // ------------------------------------------------- order-sensitive gates
+
+  /** Deterministically scrambled single-file copy of a fixture relation:
+    * written sorted by a multiplicative hash of `id`, so the re-read's
+    * physical file order IS that scrambled order — the contract the
+    * keepOrder fallback and selectIndices ordinals are defined against —
+    * while staying reproducible in the DuckDB oracle (same arithmetic,
+    * ROW_NUMBER over the same keys). */
+  private def scrambledFixture(s: SparkSession, dir: String, name: String,
+                               df: DataFrame, mult: Long): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fixtures/" +
+      s"${new java.io.File(dir).getName}_$name"
+    df.orderBy(pmod(col("id") * lit(mult), lit(999983L)), col("id"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  /** keepOrder with NO order columns: output must come back in the inputs'
+    * physical read order ((df1 pos, df2 pos), nulls last) even though df1
+    * feeds two plan branches — exercising the branch-safe content-id
+    * ordinal map fallback (Ops.overlap fbOrdMap). Inputs are
+    * deterministically scrambled fresh file reads; the produced ORDER is
+    * itself the gated value, exported as a zipWithIndex position. */
+  private def ivOverlapKeepOrder(s: SparkSession, dir: String): DataFrame = {
+    val a = scrambledFixture(s, dir, "ko_iv3", iv3(s, dir), 2654435761L)
+    val b = scrambledFixture(s, dir, "ko_iv2", iv2(s, dir), 1103515245L)
+    val out = Ops.overlap(a, b, how = "left", suffixes = ("_1", "_2"),
+      keepOrder = true, binSize = B)
+    Ops.withInputOrdinal(out.select(col("id_1"), col("id_2")), "pos")
+  }
+
+  /** Direct sortBedframe gate: the produced ORDER is the gated value.
+    * Output omits id so ties on (chrom,start,end) — where the operator's
+    * order is legitimately unspecified — map positions to identical value
+    * tuples under any tie resolution. */
+  private def ivSortBedframe(s: SparkSession, dir: String): DataFrame = {
+    val shuffled = iv1(s, dir).repartition(16, col("id"))
+    Ops.withInputOrdinal(
+      Ops.sortBedframe(shuffled).select(col("chrom"), col("start"), col("end")),
+      "pos")
+  }
+
+  /** selectIndices against the scrambled fresh-read fixture: positions are
+    * the physical read order (reference ops.py:69-88 positional index);
+    * index 777 is absent at sf0.001 (150 rows) — dropped by both sides. */
+  private def ivSelectIndices(s: SparkSession, dir: String): DataFrame =
+    Ops.selectIndices(
+      scrambledFixture(s, dir, "sel_iv3", iv3(s, dir), 2654435761L),
+      Seq(0L, 7L, 77L, 777L))
+      .select(col("id"), col("chrom"), col("start"), col("end"))
+
+  /** stackIntervals gate: first-fit levels are oracled through two
+    * invariants that pin them exactly: (a) no two same-level intervals on
+    * a chromosome overlap (n_violations, computed by an actual self-join
+    * of the operator's output, must be 0), and (b) the number of levels
+    * used equals the maximum overlap depth — first-fit in left-endpoint
+    * sweep order is an optimal interval-graph coloring, so minimality is
+    * checkable without replaying the greedy sweep in SQL. iv3 has no
+    * zero-length rows, so depth via pileup needs no promotion. */
+  private def ivStack(s: SparkSession, dir: String): DataFrame = {
+    val lv = Extras.stackIntervals(iv3(s, dir))
+      .select(col("chrom"), col("start"), col("end"), col("id"), col("level"))
+    val viol = Ops.overlap(lv, lv, how = "inner", suffixes = ("_1", "_2"),
+        on = Seq("level"), binSize = B)
+      .filter(col("id_1") < col("id_2"))
+      .groupBy(col("chrom_1").as("__vc")).agg(count(lit(1)).as("__viol"))
+    val depth = Extras.pileup(iv3(s, dir), bucketSize = SCAN_BUCKET)
+      .groupBy(col("chrom")).agg(max(col("depth")).as("max_depth"))
+    lv.groupBy(col("chrom"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("level")) + 1).cast("long").as("n_levels"))
+      .join(depth, Seq("chrom"), "left")
+      .join(viol, col("chrom") === col("__vc"), "left")
+      .select(col("chrom"), col("n"), col("n_levels"), col("max_depth"),
+        coalesce(col("__viol"), lit(0L)).as("n_violations"))
+  }
+
+  private val colorFixtures: Seq[String] = Seq("red", "tomato", "skyblue",
+    "dodgerblue", "tab:blue", "g", "c", "#ff0000", "#ff8800", "#f0a",
+    "#ff000055", "none", null, "notacolor")
+
+  /** to_ucsc_colorstring parity gate (reference vis.py:18-59). */
+  private def utilColorstring(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    colorFixtures.toDF("color")
+      .select(col("color"), Vis.toUcscColorstring(col("color")).as("item_rgb"))
+  }
+
+  /** Batch-equivalence oracle for the streaming merge: iv1 fed through a
+    * MemoryStream in ~8 micro-batches whose arrival order is scrambled
+    * WITHIN 128-coordinate buckets (bounded disorder, the operator's
+    * contract), allowedLag = 256 > bucket width + max span covering the
+    * repair window. A final far-right sentinel per chrom pushes the
+    * genomic frontier past every real run, flushing them; the sentinels
+    * themselves stay open and are never emitted. The collected streaming
+    * result must hash-match the batch merge oracle exactly. */
+  private def evtStreamMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = iv1(s, dir).select(col("chrom"), col("start"), col("end"))
+      .as[StreamOps.Iv].collect()
+    val arrival = rows.sortBy(iv =>
+      (iv.start / 128, (iv.start * 31 + iv.end * 7) % 97, iv.chrom, iv.end))
+    val input = MemoryStream[StreamOps.Iv]
+    s.catalog.dropTempView("evt_stream_merge_sink")
+    val q = StreamOps.streamingMerge(input.toDS(), minDist = 0,
+        allowedLag = 256)
+      .writeStream.format("memory").queryName("evt_stream_merge_sink")
+      .outputMode("append").start()
+    try {
+      arrival.grouped(math.max(1, arrival.length / 8 + 1)).foreach { batch =>
+        input.addData(batch.toSeq)
+        q.processAllAvailable()
+      }
+      input.addData(rows.map(_.chrom).distinct.toSeq
+        .map(c => StreamOps.Iv(c, 1L << 20, (1L << 20) + 1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table("evt_stream_merge_sink")
+      .select(col("chrom"), col("start"), col("end"),
+        col("nIntervals").as("n_intervals"))
+  }
 
   private def ivSortRank(s: SparkSession, dir: String): DataFrame = {
     val assigned = Ops.assignView(iv1(s, dir), view(s), viewOrdCol = Some("ord"))
@@ -428,17 +554,20 @@ object SparkEntry {
         maxBucketSize = Some(400L))
       .select(col("id_1"), col("id_2"))
 
-  /** Multimodal plumbing demo: documents' text treated as an opaque binary
-    * payload; "decode" is a deterministic stub over the byte length (real
-    * image/audio decoders slot into `graft.mm.Multimodal`). */
+  /** Multimodal decode gate: documents' text as opaque binary payloads
+    * pushed through `Multimodal.decode`'s mapPartitions boundary (the stub
+    * codec — a real JNI decoder slots in with the same signature and plan
+    * shape); the oracle recomputes the stub's metadata arithmetic from the
+    * text lengths, so the gate fails if the decode boundary drops, dups,
+    * or mangles rows. */
   private def mmMeta(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .withColumn("__payload", col("text").cast("binary"))
-      .select(
-        col("doc_id"),
-        octet_length(col("__payload")).cast("long").as("n_bytes"),
-        (octet_length(col("__payload")).cast("long") % 640).as("fake_width"),
-        (octet_length(col("__payload")).cast("long") * 7 % 480).as("fake_height"))
+    graft.mm.Multimodal.decode(
+        graft.mm.Multimodal.asMedia(docs(s, dir), "doc_id", "text",
+          "text/plain"))
+      .select(col("media_id").as("doc_id"), col("n_bytes"),
+        col("width").cast("long").as("fake_width"),
+        col("height").cast("long").as("fake_height"),
+        col("n_frames").cast("long").as("n_frames"))
 
   // ---------------------------------------------------------------- wiring
 
@@ -477,6 +606,10 @@ object SparkEntry {
     "iv_trim_noview" -> (ivTrimNoview _),
     "iv_assign_view" -> (ivAssignView _),
     "iv_sort_rank" -> (ivSortRank _),
+    "iv_sort_bedframe" -> (ivSortBedframe _),
+    "iv_overlap_keep_order" -> (ivOverlapKeepOrder _),
+    "iv_select_indices" -> (ivSelectIndices _),
+    "iv_stack" -> (ivStack _),
     "iv_binnify" -> (ivBinnify _),
     "iv_chromarms" -> (ivChromarms _),
     "iv_pair_by_distance" -> (ivPairByDistance _),
@@ -487,7 +620,9 @@ object SparkEntry {
     "util_sanitize" -> (utilSanitize _),
     "util_natsort" -> (utilNatsort _),
     "region_parse" -> (regionParse _),
+    "util_colorstring" -> (utilColorstring _),
     "evt_sessionize" -> (evtSessionize _),
+    "evt_stream_merge" -> (evtStreamMerge _),
     "evt_window_agg" -> (evtWindowAgg _),
     "txt_stats" -> (txtStats _),
     "txt_langid" -> (txtLangid _),
@@ -847,6 +982,54 @@ object SparkEntry {
          |    ORDER BY olen DESC, ord) AS rn FROM cand) WHERE rn = 1)
          |SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY ord, start, "end", id) AS BIGINT) AS rk
          |FROM best""".stripMargin,
+    "iv_sort_bedframe" ->
+      s"""WITH $iv1Sql
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY chrom, start, "end") - 1
+         |    AS BIGINT) AS pos,
+         |  chrom, start, "end"
+         |FROM iv1""".stripMargin,
+    "iv_overlap_keep_order" ->
+      s"""WITH $iv2Sql, $iv3Sql,
+         |a AS (SELECT *, ROW_NUMBER() OVER (
+         |    ORDER BY (id * 2654435761) % 999983, id) AS o1 FROM iv3),
+         |b AS (SELECT *, ROW_NUMBER() OVER (
+         |    ORDER BY (id * 1103515245) % 999983, id) AS o2 FROM iv2),
+         |j AS (SELECT a.id AS id_1, b.id AS id_2, a.o1 AS o1, b.o2 AS o2
+         |  FROM a LEFT JOIN b ON a.chrom = b.chrom AND ${ovl("a", "b")})
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY o1, o2 NULLS LAST) - 1
+         |    AS BIGINT) AS pos,
+         |  id_1, id_2
+         |FROM j""".stripMargin,
+    "iv_select_indices" ->
+      s"""WITH $iv3Sql
+         |SELECT id, chrom, start, "end" FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    ORDER BY (id * 2654435761) % 999983, id) - 1 AS pos
+         |  FROM iv3) t
+         |WHERE pos IN (0, 7, 77, 777)""".stripMargin,
+    "iv_stack" ->
+      s"""WITH $iv3Sql,
+         |ev AS (SELECT chrom, start AS pos, 1 AS d FROM iv3
+         |  UNION ALL SELECT chrom, "end", -1 FROM iv3),
+         |agg AS (SELECT chrom, pos, SUM(d) AS delta FROM ev GROUP BY chrom, pos),
+         |dep AS (SELECT chrom, CAST(SUM(delta) OVER (PARTITION BY chrom
+         |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT) AS depth FROM agg),
+         |md AS (SELECT chrom, MAX(depth) AS max_depth FROM dep GROUP BY chrom),
+         |cnt AS (SELECT chrom, COUNT(*) AS n FROM iv3 GROUP BY chrom)
+         |SELECT cnt.chrom, cnt.n, md.max_depth AS n_levels,
+         |  md.max_depth AS max_depth, CAST(0 AS BIGINT) AS n_violations
+         |FROM cnt JOIN md ON cnt.chrom = md.chrom""".stripMargin,
+    "util_colorstring" ->
+      """SELECT * FROM (VALUES
+        |  ('red', '255,0,0'), ('tomato', '255,99,71'),
+        |  ('skyblue', '135,206,235'), ('dodgerblue', '30,144,255'),
+        |  ('tab:blue', '31,119,180'), ('g', '0,127,0'), ('c', '0,191,191'),
+        |  ('#ff0000', '255,0,0'), ('#ff8800', '255,136,0'),
+        |  ('#f0a', '255,0,170'), ('#ff000055', '255,0,0'), ('none', '0'),
+        |  (NULL, '0'), ('notacolor', NULL)) t(color, item_rgb)""".stripMargin,
+    "evt_stream_merge" ->
+      s"""WITH $iv1Sql, $mergedIv1Sql
+         |SELECT chrom, start, "end", n_intervals FROM m1""".stripMargin,
     "iv_binnify" ->
       s"""WITH $chromsizesSql
          |SELECT chrom, CAST(s AS BIGINT) AS start,
@@ -1107,7 +1290,8 @@ object SparkEntry {
         |WHERE rn <= 5""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |  CAST(strlen(text) AS BIGINT) % 640 AS fake_width,
-        |  CAST(strlen(text) AS BIGINT) * 7 % 480 AS fake_height
+        |  CAST(strlen(text) AS BIGINT) % 640 + 1 AS fake_width,
+        |  CAST(strlen(text) AS BIGINT) * 7 % 480 + 1 AS fake_height,
+        |  CAST(strlen(text) AS BIGINT) % 24 + 1 AS n_frames
         |FROM documents""".stripMargin)
 }

@@ -53,7 +53,13 @@ object Dedup {
     * deliberate stop-shingle semantic, like IDF cutoffs). At the default
     * 100k the cap is invisible at test scale and bounds the worst key to
     * 1e10 candidate rows at corpus scale; pass `None` for exact semantics
-    * on corpora known to be free of boilerplate. */
+    * on corpora known to be free of boilerplate.
+    *
+    * NOTE the default makes Jaccard silently approximate on corpora that
+    * do contain stop-shingles. The cap's effect is observable without
+    * re-running the pipeline: [[hotShingles]] returns exactly the
+    * shingles (with doc frequencies) the cap would drop — run it once per
+    * corpus to audit before trusting the default. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.0,
                         maxShingleDf: Option[Long] = Some(100000L)): DataFrame = {
@@ -79,6 +85,19 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_1", "id_2", "n_common", "n_1", "n_2", "jaccard")
   }
+
+  /** Audit companion to [[ngramJaccardPairs]]'s hot-shingle cap: the
+    * shingles whose document frequency exceeds `maxShingleDf` (i.e. the
+    * ones the default cap drops from the similarity universe), with their
+    * frequencies, most frequent first. Empty result == the cap is a
+    * no-op on this corpus and Jaccard is exact. */
+  def hotShingles(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, maxShingleDf: Long = 100000L): DataFrame =
+    shingleRel(df, idCol, textCol, n)
+      .groupBy(col("__sh").as("shingle"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxShingleDf)
+      .orderBy(col("n_docs").desc)
 
   /** MinHash signature column: array of `numHashes` minimums of affine
     * permutations of the shingle hash (xxhash64). Deterministic: the

@@ -55,7 +55,11 @@ object Tables {
   /** Comma list "1,2,3[,]" parsed to array<long> (BED's stringly-encoded
     * lists, io/bed.py:360-382) — a pure codegen'd expression. */
   private def commaList(c: Column): Column =
-    transform(split(regexp_replace(c, ",$", ""), ","), _.cast("long"))
+    // per-element digit guard: a malformed element must yield null, not an
+    // ANSI cast error — the format-violation disjunct reports it; CaseWhen
+    // branches evaluate lazily per row, so the cast never sees bad input
+    transform(split(regexp_replace(c, ",$", ""), ","),
+      x => when(x.rlike("^\\d+$"), x.cast("long")))
 
   /** Per-column violation predicates mirroring the reference validator
     * set (io/bed.py:127-475), incl. the bed12 block-structure rules:
@@ -93,6 +97,14 @@ object Tables {
           (col("blockCount").isNotNull && n =!= col("blockCount")) ||
           exists(starts, x => x < 0 || x > len) ||
           element_at(starts, 1) =!= lit(0L) ||
+          // sizes-dependent rules: blockStarts without a present,
+          // well-formed, same-length blockSizes is itself a violation —
+          // and the explicit guard keeps the disjuncts below from
+          // evaluating to SQL NULL (which would silently pass the check)
+          // when sizes is null or malformed.
+          col("blockSizes").isNull ||
+          !col("blockSizes").rlike("^(\\d+,)*\\d+,?$") ||
+          size(sizes) =!= n ||
           element_at(starts, -1) + element_at(sizes, -1) =!= len ||
           // sorted + non-overlapping: start[i] + size[i] <= start[i+1]
           exists(

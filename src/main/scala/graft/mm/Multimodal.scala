@@ -45,13 +45,31 @@ object Multimodal {
 
   /** Decode boundary: per-partition batch iteration (one decoder init per
     * partition, the pattern a JNI codec needs), preserving columnar
-    * upstream/downstream plans. Partition sizing: one metadata-cheap
-    * count sizes the repartition so ~`targetRowsPerPartition` media land
-    * in each decode task — bounded decoder memory per executor. */
-  def decode(media: DataFrame, targetRowsPerPartition: Int = 1024): DataFrame = {
+    * upstream/downstream plans.
+    *
+    * Partition sizing is derived from the optimizer's size estimate (exact
+    * file bytes for scans, propagated estimates for derived plans) — NO
+    * extra pass over the payload relation (an earlier `df.count()` here
+    * was a full second scan whenever the input wasn't a bare file read).
+    * Since payload bytes dominate row width, bytes-per-task is also the
+    * right unit for bounding decoder memory. When the estimate is
+    * unusable (unknown-stats plans default to Long.MaxValue-ish), fall
+    * back to the cluster's default parallelism; pass `numPartitions` to
+    * pin it explicitly. */
+  def decode(media: DataFrame,
+             targetBytesPerPartition: Long = 256L << 20,
+             numPartitions: Option[Int] = None): DataFrame = {
     val df = media.select("media_id", "payload", "mime")
-    val parts = math.max(1,
-      math.ceil(df.count().toDouble / targetRowsPerPartition).toInt)
+    val parts = numPartitions.getOrElse {
+      val defaultPar = df.sparkSession.sparkContext.defaultParallelism
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est <= 0 || est >= BigInt(Long.MaxValue) / 4) defaultPar
+      else {
+        val byBytes = ((est + targetBytesPerPartition - 1) /
+          targetBytesPerPartition).toInt
+        math.min(math.max(defaultPar, byBytes), 1 << 18)
+      }
+    }
     df.repartition(parts).mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("payload")

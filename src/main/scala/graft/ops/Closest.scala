@@ -213,7 +213,12 @@ object Closest {
       .orderBy(col("__sortdist").asc, col("__tie").asc, col("__id2").asc)
     val ovlStart = greatest(col("__s1"), col("__s2"))
     val ovlEnd = least(col("__e1"), col("__e2"))
-    val hasOvl = ovlStart < ovlEnd
+    // have_overlap follows the candidate convention (__sortdist == 0 under
+    // the engine-wide point promotion), NOT raw ovlStart < ovlEnd: a
+    // zero-length interval matched as an overlap via promotion must report
+    // have_overlap=true with its (empty, start==end) intersection coords —
+    // raw coords would contradict the distance=0 the same pair carries.
+    val hasOvl = col("__sortdist") === 0
     val extraRanked: Seq[Column] =
       (if (returnOverlap)
         Seq(hasOvl.as("have_overlap"),

@@ -49,6 +49,27 @@ object IntervalJoin {
 
   val DefaultBinSize: Long = 1000000L
 
+  /** Session conf key: minimum optimizer size estimate (bytes) of either
+    * join side before [[Auto]] pays the span-quantile probe that can
+    * upgrade [[Binned]] to [[BinnedTwoLevel]]. Below it the probe isn't
+    * worth a job (the fine-bin explosion is bounded anyway); at
+    * cluster scale the probe cost is noise next to the join. */
+  val ProbeThresholdKey = "spark.graft.join.probeThresholdBytes"
+  val DefaultProbeThresholdBytes: Long = 256L << 20
+
+  /** Span-tail probe for [[Auto]]: approximate p99 interval span over a
+    * bounded prefix sample. A p99 beyond the two-level long-interval cut
+    * (8*binSize) means [[Binned]] would explode the tail onto >8 fine
+    * bins per row — the regime [[BinnedTwoLevel]] exists for. Bounded:
+    * reads at most `maxRows` rows of two columns. */
+  def spanTailIsHeavy(df: DataFrame, c: ColSpec, binSize: Long,
+                      maxRows: Int = 100000): Boolean = {
+    val q = df.select((c.promotedEnd - c.startCol).cast("double").as("__span"))
+      .limit(maxRows)
+      .stat.approxQuantile("__span", Array(0.99), 0.1)
+    q.nonEmpty && q(0) > (binSize * 8).toDouble
+  }
+
   /** Integer floor-division that is exact for negative coordinates. */
   private def fdiv(c: Column, w: Long): Column =
     ((c - pmod(c, lit(w))) / lit(w)).cast("long")
@@ -56,6 +77,40 @@ object IntervalJoin {
   /** The overlap predicate with point promotion, on already-suffixed specs. */
   def overlapPredicate(c1: ColSpec, c2: ColSpec): Column =
     c1.startCol < c2.promotedEnd && c2.startCol < c1.promotedEnd
+
+  /** [[Auto]] resolution from plan statistics (public so tests can assert
+    * the choice without running the join):
+    *  - tiny right side -> [[BroadcastRight]]. Broadcast is only right for
+    *    true dimension tables (views, chromsizes): the hash join keys on
+    *    `chrom` alone, so every left row scans ALL same-chrom right rows —
+    *    cost O(|L| * |R| / nChrom), catastrophic for a non-tiny right side
+    *    (observed 650s vs 15s at 600k x 150k). Hard few-thousand-row cap
+    *    regardless of the session broadcast threshold.
+    *  - a KNOWN-large side (optimizer estimate above
+    *    [[ProbeThresholdKey]], but not the unknown-stats Long.MaxValue
+    *    default that mapPartitions barriers report) with a heavy span
+    *    tail ([[spanTailIsHeavy]]) -> [[BinnedTwoLevel]]: megabase-scale
+    *    intervals would explode onto many fine bins under [[Binned]].
+    *  - everything else -> [[Binned]], whose cost tracks the true pair
+    *    count. */
+  def resolveAuto(left: DataFrame, right: DataFrame,
+                  c1: ColSpec, c2: ColSpec, binSize: Long): Strategy = {
+    val cap = 65536L
+    val szR = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (szR <= cap) BroadcastRight
+    else {
+      val threshold = BigInt(left.sparkSession.conf
+        .get(ProbeThresholdKey, DefaultProbeThresholdBytes.toString).toLong)
+      val unknown = BigInt(Long.MaxValue) / 4
+      def knownLargeHeavy(df: DataFrame, c: ColSpec): Boolean = {
+        val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        sz >= threshold && sz < unknown && spanTailIsHeavy(df, c, binSize)
+      }
+      if (knownLargeHeavy(left, c1) || knownLargeHeavy(right, c2))
+        BinnedTwoLevel
+      else Binned
+    }
+  }
 
   /** Inner interval join of two relations whose column names are already
     * disjoint. Returns all columns of both sides for each overlapping pair.
@@ -69,18 +124,7 @@ object IntervalJoin {
             strategy: Strategy = Auto,
             binSize: Long = DefaultBinSize): DataFrame = {
     val resolved = strategy match {
-      case Auto =>
-        // Broadcast is only right for true dimension tables (views,
-        // chromsizes): the hash join keys on `chrom` alone, so every left
-        // row scans ALL same-chrom right rows — cost O(|L| * |R| / nChrom),
-        // catastrophic for a non-tiny right side (observed 650s vs 15s at
-        // 600k x 150k). Keep a hard few-thousand-row cap regardless of the
-        // session broadcast threshold; everything else takes the binned
-        // shuffle join, whose cost tracks the true pair count.
-        val cap = 65536L
-        val sizeEstimate =
-          right.queryExecution.optimizedPlan.stats.sizeInBytes
-        if (sizeEstimate <= cap) BroadcastRight else Binned
+      case Auto => resolveAuto(left, right, c1, c2, binSize)
       case s => s
     }
     resolved match {

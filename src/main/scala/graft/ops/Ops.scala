@@ -128,7 +128,11 @@ object Ops {
     * of the pandas index — any shuffle-surviving column works), or leave
     * them unset to fall back to the inputs' physical read order
     * (`monotonically_increasing_id`), which matches file order for freshly
-    * read inputs but is unspecified for shuffled ones.
+    * read inputs but is unspecified for shuffled ones. Under the fallback,
+    * full-duplicate rows share ONE ordinal (the minimum over the copies):
+    * duplicates are indistinguishable, so collapsing their ordinals cannot
+    * change the sorted output — documented because it differs from the
+    * pandas index, where copies keep distinct positions.
     */
   def overlap(df1: DataFrame, df2: DataFrame, how: String = "left",
               suffixes: (String, String) = ("", "_"),
@@ -211,8 +215,14 @@ object Ops {
                     other: DataFrame, cOther: ColSpec,
                     otherOn: Seq[String]): DataFrame = {
       val msfx = "__m_"
+      // null-coordinate rows (reference NA rows, tests/test_ops.py:775-812)
+      // can never overlap anything: drop them before the merge sweep, whose
+      // local sort/scan requires concrete coordinates. They still surface
+      // as unmatched rows of their own side via the anti branches.
+      val concrete = other.filter(cOther.chromCol.isNotNull &&
+        cOther.startCol.isNotNull && cOther.endCol.isNotNull)
       val m = ColSpec.suffixAll(
-        Ops.merge(promotePoints(other, cOther), Some(0), otherOn, cOther)
+        Ops.merge(promotePoints(concrete, cOther), Some(0), otherOn, cOther)
           .drop("n_intervals"), msfx)
       IntervalJoin.pairs(side, m, cSide, cOther.withSuffix(msfx),
         otherOn.map(k => (k + sideSfx, k + msfx)), strategy, binSize)
@@ -566,7 +576,11 @@ object Ops {
                  viewNameCol: String = "name",
                  cols: ColSpec = ColSpec.default,
                  colsView: ColSpec = ColSpec.default): DataFrame = {
-    val m = merge(df, Some(0), Nil, cols).drop("n_intervals")
+    // NA rows cover nothing and are ignored, matching the reference
+    // (tests/test_ops.py:1149-1162); the merge sweep needs concrete coords
+    val concrete = df.filter(cols.chromCol.isNotNull &&
+      cols.startCol.isNotNull && cols.endCol.isNotNull)
+    val m = merge(concrete, Some(0), Nil, cols).drop("n_intervals")
     val v = view.select(
       col(colsView.chrom).as("__vc"),
       col(colsView.start).as("__vs"),
@@ -690,12 +704,14 @@ object Ops {
       .drop("__vname", "__vs", "__ve", "__region")
   }
 
-  /** Sort by (chrom lexicographic, start, end) — matching the reference's
-    * plain `sort_values` (`ops.py:1690-1804`; natural chromosome order is
-    * the separate `natsort` utility there too, see
-    * [[graft.core.NatOrder]]) — or by view row order then coords when a
-    * view is given. Returns a globally sorted DataFrame (range-partitioned
-    * sort — no single-node bottleneck). */
+  /** Sort by (chrom lexicographic, start, end), matching the reference's
+    * plain `sort_values` (`ops.py:1690-1804`), or by view row order then
+    * coords when a view is given. This operator does NOT natural-sort
+    * chromosome names (neither does the reference's `sort_bedframe`);
+    * callers wanting chr2 < chr10 sort on
+    * [[graft.core.NatOrder.sortKeys]] or pass a natsorted view. Returns a
+    * globally sorted DataFrame (range-partitioned sort — no single-node
+    * bottleneck). */
   def sortBedframe(df: DataFrame, view: Option[DataFrame] = None,
                    viewNameCol: String = "name",
                    cols: ColSpec = ColSpec.default,

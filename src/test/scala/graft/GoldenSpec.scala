@@ -1,0 +1,349 @@
+package graft
+
+import graft.core.ColSpec
+import graft.io.Tables
+import graft.dedup.Dedup
+import graft.ops.{Closest, Extras, IntervalJoin, Ops}
+import graft.vis.Vis
+import org.apache.spark.sql.functions._
+
+/** Golden-frame transcriptions of the reference suite's contract tests —
+  * null handling, tie-breaking, directional closest, view-clipped
+  * complement, order-restoring joins (`tests/test_ops.py` regions cited
+  * per test). Kept separate from OpsSpec so each reference test region
+  * maps to one suite. */
+class GoldenSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- overlap with NA rows (tests/test_ops.py:775-867) ----
+
+  private def naB = Seq(
+    (Option("chr1"), Option(6L), Option(10L), "+"),
+    (None: Option[String], None: Option[Long], None: Option[Long], "-"),
+    (Option("chrX"), Option(7L), Option(10L), "-"),
+    (Option("chrX"), Option(1000L), Option(1200L), "-"))
+    .toDF("chrom", "start", "end", "strand")
+
+  private def naA = Seq(("chr1", 8L, 12L, "+"), ("chr1", 7L, 10L, "-"),
+    ("chrX", 1L, 8L, "+")).toDF("chrom", "start", "end", "strand")
+
+  test("overlap left: NA rows in df2 match nothing, don't crash the " +
+    "merged-anti branch (test_ops.py:775-812)") {
+    val out = Ops.overlap(naA, naB, how = "left", suffixes = ("_1", "_2"),
+      binSize = 4)
+    assertFrame(out.select($"start_1", $"start_2"),
+      Seq(Seq(8L, 6L), Seq(7L, 6L), Seq(1L, 7L)), "start_1", "start_2")
+  }
+
+  test("overlap outer: NA rows of either side survive as unmatched " +
+    "(test_ops.py:801-807)") {
+    val out = Ops.overlap(naA, naB, how = "outer", suffixes = ("_1", "_2"),
+      binSize = 4)
+    // 3 pairs + df2's NA row + df2's unmatched chrX:1000-1200
+    assert(out.count() == 5)
+    val naRow = out.filter($"chrom_2".isNull && $"chrom_1".isNull)
+    assert(naRow.count() == 1 && naRow.head().getAs[String]("strand_2") == "-")
+  }
+
+  test("closest ignores NA rows on both sides (test_ops.py:1276-1305)") {
+    val a = Seq((Option("chr1"), Option(1L), Option(5L)),
+      (None: Option[String], None: Option[Long], None: Option[Long]))
+      .toDF("chrom", "start", "end")
+    val b = Seq((Option("chr1"), Option(4L), Option(8L)),
+      (None: Option[String], None: Option[Long], None: Option[Long]),
+      (Option("chr1"), Option(10L), Option(11L)))
+      .toDF("chrom", "start", "end")
+    val out = Closest.closest(a, Some(b), k = 5, ignoreOverlaps = true,
+      suffixes = ("_1", "_2"), binSize = 4)
+    assertFrame(out.select($"start_1", $"start_2", $"distance"),
+      Seq(Seq(1L, 10L, 5L), Seq(null, null, null)),
+      "start_1", "start_2", "distance")
+  }
+
+  // ---- cluster with NAs and on= (tests/test_ops.py:905-952) ----
+
+  test("cluster: each NA row forms its own cluster (test_ops.py:929-945)") {
+    val df = Seq(
+      (Option("chrX"), Option(1L), Option(8L)),
+      (None: Option[String], None: Option[Long], None: Option[Long]),
+      (Option("chr1"), Option(8L), Option(12L)),
+      (Option("chr1"), Option(1L), Option(8L)),
+      (None: Option[String], None: Option[Long], None: Option[Long]))
+      .toDF("chrom", "start", "end")
+    val out = Ops.cluster(df, minDist = Some(0))
+    // one row per input row
+    assert(out.count() == 5)
+    // chr1 rows merge into one cluster; each NA row isolated
+    val naClusters = out.filter($"chrom".isNull)
+      .select($"cluster").collect().map(_.getLong(0)).toSet
+    assert(naClusters.size == 2, "NA rows must not merge with each other")
+    val chr1 = out.filter($"chrom" === "chr1")
+      .select($"cluster").distinct().count()
+    assert(chr1 == 1)
+  }
+
+  test("cluster on=[strand] vs on=[location, animal] grouping " +
+    "(test_ops.py:918-925; ids are per-(chrom,on) group here — a " +
+    "documented deviation from the reference's global dense ids)") {
+    val df = Seq(
+      ("chr1", 3L, 8L, "+", "cat", 5.5),
+      ("chr1", 3L, 8L, "-", "dog", 6.5),
+      ("chr1", 6L, 10L, "-", "cat", 6.5),
+      ("chrX", 6L, 10L, "-", "cat", 6.5))
+      .toDF("chrom", "start", "end", "strand", "animal", "location")
+    val byStrand = Ops.cluster(df, on = Seq("strand"))
+      .select($"chrom", $"strand", $"cluster", $"start").collect()
+    // the two chr1 "-" rows overlap -> same cluster; "+" row separate
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2))
+    val minus = byStrand.filter(r => r.getString(1) == "-" && r.getString(0) == "chr1")
+    assert(minus.map(key).toSet.size == 1)
+    val plus = byStrand.filter(_.getString(1) == "+")
+    assert(!minus.map(key).contains(key(plus.head)))
+    val byLocAnimal = Ops.cluster(df, on = Seq("location", "animal"))
+    // all four rows end up in distinct (group, cluster) cells
+    assert(byLocAnimal.select($"chrom", $"location", $"animal", $"cluster")
+      .distinct().count() == 4)
+  }
+
+  // ---- complement view clipping (tests/test_ops.py:1120-1167) ----
+
+  test("complement clips an overhanging interval to the view " +
+    "(test_ops.py:1120-1135)") {
+    val df = Seq(("chr1", -5L, 5L), ("chr1", 10L, 20L))
+      .toDF("chrom", "start", "end")
+    val view = Seq(("chr1", 0L, 15L, "chr1:0-15")).toDF("chrom", "start", "end", "name")
+    assertFrame(Ops.complement(df, view),
+      Seq(Seq("chr1", 5L, 10L, "chr1:0-15")),
+      "chrom", "start", "end", "view_region")
+  }
+
+  test("complement: interval spanning two view regions contributes to " +
+    "both; inter-region gap excluded (test_ops.py:1139-1147)") {
+    val df = Seq(("chr1", 5L, 15L)).toDF("chrom", "start", "end")
+    val view = Seq(("chr1", 0L, 9L, "chr1p"), ("chr1", 11L, 20L, "chr1q"))
+      .toDF("chrom", "start", "end", "name")
+    assertFrame(Ops.complement(df, view),
+      Seq(Seq("chr1", 0L, 5L, "chr1p"), Seq("chr1", 15L, 20L, "chr1q")),
+      "chrom", "start", "end", "view_region")
+  }
+
+  test("complement ignores NA rows in df (test_ops.py:1149-1162)") {
+    val df = Seq(
+      (None: Option[String], None: Option[Long], None: Option[Long]),
+      (Option("chr1"), Option(5L), Option(15L)),
+      (None: Option[String], None: Option[Long], None: Option[Long]))
+      .toDF("chrom", "start", "end")
+    val view = Seq(("chr1", 0L, 9L, "chr1p"), ("chr1", 11L, 20L, "chr1q"))
+      .toDF("chrom", "start", "end", "name")
+    assertFrame(Ops.complement(df, view),
+      Seq(Seq("chr1", 0L, 5L, "chr1p"), Seq("chr1", 15L, 20L, "chr1q")),
+      "chrom", "start", "end", "view_region")
+  }
+
+  // ---- closest golden cases (tests/test_ops.py:1168-1493) ----
+
+  private def cA = Seq(("chr1", 1L, 5L)).toDF("chrom", "start", "end")
+  private def cB = Seq(("chr1", 4L, 8L), ("chr1", 10L, 11L))
+    .toDF("chrom", "start", "end")
+
+  test("closest k=1 picks the overlap (test_ops.py:1180-1190)") {
+    val out = Closest.closest(cA, Some(cB), k = 1, suffixes = ("_1", "_2"))
+    assertFrame(out.select($"start_2", $"distance"),
+      Seq(Seq(4L, 0L)), "start_2", "distance")
+  }
+
+  test("closest ignoreOverlaps picks the nearest non-overlap " +
+    "(test_ops.py:1192-1204)") {
+    val out = Closest.closest(cA, Some(cB), k = 1, ignoreOverlaps = true,
+      suffixes = ("_1", "_2"))
+    assertFrame(out.select($"start_2", $"distance"),
+      Seq(Seq(10L, 5L)), "start_2", "distance")
+  }
+
+  test("closest skips other-chromosome rows (test_ops.py:1222-1233)") {
+    val b = Seq(("chrA", 4L, 8L), ("chr1", 10L, 11L))
+      .toDF("chrom", "start", "end")
+    val out = Closest.closest(cA, Some(b), k = 1, suffixes = ("_1", "_2"))
+    assertFrame(out.select($"start_2", $"distance"),
+      Seq(Seq(10L, 5L)), "start_2", "distance")
+  }
+
+  test("closest direction_col: overlap wins for both strands " +
+    "(test_ops.py:1317-1341)") {
+    val a = Seq(("chr1", 3L, 5L, "+"), ("chr1", 3L, 5L, "-"))
+      .toDF("chrom", "start", "end", "strand")
+    val b = Seq(("chr1", 1L, 2L), ("chr1", 2L, 8L), ("chr1", 10L, 11L))
+      .toDF("chrom", "start", "end")
+    val out = Closest.closest(a, Some(b), k = 1,
+      directionCol = Some("strand"), suffixes = ("_1", "_2"))
+    assertFrame(out.select($"strand_1", $"start_2", $"distance"),
+      Seq(Seq("+", 2L, 0L), Seq("-", 2L, 0L)),
+      "strand_1", "start_2", "distance")
+  }
+
+  test("closest direction_col + ignoreDownstream keeps upstream per " +
+    "strand (test_ops.py:1343-1366)") {
+    val a = Seq(("chr1", 3L, 5L, "+"), ("chr1", 3L, 5L, "-"))
+      .toDF("chrom", "start", "end", "strand")
+    val b = Seq(("chr1", 1L, 2L), ("chr1", 2L, 8L), ("chr1", 10L, 11L))
+      .toDF("chrom", "start", "end")
+    val out = Closest.closest(a, Some(b), k = 1, ignoreDownstream = true,
+      ignoreOverlaps = true, directionCol = Some("strand"),
+      suffixes = ("_1", "_2"))
+    assertFrame(out.select($"strand_1", $"start_2", $"distance"),
+      Seq(Seq("+", 1L, 1L), Seq("-", 10L, 5L)),
+      "strand_1", "start_2", "distance")
+    val flipped = Closest.closest(a, Some(b), k = 1, ignoreUpstream = true,
+      ignoreOverlaps = true, directionCol = Some("strand"),
+      suffixes = ("_1", "_2"))
+    assertFrame(flipped.select($"strand_1", $"start_2", $"distance"),
+      Seq(Seq("+", 10L, 5L), Seq("-", 1L, 1L)),
+      "strand_1", "start_2", "distance")
+  }
+
+  test("closest: side absent -> null row survives (test_ops.py:1434-1492)") {
+    val a = Seq(("chr1", 3L, 5L)).toDF("chrom", "start", "end")
+    val bNoUp = Seq(("chr1", 5L, 6L), ("chr1", 10L, 11L))
+      .toDF("chrom", "start", "end")
+    val out = Closest.closest(a, Some(bNoUp), k = 1, ignoreDownstream = true,
+      ignoreOverlaps = true, suffixes = ("_1", "_2"))
+    assertFrame(out.select($"start_1", $"start_2", $"distance"),
+      Seq(Seq(3L, null, null)), "start_1", "start_2", "distance")
+  }
+
+  test("closest returnOverlap on a promoted point is consistent with its " +
+    "zero distance (ADVICE r4; reference promotion arrops.py:271-287)") {
+    val a = Seq(("chr1", 5L, 5L)).toDF("chrom", "start", "end")
+    val b = Seq(("chr1", 3L, 8L)).toDF("chrom", "start", "end")
+    val out = Closest.closest(a, Some(b), k = 1, returnOverlap = true,
+      suffixes = ("_1", "_2"))
+    assertFrame(out.select($"have_overlap", $"overlap_start", $"overlap_end",
+      $"distance"),
+      Seq(Seq(true, 5L, 5L, 0L)),
+      "have_overlap", "overlap_start", "overlap_end", "distance")
+  }
+
+  // ---- keepOrder fallback + sortBedframe (ops.py:549-550, 1690-1804) ----
+
+  test("overlap keepOrder with NO order columns restores fresh-read file " +
+    "order via the content-id ordinal map (Ops.overlap fbOrdMap)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ko").toString
+    Seq(("chr1", 7L, 10L, "a2"), ("chr2", 3L, 5L, "a3"), ("chr1", 1L, 5L, "a1"),
+      ("chr1", 0L, 2L, "a0"))
+      .toDF("chrom", "start", "end", "name")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val a = spark.read.parquet(dir)
+    val b = Seq(("chr1", 4L, 8L, "b1"), ("chr1", 10L, 11L, "b2"),
+      ("chr3", 0L, 2L, "b3")).toDF("chrom", "start", "end", "name")
+    val out = Ops.overlap(a, b, how = "left", suffixes = ("_1", "_2"),
+      keepOrder = true, binSize = 4)
+    assert(out.select("name_1").collect().map(_.getString(0)).toSeq ==
+      Seq("a2", "a3", "a1", "a0"))
+  }
+
+  test("sortBedframe sorts (chrom, start, end); view variant sorts by " +
+    "view order then coords (ops.py:1690-1804)") {
+    val df = Seq(("chr2", 1L, 3L, "x"), ("chr1", 9L, 12L, "y"),
+      ("chr1", 2L, 5L, "z"), ("chr1", 2L, 4L, "w"))
+      .toDF("chrom", "start", "end", "name")
+    val sorted = Ops.sortBedframe(df.repartition(3))
+    assert(sorted.select("name").collect().map(_.getString(0)).toSeq ==
+      Seq("w", "z", "y", "x"))
+    // view lists chr2 first -> its rows sort first
+    val view = Seq(("chr2", 0L, 100L, "r2"), ("chr1", 0L, 100L, "r1"))
+      .toDF("chrom", "start", "end", "name")
+    val viewSorted = Ops.sortBedframe(df.repartition(3), Some(view))
+    assert(viewSorted.select("name").collect().map(_.getString(0)).toSeq ==
+      Seq("x", "w", "z", "y"))
+  }
+
+  // ---- Auto strategy resolution (IntervalJoin.resolveAuto) ----
+
+  test("Auto picks BinnedTwoLevel from a heavy span tail, Binned for " +
+    "uniform shorts, BroadcastRight for tiny dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-auto").toString
+    val rnd = new scala.util.Random(11)
+    // heavy tail: 5% of spans cover ~200 bins of binSize 16; fixtures are
+    // sized well above resolveAuto's 64KB broadcast cap
+    (0 until 40000).map { i =>
+      val s = rnd.nextInt(5000).toLong
+      val len = if (i % 20 == 0) 3000L + rnd.nextInt(1000) else rnd.nextInt(8).toLong
+      ("chr1", s, s + len)
+    }.toDF("chrom", "start", "end")
+      .write.mode("overwrite").parquet(s"$dir/heavy")
+    (0 until 40000).map { i =>
+      val s = rnd.nextInt(5000).toLong
+      ("chr1", s, s + rnd.nextInt(8).toLong)
+    }.toDF("chrom", "start", "end")
+      .write.mode("overwrite").parquet(s"$dir/uniform")
+    val heavy = spark.read.parquet(s"$dir/heavy")
+    val uniform = spark.read.parquet(s"$dir/uniform")
+    val c = ColSpec.default
+    spark.conf.set(IntervalJoin.ProbeThresholdKey, "1")
+    try {
+      assert(IntervalJoin.resolveAuto(heavy, uniform, c, c, 16) ==
+        IntervalJoin.BinnedTwoLevel)
+      assert(IntervalJoin.resolveAuto(uniform, heavy, c, c, 16) ==
+        IntervalJoin.BinnedTwoLevel)
+      assert(IntervalJoin.resolveAuto(uniform, uniform, c, c, 16) ==
+        IntervalJoin.Binned)
+      val tiny = Seq(("chr1", 0L, 100L)).toDF("chrom", "start", "end")
+      assert(IntervalJoin.resolveAuto(heavy, tiny, c, c, 16) ==
+        IntervalJoin.BroadcastRight)
+    } finally spark.conf.unset(IntervalJoin.ProbeThresholdKey)
+  }
+
+  // ---- bed12 validator null-guard (ADVICE r4, io/bed.py:127-475) ----
+
+  test("bed12: blockStarts with missing or malformed blockSizes is a " +
+    "violation, not a silent NULL pass") {
+    val base = Seq(
+      // valid bed12 block structure
+      ("chr1", 0L, 100L, Some("0,50,"), Some("10,50,")),
+      // blockSizes missing entirely
+      ("chr1", 0L, 100L, Some("0,50,"), None: Option[String]),
+      // malformed blockSizes
+      ("chr1", 0L, 100L, Some("0,50,"), Some("x,y")),
+      // length mismatch between lists
+      ("chr1", 0L, 100L, Some("0,50,"), Some("10,")))
+      .toDF("chrom", "start", "end", "blockStarts", "blockSizes")
+      .withColumn("name", lit("n")).withColumn("score", lit("0"))
+      .withColumn("strand", lit("+"))
+      .withColumn("thickStart", col("start")).withColumn("thickEnd", col("end"))
+      .withColumn("itemRgb", lit("0"))
+      .withColumn("blockCount", expr("2"))
+    val viols = Tables.validateBed(base, "bed12").toMap
+    assert(viols("blockStarts") == 3L,
+      s"expected 3 blockStarts violations, got $viols")
+  }
+
+  // ---- hot-shingle audit (Dedup.hotShingles) ----
+
+  test("hotShingles surfaces exactly the shingles the default cap drops") {
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"common boiler plate unique$i words here"))
+      .toDF("doc_id", "text")
+    // "common boiler plate" appears in all 30 docs
+    val hot = Dedup.hotShingles(docs, "doc_id", "text", n = 3,
+      maxShingleDf = 20L)
+    val rows = hot.collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "common boiler plate"
+      && rows(0).getLong(1) == 30L)
+    assert(Dedup.hotShingles(docs, "doc_id", "text", n = 3,
+      maxShingleDf = 50L).count() == 0)
+  }
+
+  // ---- to_ucsc_colorstring (vis.py:18-59) ----
+
+  test("toUcscColorstring: named, hex, short hex, alpha hex, none, null, " +
+    "unknown") {
+    val df = Seq("red", "tomato", "#ff0000", "#FF8800", "#f0a", "#ff000055",
+      "none", null, "nosuchcolor", "tab:green", "k")
+      .toDF("color")
+      .select(Vis.toUcscColorstring(col("color")).as("rgb"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq(
+      "255,0,0", "255,99,71", "255,0,0", "255,136,0", "255,0,170",
+      "255,0,0", "0", "0", null, "44,160,44", "0,0,0"))
+  }
+}
