@@ -41,6 +41,17 @@ object Ops {
       when(cols.endCol === cols.startCol, cols.startCol + 1)
         .otherwise(cols.endCol))
 
+  /** Rows with concrete coordinates. Reference NA rows (null chrom/start/
+    * end, tests/test_ops.py:775-812, 1149-1162) can never overlap
+    * anything; operators that feed the OTHER side of an overlap-exists /
+    * coverage check through the merge sweep drop them first — the sweep's
+    * local sort requires concrete coordinates, and the rows contribute
+    * nothing to it. NA rows of the KEPT side always survive via the
+    * left-join/anti assembly. */
+  private def concreteRows(df: DataFrame, cols: ColSpec): DataFrame =
+    df.filter(cols.chromCol.isNotNull && cols.startCol.isNotNull &&
+      cols.endCol.isNotNull)
+
   // ---------------------------------------------------------------- select
 
   /** Rows overlapping a scalar region (reference `ops.py:116-147`); the
@@ -215,15 +226,9 @@ object Ops {
                     other: DataFrame, cOther: ColSpec,
                     otherOn: Seq[String]): DataFrame = {
       val msfx = "__m_"
-      // null-coordinate rows (reference NA rows, tests/test_ops.py:775-812)
-      // can never overlap anything: drop them before the merge sweep, whose
-      // local sort/scan requires concrete coordinates. They still surface
-      // as unmatched rows of their own side via the anti branches.
-      val concrete = other.filter(cOther.chromCol.isNotNull &&
-        cOther.startCol.isNotNull && cOther.endCol.isNotNull)
       val m = ColSpec.suffixAll(
-        Ops.merge(promotePoints(concrete, cOther), Some(0), otherOn, cOther)
-          .drop("n_intervals"), msfx)
+        Ops.merge(promotePoints(concreteRows(other, cOther), cOther),
+          Some(0), otherOn, cOther).drop("n_intervals"), msfx)
       IntervalJoin.pairs(side, m, cSide, cOther.withSuffix(msfx),
         otherOn.map(k => (k + sideSfx, k + msfx)), strategy, binSize)
     }
@@ -301,7 +306,7 @@ object Ops {
     // overlap-EXISTS and far smaller than the raw pair relation (see
     // overlap's unmatched branch for why promotion precedes the merge)
     val r = ColSpec.suffixAll(
-      merge(promotePoints(df2, cols2), Some(0), on, cols2)
+      merge(promotePoints(concreteRows(df2, cols2), cols2), Some(0), on, cols2)
         .drop("n_intervals"), sfx)
     val p = IntervalJoin.pairs(l, r, cols1, cols2.withSuffix(sfx),
       on.map(k => (k, k + sfx)), strategy, binSize)
@@ -476,7 +481,8 @@ object Ops {
                binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
     val sfx = "__r_"
     val merged = ColSpec.suffixAll(
-      merge(df2, Some(0), Nil, cols2).drop("n_intervals"), sfx)
+      merge(concreteRows(df2, cols2), Some(0), Nil, cols2)
+        .drop("n_intervals"), sfx)
     val c2 = ColSpec(cols2.chrom + sfx, cols2.start + sfx, cols2.end + sfx)
     // distinct-probe aggregation + fan-out, as in countOverlaps: covered
     // bp is identical for full-duplicate rows
@@ -509,7 +515,8 @@ object Ops {
                binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
     val sfx = "__r_"
     val merged = ColSpec.suffixAll(
-      merge(df2, Some(0), Nil, cols2).drop("n_intervals"), sfx)
+      merge(concreteRows(df2, cols2), Some(0), Nil, cols2)
+        .drop("n_intervals"), sfx)
     val c2 = ColSpec(cols2.chrom + sfx, cols2.start + sfx, cols2.end + sfx)
     val l = RowId.withRowId(df1, "__id1")
     val p = IntervalJoin.pairs(l, merged, cols1, c2, Nil, strategy, binSize)
@@ -576,11 +583,8 @@ object Ops {
                  viewNameCol: String = "name",
                  cols: ColSpec = ColSpec.default,
                  colsView: ColSpec = ColSpec.default): DataFrame = {
-    // NA rows cover nothing and are ignored, matching the reference
-    // (tests/test_ops.py:1149-1162); the merge sweep needs concrete coords
-    val concrete = df.filter(cols.chromCol.isNotNull &&
-      cols.startCol.isNotNull && cols.endCol.isNotNull)
-    val m = merge(concrete, Some(0), Nil, cols).drop("n_intervals")
+    val m = merge(concreteRows(df, cols), Some(0), Nil, cols)
+      .drop("n_intervals")
     val v = view.select(
       col(colsView.chrom).as("__vc"),
       col(colsView.start).as("__vs"),

@@ -334,6 +334,83 @@ class GoldenSpec extends SparkSpec {
       maxShingleDf = 50L).count() == 0)
   }
 
+  // ---- NA tolerance of the remaining merge-fed operators ----
+
+  test("coverage/subtract/setdiff ignore NA rows in df2; NA probe rows " +
+    "get zero coverage (reference NA-row convention)") {
+    val a = Seq((Option("chr1"), Option(0L), Option(10L)),
+      (None: Option[String], None: Option[Long], None: Option[Long]))
+      .toDF("chrom", "start", "end")
+    val b = Seq((Option("chr1"), Option(2L), Option(6L)),
+      (None: Option[String], None: Option[Long], None: Option[Long]))
+      .toDF("chrom", "start", "end")
+    assertFrame(Ops.coverage(a, b, binSize = 4).select($"start", $"coverage"),
+      Seq(Seq(0L, 4L), Seq(null, 0L)), "start", "coverage")
+    assertFrame(Ops.subtract(a, b, binSize = 4).select($"start", $"end"),
+      Seq(Seq(0L, 2L), Seq(6L, 10L), Seq(null, null)), "start", "end")
+    // the NA probe row can't overlap anything -> survives setdiff
+    assertFrame(Ops.setdiff(a, b, binSize = 4).select($"start"),
+      Seq(Seq(null)), "start")
+  }
+
+  // ---- merge with on= (tests/test_ops.py:1000-1050) ----
+
+  test("merge with on=[strand] merges within strata only") {
+    val df = Seq(("chr1", 1L, 5L, "+"), ("chr1", 3L, 8L, "-"),
+      ("chr1", 4L, 10L, "+"), ("chr1", 20L, 22L, "-"))
+      .toDF("chrom", "start", "end", "strand")
+    val out = Ops.merge(df, Some(0), on = Seq("strand"))
+    assertFrame(out.select($"strand", $"start", $"end", $"n_intervals"),
+      Seq(Seq("+", 1L, 10L, 2L), Seq("-", 3L, 8L, 1L), Seq("-", 20L, 22L, 1L)),
+      "strand", "start", "end", "n_intervals")
+  }
+
+  // ---- overlap returnIndex / returnOverlap details ----
+
+  test("overlap returnOverlap on a promoted point yields the empty " +
+    "intersection at the point (reference ops.py:486-494 raw coords)") {
+    val a = Seq(("chr1", 5L, 5L, "p")).toDF("chrom", "start", "end", "name")
+    val b = Seq(("chr1", 3L, 8L, "b")).toDF("chrom", "start", "end", "name")
+    val out = Ops.overlap(a, b, how = "inner", suffixes = ("_1", "_2"),
+      returnOverlap = true, binSize = 4)
+    assertFrame(out.select($"overlap_start", $"overlap_end"),
+      Seq(Seq(5L, 5L)), "overlap_start", "overlap_end")
+  }
+
+  test("overlap returnIndex exposes both sides' ids for every pair and " +
+    "null partners (reference ops.py:549)") {
+    val a = Seq(("chr1", 1L, 5L), ("chr2", 0L, 2L)).toDF("chrom", "start", "end")
+    val b = Seq(("chr1", 4L, 8L)).toDF("chrom", "start", "end")
+    val out = Ops.overlap(a, b, how = "left", suffixes = ("_1", "_2"),
+      returnIndex = true, binSize = 4)
+    assert(out.columns.contains("index_1") && out.columns.contains("index_2"))
+    assert(out.filter($"index_2".isNull).count() == 1)
+    assert(out.filter($"index_1".isNull).count() == 0)
+  }
+
+  // ---- expand edge cases (tests/test_ops.py:217-298) ----
+
+  test("expand scale=0 collapses to the rounded midpoint; points are " +
+    "scale-invariant") {
+    val df = Seq(("chr1", 10L, 20L), ("chr1", 7L, 7L))
+      .toDF("chrom", "start", "end")
+    assertFrame(Ops.expand(df, scale = Some(0.0)),
+      Seq(Seq("chr1", 15L, 15L), Seq("chr1", 7L, 7L)),
+      "chrom", "start", "end")
+  }
+
+  // ---- trim with an explicit region column (ops.py:1441-1557) ----
+
+  test("trim honors a caller-provided view column instead of assigning") {
+    val view = Seq(("chr1", 0L, 10L, "p"), ("chr1", 10L, 20L, "q"))
+      .toDF("chrom", "start", "end", "name")
+    // row pinned to q even though p overlaps it more
+    val df = Seq(("chr1", 2L, 12L, "q")).toDF("chrom", "start", "end", "reg")
+    val out = Ops.trim(df, view, dfViewCol = Some("reg"))
+    assertFrame(out.select($"start", $"end"),
+      Seq(Seq(10L, 12L)), "start", "end")
+  }
+
   // ---- to_ucsc_colorstring (vis.py:18-59) ----
 
   test("toUcscColorstring: named, hex, short hex, alpha hex, none, null, " +
