@@ -516,6 +516,38 @@ object SparkEntry {
         col("rank").cast("long").as("rank"))
   }
 
+  /** IVF approximate top-k over the same query set as [[embAnnLsh]]: the
+    * inverted-list scale path. kCentroids=8 at test scale (~N/8 per
+    * list), nProbe=2. The oracle re-ranks by exact cosine among exactly
+    * the candidates the dumped assignment + probe lists admit, verifying
+    * quantizer assignment, probe selection, self-exclusion, and ranking
+    * end to end. */
+  private def embIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Ann.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5,
+        kCentroids = 8, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Duplicate-cluster resolution: the natural minhash pairs (already
+    * gated by dedup_minhash_lsh) unioned with an arithmetic 8-node path
+    * and a 5-leaf star — planted shapes that force multi-hop label
+    * propagation (the path needs 7 rounds; natural near-dup pairs at this
+    * scale are mostly 2-cliques that converge in one). The oracle is a
+    * recursive-CTE transitive closure over the identical edge relation. */
+  private def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val nat = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 3,
+        numHashes = 48, bands = 16, threshold = 0.6)
+      .select(col("id_1"), col("id_2"))
+    val chain = s.range(0, 7).select((col("id") + 1000000L).as("id_1"),
+      (col("id") + 1000001L).as("id_2"))
+    val star = s.range(0, 5).select(lit(2000000L).as("id_1"),
+      (col("id") + 2000001L).as("id_2"))
+    Dedup.resolveComponents(nat.unionByName(chain).unionByName(star))
+      .select(col("id"), col("component_id"))
+  }
+
   /** Embeddings plus planted near-duplicates: every 50th vector rescaled
     * by 0.5 under a fresh id. Power-of-two scaling is exact in IEEE
     * arithmetic, so the planted copy provably lands in the same LSH bucket
@@ -631,8 +663,10 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_components" -> (dedupComponents _),
     "emb_cosine_topk" -> (embCosineTopk _),
     "emb_ann_lsh" -> (embAnnLsh _),
+    "emb_ivf_topk" -> (embIvfTopk _),
     "emb_cosine_dedup" -> (embCosineDedup _),
     "emb_lsh_cap" -> (embLshCap _),
     "mm_meta" -> (mmMeta _))
@@ -657,7 +691,22 @@ object SparkEntry {
         Ann.lshBucket(col("embedding"), 6).as("bucket"))),
     "emb_cap_buckets" -> ((s, dir) =>
       crowdEmb(s, dir).select(col("vec_id"),
-        Ann.lshBucket(col("embedding"), 6).as("bucket"))))
+        Ann.lshBucket(col("embedding"), 6).as("bucket"))),
+    // ivfCentroids is deterministic (integer-quantized Lloyd), so the aux
+    // dumps and the emb_ivf_topk gate recompute identical centroids
+    "ivf_assign" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Ann.ivfAssign(emb, Ann.ivfCentroids(emb, 8))
+    }),
+    "ivf_probes" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Ann.ivfProbes(emb.filter(col("vec_id") % 100 === 0),
+        Ann.ivfCentroids(emb, 8), nProbe = 2)
+    }),
+    "dup_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 3,
+          numHashes = 48, bands = 16, threshold = 0.6)
+        .select(col("id_1"), col("id_2"))))
 
   // ------------------------------------------------------------- oracles
 
@@ -1223,6 +1272,38 @@ object SparkEntry {
         |    ((x.sig >> 48) & 65535) = ((y.sig >> 48) & 65535)))
         |SELECT id_1, id_2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(s1, s2)) <= 3""".stripMargin,
+    "emb_ivf_topk" ->
+      """WITH asg AS (SELECT vec_id, centroid_id
+        |  FROM read_parquet('{AUX_DIR}/ivf_assign/*.parquet')),
+        |pr AS (SELECT query_id, centroid_id
+        |  FROM read_parquet('{AUX_DIR}/ivf_probes/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qe.v, ce.v) AS c
+        |  FROM pr p JOIN asg a ON p.centroid_id = a.centroid_id
+        |  JOIN e qe ON qe.vec_id = p.query_id
+        |  JOIN e ce ON ce.vec_id = a.vec_id
+        |  WHERE a.vec_id <> p.query_id)
+        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, neighbor_id) AS rn FROM cand) z
+        |WHERE rn <= 5""".stripMargin,
+    "dedup_components" ->
+      """WITH RECURSIVE nat AS (SELECT id_1, id_2
+        |  FROM read_parquet('{AUX_DIR}/dup_pairs/*.parquet')),
+        |chain AS (SELECT 1000000 + i AS id_1, 1000001 + i AS id_2
+        |  FROM UNNEST(generate_series(0, 6)) t(i)),
+        |star AS (SELECT 2000000 AS id_1, 2000001 + i AS id_2
+        |  FROM UNNEST(generate_series(0, 4)) t(i)),
+        |ed AS (SELECT * FROM nat UNION ALL SELECT * FROM chain
+        |  UNION ALL SELECT * FROM star),
+        |e AS (SELECT id_1 AS a, id_2 AS b FROM ed
+        |  UNION SELECT id_2, id_1 FROM ed),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+        |SELECT a AS id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS component_id
+        |FROM reach GROUP BY a""".stripMargin,
     "emb_ann_lsh" ->
       """WITH bk AS (SELECT vec_id, bucket
         |  FROM read_parquet('{AUX_DIR}/emb_buckets/*.parquet')),

@@ -119,6 +119,140 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("__cos").as("cosine"))
   }
 
+  // ------------------------------------------------------------------- IVF
+
+  /** Deterministic k-means coarse quantizer for IVF (reference-free; the
+    * standard IVF recipe, e.g. the FAISS coarse quantizer, recast as
+    * DataFrame jobs).
+    *
+    * Determinism matters here more than convergence polish: the verifier
+    * recomputes centroids in two separate plans (aux dump + gate) and they
+    * must agree bit-for-bit, so every step is order-independent:
+    *  - seeds = the `k` corpus vectors with the smallest
+    *    `(xxhash64(id), id)` — a global top-k, not a sample();
+    *  - per-dimension means are summed in integer micro-units
+    *    (`round(x * 1e6)` as long): long addition is associative and
+    *    commutative, so the shuffle order cannot perturb the result the
+    *    way double summation would;
+    *  - assignment ties break on centroid id via `min_by` over a
+    *    `(dist, cid)` struct — a map-side-combinable aggregate, no window.
+    *
+    * Centroids are collected to the driver each iteration (k x dim doubles
+    * — true dimension data, same justification as chromsizes) and
+    * re-broadcast, keeping each iteration one shallow scan+agg job instead
+    * of a k-deep recursive plan. At corpus scale, train on a bounded
+    * sample and persist the centroids next to the index; `iters` here is
+    * the same Lloyd loop MLlib's KMeans runs driver-side. */
+  def ivfCentroids(corpus: DataFrame, k: Int, iters: Int = 2,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Array[(Int, Array[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    var cents: Array[(Int, Array[Double])] = vecs
+      .orderBy(xxhash64(col("__id")), col("__id"))
+      .limit(k).select(col("__v")).as[Array[Double]].collect()
+      .zipWithIndex.map { case (v, i) => (i, v) }
+    val micro = 1e6
+    for (_ <- 0 until iters) {
+      val cdf = broadcast(spark.createDataset(cents.toSeq)
+        .toDF("__cid", "__cv"))
+      val sums = vecs.crossJoin(cdf)
+        .withColumn("__d", aggregate(
+          zip_with(col("__v"), col("__cv"), (x, c) => (x - c) * (x - c)),
+          lit(0.0), (acc, v) => acc + v))
+        .groupBy(col("__id"), col("__v"))
+        .agg(min_by(col("__cid"), struct(col("__d"), col("__cid"))).as("__cid"))
+        .select(col("__cid"),
+          posexplode(transform(col("__v"),
+            x => round(x * micro).cast("long"))).as(Seq("__dim", "__q")))
+        .groupBy(col("__cid"), col("__dim"))
+        .agg(sum(col("__q")).as("__s"), count(lit(1)).as("__n"))
+        .groupBy(col("__cid"))
+        .agg(transform(array_sort(collect_list(struct(col("__dim"),
+          col("__s"), col("__n")))),
+          s => s.getField("__s").cast("double") /
+            (s.getField("__n") * micro)).as("__cv"))
+        .as[(Int, Array[Double])].collect().toMap
+      // a centroid that lost every point keeps its previous position
+      cents = cents.map { case (cid, old) => (cid, sums.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  private def centroidDf(corpus: DataFrame,
+                         cents: Array[(Int, Array[Double])]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    broadcast(spark.createDataset(cents.toSeq).toDF("__cid", "__cv"))
+  }
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Inverted-list assignment: each vector to its nearest centroid.
+    * Broadcast nested loop over k centroids + map-side-combinable `min_by`
+    * argmin — no shuffle wider than (id, cid). */
+  def ivfAssign(corpus: DataFrame, cents: Array[(Int, Array[Double])],
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .crossJoin(centroidDf(corpus, cents))
+      .withColumn("__d", sqDist(col("__v"), col("__cv")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("__cid"), struct(col("__d"), col("__cid")))
+        .as("centroid_id"))
+
+  /** Per-query probe lists: the `nProbe` nearest centroids. The query set
+    * is small by contract (same as [[lshTopK]]), so the window is over
+    * |Q| x k rows. */
+  def ivfProbes(queries: DataFrame, cents: Array[(Int, Array[Double])],
+                nProbe: Int, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d").asc, col("__cid").asc)
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("__v"))
+      .crossJoin(centroidDf(queries, cents))
+      .withColumn("__d", sqDist(col("__v"), col("__cv")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("__cid").as("centroid_id"))
+  }
+
+  /** IVF approximate top-k: probe the `nProbe` nearest inverted lists,
+    * rank candidates by exact cosine. The scale path when the corpus is
+    * too large for [[bruteForceTopK]] and sign-bit buckets ([[lshTopK]])
+    * cluster poorly: list sizes track the data distribution (~N/k each),
+    * and recall/cost trade on `nProbe` alone. One shuffle keys the
+    * candidate set on `query_id` for the ranking window; the
+    * centroid-id equi-join itself is map-side (broadcast probes). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              kCentroids: Int = 64, nProbe: Int = 4, iters: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              cents: Option[Array[(Int, Array[Double])]] = None): DataFrame = {
+    val cs = cents.getOrElse(
+      ivfCentroids(corpus, kCentroids, iters, idCol, vecCol))
+    val assign = ivfAssign(corpus, cs, idCol, vecCol)
+    val probes = ivfProbes(queries, cs, nProbe, idCol, vecCol)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .join(assign.select(col("vec_id").as("neighbor_id"),
+        col("centroid_id")), Seq("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("__cos").as("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket candidates verified
     * with exact cosine >= threshold. The same-bucket self-join is the only
     * quadratic-risk step, so the occupancy cap is ON by default — a bucket

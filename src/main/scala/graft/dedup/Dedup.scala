@@ -170,6 +170,56 @@ object Dedup {
       .select("id_1", "id_2", "jaccard")
   }
 
+  /** Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
+    * components over the pair graph, labelled by the minimum member id.
+    * This is the step a production corpus-dedup pipeline needs after any
+    * of the pair generators above — "keep one document per cluster" is
+    * `filter(col(idCol) === col("component_id"))` on the result.
+    *
+    * Algorithm: min-label propagation (the dataframe form of
+    * large-star/small-star — each round every node takes the minimum
+    * label among itself and its neighbours), converging in O(component
+    * diameter) rounds. Near-dup graphs are short-chained in practice, so
+    * the default cap is generous; the loop stops early on the first round
+    * with zero label changes (one `count()` action per round — the
+    * convergence test IS the job). `localCheckpoint` truncates lineage
+    * each round so the plan stays O(1) deep; a cluster deployment with a
+    * reliable checkpoint dir can swap in `checkpoint` unchanged.
+    *
+    * Returns (id, component_id) for every node that appears in `pairs`.
+    * Shuffle per round: the edge list keyed by endpoint — never wider
+    * than (long, long). */
+  def resolveComponents(pairs: DataFrame, idCol1: String = "id_1",
+                        idCol2: String = "id_2",
+                        maxIters: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(idCol1).as("__src"), col(idCol2).as("__dst"))
+    val edges = fwd.union(
+        pairs.select(col(idCol2).as("__src"), col(idCol1).as("__dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("__src").as("id"))
+      .distinct().withColumn("component_id", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val msgs = edges
+        .join(labels.withColumnRenamed("id", "__src"), Seq("__src"))
+        .select(col("__dst").as("id"), col("component_id"))
+      val next = labels.select(col("id"), col("component_id"))
+        .union(msgs)
+        .groupBy(col("id"))
+        .agg(min(col("component_id")).as("component_id"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("component_id", "__old"),
+          Seq("id"))
+        .filter(col("component_id") < col("__old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash over word tokens (xxhash64 per token; per-bit majority
     * vote), as a single higher-order expression — no UDF. */
   def simhash64(text: Column): Column = {

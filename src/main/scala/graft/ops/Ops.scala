@@ -696,12 +696,18 @@ object Ops {
     val joined = withRegion.join(broadcast(v),
       col(regionCol) === col("__vname"), "left")
     val assigned = col("__vname").isNotNull
+    // both coordinates clip INTO [region_start, region_end] (reference
+    // ops.py:1551-1552 clips start AND end with the same lower/upper): an
+    // interval lying entirely beyond its assigned region collapses to the
+    // region edge, never to an inverted (start > end) pair — which the
+    // one-sided clamp would produce under a caller-pinned dfViewCol
+    // naming a non-overlapping region (tests/test_ops.py:88-90)
     joined
       .withColumn(cols.start,
-        when(assigned, greatest(cols.startCol, col("__vs")))
+        when(assigned, least(greatest(cols.startCol, col("__vs")), col("__ve")))
           .otherwise(lit(null).cast(LongType)))
       .withColumn(cols.end,
-        when(assigned, least(cols.endCol, col("__ve")))
+        when(assigned, greatest(least(cols.endCol, col("__ve")), col("__vs")))
           .otherwise(lit(null).cast(LongType)))
       .withColumn(cols.chrom,
         when(assigned, cols.chromCol).otherwise(lit(null).cast(StringType)))

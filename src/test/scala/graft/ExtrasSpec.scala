@@ -188,4 +188,62 @@ class AnnSpec extends SparkSpec {
     assert(joined.filter($"bf_cos".isNull).count() == 0)
     assert(joined.filter(abs($"cosine" - $"bf_cos") > 1e-12).count() == 0)
   }
+
+  test("ivf centroids are deterministic across recomputation") {
+    val c1 = Ann.ivfCentroids(vecs, k = 4)
+    val c2 = Ann.ivfCentroids(vecs, k = 4)
+    assert(c1.length == 4)
+    assert(c1.map(_._1).toSeq == c2.map(_._1).toSeq)
+    c1.zip(c2).foreach { case ((_, a), (_, b)) => assert(a.sameElements(b)) }
+  }
+
+  test("ivf assignment is total and picks the nearest centroid") {
+    val cs = Ann.ivfCentroids(vecs, k = 4)
+    val asg = Ann.ivfAssign(vecs, cs).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(asg.size == 50)
+    val raw = vecs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    raw.foreach { case (id, v) =>
+      val best = cs.map { case (cid, cv) => (d2(v, cv), cid) }.min._2
+      assert(asg(id) == best, s"vec $id")
+    }
+  }
+
+  test("ivf topk with full probing equals brute force") {
+    // nProbe = kCentroids probes every inverted list -> the candidate set
+    // is the whole corpus and IVF degenerates to exact top-k
+    val bf = Ann.bruteForceTopK(vecs, vecs.filter($"vec_id" < 5), k = 3)
+      .select("query_id", "neighbor_id", "rank")
+    val ivf = Ann.ivfTopK(vecs, vecs.filter($"vec_id" < 5), k = 3,
+        kCentroids = 4, nProbe = 4)
+      .select("query_id", "neighbor_id", "rank")
+    assert(ivf.exceptAll(bf).count() == 0)
+    assert(bf.exceptAll(ivf).count() == 0)
+  }
+}
+
+class ComponentsSpec extends SparkSpec {
+  import graft.dedup.Dedup
+  import spark.implicits._
+
+  test("resolveComponents labels a path, a star, and singleton pairs") {
+    // path 1-2-3-4-5 (multi-hop propagation), star 10-{11,12,13}, pair 20-21
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (13L, 10L), (20L, 21L))
+      .toDF("id_1", "id_2")
+    val got = Dedup.resolveComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("resolveComponents converges on a long chain within the iteration cap") {
+    val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("id_1", "id_2")
+    val got = Dedup.resolveComponents(pairs).collect()
+    assert(got.length == 20)
+    assert(got.forall(_.getLong(1) == 0L))
+  }
 }

@@ -411,6 +411,147 @@ class GoldenSpec extends SparkSpec {
       Seq(Seq(10L, 12L)), "start", "end")
   }
 
+  // ---- merge min_dist family (tests/test_ops.py:953-985) ----
+
+  private def mergeCounts(df: org.apache.spark.sql.DataFrame,
+                          minDist: Option[Long]): Seq[Long] =
+    Ops.merge(df, minDist).orderBy($"chrom", $"start")
+      .select($"n_intervals").collect().map(_.getLong(0)).toSeq
+
+  test("merge: adjacent intervals merge at min_dist=0, stay apart at " +
+    "None, chain at 2 (test_ops.py:953-975)") {
+    val df = Seq(("chr1", 1L, 5L), ("chr1", 3L, 8L), ("chr1", 8L, 10L),
+      ("chr1", 12L, 14L)).toDF("chrom", "start", "end")
+    assert(mergeCounts(df, Some(0)) == Seq(3L, 1L))
+    assert(mergeCounts(df, None) == Seq(2L, 1L, 1L))
+    assert(mergeCounts(df, Some(2)) == Seq(4L))
+    // first row moved to chrX: nothing merges across chromosomes
+    val df2 = Seq(("chrX", 1L, 5L), ("chr1", 3L, 8L), ("chr1", 8L, 10L),
+      ("chr1", 12L, 14L)).toDF("chrom", "start", "end")
+    assert(mergeCounts(df2, None) == Seq(1L, 1L, 1L, 1L))
+    assert(mergeCounts(df2, Some(0)) == Seq(2L, 1L, 1L))
+  }
+
+  test("merge on= strata counts and the animal golden frame " +
+    "(test_ops.py:1000-1023)") {
+    val df = Seq(("chr1", 3L, 8L, "+", "cat", 5.5),
+      ("chr1", 3L, 8L, "-", "dog", 6.5), ("chr1", 6L, 10L, "-", "cat", 6.5),
+      ("chrX", 6L, 10L, "-", "cat", 6.5))
+      .toDF("chrom", "start", "end", "strand", "animal", "location")
+    assert(Ops.merge(df, Some(0)).count() == 2)
+    assert(Ops.merge(df, Some(0), on = Seq("strand")).count() == 3)
+    assert(Ops.merge(df, Some(0), on = Seq("strand", "location")).count() == 3)
+    assert(Ops.merge(df, Some(0),
+      on = Seq("strand", "location", "animal")).count() == 4)
+    assertFrame(Ops.merge(df, Some(0), on = Seq("animal"))
+        .select($"chrom", $"start", $"end", $"animal", $"n_intervals"),
+      Seq(Seq("chr1", 3L, 10L, "cat", 2L), Seq("chr1", 3L, 8L, "dog", 1L),
+        Seq("chrX", 6L, 10L, "cat", 1L)),
+      "chrom", "start", "end", "animal", "n_intervals")
+  }
+
+  // ---- coverage contracts (tests/test_ops.py:1494-1545) ----
+
+  test("coverage clips to the probe, zeroes across chromosomes, and " +
+    "never double-counts overlapping cover (test_ops.py:1494-1520)") {
+    val probe = Seq(("chr1", 3L, 8L)).toDF("chrom", "start", "end")
+    def cov(b: org.apache.spark.sql.DataFrame): Long =
+      Ops.coverage(probe, b, binSize = 4).select($"coverage")
+        .collect().head.getLong(0)
+    // cover [2,10) clips to the probe's 5 bp
+    assert(cov(Seq(("chr1", 2L, 10L)).toDF("chrom", "start", "end")) == 5L)
+    // other chromosome -> 0
+    assert(cov(Seq(("chrX", 3L, 8L)).toDF("chrom", "start", "end")) == 0L)
+    // [3,6) + [5,8) overlap each other; merged cover is 5, not 6
+    assert(cov(Seq(("chr1", 3L, 6L), ("chr1", 5L, 8L))
+      .toDF("chrom", "start", "end")) == 5L)
+  }
+
+  test("coverage with custom column names on both sides " +
+    "(test_ops.py:1523-1534)") {
+    val p = Seq(("chr1", 3L, 8L)).toDF("chromosome", "begin", "stop")
+    val b = Seq(("chr1", 3L, 8L)).toDF("chr", "cluster_start", "cluster_end")
+    val out = Ops.coverage(p, b,
+      cols1 = ColSpec("chromosome", "begin", "stop"),
+      cols2 = ColSpec("chr", "cluster_start", "cluster_end"), binSize = 4)
+    assertFrame(out.select($"chromosome", $"begin", $"stop", $"coverage"),
+      Seq(Seq("chr1", 3L, 8L, 5L)), "chromosome", "begin", "stop", "coverage")
+  }
+
+  // ---- expand pad/scale family (tests/test_ops.py:217-298) ----
+
+  private def expFrame = Seq(("chr1", 1L, 5L), ("chr1", 50L, 55L),
+    ("chr2", 100L, 200L)).toDF("chrom", "start", "end")
+
+  test("expand pad=10 pads unclamped (negative starts allowed, " +
+    "test_ops.py:223-231)") {
+    assertFrame(Ops.expand(expFrame, pad = Some(10L)),
+      Seq(Seq("chr1", -9L, 15L), Seq("chr1", 40L, 65L), Seq("chr2", 90L, 210L)),
+      "chrom", "start", "end")
+  }
+
+  test("expand pad=-10 clamps at the midpoint; side=left clamps start " +
+    "only (test_ops.py:233-251)") {
+    assertFrame(Ops.expand(expFrame, pad = Some(-10L)),
+      Seq(Seq("chr1", 3L, 3L), Seq("chr1", 52L, 52L), Seq("chr2", 110L, 190L)),
+      "chrom", "start", "end")
+    assertFrame(Ops.expand(expFrame, pad = Some(-10L), side = "left"),
+      Seq(Seq("chr1", 3L, 5L), Seq("chr1", 52L, 55L), Seq("chr2", 110L, 200L)),
+      "chrom", "start", "end")
+  }
+
+  test("expand scale=2 doubles around the midpoint (test_ops.py:262-270)") {
+    assertFrame(Ops.expand(expFrame, scale = Some(2.0)),
+      Seq(Seq("chr1", -1L, 7L), Seq("chr1", 48L, 58L), Seq("chr2", 50L, 250L)),
+      "chrom", "start", "end")
+  }
+
+  test("expand scale=1.1 rounds half-even and passes NA rows through " +
+    "(test_ops.py:272-295)") {
+    val df = Seq((Option("chr1"), Option(1L), Option(5L)),
+      (None: Option[String], None: Option[Long], None: Option[Long]),
+      (Option("chr2"), Option(100L), Option(200L)))
+      .toDF("chrom", "start", "end")
+    assertFrame(Ops.expand(df, scale = Some(1.1)),
+      Seq(Seq("chr1", 1L, 5L), Seq(null, null, null), Seq("chr2", 95L, 205L)),
+      "chrom", "start", "end")
+  }
+
+  test("expand requires exactly one of pad/scale (test_ops.py:291-300)") {
+    intercept[IllegalArgumentException] {
+      Ops.expand(expFrame, pad = Some(10L), scale = Some(2.0))
+    }
+  }
+
+  // ---- trim with view + explicit region column (tests/test_ops.py:67-103) ----
+
+  test("trim with a view clamps into the assigned region, including the " +
+    "fully-overhanging interval (test_ops.py:67-103)") {
+    val view = Seq(("chr1", 0L, 12L, "chr1p"), ("chr1", 13L, 26L, "chr1q"),
+      ("chrX", 1L, 8L, "chrX_0")).toDF("chrom", "start", "end", "name")
+    val df = Seq(("chr1", -6L, 12L, "chr1p"), ("chr1", 0L, 12L, "chr1p"),
+      ("chr1", 32L, 36L, "chr1q"), ("chrX", 1L, 8L, "chrX_0"))
+      .toDF("chrom", "start", "end", "view_region")
+    val out = Ops.trim(df, view, dfViewCol = Some("view_region"))
+    assertFrame(out.select($"chrom", $"start", $"end"),
+      Seq(Seq("chr1", 0L, 12L), Seq("chr1", 0L, 12L), Seq("chr1", 26L, 26L),
+        Seq("chrX", 1L, 8L)),
+      "chrom", "start", "end")
+  }
+
+  // ---- cluster min_dist family (tests/test_ops.py:869-928) ----
+
+  test("cluster: default joins touching intervals, None separates them, " +
+    "2 chains the gap (test_ops.py:869-905)") {
+    val df = Seq(("chr1", 1L, 5L), ("chr1", 3L, 8L), ("chr1", 8L, 10L),
+      ("chr1", 12L, 14L)).toDF("chrom", "start", "end")
+    def nClusters(minDist: Option[Long]): Long =
+      Ops.cluster(df, minDist).select($"cluster").distinct().count()
+    assert(nClusters(Some(0)) == 2)
+    assert(nClusters(None) == 3)
+    assert(nClusters(Some(2)) == 1)
+  }
+
   // ---- to_ucsc_colorstring (vis.py:18-59) ----
 
   test("toUcscColorstring: named, hex, short hex, alpha hex, none, null, " +
