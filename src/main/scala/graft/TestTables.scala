@@ -178,22 +178,26 @@ object TestTables {
       |  SELECT 'c' || CAST(i AS VARCHAR) AS chrom, CAST(2570 AS BIGINT) AS length
       |  FROM range(8) t(i))""".stripMargin
 
+  /** SQL fragment: min_dist=0 merge of `src` as CTE `m1` (chrom,start,end,
+    * n_intervals). */
+  def mergedSql(src: String): String =
+    s"""m1 AS (
+       |  SELECT chrom, MIN(start) AS start, MAX("end") AS "end", COUNT(*) AS n_intervals
+       |  FROM (
+       |    SELECT chrom, start, "end",
+       |           SUM(brd) OVER (PARTITION BY chrom ORDER BY start, "end", id
+       |                          ROWS UNBOUNDED PRECEDING) AS cid
+       |    FROM (
+       |      SELECT *, CASE WHEN pm IS NULL OR start > pm THEN 1 ELSE 0 END AS brd
+       |      FROM (
+       |        SELECT id, chrom, start, "end",
+       |               MAX("end") OVER (PARTITION BY chrom ORDER BY start, "end", id
+       |                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |        FROM $src) x) y) z
+       |  GROUP BY chrom, cid)""".stripMargin
+
   /** SQL fragment: merged iv1 (min_dist=0) as CTE `m1` (chrom,start,end). */
-  val mergedIv1Sql: String =
-    """m1 AS (
-      |  SELECT chrom, MIN(start) AS start, MAX("end") AS "end", COUNT(*) AS n_intervals
-      |  FROM (
-      |    SELECT chrom, start, "end",
-      |           SUM(brd) OVER (PARTITION BY chrom ORDER BY start, "end", id
-      |                          ROWS UNBOUNDED PRECEDING) AS cid
-      |    FROM (
-      |      SELECT *, CASE WHEN pm IS NULL OR start > pm THEN 1 ELSE 0 END AS brd
-      |      FROM (
-      |        SELECT id, chrom, start, "end",
-      |               MAX("end") OVER (PARTITION BY chrom ORDER BY start, "end", id
-      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-      |        FROM iv1) x) y) z
-      |  GROUP BY chrom, cid)""".stripMargin
+  val mergedIv1Sql: String = mergedSql("iv1")
 
   /** The point-promoted overlap predicate between SQL aliases a and b. */
   def overlapSql(a: String, b: String): String =

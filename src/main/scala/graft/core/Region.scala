@@ -35,8 +35,11 @@ final case class Region(chrom: String, start: Option[Long], end: Option[Long]) {
     *
     * Matches reference `select` semantics (`ops.py:29-66`): interval
     * overlaps the region under half-open logic, with zero-length points
-    * promoted so a point sitting exactly at the region start is selected.
-    */
+    * promoted so a point sitting exactly at the region start is selected —
+    * including by a zero-length QUERY at the same coordinate (the
+    * reference's explicit point-at-query-start disjunct, `ops.py:64`,
+    * which plain promotion misses because the query's own upper bound is
+    * empty; tests/test_ops_select.py:180-182). */
   def predicate(cols: ColSpec = ColSpec.default): Column = {
     val chromOk = cols.chromCol === lit(chrom)
     val lower = start match {
@@ -47,7 +50,11 @@ final case class Region(chrom: String, start: Option[Long], end: Option[Long]) {
       case Some(e) => cols.startCol < lit(e)
       case None    => lit(true)
     }
-    chromOk && lower && upper
+    val pointAtStart = start match {
+      case Some(s) => cols.startCol === cols.endCol && cols.startCol === lit(s)
+      case None    => lit(false)
+    }
+    chromOk && ((lower && upper) || pointAtStart)
   }
 
   def toUcscString: String =

@@ -176,48 +176,86 @@ object Dedup {
     * of the pair generators above — "keep one document per cluster" is
     * `filter(col(idCol) === col("component_id"))` on the result.
     *
-    * Algorithm: min-label propagation (the dataframe form of
-    * large-star/small-star — each round every node takes the minimum
-    * label among itself and its neighbours), converging in O(component
-    * diameter) rounds. Near-dup graphs are short-chained in practice, so
-    * the default cap is generous; the loop stops early on the first round
-    * with zero label changes (one `count()` action per round — the
-    * convergence test IS the job). `localCheckpoint` truncates lineage
-    * each round so the plan stays O(1) deep; a cluster deployment with a
-    * reliable checkpoint dir can swap in `checkpoint` unchanged.
+    * Two paths, chosen by the materialized edge count:
+    *  - edge lists up to `smallGraphThreshold` resolve with driver-side
+    *    union-find — the pair graph after near-dup FILTERING is usually
+    *    dimension-sized relative to the corpus (the same argument that
+    *    broadcasts chromsizes), and one collect of (long, long) pairs
+    *    beats ~log(n) shuffle rounds of job overhead;
+    *  - larger graphs run distributed min-label propagation WITH pointer
+    *    jumping (each round also replaces a node's label by its label's
+    *    label), converging in O(log diameter) rounds instead of
+    *    O(diameter). The loop stops early on the first round with zero
+    *    label changes; `localCheckpoint` truncates lineage each round so
+    *    the plan stays O(1) deep (a cluster deployment with a reliable
+    *    checkpoint dir can swap in `checkpoint` unchanged). Shuffles key
+    *    on node id — never wider than (long, long).
     *
-    * Returns (id, component_id) for every node that appears in `pairs`.
-    * Shuffle per round: the edge list keyed by endpoint — never wider
-    * than (long, long). */
+    * Returns (id, component_id) for every node that appears in `pairs`. */
   def resolveComponents(pairs: DataFrame, idCol1: String = "id_1",
                         idCol2: String = "id_2",
-                        maxIters: Int = 25): DataFrame = {
+                        maxIters: Int = 25,
+                        smallGraphThreshold: Long = 10000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val fwd = pairs.select(col(idCol1).as("__src"), col(idCol2).as("__dst"))
     val edges = fwd.union(
         pairs.select(col(idCol2).as("__src"), col(idCol1).as("__dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("__src").as("id"))
-      .distinct().withColumn("component_id", col("id"))
-      .localCheckpoint()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      val msgs = edges
-        .join(labels.withColumnRenamed("id", "__src"), Seq("__src"))
-        .select(col("__dst").as("id"), col("component_id"))
-      val next = labels.select(col("id"), col("component_id"))
-        .union(msgs)
-        .groupBy(col("id"))
-        .agg(min(col("component_id")).as("component_id"))
+    if (edges.count() <= smallGraphThreshold) {
+      val es = edges.as[(Long, Long)].collect()
+      val root = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (root.getOrElse(r, r) != r) r = root.getOrElse(r, r)
+        var c = x // path compression
+        while (root.getOrElse(c, c) != r) { val n = root.getOrElse(c, c); root(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) root(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.iterator.map(_._1).toSeq.distinct
+      nodes.map(n => (n, find(n))).toDF("id", "component_id")
+    } else {
+      // self-loops fold the keep-own-label term into the one edge join, so
+      // each round is join -> agg -> jump with no union in the loop body
+      // (a union inside the round's self-joined plan trips Catalyst's
+      // Union constraint rewrite against checkpoint-fresh attributes)
+      val nodes = edges.select(col("__src")).distinct()
+      val edgesSelf = edges
+        .union(nodes.select(col("__src"), col("__src").as("__dst")))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component_id", "__old"),
-          Seq("id"))
-        .filter(col("component_id") < col("__old")).count()
-      labels = next
-      converged = changed == 0
-      i += 1
+      var labels = nodes.select(col("__src").as("id"))
+        .withColumn("component_id", col("id"))
+        .localCheckpoint()
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIters) {
+        val prop = edgesSelf
+          .join(labels.withColumnRenamed("id", "__src"), Seq("__src"))
+          .groupBy(col("__dst").as("id"))
+          .agg(min(col("component_id")).as("component_id"))
+        // pointer jump: component_id is itself a node id, so following one
+        // level of indirection halves chain lengths every round
+        val next = prop.alias("a")
+          .join(prop.select(col("id").as("__pid"),
+            col("component_id").as("__plabel")).alias("b"),
+            col("a.component_id") === col("__pid"), "left")
+          .select(col("a.id").as("id"),
+            coalesce(least(col("__plabel"), col("a.component_id")),
+              col("a.component_id")).as("component_id"))
+          .localCheckpoint()
+        val changed = next.join(
+            labels.withColumnRenamed("component_id", "__old"), Seq("id"))
+          .filter(col("component_id") < col("__old")).count()
+        labels = next
+        converged = changed == 0
+        i += 1
+      }
+      labels
     }
-    labels
   }
 
   /** 64-bit SimHash over word tokens (xxhash64 per token; per-bit majority

@@ -135,17 +135,26 @@ object Extras {
       .agg(sum(greatest(lit(0L),
         least(cols.endCol, cAnn.endCol) - greatest(cols.startCol, cAnn.startCol)))
         .as("coverage"))
-    val raw = ColSpec.suffixAll(
-      annotations.select(colsAnn.names.map(col): _*), sfx)
-    val counts = IntervalJoin.pairs(lDist, raw, cols, cAnn, Nil,
-        IntervalJoin.Auto, binSize)
-      .groupBy(col("__gid").as("__nid"))
-      .agg(count(lit(1)).as("count"))
-    l.join(covered, col("__gid") === col("__cid"), "left")
-      .join(counts, col("__gid") === col("__nid"), "left")
+    // counts come from the pair-free rank scan (see Ops.countOverlaps):
+    // this was the dominant cost as a pair join — the pair relation's
+    // cardinality grows with the square of interval density (112M pairs
+    // at sf0.1) while the scan stays linear in rows
+    val counts = Ops.overlapCountsByRank(lDist, "__gid",
+        annotations.select(colsAnn.names.map(col): _*), "count", Nil,
+        cols, colsAnn, binSize)
+      .withColumnRenamed("__gid", "__nid")
+    // inner-join the slim stats first and pay the wide-relation join-back
+    // ONCE (hash, not sort-merge — sorting the wide side twice was a
+    // measurable tail cost). Sound because covered's keys are exactly the
+    // probes with count > 0 (overlap a merged run iff overlap a raw
+    // annotation): the inner join drops only count=0 rows, which the
+    // final coalesce reconstructs
+    val stats = covered.join(counts, col("__cid") === col("__nid"))
+      .select(col("__cid").as("__sid"), col("coverage"), col("count"))
+    l.join(stats.hint("shuffle_hash"), col("__gid") === col("__sid"), "left")
       .withColumn("coverage", coalesce(col("coverage"), lit(0L)))
       .withColumn("count", coalesce(col("count"), lit(0L)))
-      .drop("__gid", "__cid", "__nid")
+      .drop("__gid", "__sid")
   }
 
   /** Genome-wide pileup: the stepwise coverage-depth function of `df`

@@ -73,6 +73,37 @@ object Scan {
     twoLevel(df, group, bucketCol, order, value, isMax = true, inclusive,
       outCol)
 
+  /** TWO running sums over the SAME frame in one pass: both window
+    * expressions share one WindowSpec, so Catalyst plans a single Window
+    * operator over a single sort — half the shuffle/sort cost of calling
+    * [[prefixSum]] twice. Zeros (not nulls) over an empty frame. */
+  def prefixSum2(df: DataFrame, group: Seq[String], bucketCol: String,
+                 order: Seq[Column], value1: Column, value2: Column,
+                 outCol1: String, outCol2: String): DataFrame = {
+    val partKeys = group :+ bucketCol
+    val wLocal = Window.partitionBy(partKeys.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withLocal = df
+      .withColumn("__tl_l1", sum(value1).over(wLocal))
+      .withColumn("__tl_l2", sum(value2).over(wLocal))
+    val summary = df.groupBy(partKeys.map(col): _*)
+      .agg(sum(value1).as("__tl_b1"), sum(value2).as("__tl_b2"))
+    val wCarry = Window.partitionBy(group.map(col): _*)
+      .orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = summary
+      .withColumn("__tl_c1", sum(col("__tl_b1")).over(wCarry))
+      .withColumn("__tl_c2", sum(col("__tl_b2")).over(wCarry))
+      .drop("__tl_b1", "__tl_b2")
+    withLocal.join(broadcast(carry), partKeys, "left")
+      .withColumn(outCol1, coalesce(col("__tl_l1"), lit(0L)) +
+        coalesce(col("__tl_c1"), lit(0L)))
+      .withColumn(outCol2, coalesce(col("__tl_l2"), lit(0L)) +
+        coalesce(col("__tl_c2"), lit(0L)))
+      .drop("__tl_l1", "__tl_l2", "__tl_c1", "__tl_c2")
+  }
+
   /** `outCol` = LEAD(posCol) OVER (PARTITION BY group ORDER BY posCol),
     * bucket-parallel: lead within the bucket, stitched with the next
     * populated bucket's first position from the (tiny, broadcast) bucket

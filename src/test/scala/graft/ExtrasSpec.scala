@@ -229,20 +229,27 @@ class ComponentsSpec extends SparkSpec {
   import graft.dedup.Dedup
   import spark.implicits._
 
-  test("resolveComponents labels a path, a star, and singleton pairs") {
+  test("resolveComponents labels a path, a star, and singleton pairs — " +
+    "identically via union-find and the distributed loop") {
     // path 1-2-3-4-5 (multi-hop propagation), star 10-{11,12,13}, pair 20-21
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
       (10L, 11L), (10L, 12L), (13L, 10L), (20L, 21L))
       .toDF("id_1", "id_2")
-    val got = Dedup.resolveComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L)
+    // default: driver union-find; threshold 0 forces the distributed loop
+    for (threshold <- Seq(10000000L, 0L)) {
+      val got = Dedup.resolveComponents(pairs,
+          smallGraphThreshold = threshold).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"threshold=$threshold")
+    }
   }
 
-  test("resolveComponents converges on a long chain within the iteration cap") {
+  test("resolveComponents converges on a long chain within the iteration " +
+    "cap (pointer jumping: 20-node path in O(log n) rounds)") {
     val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("id_1", "id_2")
-    val got = Dedup.resolveComponents(pairs).collect()
+    val got = Dedup.resolveComponents(pairs, smallGraphThreshold = 0L).collect()
     assert(got.length == 20)
     assert(got.forall(_.getLong(1) == 0L))
   }

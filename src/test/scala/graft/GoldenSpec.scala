@@ -552,6 +552,172 @@ class GoldenSpec extends SparkSpec {
     assert(nClusters(Some(2)) == 1)
   }
 
+  // ---- subtract contracts (tests/test_ops.py:1570-1692) ----
+
+  test("subtract: self-subtraction is empty; a punch-out splits the " +
+    "interval and propagates extra columns (test_ops.py:1570-1598)") {
+    val a = Seq(("chrX", 3L, 8L, "sea-creature"), ("chr1", 4L, 7L, "sea-creature"),
+      ("chrX", 1L, 5L, "sea-creature")).toDF("chrom", "start", "end", "animal")
+    assert(Ops.subtract(a, a, binSize = 4).count() == 0)
+    val b = Seq(("chrX", 0L, 18L), ("chr1", 5L, 6L)).toDF("chrom", "start", "end")
+    assertFrame(Ops.subtract(a, b, binSize = 4)
+        .select($"chrom", $"start", $"end", $"animal"),
+      Seq(Seq("chr1", 4L, 5L, "sea-creature"), Seq("chr1", 6L, 7L, "sea-creature")),
+      "chrom", "start", "end", "animal")
+  }
+
+  test("subtract with disjoint custom column names on each side " +
+    "(test_ops.py:1620-1654)") {
+    val a = Seq(("chrX", 3L, 8L, "+"), ("chr1", 4L, 7L, "+"), ("chrX", 1L, 5L, "+"))
+      .toDF("C", "chromStart", "chromStop", "strand")
+    val b = Seq(("chrX", 0L, 18L), ("chr1", 5L, 6L)).toDF("chr", "st", "e")
+    val out = Ops.subtract(a, b,
+      cols1 = ColSpec("C", "chromStart", "chromStop"),
+      cols2 = ColSpec("chr", "st", "e"), binSize = 4)
+    assertFrame(out.select($"C", $"chromStart", $"chromStop", $"strand"),
+      Seq(Seq("chr1", 4L, 5L, "+"), Seq("chr1", 6L, 7L, "+")),
+      "C", "chromStart", "chromStop", "strand")
+  }
+
+  test("subtract: an abutting punch-out leaves the uncovered tail " +
+    "(test_ops.py:1656-1692 empty-group region)") {
+    val a = Seq(("chrX", 1L, 8L), ("chrX", 2L, 10L)).toDF("chrom", "start", "end")
+    val b = Seq(("chrX", 1L, 8L)).toDF("chrom", "start", "end")
+    assertFrame(Ops.subtract(a, b, binSize = 4).select($"chrom", $"start", $"end"),
+      Seq(Seq("chrX", 8L, 10L)), "chrom", "start", "end")
+  }
+
+  // ---- setdiff on= strata (tests/test_ops.py:1863-1946) ----
+
+  test("setdiff: strata via on= change what survives; NA rows always " +
+    "survive (test_ops.py:1863-1946)") {
+    val a = Seq(("chr1", 8L, 12L, "+", "cat"), ("chr1", 8L, 12L, "-", "cat"),
+      ("chrX", 1L, 8L, "+", "cat"))
+      .toDF("chrom1", "start", "end", "strand", "animal")
+    val b = Seq(("chrX", 7L, 10L, "-", "dog"), ("chr1", 6L, 10L, "-", "cat"),
+      ("chr1", 6L, 10L, "-", "cat"))
+      .toDF("chrom2", "start", "end", "strand", "animal")
+    val c1 = ColSpec("chrom1", "start", "end")
+    val c2 = ColSpec("chrom2", "start", "end")
+    assert(Ops.setdiff(a, b, cols1 = c1, cols2 = c2, binSize = 4).count() == 0)
+    assert(Ops.setdiff(a, b, on = Seq("animal"), cols1 = c1, cols2 = c2,
+      binSize = 4).count() == 1)
+    assert(Ops.setdiff(a, b, on = Seq("strand"), cols1 = c1, cols2 = c2,
+      binSize = 4).count() == 2)
+    // NA rows on the probe side can't overlap anything -> survive setdiff
+    val aNa = a.unionByName(Seq((null.asInstanceOf[String],
+        null.asInstanceOf[java.lang.Long], null.asInstanceOf[java.lang.Long],
+        null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("chrom1", "start", "end", "strand", "animal"))
+    assert(Ops.setdiff(aNa, b, cols1 = c1, cols2 = c2, binSize = 4).count() == 1)
+    assert(Ops.setdiff(aNa, b, on = Seq("strand"), cols1 = c1, cols2 = c2,
+      binSize = 4).count() == 3)
+  }
+
+  // ---- count_overlaps on= strata + NA (tests/test_ops.py:1949-2035) ----
+
+  test("count_overlaps: on= strata shrink counts; NA rows count zero " +
+    "(test_ops.py:1949-2035)") {
+    val a = Seq(("chr1", 8L, 12L, "+", "cat"), ("chr1", 8L, 12L, "-", "cat"),
+      ("chrX", 1L, 8L, "+", "cat"))
+      .toDF("chrom1", "start", "end", "strand", "animal")
+    val b = Seq(("chr1", 6L, 10L, "+", "dog"), ("chr1", 6L, 10L, "+", "dog"),
+      ("chrX", 7L, 10L, "+", "dog"), ("chrX", 7L, 10L, "+", "dog"))
+      .toDF("chrom2", "start2", "end2", "strand", "animal")
+    val c1 = ColSpec("chrom1", "start", "end")
+    val c2 = ColSpec("chrom2", "start2", "end2")
+    def counts(on: Seq[String]): Seq[Long] =
+      Ops.countOverlaps(a, b, on = on, cols1 = c1, cols2 = c2, binSize = 4)
+        .orderBy($"chrom1", $"strand", $"start")
+        .select($"count").collect().map(_.getLong(0)).toSeq
+    assert(counts(Nil) == Seq(2L, 2L, 2L))
+    assert(counts(Seq("strand")) == Seq(2L, 0L, 2L))
+    assert(counts(Seq("strand", "animal")) == Seq(0L, 0L, 0L))
+    val aNa = a.unionByName(Seq((null.asInstanceOf[String],
+        null.asInstanceOf[java.lang.Long], null.asInstanceOf[java.lang.Long],
+        null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("chrom1", "start", "end", "strand", "animal"))
+    val withNa = Ops.countOverlaps(aNa, b, cols1 = c1, cols2 = c2, binSize = 4)
+    assert(withNa.count() == 4)
+    assert(withNa.filter($"chrom1".isNull).select($"count")
+      .collect().head.getLong(0) == 0L)
+  }
+
+  // ---- pair_by_distance option matrix (tests/test_extras.py:209-299) ----
+
+  test("pair_by_distance: midpoints vs endpoints, widening max_sep, and " +
+    "the intervening-interval filters (test_extras.py:209-290)") {
+    val df = Seq(("chr1", 1L, 3L, "+", "cat"), ("chr1", 6L, 8L, "+", "skunk"),
+      ("chr1", 9L, 11L, "-", "dog")).toDF("chrom", "start", "end", "strand", "animal")
+    def pairs(minSep: Long, maxSep: Long, relTo: String = "midpoints",
+              minInt: Option[Long] = None, maxInt: Option[Long] = None) =
+      rowsOf(Extras.pairByDistance(df, minSep, maxSep, minIntervening = minInt,
+          maxIntervening = maxInt, relativeTo = relTo, binSize = 4)
+        .select($"start_1", $"end_1", $"start_2", $"end_2"))
+    assert(pairs(1, 4) == Seq(Seq(6L, 8L, 9L, 11L)))
+    assert(pairs(1, 4, relTo = "endpoints") == Seq(Seq(1L, 3L, 6L, 8L)))
+    assert(pairs(1, 6).toSet ==
+      Set(Seq(1L, 3L, 6L, 8L), Seq(6L, 8L, 9L, 11L)))
+    assert(pairs(1, 9).toSet ==
+      Set(Seq(1L, 3L, 6L, 8L), Seq(1L, 3L, 9L, 11L), Seq(6L, 8L, 9L, 11L)))
+    // max_intervening=0 kills the skip-pair; min_intervening=1 keeps only it
+    assert(pairs(1, 9, maxInt = Some(0)).toSet ==
+      Set(Seq(1L, 3L, 6L, 8L), Seq(6L, 8L, 9L, 11L)))
+    assert(pairs(1, 9, minInt = Some(1)) == Seq(Seq(1L, 3L, 9L, 11L)))
+    intercept[IllegalArgumentException] {
+      Extras.pairByDistance(df, minSep = -1, maxSep = 9).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Extras.pairByDistance(df, minSep = 12, maxSep = 9).collect()
+    }
+  }
+
+  // ---- make_chromarms golden (tests/test_extras.py:12-67) ----
+
+  test("make_chromarms splits at the mid, names p/q arms " +
+    "(test_extras.py:12-67)") {
+    val sizes = Seq(("chrX", 8L)).toDF("chrom", "length")
+    val mids = Seq(("chrX", 4L)).toDF("chrom", "mid")
+    assertFrame(Extras.makeChromarms(sizes, mids)
+        .select($"chrom", $"start", $"end", $"name"),
+      Seq(Seq("chrX", 0L, 4L, "chrX_p"), Seq("chrX", 4L, 8L, "chrX_q")),
+      "chrom", "start", "end", "name")
+  }
+
+  // ---- select: half-open queries, point rows (test_ops_select.py:102-198) ----
+
+  test("select: query intervals are half-open on both data and query " +
+    "(test_ops_select.py:102-143)") {
+    val df = Seq(("chr1", 0L, 10L, "a"), ("chr1", 10L, 20L, "b"),
+      ("chr2", 10L, 20L, "A"), ("chr2", 20L, 30L, "B"), ("chr2", 30L, 40L, "C"),
+      ("chr2", 40L, 50L, "D"), ("chr2", 50L, 60L, "E"), ("chr2", 60L, 70L, "F"))
+      .toDF("chrom", "start", "end", "name")
+    def names(region: String): Set[String] =
+      Ops.select(df, region).select($"name").collect().map(_.getString(0)).toSet
+    assert(names("chr1") == Set("a", "b"))
+    assert(names("chr2:20-70") == Set("B", "C", "D", "E", "F"))
+    assert(names("chr2:20-30") == Set("B"))
+    assert(names("chr2:20-45") == Set("B", "C", "D"))
+    assert(names("chr2:19-45") == Set("A", "B", "C", "D"))
+    assert(names("chr2:25-50") == Set("B", "C", "D"))
+    assert(names("chr2:25-51") == Set("B", "C", "D", "E"))
+  }
+
+  test("select: zero-length data rows and point queries promote to " +
+    "length-1 (test_ops_select.py:146-198)") {
+    val df = Seq(("chr1", 0L, 10L, "a"), ("chr1", 10L, 10L, "b"),
+      ("chr2", 40L, 50L, "D"), ("chr2", 50L, 50L, "E"), ("chr2", 60L, 70L, "F"))
+      .toDF("chrom", "start", "end", "name")
+    def names(region: String): Set[String] =
+      Ops.select(df, region).select($"name").collect().map(_.getString(0)).toSet
+    assert(names("chr1:4-10") == Set("a"))
+    assert(names("chr1:4-4") == Set("a"))     // point query inside [0,10)
+    assert(names("chr1:10-15") == Set("b"))   // point row at its own start
+    assert(names("chr2:49-70") == Set("D", "E", "F"))
+    assert(names("chr2:50-70") == Set("E", "F"))
+    assert(names("chr2:50-50") == Set("E"))   // point query on point row
+  }
+
   // ---- to_ucsc_colorstring (vis.py:18-59) ----
 
   test("toUcscColorstring: named, hex, short hex, alpha hex, none, null, " +
