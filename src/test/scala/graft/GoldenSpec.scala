@@ -718,6 +718,110 @@ class GoldenSpec extends SparkSpec {
     assert(names("chr2:50-50") == Set("E"))   // point query on point row
   }
 
+  // ---- assign_view contracts (tests/test_ops.py:2070-2187) ----
+
+  test("assign_view: max-overlap assignment, custom name/region columns, " +
+    "uncataloged and NA rows -> null or dropped (test_ops.py:2104-2187)") {
+    val view = Seq(("chrX", 1L, 8L, "oranges"), ("chrX", 8L, 20L, "grapefruit"),
+      ("chr1", 0L, 10L, "apples")).toDF("chrom", "start", "end", "fruit")
+    val df = Seq(("chr1", 0L, 10L, "+"), ("chrX", 5L, 10L, "+"),
+      ("chrX", 0L, 5L, "+"), ("chr2", 5L, 10L, "+"))
+      .toDF("chrom", "start", "end", "strand")
+    // chrX [5,10) overlaps oranges by 3 and grapefruit by 2 -> oranges
+    assertFrame(Ops.assignView(df, view, dropUnassigned = true,
+        dfViewCol = "funny_view_region", viewNameCol = "fruit")
+        .select($"chrom", $"start", $"funny_view_region"),
+      Seq(Seq("chr1", 0L, "apples"), Seq("chrX", 5L, "oranges"),
+        Seq("chrX", 0L, "oranges")),
+      "chrom", "start", "funny_view_region")
+    // dropUnassigned=false keeps the uncataloged chr2 row with null region
+    assertFrame(Ops.assignView(df, view, dropUnassigned = false,
+        dfViewCol = "funny_view_region", viewNameCol = "fruit")
+        .select($"chrom", $"start", $"funny_view_region"),
+      Seq(Seq("chr1", 0L, "apples"), Seq("chrX", 5L, "oranges"),
+        Seq("chrX", 0L, "oranges"), Seq("chr2", 5L, null)),
+      "chrom", "start", "funny_view_region")
+    // NA coordinate rows survive with a null region
+    val dfNa = Seq((Option("chr1"), Option(0L), Option(10L)),
+      (None: Option[String], None: Option[Long], None: Option[Long]))
+      .toDF("chrom", "start", "end")
+    assertFrame(Ops.assignView(dfNa, view, viewNameCol = "fruit")
+        .select($"chrom", $"view_region"),
+      Seq(Seq("chr1", "apples"), Seq(null, null)), "chrom", "view_region")
+  }
+
+  // ---- mark_runs / merge_runs value runs (tests/test_extras.py:309-386) ----
+
+  private def runsFixture = Seq(
+    ("chr1", 85563L, 129897L, "c", 0.2), ("chr1", 129897L, 508340L, "c", 0.8),
+    ("chr1", 508340L, 620903L, "c", 0.5),
+    ("chr1", 620904L, 688020L, "c", 0.7),  // 1bp gap -> new run of c
+    ("chr1", 688020L, 858415L, "b", 0.8),  // adjacent, different value
+    ("chr2", 548402L, 639680L, "a", 0.6), ("chr2", 639680L, 1026586L, "b", 0.8),
+    ("chr3", 260538L, 272930L, "c", 0.5), ("chr3", 272930L, 470969L, "c", 0.5),
+    ("chr3", 470969L, 502336L, "c", 0.5))
+    .toDF("chrom", "start", "end", "name", "score")
+
+  test("mark_runs: per-chrom run ids split on gaps and value changes " +
+    "(test_extras.py:309-340)") {
+    val runs = Extras.markRuns(runsFixture, "name", bucketSize = 1L << 18)
+      .orderBy($"chrom", $"start")
+      .select($"chrom", $"name", $"run").collect()
+    assert(runs.map(_.getString(1)).toSeq ==
+      Seq("c", "c", "c", "c", "b", "a", "b", "c", "c", "c"))
+    assert(runs.map(_.getLong(2)).toSeq ==
+      Seq(0L, 0L, 0L, 1L, 2L, 0L, 1L, 0L, 0L, 0L))
+  }
+
+  test("merge_runs collapses runs to spans with caller aggregates " +
+    "(test_extras.py:345-350)") {
+    val merged = Extras.mergeRuns(runsFixture, "name",
+        agg = Map("score_mean" -> avg($"score")), bucketSize = 1L << 18)
+      .orderBy($"chrom", $"start")
+      .select($"name", $"score_mean").collect()
+    assert(merged.map(_.getString(0)).toSeq == Seq("c", "c", "b", "a", "b", "c"))
+    val means = merged.map(_.getDouble(1))
+    val expected = Seq(0.5, 0.7, 0.8, 0.6, 0.8, 0.5)
+    assert(means.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+  }
+
+  // ---- is_covering / is_tiling (test_core_checks.py:183-320) ----
+
+  test("is_covering: one spanning interval or a piecewise cover over " +
+    "two view regions; labels irrelevant (test_core_checks.py:183-244)") {
+    val view = Seq(("chr1", 0L, 9L, "chr1p"), ("chr1", 11L, 20L, "chr1q"))
+      .toDF("chrom", "start", "end", "name")
+    import graft.core.Checks
+    val spanning = Seq(("chr1", -5L, 25L)).toDF("chrom", "start", "end")
+    assert(Checks.isCovering(spanning, view))
+    val piecewise = Seq(("chr1", -5L, 10L), ("chr1", 11L, 12L),
+      ("chr1", 12L, 20L)).toDF("chrom", "start", "end")
+    assert(Checks.isCovering(piecewise, view))
+    val gap = Seq(("chr1", 11L, 12L), ("chr1", 12L, 20L))
+      .toDF("chrom", "start", "end")
+    assert(!Checks.isCovering(gap, view))
+  }
+
+  test("is_tiling: exact tile passes; wrong label, internal overlap, or " +
+    "a gap each fail (test_core_checks.py:247-320)") {
+    import graft.core.Checks
+    val view = Seq(("chr1", 0L, 9L, "chr1p"), ("chr1", 11L, 20L, "chr1q"))
+      .toDF("chrom", "start", "end", "name")
+    val tiled = Seq(("chr1", 0L, 9L, "chr1p"), ("chr1", 11L, 12L, "chr1q"),
+      ("chr1", 12L, 20L, "chr1q")).toDF("chrom", "start", "end", "view_region")
+    assert(Checks.isTiling(tiled, view))
+    // (chr1,0,9) labeled chr1q: covers, but not contained in its region
+    val misLabeled = Seq(("chr1", 0L, 9L, "chr1q"), ("chr1", 11L, 12L, "chr1q"),
+      ("chr1", 12L, 20L, "chr1q")).toDF("chrom", "start", "end", "view_region")
+    assert(!Checks.isTiling(misLabeled, view))
+    val overlapping = Seq(("chr1", 0L, 9L, "chr1p"), ("chr1", 11L, 13L, "chr1q"),
+      ("chr1", 12L, 20L, "chr1q")).toDF("chrom", "start", "end", "view_region")
+    assert(!Checks.isTiling(overlapping, view))
+    val gappy = Seq(("chr1", 11L, 12L, "chr1q"), ("chr1", 12L, 20L, "chr1q"))
+      .toDF("chrom", "start", "end", "view_region")
+    assert(!Checks.isTiling(gappy, view))
+  }
+
   // ---- to_ucsc_colorstring (vis.py:18-59) ----
 
   test("toUcscColorstring: named, hex, short hex, alpha hex, none, null, " +
