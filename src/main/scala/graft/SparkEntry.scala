@@ -314,6 +314,12 @@ object SparkEntry {
       (iv.start / 128, (iv.start * 31 + iv.end * 7) % 97, iv.chrom, iv.end))
     val input = MemoryStream[StreamOps.Iv]
     s.catalog.dropTempView("evt_stream_merge_sink")
+    // the stateful shuffle keys on chrom (8 groups): 32 state-store
+    // partitions per micro-batch are pure fixed overhead, so pin the
+    // streaming query's partitioning to the group count (captured at
+    // query start; restored after)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     val q = StreamOps.streamingMerge(input.toDS(), minDist = 0,
         allowedLag = 256)
       .writeStream.format("memory").queryName("evt_stream_merge_sink")
@@ -326,7 +332,10 @@ object SparkEntry {
       input.addData(rows.map(_.chrom).distinct.toSeq
         .map(c => StreamOps.Iv(c, 1L << 20, (1L << 20) + 1)))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     s.table("evt_stream_merge_sink")
       .select(col("chrom"), col("start"), col("end"),
         col("nIntervals").as("n_intervals"))

@@ -1,0 +1,96 @@
+package graft
+
+import graft.core.ColSpec
+import graft.ops.{Closest, Extras, Ops}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan contracts — the scale guarantees the operators are
+  * designed around, asserted against `executedPlan` so a future rewrite
+  * that silently reintroduces a quadratic or single-node construct fails
+  * CI, not a 100x production run.
+  *
+  * Guarded properties: no cartesian/broadcast-nested-loop joins in any
+  * core operator plan, parquet filter pushdown for region selection,
+  * broadcast (not shuffle) joins against dimension-sized views, and no
+  * partition-less global Window in library paths.
+  */
+class PlanContractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def ivA = Seq(("chr1", 1L, 5L, 1L), ("chr1", 4L, 9L, 2L),
+    ("chr2", 0L, 4L, 3L)).toDF("chrom", "start", "end", "id")
+  private def ivB = Seq(("chr1", 3L, 7L, 10L), ("chr2", 5L, 9L, 11L))
+    .toDF("chrom", "start", "end", "id")
+  private def view = Seq(("chr1", 0L, 10L, "p"), ("chr2", 0L, 10L, "q"))
+    .toDF("chrom", "start", "end", "name")
+
+  test("no cartesian or nested-loop join in any core operator plan") {
+    val plans = Map(
+      "overlap" -> Ops.overlap(ivA, ivB, how = "outer",
+        suffixes = ("_1", "_2"), binSize = 4),
+      "countOverlaps" -> Ops.countOverlaps(ivA, ivB, binSize = 4),
+      "coverage" -> Ops.coverage(ivA, ivB, binSize = 4),
+      "subtract" -> Ops.subtract(ivA, ivB, binSize = 4),
+      "setdiff" -> Ops.setdiff(ivA, ivB, binSize = 4),
+      "closest" -> Closest.closest(ivA, Some(ivB), k = 1,
+        suffixes = ("_1", "_2"), binSize = 4, bucketSize = 64),
+      "geneCoverage" -> Extras.fracGeneCoverage(ivA, ivB, binSize = 4),
+      "pairByDistance" -> Extras.pairByDistance(ivA, 1, 9, binSize = 4))
+    plans.foreach { case (name, df) =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian join")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name has a nested-loop join")
+    }
+  }
+
+  test("region select pushes the chrom/coordinate filters into the " +
+    "parquet scan") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pushdown").toString
+    ivA.write.mode("overwrite").parquet(dir)
+    val p = plan(Ops.select(spark.read.parquet(dir), "chr1:2-8"))
+    assert(p.contains("PushedFilters") &&
+      p.contains("EqualTo(chrom,chr1)"),
+      s"region filter not pushed to the scan:\n$p")
+  }
+
+  test("view-dimension joins broadcast instead of shuffling the fact side") {
+    Seq(
+      "assignView" -> Ops.assignView(ivA, view),
+      "trim" -> Ops.trim(ivA, view),
+      "complement" -> Ops.complement(ivA, view)
+    ).foreach { case (name, df) =>
+      assert(plan(df).contains("BroadcastHashJoin")
+        || plan(df).contains("BroadcastExchange"),
+        s"$name does not broadcast the view")
+    }
+  }
+
+  test("no partition-less global Window in operator plans (the " +
+    "single-partition scale ceiling)") {
+    // a partition-less window renders as "Window [...], [x ASC...]" with
+    // no partition spec between the two bracket groups; every library
+    // window must carry a partition spec
+    val plans = Seq(
+      Ops.cluster(ivA, Some(0)),
+      Ops.merge(ivA, Some(0)),
+      Extras.pileup(ivA, bucketSize = 64),
+      Extras.markRuns(ivA.withColumn("v", lit("x")), "v", bucketSize = 64),
+      Ops.countOverlaps(ivA, ivB, binSize = 4))
+    plans.foreach { df =>
+      val windowLines = plan(df).linesIterator
+        .filter(_.trim.startsWith("Window ")).toSeq
+      windowLines.foreach { l =>
+        // "Window [exprs], [partSpec], [orderSpec]" has three bracket
+        // groups; the partition-less form has only two
+        val brackets = l.count(_ == '[')
+        assert(brackets >= 3, s"partition-less window: $l")
+      }
+    }
+  }
+}
