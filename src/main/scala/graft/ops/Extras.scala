@@ -108,33 +108,27 @@ object Extras {
     * Spark; any interval annotation table works). Output: df columns +
     * `coverage` + `count`.
     *
-    * Twin joins over one distinct-probe relation, NOT a single fused pair
-    * join: merging the annotations first collapses them to a tiny run
-    * relation (typically orders of magnitude smaller), so the coverage
-    * join is nearly free and only the count join pays the full pair
-    * cardinality — with a slim single-key aggregation. A round-4
-    * experiment fusing both aggregates onto one cluster-id-carrying pair
-    * join measured 27% SLOWER (8.26s vs 6.48s at sf0.1): the fused pairs
-    * carry three extra run columns through the big shuffle and pay an
-    * extra (probe, chrom, cluster) pre-aggregation, which costs more than
-    * the second (tiny) join saves. */
+    * Both aggregates run over one distinct-probe relation: counts via
+    * the pair-free rank identity in [[Ops.countOverlaps]] — linear in
+    * rows, independent of pair density (the earlier count pair join
+    * enumerated 112M pairs at sf0.1 and dominated the query at 6.5s; a
+    * round-4 experiment fusing both aggregates onto one
+    * cluster-id-carrying pair join was 27% slower still) — and covered
+    * bp via `Ops.coveredBp`'s adaptive pair-join/rank-scan dispatch.
+    * The slim stats join each other first so the wide probe relation is
+    * joined back exactly once. */
   def fracGeneCoverage(df: DataFrame, annotations: DataFrame,
                        cols: ColSpec = ColSpec.default,
                        colsAnn: ColSpec = ColSpec.default,
                        binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
-    val sfx = "__r_"
-    val cAnn = colsAnn.withSuffix(sfx)
     val l = RowId.withContentId(df, "__gid")
     val lDist = l.select(cols.names.map(col) :+ col("__gid"): _*)
       .dropDuplicates("__gid")
-    val merged = ColSpec.suffixAll(
-      Ops.merge(annotations, Some(0), Nil, colsAnn).drop("n_intervals"), sfx)
-    val covered = IntervalJoin.pairs(lDist, merged, cols, cAnn, Nil,
-        IntervalJoin.Auto, binSize)
-      .groupBy(col("__gid").as("__cid"))
-      .agg(sum(greatest(lit(0L),
-        least(cols.endCol, cAnn.endCol) - greatest(cols.startCol, cAnn.startCol)))
-        .as("coverage"))
+    // covered bp via Ops.coverage's adaptive dispatcher (pair join vs
+    // merged runs for narrow probes, rank scan for heavy-tailed ones)
+    val covered = Ops.coveredBp(lDist, "__gid", annotations,
+        "coverage", cols, colsAnn, binSize)
+      .withColumnRenamed("__gid", "__cid")
     // counts come from the pair-free rank scan (see Ops.countOverlaps):
     // this was the dominant cost as a pair join — the pair relation's
     // cardinality grows with the square of interval density (112M pairs
@@ -145,10 +139,12 @@ object Extras {
       .withColumnRenamed("__gid", "__nid")
     // inner-join the slim stats first and pay the wide-relation join-back
     // ONCE (hash, not sort-merge — sorting the wide side twice was a
-    // measurable tail cost). Sound because covered's keys are exactly the
-    // probes with count > 0 (overlap a merged run iff overlap a raw
-    // annotation): the inner join drops only count=0 rows, which the
-    // final coalesce reconstructs
+    // measurable tail cost). Sound under either covered path: covered's
+    // keys are a superset of the count>0 probes (rank scan emits all
+    // concrete probes; the pair path emits exactly the count>0 ones,
+    // since a probe overlaps a merged run iff it overlaps a raw
+    // annotation) — the rows the inner join drops are exactly those the
+    // final coalesce reconstructs as zeros
     val stats = covered.join(counts, col("__cid") === col("__nid"))
       .select(col("__cid").as("__sid"), col("coverage"), col("count"))
     l.join(stats.hint("shuffle_hash"), col("__gid") === col("__sid"), "left")

@@ -537,32 +537,124 @@ object Ops {
 
   /** Per-df1-interval count of bp covered by df2; df2 is merged first so
     * overlapping df2 rows don't double-count (reference `ops.py:842-916`,
-    * merge at `ops.py:888`). */
+    * merge at `ops.py:888`).
+    *
+    * Adaptive physical path ([[coveredBp]]): a binned pair join against
+    * the disjoint merged runs for narrow probes, or — for a known-large
+    * probe relation with a heavy span tail — a pair-FREE rank scan:
+    * `covered(probe) = F(probe_end) − F(probe_start)` where `F(x)` (total
+    * covered bp below x) decomposes into three running counters over one
+    * sorted event list (`F(x) = closedLen(x) + x*openCount(x) −
+    * openStartSum(x)`: runs fully ended by x plus the partial prefix of
+    * the at-most-one run still open at x), one [[Scan.prefixSumN]] pass,
+    * independent of how many runs each probe spans. Run events sort
+    * before probe boundaries at equal coordinate: a run ending exactly at
+    * x belongs to closedLen and is open for the partial term at none. */
   def coverage(df1: DataFrame, df2: DataFrame,
                coverageCol: String = "coverage",
                cols1: ColSpec = ColSpec.default,
                cols2: ColSpec = ColSpec.default,
                strategy: Strategy = Auto,
-               binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
-    val sfx = "__r_"
-    val merged = ColSpec.suffixAll(
-      merge(concreteRows(df2, cols2), Some(0), Nil, cols2)
-        .drop("n_intervals"), sfx)
-    val c2 = ColSpec(cols2.chrom + sfx, cols2.start + sfx, cols2.end + sfx)
+               binSize: Long = IntervalJoin.DefaultBinSize,
+               rankScan: Option[Boolean] = None): DataFrame = {
     // distinct-probe aggregation + fan-out, as in countOverlaps: covered
     // bp is identical for full-duplicate rows
     val l = RowId.withContentId(df1, "__id1")
     val lDist = l.select(cols1.names.map(col) :+ col("__id1"): _*)
       .dropDuplicates("__id1")
-    val p = IntervalJoin.pairs(lDist, merged, cols1, c2, Nil, strategy, binSize)
-    val covered = p
-      .groupBy(col("__id1").as("__cid"))
-      .agg(sum(greatest(lit(0L),
-        least(cols1.endCol, c2.endCol) - greatest(cols1.startCol, c2.startCol)))
-        .as(coverageCol))
-    l.join(covered, col("__id1") === col("__cid"), "left")
+    val covered = coveredBp(lDist, "__id1", df2, coverageCol,
+      cols1, cols2, binSize, rankScan)
+    l.join(covered.withColumnRenamed("__id1", "__cid").hint("shuffle_hash"),
+        col("__id1") === col("__cid"), "left")
       .withColumn(coverageCol, coalesce(col(coverageCol), lit(0L)))
       .drop("__id1", "__cid")
+  }
+
+  /** Covered-bp dispatcher behind [[coverage]] and
+    * `Extras.fracGeneCoverage`. Two regimes:
+    *  - NARROW probes span few of the disjoint merged runs, so the
+    *    binned pair join's fanout is small and it wins on constant
+    *    factors (measured 2.4s vs 4.2s at sf0.1, where the fixture's
+    *    cover merges to 8 runs);
+    *  - WIDE probes (relative to the binning granularity) are exactly
+    *    where BOTH the bin replication and the per-probe run fanout
+    *    explode — there the rank scan's cost, linear in rows and
+    *    independent of fanout, wins asymptotically.
+    * `rankScan = None` decides like [[IntervalJoin.resolveAuto]]: pay a
+    * bounded span-tail probe only on a known-large probe relation
+    * (optimizer estimate above the same conf threshold), and switch to
+    * the scan when the p99 probe span crosses the two-level cut. */
+  private[ops] def coveredBp(probes: DataFrame, idCol: String,
+      anns: DataFrame, outCol: String, cols1: ColSpec, cols2: ColSpec,
+      bucketWidth: Long, rankScan: Option[Boolean] = None): DataFrame = {
+    val useScan = rankScan.getOrElse {
+      val sz = probes.queryExecution.optimizedPlan.stats.sizeInBytes
+      val threshold = BigInt(probes.sparkSession.conf
+        .get(IntervalJoin.ProbeThresholdKey,
+          IntervalJoin.DefaultProbeThresholdBytes.toString).toLong)
+      sz >= threshold && sz < BigInt(Long.MaxValue) / 4 &&
+        IntervalJoin.spanTailIsHeavy(probes, cols1, bucketWidth)
+    }
+    if (useScan) coveredBpByRank(probes, idCol, anns, outCol, cols1, cols2,
+      bucketWidth)
+    else coveredBpByPairs(probes, idCol, anns, outCol, cols1, cols2,
+      bucketWidth)
+  }
+
+  /** Pair-join covered-bp: binned join of distinct probes against the
+    * merged (disjoint) runs, clip-sum per probe. Fanout = runs spanned
+    * per probe — small for narrow probes, the reason this path wins the
+    * common regime. */
+  private def coveredBpByPairs(probes: DataFrame, idCol: String,
+      anns: DataFrame, outCol: String, cols1: ColSpec, cols2: ColSpec,
+      binSize: Long): DataFrame = {
+    val sfx = "__r_"
+    val merged = ColSpec.suffixAll(
+      merge(concreteRows(anns, cols2), Some(0), Nil, cols2)
+        .drop("n_intervals"), sfx)
+    val c2 = ColSpec(cols2.chrom + sfx, cols2.start + sfx, cols2.end + sfx)
+    IntervalJoin.pairs(probes, merged, cols1, c2, Nil, Auto, binSize)
+      .groupBy(col(idCol))
+      .agg(sum(greatest(lit(0L),
+        least(cols1.endCol, c2.endCol) - greatest(cols1.startCol, c2.startCol)))
+        .as(outCol))
+  }
+
+  /** Scan covered-bp (the wide-probe path of [[coveredBp]]): merges
+    * `anns`, then computes `F(probe_end) − F(probe_start)` per distinct
+    * probe via one three-counter prefix scan. Returns (probe id, covered
+    * bp) for concrete probes; rows of `probes` are assumed distinct on
+    * `idCol`. */
+  private[ops] def coveredBpByRank(probes: DataFrame, idCol: String,
+      anns: DataFrame, outCol: String, cols1: ColSpec, cols2: ColSpec,
+      bucketWidth: Long): DataFrame = {
+    val merged = merge(concreteRows(anns, cols2), Some(0), Nil, cols2)
+      .drop("n_intervals")
+    val c2 = ColSpec(cols2.chrom, cols2.start, cols2.end)
+    val p = concreteRows(probes, cols1)
+    val idType = p.schema(idCol).dataType
+    def probeRow(pos: Column, side: Int) =
+      p.select(cols1.chromCol.as("__occ"), pos.as("__pos"),
+        lit(1).as("__tag"), lit(0L).as("__vl"), lit(0L).as("__vc"),
+        lit(0L).as("__vs"), col(idCol), lit(side).as("__side"))
+    def runRow(pos: Column, vl: Column, vc: Column, vs: Column) =
+      merged.select(c2.chromCol.as("__occ"), pos.as("__pos"),
+        lit(0).as("__tag"), vl.as("__vl"), vc.as("__vc"), vs.as("__vs"),
+        lit(null).cast(idType).as(idCol), lit(0).as("__side"))
+    val ev = runRow(c2.startCol, lit(0L), lit(1L), c2.startCol)
+      .unionByName(runRow(c2.endCol, c2.endCol - c2.startCol, lit(-1L),
+        -c2.startCol))
+      .unionByName(probeRow(cols1.startCol, side = -1))
+      .unionByName(probeRow(cols1.endCol, side = 1))
+      .withColumn("__bkt", Scan.bucketOf(col("__pos"), bucketWidth))
+    val f = col("__closed") + col("__pos") * col("__open") - col("__ssum")
+    Scan.prefixSumN(ev, Seq("__occ"), "__bkt",
+        Seq(col("__pos"), col("__tag")),
+        Seq(col("__vl") -> "__closed", col("__vc") -> "__open",
+          col("__vs") -> "__ssum"))
+      .filter(col(idCol).isNotNull)
+      .groupBy(col(idCol))
+      .agg(sum(col("__side") * f).as(outCol))
   }
 
   // ------------------------------------------------------------- subtract

@@ -73,36 +73,46 @@ object Scan {
     twoLevel(df, group, bucketCol, order, value, isMax = true, inclusive,
       outCol)
 
-  /** TWO running sums over the SAME frame in one pass: both window
+  /** N running sums over the SAME frame in one pass: all window
     * expressions share one WindowSpec, so Catalyst plans a single Window
-    * operator over a single sort — half the shuffle/sort cost of calling
-    * [[prefixSum]] twice. Zeros (not nulls) over an empty frame. */
-  def prefixSum2(df: DataFrame, group: Seq[String], bucketCol: String,
-                 order: Seq[Column], value1: Column, value2: Column,
-                 outCol1: String, outCol2: String): DataFrame = {
+    * operator over a single sort — 1/N the shuffle/sort cost of calling
+    * [[prefixSum]] N times. Zeros (not nulls) over an empty frame. */
+  def prefixSumN(df: DataFrame, group: Seq[String], bucketCol: String,
+                 order: Seq[Column],
+                 values: Seq[(Column, String)]): DataFrame = {
     val partKeys = group :+ bucketCol
     val wLocal = Window.partitionBy(partKeys.map(col): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val withLocal = df
-      .withColumn("__tl_l1", sum(value1).over(wLocal))
-      .withColumn("__tl_l2", sum(value2).over(wLocal))
+    val idx = values.indices
+    val withLocal = idx.foldLeft(df) { (d, i) =>
+      d.withColumn(s"__tl_l$i", sum(values(i)._1).over(wLocal))
+    }
     val summary = df.groupBy(partKeys.map(col): _*)
-      .agg(sum(value1).as("__tl_b1"), sum(value2).as("__tl_b2"))
+      .agg(sum(values.head._1).as("__tl_b0"),
+        values.tail.zipWithIndex.map { case ((v, _), i) =>
+          sum(v).as(s"__tl_b${i + 1}")
+        }: _*)
     val wCarry = Window.partitionBy(group.map(col): _*)
       .orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = summary
-      .withColumn("__tl_c1", sum(col("__tl_b1")).over(wCarry))
-      .withColumn("__tl_c2", sum(col("__tl_b2")).over(wCarry))
-      .drop("__tl_b1", "__tl_b2")
-    withLocal.join(broadcast(carry), partKeys, "left")
-      .withColumn(outCol1, coalesce(col("__tl_l1"), lit(0L)) +
-        coalesce(col("__tl_c1"), lit(0L)))
-      .withColumn(outCol2, coalesce(col("__tl_l2"), lit(0L)) +
-        coalesce(col("__tl_c2"), lit(0L)))
-      .drop("__tl_l1", "__tl_l2", "__tl_c1", "__tl_c2")
+    val carry = idx.foldLeft(summary) { (d, i) =>
+      d.withColumn(s"__tl_c$i", sum(col(s"__tl_b$i")).over(wCarry))
+    }.drop(idx.map(i => s"__tl_b$i"): _*)
+    val out = idx.foldLeft(
+      withLocal.join(broadcast(carry), partKeys, "left")) { (d, i) =>
+      d.withColumn(values(i)._2, coalesce(col(s"__tl_l$i"), lit(0L)) +
+        coalesce(col(s"__tl_c$i"), lit(0L)))
+    }
+    out.drop(idx.flatMap(i => Seq(s"__tl_l$i", s"__tl_c$i")): _*)
   }
+
+  /** Two-counter convenience over [[prefixSumN]]. */
+  def prefixSum2(df: DataFrame, group: Seq[String], bucketCol: String,
+                 order: Seq[Column], value1: Column, value2: Column,
+                 outCol1: String, outCol2: String): DataFrame =
+    prefixSumN(df, group, bucketCol, order,
+      Seq(value1 -> outCol1, value2 -> outCol2))
 
   /** `outCol` = LEAD(posCol) OVER (PARTITION BY group ORDER BY posCol),
     * bucket-parallel: lead within the bucket, stitched with the next

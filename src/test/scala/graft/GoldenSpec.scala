@@ -467,6 +467,26 @@ class GoldenSpec extends SparkSpec {
       .toDF("chrom", "start", "end")) == 5L)
   }
 
+  test("coverage: the rank-scan and pair-join physical paths agree on " +
+    "every probe, including points, NA rows, and zero coverage") {
+    val probes = Seq((Option("chr1"), Option(0L), Option(30L)),
+      (Option("chr1"), Option(5L), Option(5L)),
+      (Option("chr1"), Option(100L), Option(120L)),
+      (Option("chr2"), Option(0L), Option(10L)),
+      (None: Option[String], None: Option[Long], None: Option[Long]))
+      .toDF("chrom", "start", "end")
+    val cover = Seq(("chr1", 2L, 8L), ("chr1", 4L, 12L), ("chr1", 12L, 20L),
+      ("chr1", 25L, 40L), ("chr1", 25L, 25L))
+      .toDF("chrom", "start", "end")
+    val byPairs = rowsOf(Ops.coverage(probes, cover, binSize = 4,
+      rankScan = Some(false)), "chrom", "start", "end", "coverage")
+    val byScan = rowsOf(Ops.coverage(probes, cover, binSize = 4,
+      rankScan = Some(true)), "chrom", "start", "end", "coverage")
+    assert(byPairs == byScan)
+    // [0,30): runs [2,20) and [25,40) clip to 18 + 5 = 23
+    assert(byPairs.exists(r => r(1) == 0L && r(3) == 23L))
+  }
+
   test("coverage with custom column names on both sides " +
     "(test_ops.py:1523-1534)") {
     val p = Seq(("chr1", 3L, 8L)).toDF("chromosome", "begin", "stop")
