@@ -45,6 +45,12 @@ object Bench {
           row.getLong(0)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
+        // storage hygiene between timings: localCheckpoint blocks (e.g.
+        // dedup_components) would otherwise stay pinned in executor
+        // memory for the rest of the suite and show up as multi-second
+        // pressure spikes in unrelated later queries
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         ((System.nanoTime() - t0) / 1e9, n)
       }
       val dt = times.map(_._1).min

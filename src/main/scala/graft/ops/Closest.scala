@@ -246,11 +246,15 @@ object Closest {
     // per id keeps the multiset exact
     val rFetch = (if (selfJoin) r else r.dropDuplicates("__id2"))
       .withColumnRenamed("__id2", "__fid")
+    // hash join-backs: the ids are structs, and sort-merge would sort the
+    // wide payload relations on struct keys (same measured tail cost as
+    // countOverlaps/coverage)
     val matched =
       if (returnInput)
-        ranked
+        ranked.hint("shuffle_hash")
           .join(l, Seq("__id1"), "inner")
-          .join(rFetch, col("__id2") === col("__fid"), "inner")
+          .join(rFetch.hint("shuffle_hash"), col("__id2") === col("__fid"),
+            "inner")
           .drop("__fid")
       else ranked
 
@@ -262,7 +266,8 @@ object Closest {
       if (returnInput) lCols.filter(_ != "__id1").map(col) ++ rDataNulls
       else Nil
     val unmatched = l
-      .join(ranked.select(col("__id1")), Seq("__id1"), "left_anti")
+      .join(ranked.select(col("__id1")).hint("shuffle_hash"),
+        Seq("__id1"), "left_anti")
       .select((col("__id1") +: id2Null +: dataNulls) ++ extraNulls: _*)
     val extraColNames =
       (if (returnOverlap) Seq("have_overlap", "overlap_start", "overlap_end")
