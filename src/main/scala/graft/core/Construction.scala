@@ -48,6 +48,14 @@ object Construction {
     fromTuples(spark, rows, cols)
   }
 
+  /** Append a UCSC-style `chrom:start-end` name column (reference
+    * `construction.py:174-187`). Pure column expression — pushes through
+    * whole-stage codegen. */
+  def addUcscNameColumn(df: DataFrame, nameCol: String = "name",
+                        cols: ColSpec = ColSpec.default): DataFrame =
+    df.withColumn(nameCol, concat(cols.chromCol, lit(":"),
+      cols.startCol.cast("string"), lit("-"), cols.endCol.cast("string")))
+
   /** Coerce + validate a view (reference `construction.py:189-262`):
     * auto-generates `name` as `chrom:start-end` when absent, and checks
     * the viewframe invariant. */

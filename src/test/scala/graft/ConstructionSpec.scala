@@ -20,6 +20,19 @@ class ConstructionSpec extends SparkSpec {
     assertFrame(f, Seq(Seq("chr1", 0L, 77L)), "chrom", "start", "end")
   }
 
+  test("addUcscNameColumn round-trips through fromUcscStrings " +
+    "(test_core_construction.py:11-46)") {
+    import graft.core.Construction
+    val df = Construction.fromTuples(spark,
+      Seq(("chr0", 1L, 4L), ("chr1", 2L, 5L), ("chr2", 3L, 6L)))
+    val named = Construction.addUcscNameColumn(df)
+    val names = named.orderBy("chrom").select("name")
+      .collect().map(_.getString(0)).toSeq
+    assert(names == Seq("chr0:1-4", "chr1:2-5", "chr2:3-6"))
+    val back = Construction.fromUcscStrings(spark, names)
+    assert(rowsOf(back) == rowsOf(df))
+  }
+
   test("makeViewframe auto-names and validates") {
     val v = Construction.makeViewframe(
       Construction.fromChromsizes(spark, Map("chr1" -> 10L)))

@@ -35,6 +35,21 @@ class RegionSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!Region.isCompleteUcscString("chr1"))
     assert(Region("chr1", Some(5L), Some(10L)).toUcscString == "chr1:5-10")
   }
+
+  test("parse Ensembl, FASTA-pipe, dotted, and hyphenated sequence names " +
+    "(test_core_stringops.py:12-55)") {
+    assert(Region.parseString("6:1000-2000") ==
+      Region("6", Some(1000L), Some(2000L)))
+    assert(Region.parseString("gb|accession|locus:1,000-2,000") ==
+      Region("gb|accession|locus", Some(1000L), Some(2000L)))
+    assert(Region.parseString("GL000207.1:1000-2000") ==
+      Region("GL000207.1", Some(1000L), Some(2000L)))
+    assert(Region.parseString("name-with-hyphens-") ==
+      Region("name-with-hyphens-", None, None))
+    intercept[IllegalArgumentException] {
+      Region.parseString("chr1::1000-2000")
+    }
+  }
 }
 
 class ChecksSpec extends SparkSpec {
