@@ -563,7 +563,7 @@ object Ops {
     val lDist = l.select(cols1.names.map(col) :+ col("__id1"): _*)
       .dropDuplicates("__id1")
     val covered = coveredBp(lDist, "__id1", df2, coverageCol,
-      cols1, cols2, binSize, rankScan)
+      cols1, cols2, binSize, rankScan, strategy)
     l.join(covered.withColumnRenamed("__id1", "__cid").hint("shuffle_hash"),
         col("__id1") === col("__cid"), "left")
       .withColumn(coverageCol, coalesce(col(coverageCol), lit(0L)))
@@ -586,7 +586,8 @@ object Ops {
     * the scan when the p99 probe span crosses the two-level cut. */
   private[ops] def coveredBp(probes: DataFrame, idCol: String,
       anns: DataFrame, outCol: String, cols1: ColSpec, cols2: ColSpec,
-      bucketWidth: Long, rankScan: Option[Boolean] = None): DataFrame = {
+      bucketWidth: Long, rankScan: Option[Boolean] = None,
+      strategy: Strategy = Auto): DataFrame = {
     val useScan = rankScan.getOrElse {
       val sz = probes.queryExecution.optimizedPlan.stats.sizeInBytes
       val threshold = BigInt(probes.sparkSession.conf
@@ -598,7 +599,7 @@ object Ops {
     if (useScan) coveredBpByRank(probes, idCol, anns, outCol, cols1, cols2,
       bucketWidth)
     else coveredBpByPairs(probes, idCol, anns, outCol, cols1, cols2,
-      bucketWidth)
+      bucketWidth, strategy)
   }
 
   /** Pair-join covered-bp: binned join of distinct probes against the
@@ -607,13 +608,13 @@ object Ops {
     * common regime. */
   private def coveredBpByPairs(probes: DataFrame, idCol: String,
       anns: DataFrame, outCol: String, cols1: ColSpec, cols2: ColSpec,
-      binSize: Long): DataFrame = {
+      binSize: Long, strategy: Strategy): DataFrame = {
     val sfx = "__r_"
     val merged = ColSpec.suffixAll(
       merge(concreteRows(anns, cols2), Some(0), Nil, cols2)
         .drop("n_intervals"), sfx)
     val c2 = ColSpec(cols2.chrom + sfx, cols2.start + sfx, cols2.end + sfx)
-    IntervalJoin.pairs(probes, merged, cols1, c2, Nil, Auto, binSize)
+    IntervalJoin.pairs(probes, merged, cols1, c2, Nil, strategy, binSize)
       .groupBy(col(idCol))
       .agg(sum(greatest(lit(0L),
         least(cols1.endCol, c2.endCol) - greatest(cols1.startCol, c2.startCol)))
