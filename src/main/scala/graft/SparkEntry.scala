@@ -615,6 +615,19 @@ object SparkEntry {
         col("height").cast("long").as("fake_height"),
         col("n_frames").cast("long").as("n_frames"))
 
+  /** Frame-sampling gate: decode -> every-5th-frame explode, the
+    * per-frame fan-out a video pipeline hangs decode work off. The
+    * oracle regenerates the stub's frame count from text lengths and
+    * explodes with generate_series — gating the whole
+    * decode->n_frames->explode chain. */
+  private def mmFrames(s: SparkSession, dir: String): DataFrame =
+    graft.mm.Multimodal.sampleFrames(
+        graft.mm.Multimodal.decode(
+          graft.mm.Multimodal.asMedia(docs(s, dir), "doc_id", "text",
+            "text/plain")),
+        step = 5)
+      .select(col("media_id").as("doc_id"), col("frame").cast("long").as("frame"))
+
   // ---------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -683,7 +696,8 @@ object SparkEntry {
     "emb_ivf_topk" -> (embIvfTopk _),
     "emb_cosine_dedup" -> (embCosineDedup _),
     "emb_lsh_cap" -> (embLshCap _),
-    "mm_meta" -> (mmMeta _))
+    "mm_meta" -> (mmMeta _),
+    "mm_frames" -> (mmFrames _))
 
   /** Auxiliary relations dumped by Verify alongside the query results.
     * DuckDB cannot recompute xxhash64, so the hash-based operators'
@@ -1385,6 +1399,10 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY c DESC, neighbor_id) AS rn FROM scored) z
         |WHERE rn <= 5""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame
+        |FROM documents,
+        |  UNNEST(generate_series(0, CAST(strlen(text) AS BIGINT) % 24, 5)) t(f)""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  CAST(strlen(text) AS BIGINT) % 640 + 1 AS fake_width,

@@ -86,6 +86,20 @@ object Multimodal {
     decoded.select(col("media_id"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame"))
 
+  /** Resize plumbing (aspect-preserving fit into a `tw` x `th` box): the
+    * dimension arithmetic is the real part — a codec swap keeps it and
+    * replaces only the pixel work, which at this boundary is a payload
+    * transform inside [[decode]]'s mapPartitions. */
+  def resizeMeta(decoded: DataFrame, tw: Int, th: Int): DataFrame =
+    decoded
+      .withColumn("__scale", least(lit(tw.toDouble) / col("width"),
+        lit(th.toDouble) / col("height")))
+      .withColumn("out_width",
+        greatest(lit(1L), floor(col("width") * col("__scale"))).cast("int"))
+      .withColumn("out_height",
+        greatest(lit(1L), floor(col("height") * col("__scale"))).cast("int"))
+      .drop("__scale")
+
   /** Wrap a text/binary-ish table into the media schema (for tests and
     * for treating raw docs as payloads). */
   def asMedia(df: DataFrame, idCol: String, payloadCol: String,

@@ -147,6 +147,17 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(dec, step = 4)
     assert(frames.filter($"media_id" === 1L).count() == 3) // frames 0,4,8 of 12
   }
+
+  test("resizeMeta: aspect-preserving fit into the target box, floor 1px") {
+    val dec = Seq((1L, 640, 480), (2L, 100, 400), (3L, 1, 10000))
+      .toDF("media_id", "width", "height")
+    val out = Multimodal.resizeMeta(dec, tw = 320, th = 320)
+      .orderBy("media_id")
+      .select("out_width", "out_height").collect()
+    assert(out(0).getInt(0) == 320 && out(0).getInt(1) == 240) // scale 0.5
+    assert(out(1).getInt(0) == 80 && out(1).getInt(1) == 320)  // scale 0.8
+    assert(out(2).getInt(0) == 1)                              // floor at 1px
+  }
 }
 
 class StreamingSpec extends SparkSpec {
