@@ -87,7 +87,12 @@ object Tables {
       "thickEnd" -> (col("thickEnd").isNotNull &&
         (col("thickEnd") < col("start") || col("thickEnd") > col("end"))),
       "itemRgb" -> (col("itemRgb").isNotNull &&
-        !col("itemRgb").rlike("^(\\d{1,3},\\d{1,3},\\d{1,3}|\\d{1,3}|0)$")),
+        (!col("itemRgb").rlike("^(\\d{1,3},\\d{1,3},\\d{1,3}|\\d{1,3})$") ||
+          // the shape regex admits 3-digit components up to 999; each
+          // must be a byte (reference io/bed.py itemRgb rule,
+          // tests/test_bed.py:110-118)
+          exists(transform(split(col("itemRgb"), ","),
+            x => x.cast("int")), x => x > 255))),
       "blockCount" -> (col("blockCount").isNotNull && col("blockCount") <= 0),
       "blockSizes" -> (col("blockSizes").isNotNull &&
         (!col("blockSizes").rlike("^(\\d+,)*\\d+,?$") ||

@@ -48,6 +48,38 @@ class IoSpec extends SparkSpec {
     assert(violations.contains("score") && violations.contains("strand"))
   }
 
+  test("BED field validators: chrom shape, end<start, name length, thick " +
+    "bounds, itemRgb component range (tests/test_bed.py:20-118)") {
+    def bed6(chrom: String = "chr1", start: Long = 5L, end: Long = 10L,
+             name: String = "a") =
+      Seq((chrom, start, end, name, "500", "+"))
+        .toDF(Schemas("bed6").fieldNames.toIndexedSeq: _*)
+    def offends(df: org.apache.spark.sql.DataFrame, field: String,
+                schema: String = "bed6") =
+      Tables.validateBed(df, schema).toMap.contains(field)
+    assert(offends(bed6(chrom = "value with space"), "chrom"))
+    assert(offends(bed6(chrom = ""), "chrom"))
+    assert(offends(bed6(chrom = "a" * 300), "chrom"))
+    assert(offends(bed6(start = 11L, end = 10L), "end"))
+    assert(offends(bed6(name = ""), "name"))
+    assert(offends(bed6(name = "a" * 300), "name"))
+    assert(!Tables.validateBed(bed6(), "bed6").toMap.nonEmpty)
+    // thick bounds and itemRgb shapes on a bed9 row
+    def bed9(thickStart: Long = 5L, thickEnd: Long = 10L,
+             rgb: String = "255,0,0") =
+      Seq(("chr1", 5L, 10L, "a", "500", "+", thickStart, thickEnd, rgb))
+        .toDF(Schemas("bed9").fieldNames.toIndexedSeq: _*)
+    assert(offends(bed9(thickEnd = 11L), "thickEnd", "bed9"))
+    assert(offends(bed9(thickStart = 4L), "thickStart", "bed9"))
+    assert(offends(bed9(rgb = "a,12,13"), "itemRgb", "bed9"))
+    assert(offends(bed9(rgb = "12,13"), "itemRgb", "bed9"))
+    assert(offends(bed9(rgb = "12,13,14,15"), "itemRgb", "bed9"))
+    assert(offends(bed9(rgb = "12,13,300"), "itemRgb", "bed9"))
+    assert(offends(bed9(rgb = "300"), "itemRgb", "bed9"))
+    assert(!offends(bed9(rgb = "128"), "itemRgb", "bed9"))
+    assert(!offends(bed9(), "itemRgb", "bed9"))
+  }
+
   private def bed12Row(name: String = "a", thickEnd: Long = 90L,
                        blockCount: Long = 2L, blockSizes: String = "10,20,",
                        blockStarts: String = "0,80") =
