@@ -123,6 +123,42 @@ object Checks {
     * and compares): adjacent pairs are lag-checked inside each input
     * partition in parallel, and partition boundaries are checked on the
     * tiny per-partition (first, last) summary. */
+  /** View-order variant (reference `checks.py:474-540` with `view_df`):
+    * the input read order must already BE `sort_bedframe(df, view)`'s
+    * order — view row rank first (unassigned rows last), then coords.
+    * The input ordinal is tagged FIRST and rides as data, so the check
+    * survives `assign_view`'s shuffles; sortedness along the ordinal is
+    * a two-level prefix-max (no global window). */
+  def isSorted(df: DataFrame, view: DataFrame, viewNameCol: String,
+               dfViewCol: Option[String],
+               cols: ColSpec,
+               colsView: ColSpec): Boolean = {
+    import graft.ops.{Ops, Scan}
+    val tagged = Ops.withInputOrdinal(df, "__sord")
+    val withRegion = dfViewCol match {
+      case Some(c) => tagged.withColumn("__region", col(c))
+      case None => Ops.assignView(tagged, view, dropUnassigned = false,
+        dfViewCol = "__region", viewNameCol = viewNameCol, cols = cols,
+        colsView = colsView)
+    }
+    val vOrd = Ops.withInputOrdinal(
+      view.select(col(viewNameCol).as("__vname")), "__vord")
+    val keyed = withRegion
+      .join(broadcast(vOrd), col("__region") === col("__vname"), "left")
+      .select(col("__sord"),
+        struct(coalesce(col("__vord"), lit(Long.MaxValue)).as("o"),
+          cols.startCol.as("s"), cols.endCol.as("e")).as("__k"))
+      .withColumn("__b", Scan.bucketOf(col("__sord"), 1L << 16))
+    Scan.prefixMax(keyed, Nil, "__b", Seq(col("__sord")), col("__k"),
+        inclusive = false, "__pm")
+      .filter(col("__pm").isNotNull && col("__pm") > col("__k"))
+      .isEmpty
+  }
+
+  def isSorted(df: DataFrame, view: DataFrame,
+               viewNameCol: String): Boolean =
+    isSorted(df, view, viewNameCol, None, ColSpec.default, ColSpec.default)
+
   def isSorted(df: DataFrame, cols: ColSpec = ColSpec.default): Boolean = {
     import org.apache.spark.sql.expressions.Window
     val key = struct(cols.chromCol, cols.startCol, cols.endCol)

@@ -634,6 +634,28 @@ class GoldenSpec extends SparkSpec {
       binSize = 4).count() == 3)
   }
 
+  test("count_overlaps rank scan agrees with an overlap-join count on " +
+    "randomized intervals (points, touching, duplicates)") {
+    val rnd = new scala.util.Random(11)
+    def mk(n: Int) = (0 until n).map { i =>
+      val chrom = s"chr${rnd.nextInt(3)}"
+      val s = rnd.nextInt(400).toLong
+      val len = if (rnd.nextInt(5) == 0) 0L else rnd.nextInt(60).toLong
+      (chrom, s, s + len, i.toLong)
+    }.toDF("chrom", "start", "end", "id")
+    val a = mk(300)
+    val b = mk(200)
+    val viaScan = Ops.countOverlaps(a, b, binSize = 32)
+      .select($"id", $"count")
+    // independent path: inner overlap join + groupBy, zeros restored
+    val viaJoin = Ops.overlap(a, b, how = "inner", suffixes = ("_1", "_2"),
+        binSize = 32)
+      .groupBy($"id_1".as("id")).agg(count(lit(1)).as("jc"))
+    val joined = viaScan.join(viaJoin, Seq("id"), "left")
+      .withColumn("jc", coalesce($"jc", lit(0L)))
+    assert(joined.filter($"count" =!= $"jc").count() == 0)
+  }
+
   // ---- count_overlaps on= strata + NA (tests/test_ops.py:1949-2035) ----
 
   test("count_overlaps: on= strata shrink counts; NA rows count zero " +
@@ -840,6 +862,27 @@ class GoldenSpec extends SparkSpec {
     val gappy = Seq(("chr1", 11L, 12L, "chr1q"), ("chr1", 12L, 20L, "chr1q"))
       .toDF("chrom", "start", "end", "view_region")
     assert(!Checks.isTiling(gappy, view))
+  }
+
+  // ---- is_sorted with view order (test_core_checks.py:435-501) ----
+
+  test("is_sorted: view order differs from lexicographic order " +
+    "(test_core_checks.py:476-501)") {
+    import graft.core.Checks
+    val view = Seq(("chrX", 1L, 8L, "oranges"), ("chrX", 8L, 20L, "grapefruit"),
+      ("chr1", 0L, 10L, "apples")).toDF("chrom", "start", "end", "fruit")
+    // the view is sorted under its own order...
+    assert(Checks.isSorted(view, view, "fruit", Some("fruit"),
+      ColSpec.default, ColSpec.default))
+    // ...but not lexicographically (chrX before chr1)
+    assert(!Checks.isSorted(view))
+    val df = Seq(("chr1", 0L, 10L), ("chrX", 5L, 10L), ("chrX", 0L, 5L),
+      ("chr2", 5L, 10L)).toDF("chrom", "start", "end")
+    assert(!Checks.isSorted(df))
+    // sort under the view -> sorted under the view, still not plain-sorted
+    val sorted = Ops.sortBedframe(df, Some(view), viewNameCol = "fruit")
+    assert(Checks.isSorted(sorted, view, "fruit"))
+    assert(!Checks.isSorted(sorted))
   }
 
   // ---- to_ucsc_colorstring (vis.py:18-59) ----
