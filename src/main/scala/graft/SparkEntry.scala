@@ -484,6 +484,7 @@ object SparkEntry {
     docs(s, dir).select(
       col("doc_id"),
       TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextOps.bpeishCount(col("text")).cast("long").as("n_subwords"),
       TextOps.punctCount(col("text")).cast("long").as("n_punct"),
       TextOps.stopwordCount(col("text")).cast("long").as("n_stop"),
       TextOps.upperCount(col("text")).cast("long").as("n_upper"),
@@ -1229,6 +1230,7 @@ object SparkEntry {
     "txt_stats" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
         |  CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS n_punct,
         |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a|is|that|it|for|on|with|as|was|at|by|an|be|this|are)\b')) AS BIGINT) AS n_stop,
         |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
