@@ -180,4 +180,33 @@ object Tables {
     val m = gtfAttributes(col(attrCol))
     keys.foldLeft(df)((d, k) => d.withColumn(k, element_at(m, k)))
   }
+
+  // ------------------------------------------------------------- layout
+
+  /** Write an interval relation as chromosome-partitioned parquet
+    * (hive-style `chrom=.../` directories), sorted by start within each
+    * partition. The layout every downstream op benefits from at cluster
+    * scale:
+    *  - a region [[graft.ops.Ops.select]] prunes to ONE partition
+    *    directory at planning time (`PartitionFilters` in the scan —
+    *    asserted by PlanContractSpec);
+    *  - the within-partition sort gives min/max row-group statistics on
+    *    `start`, so coordinate predicates skip row groups too;
+    *  - per-chrom files co-locate the join key's first component for
+    *    every downstream binned join.
+    * `partitionsPerChrom` caps file count per chromosome (repartition by
+    * range on start inside each chrom keeps the sort useful). */
+  def writeChromPartitioned(df: DataFrame, path: String,
+                            cols: graft.core.ColSpec = graft.core.ColSpec.default,
+                            partitionsPerChrom: Int = 1): Unit = {
+    val prepared =
+      if (partitionsPerChrom <= 1)
+        df.repartition(cols.chromCol).sortWithinPartitions(cols.startCol)
+      else
+        df.repartitionByRange(
+            partitionsPerChrom * df.select(cols.chromCol).distinct.count().toInt,
+            cols.chromCol, cols.startCol)
+          .sortWithinPartitions(cols.chromCol, cols.startCol)
+    prepared.write.mode("overwrite").partitionBy(cols.chrom).parquet(path)
+  }
 }

@@ -59,6 +59,24 @@ class PlanContractSpec extends SparkSpec {
       s"region filter not pushed to the scan:\n$p")
   }
 
+  test("chrom-partitioned layout: region select prunes to one partition " +
+    "directory at planning time") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_partlayout").toString
+    graft.io.Tables.writeChromPartitioned(ivA, dir)
+    val read = spark.read.parquet(dir)
+    val p = plan(Ops.select(read, "chr1:2-8"))
+    // the chrom equality must land in PartitionFilters (directory-level
+    // pruning at planning time), not just in the post-scan Filter
+    val partFilters = p.linesIterator
+      .flatMap(_.split("PartitionFilters: ").drop(1)).mkString
+    assert(partFilters.contains("= chr1"),
+      s"chrom equality not in PartitionFilters:\n$p")
+    // round trip is lossless (column order differs: partition col last)
+    assert(rowsOf(read, "chrom", "start", "end", "id") ==
+      rowsOf(ivA, "chrom", "start", "end", "id"))
+  }
+
   test("view-dimension joins broadcast instead of shuffling the fact side") {
     Seq(
       "assignView" -> Ops.assignView(ivA, view),
