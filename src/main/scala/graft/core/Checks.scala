@@ -64,6 +64,7 @@ object Checks {
     * non-null `name` + non-overlapping regions. */
   def isViewframe(df: DataFrame, nameCol: String = "name",
                   cols: ColSpec = ColSpec.default): Boolean = {
+    df.columns.contains(nameCol) &&
     hasBedSchema(df, cols) &&
     df.filter(bedViolation(cols) || cols.chromCol.isNull || col(nameCol).isNull)
       .isEmpty &&

@@ -864,6 +864,56 @@ class GoldenSpec extends SparkSpec {
     assert(!Checks.isTiling(gappy, view))
   }
 
+  // ---- is_cataloged / is_bedframe / is_viewframe (test_core_checks.py) ----
+
+  test("is_cataloged: a label absent from the view fails; custom label " +
+    "columns pass (test_core_checks.py:20-62)") {
+    import graft.core.Checks
+    val view = Seq(("chr1", 0L, 12L, "chr1p"), ("chr1", 13L, 26L, "chr1q"),
+      ("chrX", 1L, 8L, "chrX_0")).toDF("chrom", "start", "end", "funny_name")
+    val bad = Seq(("chr1", 0L, 12L, "chr1p"), ("chr2", 13L, 26L, "chr2q"))
+      .toDF("chrom", "start", "end", "funny_view_region")
+    assert(!Checks.isCataloged(bad, view, dfViewCol = "funny_view_region",
+      viewNameCol = "funny_name"))
+    val good = Seq(("chr1", 0L, 12L, "chr1p"), ("chr2", 13L, 26L, "chr1q"))
+      .toDF("chrom", "start", "end", "funny_view_region")
+    assert(Checks.isCataloged(good, view, dfViewCol = "funny_view_region",
+      viewNameCol = "funny_name"))
+  }
+
+  test("is_bedframe: missing column, inverted interval, partial-NA row " +
+    "fail; full-NA rows pass (test_core_checks.py:321-381)") {
+    import graft.core.Checks
+    assert(!Checks.isBedframe(Seq(("chr1", 11L)).toDF("chrom", "start")))
+    assert(!Checks.isBedframe(Seq(("chr1", 15L, 10L))
+      .toDF("chrom", "start", "end")))
+    val partialNa = Seq((Option("chr1"), Option(10L), Option(20L)),
+      (Option("chr1"), None: Option[Long], Option(15L)))
+      .toDF("chrom", "start", "end")
+    assert(!Checks.isBedframe(partialNa))
+    val fullNa = Seq((None: Option[String], None: Option[Long], None: Option[Long]),
+      (Option("chr1"), Option(10L), Option(15L)))
+      .toDF("chrom", "start", "end")
+    assert(Checks.isBedframe(fullNa))
+  }
+
+  test("is_viewframe: inverted row, missing name column, null coords, " +
+    "overlap all fail; a proper view passes (test_core_checks.py:382-434)") {
+    import graft.core.Checks
+    assert(!Checks.isViewframe(Seq(("chr1", 10L, 20L, "p"), ("chr1", 15L, 10L, "q"))
+      .toDF("chrom", "start", "end", "name")))
+    assert(!Checks.isViewframe(Seq(("chr1", 10L, 20L))
+      .toDF("chrom", "start", "end")))
+    assert(!Checks.isViewframe(
+      Seq((Option("chr1"), Option(10L), Option(20L), "p"),
+        (Option("chr1"), None: Option[Long], None: Option[Long], "q"))
+        .toDF("chrom", "start", "end", "name")))
+    assert(!Checks.isViewframe(Seq(("chr1", 10L, 20L, "p"), ("chr1", 15L, 25L, "q"))
+      .toDF("chrom", "start", "end", "name")))
+    assert(Checks.isViewframe(Seq(("chr1", 10L, 20L, "p"), ("chr1", 20L, 25L, "q"),
+      ("chr2", 20L, 25L, "r")).toDF("chrom", "start", "end", "name")))
+  }
+
   // ---- is_sorted with view order (test_core_checks.py:435-501) ----
 
   test("is_sorted: view order differs from lexicographic order " +
