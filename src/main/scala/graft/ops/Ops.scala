@@ -56,13 +56,18 @@ object Ops {
 
   /** Rows overlapping a scalar region (reference `ops.py:116-147`); the
     * region string is parsed driver-side, the result is a pure filter that
-    * Catalyst pushes into the scan. */
+    * Catalyst pushes into the scan. `resolve()` applies the reference's
+    * `parse_region` normalization (`stringops.py:240-245`): a missing
+    * start fills to 0 — so a bare `"chrX"` query still requires
+    * `promoted_end > 0`, excluding fully-negative intervals — and an
+    * inverted range (`"chr1:1-0"`) raises instead of silently matching
+    * nothing (tests/test_ops_select.py:37-39). */
   def select(df: DataFrame, region: String,
              cols: ColSpec = ColSpec.default): DataFrame =
-    df.filter(Region.parseString(region).predicate(cols))
+    df.filter(selectMask(region, cols))
 
   def selectMask(region: String, cols: ColSpec = ColSpec.default): Column =
-    Region.parseString(region).predicate(cols)
+    Region.parseString(region).resolve().predicate(cols)
 
   /** Attach a 0-based input ordinal in physical read order — the Spark
     * analog of the pandas positional index (`zipWithIndex`; costs one

@@ -760,6 +760,52 @@ class GoldenSpec extends SparkSpec {
     assert(names("chr2:50-50") == Set("E"))   // point query on point row
   }
 
+  test("select: inverted query range raises; absent chromosome or " +
+    "out-of-range window select nothing (test_ops_select.py:30-39)") {
+    val df = Seq(("chrX", 3L, 8L), ("chr1", 4L, 5L), ("chrX", 1L, 5L))
+      .toDF("chrom", "start", "end")
+    intercept[IllegalArgumentException] { Ops.select(df, "chr1:1-0") }
+    assert(Ops.select(df, "chrZ").count() == 0)
+    assert(Ops.select(df, "chr1:100-1000").count() == 0)
+    assert(Ops.select(df, "chr1:1-3").count() == 0)
+  }
+
+  test("select: custom column names, NA rows dropped, open-ended range " +
+    "(test_ops_select.py:42-82, 122-124)") {
+    val renamed = Seq(("chrX", 3L, 8L), ("chr1", 4L, 5L), ("chrX", 1L, 5L))
+      .toDF("chr", "chrstart", "chrend")
+    val cs = ColSpec("chr", "chrstart", "chrend")
+    assertFrame(Ops.select(renamed, "chrX:4-6", cs),
+      Seq(Seq("chrX", 3L, 8L), Seq("chrX", 1L, 5L)), "chr", "chrstart", "chrend")
+    assertFrame(Ops.select(renamed, "chrX", cs),
+      Seq(Seq("chrX", 3L, 8L), Seq("chrX", 1L, 5L)), "chr", "chrstart", "chrend")
+    val withNa = Seq(
+      (Option("chr1"), Option(-6L), Option(12L), "chr1p"),
+      (None: Option[String], None: Option[Long], None: Option[Long], "chr1q"),
+      (Option("chrX"), Option(1L), Option(8L), "chrX_0"))
+      .toDF("chrom", "start", "end", "view_region")
+    assertFrame(Ops.select(withNa, "chr1:0-1").select($"view_region"),
+      Seq(Seq("chr1p")), "view_region")
+    // open-ended "chrom:start-" bounds only from below
+    val six = Seq(("chr2", 20L, 30L, "B"), ("chr2", 10L, 20L, "A"),
+      ("chr2", 60L, 70L, "F")).toDF("chrom", "start", "end", "name")
+    assertFrame(Ops.select(six, "chr2:20-").select($"name"),
+      Seq(Seq("B"), Seq("F")), "name")
+  }
+
+  test("select: a dataframe of points via cols=(chrom,pos,pos) " +
+    "(test_ops_select.py:184-198)") {
+    val pts = Seq(("chrX", 3L, "A"), ("chr1", 4L, "C"), ("chrX", 1L, "B"))
+      .toDF("chrom", "pos", "name")
+    val cs = ColSpec("chrom", "pos", "pos")
+    def names(region: String): Set[String] =
+      Ops.select(pts, region, cs).select($"name").collect()
+        .map(_.getString(0)).toSet
+    assert(names("chr1:4-10") == Set("C"))
+    assert(names("chr1:3-10") == Set("C"))
+    assert(names("chr1:4-4") == Set("C"))
+  }
+
   // ---- assign_view contracts (tests/test_ops.py:2070-2187) ----
 
   test("assign_view: max-overlap assignment, custom name/region columns, " +
