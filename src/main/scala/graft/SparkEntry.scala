@@ -128,6 +128,24 @@ object SparkEntry {
     Ops.merge(iv1(s, dir), minDist = minDist)
       .select(col("chrom"), col("start"), col("end"), col("n_intervals"))
 
+  /** `on=` strata flow through the whole sweep machinery, not just the
+    * equi-key plumbing (reference ops.py:631, 772). */
+  private def ivClusterOn(s: SparkSession, dir: String): DataFrame =
+    Ops.cluster(iv1(s, dir), minDist = Some(0), on = Seq("strand"),
+        bucketSize = SCAN_BUCKET)
+      .select(col("id"), col("strand"), col("cluster_start"), col("cluster_end"))
+
+  private def ivMergeOn(s: SparkSession, dir: String): DataFrame =
+    Ops.merge(iv1(s, dir), minDist = Some(0), on = Seq("strand"))
+      .select(col("chrom"), col("strand"), col("start"), col("end"),
+        col("n_intervals"))
+
+  /** Negative pad on one side: the midpoint clamp applies to that side
+    * only (reference ops.py:150-225; golden cases in GoldenSpec). */
+  private def ivExpandLeft(s: SparkSession, dir: String): DataFrame =
+    Ops.expand(iv1(s, dir), pad = Some(-3L), side = "left")
+      .select(col("id"), col("chrom"), col("start"), col("end"))
+
   private def ivCoverage(s: SparkSession, dir: String): DataFrame =
     Ops.coverage(iv2(s, dir), iv1(s, dir), coverageCol = "coverage", binSize = B)
       .select(col("id"), col("chrom"), col("start"), col("end"), col("coverage"))
@@ -183,6 +201,22 @@ object SparkEntry {
   private def ivSubtract(s: SparkSession, dir: String): DataFrame =
     Ops.subtract(iv2(s, dir), iv1(s, dir), binSize = B)
       .select(col("id"), col("chrom"), col("start"), col("end"))
+
+  /** `return_index`: per-parent fragment counter `sub_index_` in fragment
+    * order (reference ops.py:1323-1329). */
+  private def ivSubtractIndex(s: SparkSession, dir: String): DataFrame =
+    Ops.subtract(iv2(s, dir), iv1(s, dir), returnIndex = true, binSize = B)
+      .select(col("id"), col("chrom"), col("start"), col("end"),
+        col("sub_index_").cast("long").as("sub_index_"))
+
+  /** Overlap-first ranking disabled: only the non-overlap as-of candidate
+    * sets feed the top-k (reference ops.py:944-949, arrops.py:560-597 —
+    * `ignore_overlaps=True`). */
+  private def ivClosestIgnore(s: SparkSession, dir: String): DataFrame =
+    Closest.closest(iv3(s, dir), Some(iv2(s, dir)), k = 1,
+        ignoreOverlaps = true, tieBreakingCol = Some("id"),
+        suffixes = ("_1", "_2"), binSize = B, bucketSize = SCAN_BUCKET)
+      .select(col("id_1"), col("id_2"), col("distance"))
 
   private def ivComplement(s: SparkSession, dir: String): DataFrame =
     Ops.complement(iv1(s, dir), view(s))
@@ -408,6 +442,24 @@ object SparkEntry {
   private def ivPileup(s: SparkSession, dir: String): DataFrame =
     Extras.pileup(iv1(s, dir), bucketSize = SCAN_BUCKET)
       .select(col("chrom"), col("start"), col("end"), col("depth"))
+
+  /** Weighted pileup (`valueCol`): the RLE kernel's `weights` argument
+    * (reference arrops.py:757-770). Weight 0 rows still cut breakpoints —
+    * identical on both engines. */
+  private def ivPileupWeighted(s: SparkSession, dir: String): DataFrame =
+    Extras.pileup(
+        iv1(s, dir).withColumn("w", (col("id") % 5).cast("long")),
+        valueCol = Some("w"), bucketSize = SCAN_BUCKET)
+      .select(col("chrom"), col("start"), col("end"), col("depth"))
+
+  /** Endpoint-anchored pairing (`relative_to="endpoints"`, reference
+    * extras.py:482-499): separation measured end(upstream) to
+    * start(downstream). */
+  private def ivPairEndpoints(s: SparkSession, dir: String): DataFrame =
+    Extras.pairByDistance(iv3(s, dir), minSep = 10L, maxSep = 200L,
+        maxIntervening = Some(5L), relativeTo = "endpoints",
+        suffixes = ("_1", "_2"), binSize = B)
+      .select(col("id_1"), col("id_2"))
 
   /** sanitize_bedframe semantics (reference construction.py:265-343) on a
     * deliberately dirty frame derived from part (some start > end). */
@@ -649,7 +701,10 @@ object SparkEntry {
     "iv_count_overlaps" -> (ivCountOverlaps _),
     "iv_setdiff" -> (ivSetdiff _),
     "iv_cluster" -> (ivCluster _),
+    "iv_cluster_on" -> (ivClusterOn _),
+    "iv_expand_left" -> (ivExpandLeft _),
     "iv_merge" -> ivMerge(Some(0)) _,
+    "iv_merge_on" -> (ivMergeOn _),
     "iv_merge_mindist" -> ivMerge(Some(5)) _,
     "iv_merge_strict" -> ivMerge(None) _,
     "iv_coverage" -> (ivCoverage _),
@@ -660,7 +715,9 @@ object SparkEntry {
     "iv_closest" -> (ivClosest _),
     "iv_closest_k3" -> (ivClosestK3 _),
     "iv_closest_upstream" -> (ivClosestUpstream _),
+    "iv_closest_ignore" -> (ivClosestIgnore _),
     "iv_subtract" -> (ivSubtract _),
+    "iv_subtract_index" -> (ivSubtractIndex _),
     "iv_complement" -> (ivComplement _),
     "iv_trim" -> (ivTrim _),
     "iv_trim_noview" -> (ivTrimNoview _),
@@ -673,7 +730,9 @@ object SparkEntry {
     "iv_binnify" -> (ivBinnify _),
     "iv_chromarms" -> (ivChromarms _),
     "iv_pair_by_distance" -> (ivPairByDistance _),
+    "iv_pair_endpoints" -> (ivPairEndpoints _),
     "iv_pileup" -> (ivPileup _),
+    "iv_pileup_weighted" -> (ivPileupWeighted _),
     "iv_mark_runs" -> (ivMarkRuns _),
     "iv_merge_runs" -> (ivMergeRuns _),
     "chk_invariants" -> (chkInvariants _),
@@ -774,6 +833,12 @@ object SparkEntry {
          |  CAST(roundbankers(start - 0.25 * ("end" - start), 0) AS BIGINT) AS start,
          |  CAST(roundbankers("end" + 0.25 * ("end" - start), 0) AS BIGINT) AS "end"
          |FROM iv1""".stripMargin,
+    "iv_expand_left" ->
+      s"""WITH $iv1Sql
+         |SELECT id, chrom,
+         |  LEAST(start + 3, start + ("end" - start) // 2) AS start,
+         |  GREATEST("end", start + ("end" - start) // 2) AS "end"
+         |FROM iv1""".stripMargin,
     "iv_overlap_inner" ->
       s"""WITH $iv1Sql, $iv2Sql
          |SELECT a.id AS id_1, b.id AS id_2,
@@ -848,6 +913,38 @@ object SparkEntry {
     "iv_merge" ->
       s"""WITH $iv1Sql, $mergedIv1Sql
          |SELECT chrom, start, "end", n_intervals FROM m1""".stripMargin,
+    "iv_merge_on" ->
+      s"""WITH $iv1Sql
+         |SELECT chrom, strand, MIN(start) AS start, MAX("end") AS "end",
+         |  COUNT(*) AS n_intervals
+         |FROM (
+         |  SELECT chrom, strand, start, "end",
+         |         SUM(brd) OVER (PARTITION BY chrom, strand
+         |                        ORDER BY start, "end", id
+         |                        ROWS UNBOUNDED PRECEDING) AS cid
+         |  FROM (
+         |    SELECT *, CASE WHEN pm IS NULL OR start > pm THEN 1 ELSE 0 END AS brd
+         |    FROM (
+         |      SELECT id, chrom, strand, start, "end",
+         |             MAX("end") OVER (PARTITION BY chrom, strand
+         |                              ORDER BY start, "end", id
+         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |      FROM iv1) x) y) z
+         |GROUP BY chrom, strand, cid""".stripMargin,
+    "iv_cluster_on" ->
+      s"""WITH $iv1Sql,
+         |x AS (SELECT id, chrom, strand, start, "end",
+         |        MAX("end") OVER (PARTITION BY chrom, strand
+         |          ORDER BY start, "end", id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |      FROM iv1),
+         |y AS (SELECT *, CASE WHEN pm IS NULL OR start > pm THEN 1 ELSE 0 END AS brd FROM x),
+         |z AS (SELECT *, SUM(brd) OVER (PARTITION BY chrom, strand
+         |        ORDER BY start, "end", id ROWS UNBOUNDED PRECEDING) AS cid FROM y)
+         |SELECT id, strand,
+         |  MIN(start) OVER (PARTITION BY chrom, strand, cid) AS cluster_start,
+         |  MAX("end") OVER (PARTITION BY chrom, strand, cid) AS cluster_end
+         |FROM z""".stripMargin,
     "iv_merge_mindist" ->
       s"""WITH $iv1Sql,
          |x AS (SELECT id, chrom, start, "end",
@@ -984,6 +1081,17 @@ object SparkEntry {
          |    ORDER BY sortdist, id_2) AS rn FROM cand)
          |SELECT a.id AS id_1, r.id_2, r.dist AS distance
          |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 1""".stripMargin,
+    "iv_closest_ignore" ->
+      s"""WITH $iv2Sql, $iv3Sql,
+         |cand AS (
+         |  SELECT a.id AS id_1, b.id AS id_2,
+         |    GREATEST(a.start - b."end", b.start - a."end", 0) AS dist
+         |  FROM iv3 a JOIN iv2 b ON a.chrom = b.chrom
+         |  WHERE b."end" <= a.start OR b.start >= a."end"),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1
+         |    ORDER BY dist, id_2) AS rn FROM cand)
+         |SELECT a.id AS id_1, r.id_2, r.dist AS distance
+         |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 1""".stripMargin,
     "iv_subtract" ->
       s"""WITH $iv1Sql, $iv2Sql, $mergedIv1Sql,
          |mm AS (
@@ -1000,6 +1108,28 @@ object SparkEntry {
          |  WHERE NOT EXISTS (SELECT 1 FROM m1 m
          |    WHERE m.chrom = a.chrom AND a.start < m."end" AND m.start < a."end"))
          |SELECT id, chrom, fs AS start, fe AS "end" FROM (
+         |  SELECT * FROM frag1 UNION ALL SELECT * FROM frag2
+         |  UNION ALL SELECT * FROM untouched) u
+         |WHERE fs < fe""".stripMargin,
+    "iv_subtract_index" ->
+      s"""WITH $iv1Sql, $iv2Sql, $mergedIv1Sql,
+         |mm AS (
+         |  SELECT a.id, a.chrom, a.start AS s1, a."end" AS e1,
+         |    GREATEST(m.start, a.start) AS ms, LEAST(m."end", a."end") AS me
+         |  FROM iv2 a JOIN m1 m
+         |    ON a.chrom = m.chrom AND a.start < m."end" AND m.start < a."end"),
+         |frag1 AS (SELECT id, chrom,
+         |    COALESCE(LAG(me) OVER (PARTITION BY id ORDER BY ms), s1) AS fs,
+         |    ms AS fe FROM mm),
+         |frag2 AS (SELECT id, chrom, MAX(me) AS fs, MAX(e1) AS fe
+         |  FROM mm GROUP BY id, chrom),
+         |untouched AS (SELECT id, chrom, start AS fs, "end" AS fe FROM iv2 a
+         |  WHERE NOT EXISTS (SELECT 1 FROM m1 m
+         |    WHERE m.chrom = a.chrom AND a.start < m."end" AND m.start < a."end"))
+         |SELECT id, chrom, fs AS start, fe AS "end",
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY id ORDER BY fs) - 1 AS BIGINT)
+         |    AS sub_index_
+         |FROM (
          |  SELECT * FROM frag1 UNION ALL SELECT * FROM frag2
          |  UNION ALL SELECT * FROM untouched) u
          |WHERE fs < fe""".stripMargin,
@@ -1143,6 +1273,27 @@ object SparkEntry {
          |  FROM agg)
          |SELECT chrom, pos AS start, next AS "end", depth FROM c
          |WHERE next IS NOT NULL""".stripMargin,
+    "iv_pileup_weighted" ->
+      s"""WITH $iv1Sql,
+         |ev AS (SELECT chrom, start AS pos, CAST(id % 5 AS BIGINT) AS d FROM iv1
+         |  UNION ALL SELECT chrom, "end", CAST(-(id % 5) AS BIGINT) FROM iv1),
+         |agg AS (SELECT chrom, pos, SUM(d) AS delta FROM ev GROUP BY chrom, pos),
+         |c AS (SELECT chrom, pos,
+         |    CAST(SUM(delta) OVER (PARTITION BY chrom ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS depth,
+         |    LEAD(pos) OVER (PARTITION BY chrom ORDER BY pos) AS next
+         |  FROM agg)
+         |SELECT chrom, pos AS start, next AS "end", depth FROM c
+         |WHERE next IS NOT NULL""".stripMargin,
+    "iv_pair_endpoints" ->
+      s"""WITH $iv3Sql,
+         |m AS (SELECT id, chrom, start, "end",
+         |    ROW_NUMBER() OVER (PARTITION BY chrom ORDER BY start, "end") AS rnk
+         |  FROM iv3)
+         |SELECT a.id AS id_1, b.id AS id_2
+         |FROM m a JOIN m b ON a.chrom = b.chrom
+         |  AND (a."end" + 5) < (b.start - 5) AND (b.start - 100) < (a."end" + 100)
+         |  AND ABS(a.rnk - b.rnk) - 1 <= 5""".stripMargin,
     "iv_mark_runs" ->
       s"""WITH $iv1Sql, $chromsizesSql,
          |bins AS (SELECT chrom, CAST(s AS BIGINT) AS start,
