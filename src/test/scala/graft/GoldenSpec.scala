@@ -981,6 +981,113 @@ class GoldenSpec extends SparkSpec {
     assert(!Checks.isSorted(sorted))
   }
 
+  // ---- sort_bedframe: unassigned + NA rows last, custom view cols
+  //      (tests/test_ops.py:2188-2291) ----
+
+  test("sortBedframe with a view puts unassigned-chromosome and NA rows " +
+    "last, honors non-default view colnames (test_ops.py:2222-2291)") {
+    val view = Seq(("chrX", 1L, 8L, "oranges"), ("chrX", 8L, 20L, "grapefruit"),
+      ("chr1", 0L, 10L, "apples")).toDF("chr", "start", "end", "fruit")
+    val df = Seq(
+      (Option("chr1"), Option(0L), Option(10L), "a"),
+      (Option("chrX"), Option(5L), Option(10L), "b"),
+      (None: Option[String], None: Option[Long], None: Option[Long], "na"),
+      (Option("chrX"), Option(0L), Option(5L), "c"),
+      (Option("chr2"), Option(5L), Option(10L), "d")) // chr2 not in the view
+      .toDF("chrom", "start", "end", "name")
+    val sorted = Ops.sortBedframe(df.repartition(3), Some(view),
+      viewNameCol = "fruit", colsView = ColSpec("chr", "start", "end"))
+    val names = sorted.select("name").collect().map(_.getString(0)).toSeq
+    // view order: chrX (oranges/grapefruit) then chr1 (apples); the
+    // unassigned chr2 row and the NA row sort after all assigned rows
+    assert(names.take(3) == Seq("c", "b", "a"), names.toString)
+    assert(names.drop(3).toSet == Set("d", "na"), names.toString)
+    // plain sort: NA last (test_ops.py:2272-2287)
+    val plain = Ops.sortBedframe(df.repartition(3))
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(plain == Seq("a", "d", "c", "b", "na"), plain.toString)
+  }
+
+  // ---- overlap on= strata + how-variant lengths under fully disjoint
+  //      column names (tests/test_ops.py:326-446) ----
+
+  private def onA = Seq(
+    ("chr1", 8L, 12L, "+", "cat"),
+    ("chr1", 8L, 12L, "-", "cat"),
+    ("chrX", 1L, 8L, "+", "cat"))
+    .toDF("chrom1", "s1", "e1", "strand", "animal")
+  private def onB = Seq(
+    ("chr1", 6L, 10L, "+", "dog"),
+    ("chrX", 7L, 10L, "-", "dog"))
+    .toDF("chrom2", "s2", "e2", "strand", "animal")
+  private val onColsA = ColSpec("chrom1", "s1", "e1")
+  private val onColsB = ColSpec("chrom2", "s2", "e2")
+
+  test("overlap left: null-partner counts 3/2/0 for on=[animal]/[strand]/" +
+    "None under disjoint colnames (test_ops.py:326-377)") {
+    def nullPartners(on: Seq[String]) =
+      Ops.overlap(onA, onB, how = "left", on = on, returnIndex = true,
+        suffixes = ("_1", "_2"), cols1 = onColsA, cols2 = onColsB, binSize = 4)
+        .filter(col("index_2").isNull).count()
+    assert(nullPartners(Seq("animal")) == 3) // cat never meets dog
+    assert(nullPartners(Seq("strand")) == 2) // only the +/+ pair survives
+    assert(nullPartners(Nil) == 0)           // every row pairs coordinate-wise
+  }
+
+  test("overlap how-variant row counts with on=[animal] vs on=None " +
+    "(test_ops.py:379-446)") {
+    def n(how: String, on: Seq[String]) =
+      Ops.overlap(onA, onB, how = how, on = on, suffixes = ("_1", "_2"),
+        cols1 = onColsA, cols2 = onColsB, binSize = 4).count()
+    assert(n("outer", Nil) == 3)            // all three pairs, nothing unmatched
+    assert(n("outer", Seq("animal")) == 5)  // zero pairs: 3 left + 2 right rows
+    assert(n("inner", Seq("animal")) == 0)
+    assert(n("right", Seq("animal")) == 2)
+    assert(n("left", Seq("animal")) == 3)
+  }
+
+  // ---- point/segment promotion asymmetries (tests/test_ops.py:449-686) ----
+
+  test("overlap: a point at a segment's START overlaps it, a point at its " +
+    "END does not, in both operand orders (test_ops.py:526-686)") {
+    val p1 = Seq(("chr1", 1L, 1L)).toDF("chrom", "start", "end")
+    val p2 = Seq(("chr1", 2L, 2L)).toDF("chrom", "start", "end")
+    val seg = Seq(("chr1", 1L, 2L)).toDF("chrom", "start", "end")
+    def pairOf(a: org.apache.spark.sql.DataFrame,
+               b: org.apache.spark.sql.DataFrame) =
+      Ops.overlap(a, b, how = "left", suffixes = ("_1", "_2"), binSize = 4)
+        .select($"start_1", $"end_1", $"start_2", $"end_2")
+    // point at start <-> segment: matched both ways (ops.py:62-65 promotion)
+    assertFrame(pairOf(p1, seg), Seq(Seq(1L, 1L, 1L, 2L)),
+      "start_1", "end_1", "start_2", "end_2")
+    assertFrame(pairOf(seg, p1), Seq(Seq(1L, 2L, 1L, 1L)),
+      "start_1", "end_1", "start_2", "end_2")
+    // point at end <-> segment: unmatched both ways (half-open [start,end))
+    assertFrame(pairOf(seg, p2), Seq(Seq(1L, 2L, null, null)),
+      "start_1", "end_1", "start_2", "end_2")
+    assertFrame(pairOf(p2, seg), Seq(Seq(2L, 2L, null, null)),
+      "start_1", "end_1", "start_2", "end_2")
+    // two adjacent points never overlap (test_ops.py:526-576)
+    assertFrame(pairOf(p1, p2), Seq(Seq(1L, 1L, null, null)),
+      "start_1", "end_1", "start_2", "end_2")
+    assertFrame(pairOf(p2, p1), Seq(Seq(2L, 2L, null, null)),
+      "start_1", "end_1", "start_2", "end_2")
+  }
+
+  test("overlap right: point-at-start pairs survive the right join in " +
+    "both operand orders (test_ops.py:483-524)") {
+    val p1 = Seq(("chr1", 1L, 1L)).toDF("chrom", "start", "end")
+    val seg = Seq(("chr1", 1L, 2L)).toDF("chrom", "start", "end")
+    def pairOf(a: org.apache.spark.sql.DataFrame,
+               b: org.apache.spark.sql.DataFrame) =
+      Ops.overlap(a, b, how = "right", suffixes = ("_1", "_2"), binSize = 4)
+        .select($"start_1", $"end_1", $"start_2", $"end_2")
+    assertFrame(pairOf(p1, seg), Seq(Seq(1L, 1L, 1L, 2L)),
+      "start_1", "end_1", "start_2", "end_2")
+    assertFrame(pairOf(seg, p1), Seq(Seq(1L, 2L, 1L, 1L)),
+      "start_1", "end_1", "start_2", "end_2")
+  }
+
   // ---- to_ucsc_colorstring (vis.py:18-59) ----
 
   test("toUcscColorstring: named, hex, short hex, alpha hex, none, null, " +
