@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // The JVM default 240m code cache overflows under a long suite of
+  // whole-stage-codegen'd queries; once full, JIT compilation stops and
+  // Catalyst planning runs interpreted — measured 10-30x nondeterministic
+  // slowdowns (iv_closest 7s -> 10-157s) that vanish at 1g. Flushing is
+  // the backstop if even 1g fills.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" "))

@@ -246,29 +246,20 @@ object Closest {
     // per id keeps the multiset exact
     val rFetch = (if (selfJoin) r else r.dropDuplicates("__id2"))
       .withColumnRenamed("__id2", "__fid")
-    // hash join-backs: the ids are structs, and sort-merge would sort the
-    // wide payload relations on struct keys (same measured tail cost as
-    // countOverlaps/coverage)
-    val matched =
+    // Assembly is ONE left join of l against the ranked candidates:
+    // probes with no candidate null-extend for free. An earlier
+    // matched-union-anti formulation referenced `ranked` from two plan
+    // branches, so the whole candidate pipeline (both as-of scans, the
+    // overlap join, the rank window) executed twice — measured 2-10x
+    // wall-time swings at sf0.1 as the duplicated stages raced. Hash
+    // join hints because the ids are structs: sort-merge would sort the
+    // wide payload relations on struct keys.
+    val withR =
       if (returnInput)
-        ranked.hint("shuffle_hash")
-          .join(l, Seq("__id1"), "inner")
-          .join(rFetch.hint("shuffle_hash"), col("__id2") === col("__fid"),
-            "inner")
-          .drop("__fid")
+        ranked.join(rFetch.hint("shuffle_hash"),
+          col("__id2") === col("__fid"), "inner").drop("__fid")
       else ranked
-
-    // left-join back: df1 rows with no candidate survive with nulls
-    val id2Null = lit(null).cast(r.schema("__id2").dataType).as("__id2")
-    val rDataNulls = r.schema.fields.toSeq.filter(_.name != "__id2")
-      .map(f => lit(null).cast(f.dataType).as(f.name))
-    val dataNulls =
-      if (returnInput) lCols.filter(_ != "__id1").map(col) ++ rDataNulls
-      else Nil
-    val unmatched = l
-      .join(ranked.select(col("__id1")).hint("shuffle_hash"),
-        Seq("__id1"), "left_anti")
-      .select((col("__id1") +: id2Null +: dataNulls) ++ extraNulls: _*)
+    val base = if (returnInput) l else l.select(col("__id1"))
     val extraColNames =
       (if (returnOverlap) Seq("have_overlap", "overlap_start", "overlap_end")
        else Nil) ++
@@ -276,6 +267,7 @@ object Closest {
     val outNames =
       (if (returnInput) (lCols ++ rCols).filterNot(Set("__id1", "__id2"))
        else Nil) ++ extraColNames
-    matched.unionByName(unmatched).select(outNames.map(col): _*)
+    base.join(withR.hint("shuffle_hash"), Seq("__id1"), "left")
+      .select(outNames.map(col): _*)
   }
 }
