@@ -22,7 +22,7 @@ object Bench {
     // Untimed warmup: JIT, codegen, and parquet footer reads otherwise
     // land entirely on the alphabetically-first query (~8s of phantom
     // cost observed on a 0.3s query).
-    try {
+    if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) try {
       Seq("lineitem", "orders", "customer", "documents", "embeddings")
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
       SparkEntry.queries.get("iv_merge").foreach(f => f(spark, sfDir).count())
@@ -49,8 +49,9 @@ object Bench {
         // dedup_components) would otherwise stay pinned in executor
         // memory for the rest of the suite and show up as multi-second
         // pressure spikes in unrelated later queries
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        if (!sys.env.contains("SPARK_GRAFT_NO_UNPERSIST"))
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
         ((System.nanoTime() - t0) / 1e9, n)
       }
       val dt = times.map(_._1).min

@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.core.Par
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -38,11 +39,31 @@ object Dedup {
     * regex tokenization would re-run once per shingle inside the
     * interpreted lambda (measured ~4x on the shingle relation alone). */
   private def shingleRel(df: DataFrame, idCol: String, textCol: String,
-                         n: Int): DataFrame =
-    df.select(col(idCol).as("__id"), TextOps.tokens(col(textCol)).as("__toks"))
-      .repartition(col("__id"))
+                         n: Int): DataFrame = {
+    // Codegen'd n-gram construction: explode tokens with position, build
+    // each gram from the next n-1 tokens via `lead` windows per doc, and
+    // dedupe with a relational distinct (the reference semantics are
+    // DISTINCT shingles per doc). The earlier array-lambda form
+    // (transform + slice + concat_ws over the token array) evaluated
+    // through the expression interpreter — see [[minhashSigRel]] for why
+    // interpreter-bound stages are both slow and erratic.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__id")).orderBy(col("__p"))
+    val rest = (1 until n).map(j => lead(col("__t"), j).over(w))
+    val full = if (n > 1) rest.last.isNotNull else lit(true)
+    // spread the raw text FIRST: a small corpus parquet is one scan split,
+    // and anything computed map-side of the first exchange would run the
+    // tokenizing regex single-threaded
+    df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .repartition(Par.width(df), col("__id"))
       .select(col("__id"),
-        explode(TextOps.shinglesFromTokens(col("__toks"), n)).as("__sh"))
+        posexplode(TextOps.tokens(col("__text"))).as(Seq("__p", "__t")))
+      .select(col("__id"),
+        concat_ws(" ", (col("__t") +: rest): _*).as("__sh"), full.as("__full"))
+      .filter(col("__full"))
+      .select(col("__id"), col("__sh"))
+      .distinct()
+  }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
     * Returns (id_1, id_2, n_common, n_1, n_2, jaccard) with id_1 < id_2.
@@ -117,6 +138,33 @@ object Dedup {
         least(m, pmod(h * (i * 2 + 1) + lit(b) * (i + 1), lit(p)))))
   }
 
+  /** MinHash signatures for every document as ONE codegen'd aggregation:
+    * explode shingles (via [[shingleRel]]), hash each once, take
+    * `numHashes` `min` aggregates of affine permutations of the hash, and
+    * repack the signature array. Identical values to [[minhashSignature]]
+    * (same constants), but the hot loop is whole-stage-codegen'd and
+    * map-side combinable — the array-fold form evaluates through the
+    * expression interpreter (higher-order functions never codegen), and
+    * interpreter-bound stages proved hostage to JIT deoptimization
+    * weather: the same 32-task signature stage measured 3.7s or 46s
+    * run-to-run at sf0.1. Docs with no shingles produce no row (they can
+    * produce no candidate pair, so pipeline output is unchanged). */
+  private[dedup] def minhashSigRel(df: DataFrame, idCol: String,
+                                   textCol: String, n: Int,
+                                   numHashes: Int): DataFrame = {
+    val p = 2147483647L // 2^31-1: h*a + b stays comfortably inside a long
+    val b = 506952122L  // golden-ratio constant mod p
+    val mins = (0 until numHashes).map(i =>
+      min(pmod(col("__h") * lit(i * 2L + 1) + lit(b * (i + 1L)), lit(p)))
+        .as(s"__m$i"))
+    shingleRel(df, idCol, textCol, n)
+      .select(col("__id"), pmod(xxhash64(col("__sh")), lit(p)).as("__h"))
+      .groupBy(col("__id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("__id"),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("__sig"))
+  }
+
   /** MinHash+LSH near-dup pairs: shingle -> minhash signature -> banded
     * bucket join -> exact-Jaccard verification of candidates.
     * `bands * rowsPerBand` must equal `numHashes`. Output like
@@ -126,20 +174,9 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // Two materialization barriers: the first binds the token array so
-    // the shingle transform reads an attribute (inlined, the regex split
-    // re-runs per shingle inside the interpreted lambda); the second
-    // stops CollapseProject inlining the numHashes-fold signature
-    // expression into every band expression AND both sides of the
-    // candidate self-join (~2*bands recomputes per doc). Both exchanges
-    // move only (id, toks/sig) — narrow rows.
-    val sig = df
-      .select(col(idCol).as("__id"), TextOps.tokens(col(textCol)).as("__toks"))
-      .repartition(col("__id"))
-      .select(col("__id"),
-        minhashSignature(TextOps.shinglesFromTokens(col("__toks"), n),
-          numHashes).as("__sig"))
-      .repartition(col("__id"))
+    // the aggregation output is itself an exchange product, so the banded
+    // self-join's two references reuse one materialized stage under AQE
+    val sig = minhashSigRel(df, idCol, textCol, n, numHashes)
     val banded = sig.select(col("__id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
@@ -198,9 +235,16 @@ object Dedup {
                         smallGraphThreshold: Long = 10000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val fwd = pairs.select(col(idCol1).as("__src"), col(idCol2).as("__dst"))
-    val edges = fwd.union(
-        pairs.select(col(idCol2).as("__src"), col(idCol1).as("__dst")))
+    // Checkpoint the pair list FIRST: the symmetrized edge union below
+    // references `pairs` twice, and without a barrier the (possibly very
+    // expensive) upstream pair pipeline is embedded twice in one plan —
+    // the near-dup graph is tiny relative to the corpus, the pipeline
+    // that produced it is not.
+    val base = pairs
+      .select(col(idCol1).as("__src"), col(idCol2).as("__dst"))
+      .localCheckpoint()
+    val edges = base.union(
+        base.select(col("__dst").as("__src"), col("__src").as("__dst")))
       .distinct().localCheckpoint()
     if (edges.count() <= smallGraphThreshold) {
       val es = edges.as[(Long, Long)].collect()
@@ -275,14 +319,41 @@ object Dedup {
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
+  /** SimHash signatures as ONE codegen'd aggregation (same values as the
+    * [[simhash64]] column fold, incl. sig=0 for token-less docs): explode
+    * tokens, hash each once, take 64 per-bit `sum(+-1)` aggregates, pack
+    * the sign bits with constant shifts. Same interpreted-fold hazard as
+    * [[minhashSigRel]]. */
+  private[dedup] def simhashSigRel(df: DataFrame, idCol: String,
+                                   textCol: String): DataFrame = {
+    val sums = (0 until 64).map(b =>
+      sum(shiftright(col("__h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+        .as(s"__c$b"))
+    val packed = (0 until 64).map(b =>
+      when(col(s"__c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val sigs = df
+      .select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .repartition(Par.width(df), col("__id")) // see shingleRel: spread the scan
+      .select(col("__id"), explode(TextOps.tokens(col("__text"))).as("__t"))
+      .select(col("__id"), xxhash64(col("__t")).as("__h"))
+      .groupBy(col("__id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("__id"), packed.as("__sig"))
+    // token-less docs fold to all-zero counters -> sig 0 in the column
+    // form; restore them so the doc universe (and any 0-sig pairing)
+    // matches exactly
+    df.select(col(idCol).as("__id"))
+      .join(sigs, Seq("__id"), "left")
+      .na.fill(0L, Seq("__sig"))
+  }
+
   /** SimHash near-dup candidate pairs with Hamming distance <= maxHamming,
     * found via banded 16-bit chunks (any equal chunk -> candidate; complete
     * for maxHamming <= 3 by pigeonhole), then exact popcount verification. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    // barrier: materialize signatures once (see minhashLshPairs)
-    val sigs = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sig"))
-      .repartition(col("__id"))
+    val sigs = simhashSigRel(df, idCol, textCol)
     val banded = sigs.select(col("__id"), col("__sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("__sig"), b * 16).bitwiseAND(lit(0xffffL))))

@@ -267,7 +267,7 @@ object Extras {
           struct(col("__e").as("b"), lit(-1).as("t")))).as("__ev"))
       .select(col("__ch"), col("__sid"), col("__len"),
         col("__ev.b").as("__b"), col("__ev.t").as("__t"))
-    val parted = ev.repartition(col("__ch"))
+    val parted = ev.repartition(graft.core.Par.width(ev), col("__ch"))
       .sortWithinPartitions(col("__ch"), col("__b").asc, col("__t").asc,
         col("__len").desc)
     val outSchema = StructType(Seq(

@@ -479,7 +479,8 @@ object Ops {
     val proj = df.select((keyNames :+ cols.start :+ cols.end).map(col): _*)
     val sortCols = (keyNames.map(col) :+ cols.startCol :+ cols.endCol)
     val parted = proj
-      .repartitionByRange(keyNames.map(col) :+ cols.startCol: _*)
+      .repartitionByRange(graft.core.Par.width(proj),
+        keyNames.map(col) :+ cols.startCol: _*)
       .sortWithinPartitions(sortCols: _*)
     val nKeys = keyNames.length
     val outSchema = StructType(

@@ -87,9 +87,12 @@ object TextOps {
       (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch), lit(0)), lit(p)))
   }
 
-  /** Lower-cased word tokens. */
+  /** Lower-cased word tokens. `array_remove`, not a `filter` lambda: the
+    * split only yields empty strings (at the text boundaries), and
+    * array_remove is a plain codegen'd expression while higher-order
+    * lambdas evaluate through the row interpreter. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+    array_remove(split(lower(text), "[^a-z0-9]+"), "")
 
   /** Distinct word n-gram shingles from an already-materialized token
     * array column. Callers should bind the token array to a real column
