@@ -235,19 +235,24 @@ object Dedup {
                         smallGraphThreshold: Long = 10000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    // Checkpoint the pair list FIRST: the symmetrized edge union below
+    // Cache the pair list FIRST: the symmetrized edge union below
     // references `pairs` twice, and without a barrier the (possibly very
     // expensive) upstream pair pipeline is embedded twice in one plan —
     // the near-dup graph is tiny relative to the corpus, the pipeline
-    // that produced it is not.
+    // that produced it is not. Columnar persist, not localCheckpoint:
+    // the cached relation stays inside the SQL/AQE execution path (and
+    // survives executor loss at cluster scale), where checkpoint blocks
+    // proved erratic under memory-manager pressure locally.
     val base = pairs
       .select(col(idCol1).as("__src"), col(idCol2).as("__dst"))
-      .localCheckpoint()
+      .persist()
     val edges = base.union(
         base.select(col("__dst").as("__src"), col("__src").as("__dst")))
-      .distinct().localCheckpoint()
+      .distinct().persist()
     if (edges.count() <= smallGraphThreshold) {
       val es = edges.as[(Long, Long)].collect()
+      base.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
       val root = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -298,6 +303,8 @@ object Dedup {
         converged = changed == 0
         i += 1
       }
+      base.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
       labels
     }
   }
