@@ -34,4 +34,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the backstop if even 1g fills.
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
-) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" "))
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
