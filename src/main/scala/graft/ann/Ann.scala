@@ -11,20 +11,24 @@ import org.apache.spark.sql.functions._
   * the corpus by sign bits, probe only matching buckets; or IVF — k-means-ish
   * coarse centroids (here: LSH buckets double as the coarse quantizer).
   *
-  * All math is `Column`-level (`zip_with`/`aggregate` folds in index order,
-  * double precision) — deterministic and engine-reproducible.
+  * All vector math runs through the fused [[VecKernels]] expressions
+  * (sequential index order, double precision — deterministic and
+  * engine-reproducible, bit-compatible with the `aggregate`/`zip_with`
+  * fold forms they replaced). The folds never entered whole-stage codegen
+  * and were the measured 10-30x variance class at sf0.1; the kernels keep
+  * the scan inside one codegen span with a tight JIT'd loop per row.
   */
 object Ann {
+  import org.apache.spark.sql.graftbridge.Bridge.{column => colOf, expression => exprOf}
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-order dot product in double precision (codegen'd kernel). */
+  def dot(a: Column, b: Column): Column = colOf(VecDot(exprOf(a), exprOf(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Fused single-pass cosine, == dot(a,b)/(norm(a)*norm(b)) bit-for-bit. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    colOf(VecCosine(exprOf(a), exprOf(b)))
 
   /** Brute-force exact top-k by cosine. `queries` must be small enough to
     * broadcast (it is hash-joined on a constant — a broadcast nested loop
@@ -46,21 +50,11 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("__cos").as("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplanes: component h[p][d] derived from
-    * a hash of (p, d), mapped to [-1, 1). No RNG state, so plans are
-    * reproducible and the "model" needs no storage. */
-  private def hyperplaneBit(vec: Column, plane: Int): Column = {
-    val proj = aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) => {
-        val h = xxhash64(lit(plane), d)
-        val unit = (h.cast("double") / lit(Long.MaxValue.toDouble))
-        x.cast("double") * unit
-      }),
-      lit(0.0), (acc, v) => acc + v)
-    when(proj >= 0, lit(1L)).otherwise(lit(0L))
-  }
-
   /** Sign-bucket signature of `numPlanes` hyperplane bits packed to a long.
+    * Hyperplanes are deterministic pseudo-random: component h[p][d] derived
+    * from a hash of (p, d), mapped to [-1, 1) — no RNG state, so plans are
+    * reproducible and the "model" needs no storage (the unit matrix is
+    * cached per executor by [[VecKernels]]).
     *
     * Sizing: expected occupancy is N / 2^numPlanes, so pick
     * `numPlanes ~= log2(N / targetBucketSize)` — e.g. 1e9 vectors at a
@@ -69,8 +63,7 @@ object Ann {
     * beyond `maxBucketSize` are dropped by the join operators below, so a
     * mis-sized `numPlanes` degrades recall, never cost. */
   def lshBucket(vec: Column, numPlanes: Int = 12): Column =
-    (0 until numPlanes).map(p => shiftleft(hyperplaneBit(vec, p), p))
-      .reduce((a, b) => a.bitwiseOR(b))
+    colOf(VecLshBucket(exprOf(vec), numPlanes))
 
   /** Drops rows whose `bucketCol` holds more than `cap` rows — the same
     * stop-key semantics as [[graft.dedup.Dedup.ngramJaccardPairs]]'s
@@ -148,8 +141,9 @@ object Ann {
                    vecCol: String = "embedding"): Array[(Int, Array[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // native Cast on the array (codegen'd), not a transform() lambda
     val vecs = corpus.select(col(idCol).as("__id"),
-      transform(col(vecCol), x => x.cast("double")).as("__v"))
+      col(vecCol).cast("array<double>").as("__v"))
     var cents: Array[(Int, Array[Double])] = vecs
       .orderBy(xxhash64(col("__id")), col("__id"))
       .limit(k).select(col("__v")).as[Array[Double]].collect()
@@ -159,16 +153,16 @@ object Ann {
       val cdf = broadcast(spark.createDataset(cents.toSeq)
         .toDF("__cid", "__cv"))
       val sums = vecs.crossJoin(cdf)
-        .withColumn("__d", aggregate(
-          zip_with(col("__v"), col("__cv"), (x, c) => (x - c) * (x - c)),
-          lit(0.0), (acc, v) => acc + v))
+        .withColumn("__d", sqDist(col("__v"), col("__cv")))
         .groupBy(col("__id"), col("__v"))
         .agg(min_by(col("__cid"), struct(col("__d"), col("__cid"))).as("__cid"))
+        // quantize after the explode so the integer micro-unit math is a
+        // scalar codegen'd expression, not a transform() lambda
         .select(col("__cid"),
-          posexplode(transform(col("__v"),
-            x => round(x * micro).cast("long"))).as(Seq("__dim", "__q")))
+          posexplode(col("__v")).as(Seq("__dim", "__x")))
         .groupBy(col("__cid"), col("__dim"))
-        .agg(sum(col("__q")).as("__s"), count(lit(1)).as("__n"))
+        .agg(sum(round(col("__x") * micro).cast("long")).as("__s"),
+          count(lit(1)).as("__n"))
         .groupBy(col("__cid"))
         .agg(transform(array_sort(collect_list(struct(col("__dim"),
           col("__s"), col("__n")))),
@@ -189,9 +183,7 @@ object Ann {
   }
 
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) =>
-        (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, v) => acc + v)
+    colOf(VecSqDist(exprOf(a), exprOf(b)))
 
   /** Inverted-list assignment: each vector to its nearest centroid.
     * Broadcast nested loop over k centroids + map-side-combinable `min_by`

@@ -1,0 +1,320 @@
+package graft.ann
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Fused vector kernels called from generated code.
+  *
+  * The r5 verdict's top performance finding: every `aggregate`/`zip_with`
+  * higher-order fold runs interpreted (never enters whole-stage codegen)
+  * and is the proven 10-30x run-to-run variance class on this suite. These
+  * kernels replace the folds in the embedding hot path with tight
+  * JIT-compiled loops; the expressions below splice them into codegen as a
+  * single static call (the `StaticInvoke` pattern), so the surrounding
+  * plan stays one whole-stage-codegen span.
+  *
+  * Bit-compatibility contract with the fold forms they replace (oracle
+  * dumps and golden hashes depend on it): same element order, same
+  * double-precision ops, same null semantics (length mismatch or null
+  * element -> null; for bucket signatures -> bucket 0, matching
+  * `when(null >= 0, ...).otherwise(0)`), and the same xxhash64 chain
+  * `hashInt(d, hashInt(plane, 42L))` for hyperplane components.
+  *
+  * Method suffixes encode element types (F = array<float>,
+  * D = array<double>); symmetric kernels cover the DF case by swapping
+  * arguments at the call site.
+  */
+object VecKernels {
+
+  def dotFF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  def dotDD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  def dotFD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Fused cosine: one pass accumulating a.b, a.a, b.b in index order —
+    * bit-identical to dot/(sqrt(dot)*sqrt(dot)) computed in three passes.
+    */
+  def cosFF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(ab / (math.sqrt(aa) * math.sqrt(bb)))
+  }
+
+  def cosDD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(ab / (math.sqrt(aa) * math.sqrt(bb)))
+  }
+
+  def cosFD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getFloat(i).toDouble; val y = b.getDouble(i)
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(ab / (math.sqrt(aa) * math.sqrt(bb)))
+  }
+
+  def sqFF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  def sqDD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  def sqFD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getFloat(i).toDouble - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Hyperplane components depend only on (plane, dim) — cache the unit
+    * matrix per executor instead of re-hashing planes x dims per row.
+    * unit(p)(d) = xxhash64(p, d) / Long.MaxValue, the exact chain the
+    * fold form computed per element: hashInt(d, hashInt(p, 42L)).
+    */
+  private val unitCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def units(planes: Int, dim: Int): Array[Array[Double]] =
+    unitCache.computeIfAbsent((planes, dim), _ =>
+      Array.tabulate(planes, dim)((p, d) =>
+        XXH64.hashInt(d, XXH64.hashInt(p, 42L)).toDouble / Long.MaxValue.toDouble))
+
+  /** Sign-bucket signature. `acc >= 0 || isNaN` mirrors SQL comparison
+    * semantics (Spark orders NaN above every double, so `proj >= 0` is
+    * true for NaN); a null element made every plane's projection null in
+    * the fold form, i.e. every bit 0 -> bucket 0.
+    */
+  def lshF(v: ArrayData, planes: Int): Long = {
+    val dim = v.numElements()
+    val u = units(planes, dim)
+    var bucket = 0L; var p = 0
+    while (p < planes) {
+      val up = u(p)
+      var acc = 0.0; var d = 0
+      while (d < dim) {
+        if (v.isNullAt(d)) return 0L
+        acc += v.getFloat(d).toDouble * up(d)
+        d += 1
+      }
+      if (acc >= 0 || java.lang.Double.isNaN(acc)) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  def lshD(v: ArrayData, planes: Int): Long = {
+    val dim = v.numElements()
+    val u = units(planes, dim)
+    var bucket = 0L; var p = 0
+    while (p < planes) {
+      val up = u(p)
+      var acc = 0.0; var d = 0
+      while (d < dim) {
+        if (v.isNullAt(d)) return 0L
+        acc += v.getDouble(d) * up(d)
+        d += 1
+      }
+      if (acc >= 0 || java.lang.Double.isNaN(acc)) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
+/** Base for the binary vector kernels: dispatches on the two array
+  * element types to a specialized `VecKernels` method (symmetric kernels,
+  * so array<double> x array<float> swaps to the FD form).
+  */
+sealed trait VecBinaryExpr extends BinaryExpression {
+  protected def kernel: String // "dot" | "cos" | "sq"
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left).isDefined && elemType(right).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  @transient protected lazy val (meth: String, swapArgs: Boolean) =
+    (elemType(left).get, elemType(right).get) match {
+      case (FloatType, FloatType)   => (kernel + "FF", false)
+      case (DoubleType, DoubleType) => (kernel + "DD", false)
+      case (FloatType, DoubleType)  => (kernel + "FD", false)
+      case (DoubleType, FloatType)  => (kernel + "FD", true)
+    }
+
+  private def call(a: ArrayData, b: ArrayData): java.lang.Double = meth match {
+    case "dotFF" => VecKernels.dotFF(a, b)
+    case "dotDD" => VecKernels.dotDD(a, b)
+    case "dotFD" => VecKernels.dotFD(a, b)
+    case "cosFF" => VecKernels.cosFF(a, b)
+    case "cosDD" => VecKernels.cosDD(a, b)
+    case "cosFD" => VecKernels.cosFD(a, b)
+    case "sqFF"  => VecKernels.sqFF(a, b)
+    case "sqDD"  => VecKernels.sqDD(a, b)
+    case "sqFD"  => VecKernels.sqFD(a, b)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = if (swapArgs) (r, l) else (l, r)
+    call(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val (a, b) = if (swapArgs) (r, l) else (l, r)
+      val res = ctx.freshName("vecRes")
+      s"""
+         |java.lang.Double $res = graft.ann.VecKernels.$meth($a, $b);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res.doubleValue(); }
+       """.stripMargin
+    })
+}
+
+case class VecDot(left: Expression, right: Expression) extends VecBinaryExpr {
+  override protected def kernel: String = "dot"
+  override def prettyName: String = "vec_dot"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class VecCosine(left: Expression, right: Expression) extends VecBinaryExpr {
+  override protected def kernel: String = "cos"
+  override def prettyName: String = "vec_cosine"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class VecSqDist(left: Expression, right: Expression) extends VecBinaryExpr {
+  override protected def kernel: String = "sq"
+  override def prettyName: String = "vec_sqdist"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `numPlanes` sign bits of deterministic hyperplane projections packed
+  * into a long — the LSH bucket id. See [[VecKernels.lshF]].
+  */
+case class VecLshBucket(child: Expression, numPlanes: Int)
+    extends UnaryExpression {
+  require(numPlanes >= 1 && numPlanes <= 63, "numPlanes in [1, 63]")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_lsh_bucket"
+
+  @transient private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    if (isFloat) VecKernels.lshF(v.asInstanceOf[ArrayData], numPlanes)
+    else VecKernels.lshD(v.asInstanceOf[ArrayData], numPlanes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isFloat) "lshF" else "lshD"
+    defineCodeGen(ctx, ev, c => s"graft.ann.VecKernels.$m($c, $numPlanes)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
