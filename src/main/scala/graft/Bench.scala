@@ -40,6 +40,12 @@ object Bench {
     catch {
       case _: TimeoutException =>
         spark.sparkContext.cancelJobGroup(s"bench-$tag")
+        // Wait for the cancelled query to actually die: cancellation is
+        // async, and a still-running zombie competes for every core and
+        // poisons all subsequent timings (measured 10-20x on the queries
+        // after a timed-out one).
+        t.join(30000L)
+        if (t.isAlive) System.err.println(s"[bench] $tag zombie survived cancel")
         Left("timeout")
       case e: Throwable =>
         Left(Option(e.getCause).getOrElse(e).getMessage match {
@@ -65,10 +71,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+    val spark = graft.core.Scratch.tune(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -104,14 +110,20 @@ object Bench {
     val hook = new Thread(() => emitFinal(partial = true), "bench-emit-hook")
     Runtime.getRuntime.addShutdownHook(hook)
 
-    // Canary: fixed-size arithmetic scan, ~1 s healthy at local[4]. Its
-    // time in the artifact distinguishes "engine regressed" from "VM is
-    // in a slow phase" without a rerun.
+    // Canary: fixed-size MULTI-JOB probe (persist + count + agg), ~1 s
+    // healthy. Its time in the artifact distinguishes "engine regressed"
+    // from "VM is in a slow phase" without a rerun. Multi-job because the
+    // documented slow phase hits persist/collect-heavy queries while
+    // single-stage scans stay fast — a plain range scan reads healthy
+    // right through it.
     def canary(): Double = {
       val t0 = now()
       withBudget(spark, "canary", queryBudget) {
-        spark.range(200L * 1000 * 1000)
-          .select(sum(xxhash64(col("id"))).as("s")).head()
+        val d = spark.range(50L * 1000 * 1000)
+          .select(xxhash64(col("id")).as("h"))
+        d.persist()
+        try { d.count(); d.agg(sum(col("h"))).head() }
+        finally d.unpersist(blocking = false)
       }
       (now() - t0) / 1e9
     }
