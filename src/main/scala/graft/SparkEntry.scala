@@ -416,7 +416,8 @@ object SparkEntry {
 
   private def ivPairByDistance(s: SparkSession, dir: String): DataFrame =
     Extras.pairByDistance(iv3(s, dir), minSep = 10L, maxSep = 200L,
-        maxIntervening = Some(5L), suffixes = ("_1", "_2"), binSize = B)
+        maxIntervening = Some(5L), suffixes = ("_1", "_2"), binSize = B,
+        tieBreak = Some(col("id")))
       .select(col("id_1"), col("id_2"))
 
   /** Abutting per-chrom bins valued by iv1-start presence — the bedGraph-
@@ -476,7 +477,7 @@ object SparkEntry {
   private def ivPairEndpoints(s: SparkSession, dir: String): DataFrame =
     Extras.pairByDistance(iv3(s, dir), minSep = 10L, maxSep = 200L,
         maxIntervening = Some(5L), relativeTo = "endpoints",
-        suffixes = ("_1", "_2"), binSize = B)
+        suffixes = ("_1", "_2"), binSize = B, tieBreak = Some(col("id")))
       .select(col("id_1"), col("id_2"))
 
   /** sanitize_bedframe semantics (reference construction.py:265-343) on a
@@ -803,7 +804,8 @@ object SparkEntry {
     * query results). */
   def auxDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
     "simhash_sigs" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))),
+      Dedup.simhashSigRel(docs(s, dir), "doc_id", "text")
+        .select(col("__id").as("doc_id"), col("__sig").as("sig"))),
     "emb_buckets" -> ((s, dir) =>
       table(s, dir, "embeddings").select(col("vec_id"),
         Ann.lshBucket(col("embedding"), 6).as("bucket"))),
@@ -1285,7 +1287,7 @@ object SparkEntry {
     "iv_pair_by_distance" ->
       s"""WITH $iv3Sql,
          |m AS (SELECT id, chrom, (start + "end") // 2 AS mid,
-         |    ROW_NUMBER() OVER (PARTITION BY chrom ORDER BY start, "end") AS rnk
+         |    ROW_NUMBER() OVER (PARTITION BY chrom ORDER BY start, "end", id) AS rnk
          |  FROM iv3)
          |SELECT a.id AS id_1, b.id AS id_2
          |FROM m a JOIN m b ON a.chrom = b.chrom
@@ -1318,7 +1320,7 @@ object SparkEntry {
     "iv_pair_endpoints" ->
       s"""WITH $iv3Sql,
          |m AS (SELECT id, chrom, start, "end",
-         |    ROW_NUMBER() OVER (PARTITION BY chrom ORDER BY start, "end") AS rnk
+         |    ROW_NUMBER() OVER (PARTITION BY chrom ORDER BY start, "end", id) AS rnk
          |  FROM iv3)
          |SELECT a.id AS id_1, b.id AS id_2
          |FROM m a JOIN m b ON a.chrom = b.chrom

@@ -122,7 +122,12 @@ object Dedup {
 
   /** MinHash signature column: array of `numHashes` minimums of affine
     * permutations of the shingle hash (xxhash64). Deterministic: the
-    * permutation constants derive from the hash index. */
+    * permutation constants derive from the hash index.
+    *
+    * @deprecated the higher-order fold evaluates through the expression
+    * interpreter (never codegen) — the measured 10-30x variance class.
+    * Use [[minhashSigRel]] (identical values, codegen'd aggregation). */
+  @deprecated("interpreted fold; use minhashSigRel", "r6")
   def minhashSignature(shingles: Column, numHashes: Int): Column = {
     // 31-bit modulus keeps h*a + b comfortably inside a long (ANSI-safe).
     // Single fold producing the whole signature array: one aggregate()
@@ -149,7 +154,7 @@ object Dedup {
     * weather: the same 32-task signature stage measured 3.7s or 46s
     * run-to-run at sf0.1. Docs with no shingles produce no row (they can
     * produce no candidate pair, so pipeline output is unchanged). */
-  private[dedup] def minhashSigRel(df: DataFrame, idCol: String,
+  private[graft] def minhashSigRel(df: DataFrame, idCol: String,
                                    textCol: String, n: Int,
                                    numHashes: Int): DataFrame = {
     val p = 2147483647L // 2^31-1: h*a + b stays comfortably inside a long
@@ -310,7 +315,12 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word tokens (xxhash64 per token; per-bit majority
-    * vote), as a single higher-order expression — no UDF. */
+    * vote), as a single higher-order expression — no UDF.
+    *
+    * @deprecated the higher-order fold evaluates through the expression
+    * interpreter (never codegen) — the measured 10-30x variance class.
+    * Use [[simhashSigRel]] (identical values, codegen'd aggregation). */
+  @deprecated("interpreted fold; use simhashSigRel", "r6")
   def simhash64(text: Column): Column = {
     // single fold: each token hashed once, all 64 bit-counters updated via
     // zip_with (64 separate aggregates would re-hash every token each)
@@ -331,7 +341,7 @@ object Dedup {
     * tokens, hash each once, take 64 per-bit `sum(+-1)` aggregates, pack
     * the sign bits with constant shifts. Same interpreted-fold hazard as
     * [[minhashSigRel]]. */
-  private[dedup] def simhashSigRel(df: DataFrame, idCol: String,
+  private[graft] def simhashSigRel(df: DataFrame, idCol: String,
                                    textCol: String): DataFrame = {
     val sums = (0 until 64).map(b =>
       sum(shiftright(col("__h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
@@ -339,20 +349,21 @@ object Dedup {
     val packed = (0 until 64).map(b =>
       when(col(s"__c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
-    val sigs = df
-      .select(col(idCol).as("__id"), col(textCol).as("__text"))
+    // explode_outer keeps token-less docs as one null-token row whose
+    // null hash makes every bit counter null -> every packed bit 0 ->
+    // sig 0, matching the column fold — and the input is referenced
+    // exactly once (a restore join would execute a derived input
+    // pipeline twice in one plan, the double-embedding resolveComponents
+    // and Closest eliminated in r5)
+    df.select(col(idCol).as("__id"), col(textCol).as("__text"))
       .repartition(Par.width(df), col("__id")) // see shingleRel: spread the scan
-      .select(col("__id"), explode(TextOps.tokens(col("__text"))).as("__t"))
-      .select(col("__id"), xxhash64(col("__t")).as("__h"))
+      .select(col("__id"),
+        explode_outer(TextOps.tokens(col("__text"))).as("__t"))
+      .select(col("__id"),
+        when(col("__t").isNotNull, xxhash64(col("__t"))).as("__h"))
       .groupBy(col("__id"))
       .agg(sums.head, sums.tail: _*)
       .select(col("__id"), packed.as("__sig"))
-    // token-less docs fold to all-zero counters -> sig 0 in the column
-    // form; restore them so the doc universe (and any 0-sig pairing)
-    // matches exactly
-    df.select(col(idCol).as("__id"))
-      .join(sigs, Seq("__id"), "left")
-      .na.fill(0L, Seq("__sig"))
   }
 
   /** SimHash near-dup candidate pairs with Hamming distance <= maxHamming,

@@ -162,6 +162,52 @@ object Tables {
       .csv(path)
   }
 
+  // ------------------------------------------------------------- bedGraph
+
+  /** bedGraph reader — the executable half of the declared bigWig
+    * delegation contract (README: binary bigWig/bigBed are out of scope;
+    * parity lives at the bedGraph text level). Mirrors the query shape of
+    * reference `read_bigwig` (`io/fileops.py:379-431`): an optional
+    * (chrom, start, end) region returns the intervals overlapping it,
+    * unclipped, defaulting start to 0 and end to unbounded. Track/browser
+    * header lines parse to a null `start` (they are not tab-delimited
+    * numeric records) and are dropped by the same filter that drops
+    * malformed rows; `#` comments are dropped by the csv reader. The
+    * region predicate is a plain Column filter, so at scale it pushes
+    * into the scan. */
+  def readBedGraph(spark: SparkSession, path: String,
+                   chrom: Option[String] = None,
+                   start: Option[Long] = None,
+                   end: Option[Long] = None): DataFrame = {
+    var df = readTable(spark, path, schema = "bedGraph")
+      .filter(col("start").isNotNull && col("end").isNotNull)
+    chrom.foreach(c => df = df.filter(col("chrom") === c))
+    // half-open overlap with [start, end): same intervals a bigWig
+    // range fetch returns
+    start.foreach(s => df = df.filter(col("end") > s))
+    end.foreach(e => df = df.filter(col("start") < e))
+    df
+  }
+
+  /** bedGraph writer — the sink half of the bigWig delegation contract
+    * (reference `to_bigwig`, `io/fileops.py:515-591`, validates 4 columns
+    * chrom/start/end/value and sorts by (chrom, start) before encoding;
+    * this emits the same relation as headerless TSV). `singleFile`
+    * coalesces for small parity outputs; leave false for scale. */
+  def toBedGraph(df: DataFrame, path: String,
+                 cols: graft.core.ColSpec = graft.core.ColSpec.default,
+                 valueCol: String = "value",
+                 singleFile: Boolean = false): Unit = {
+    var out = df
+      .select(cols.chromCol.cast("string").as("chrom"),
+        cols.startCol.cast("long").as("start"),
+        cols.endCol.cast("long").as("end"),
+        col(valueCol).cast("double").as("value"))
+      .orderBy(col("chrom"), col("start"))
+    if (singleFile) out = out.coalesce(1)
+    out.write.option("sep", "\t").mode("overwrite").csv(path)
+  }
+
   // ------------------------------------------------------------------ GTF
 
   /** Expand a GTF `attributes` column (`key "value"; ...`) into a map

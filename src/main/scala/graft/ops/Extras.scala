@@ -65,17 +65,21 @@ object Extras {
                      relativeTo: String = "midpoints",
                      suffixes: (String, String) = ("_1", "_2"),
                      cols: ColSpec = ColSpec.default,
-                     binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
+                     binSize: Long = IntervalJoin.DefaultBinSize,
+                     tieBreak: Option[Column] = None): DataFrame = {
     require(minSep >= 0 && minSep < maxSep, "need 0 <= minSep < maxSep")
     require(relativeTo == "midpoints" || relativeTo == "endpoints",
       "relativeTo must be 'midpoints' or 'endpoints'")
     val mid = floor((cols.startCol + cols.endCol) / lit(2)).cast("long")
     // per-chrom dense ordinal as a bucket-parallel running count — not a
-    // whole-chromosome row_number window (see Scan)
+    // whole-chromosome row_number window (see Scan). `tieBreak` (e.g. an
+    // id column) makes the rank deterministic when (start, end) repeats —
+    // pairs at the maxIntervening boundary would otherwise flip run to run.
     val ranked = Scan.prefixSum(
         df.withColumn("__mid", mid)
           .withColumn("__b", Scan.bucketOf(cols.startCol, 1L << 20)),
-        Seq(cols.chrom), "__b", Seq(cols.startCol.asc, cols.endCol.asc),
+        Seq(cols.chrom), "__b",
+        Seq(cols.startCol.asc, cols.endCol.asc) ++ tieBreak.map(_.asc),
         lit(1L), inclusive = true, "__rank")
       .drop("__b")
     val (refR, refL) =

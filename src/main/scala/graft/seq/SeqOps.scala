@@ -44,7 +44,18 @@ object SeqOps {
     * the result as parquet — the store, not the FASTA, is the scale
     * format. */
   def readFasta(spark: SparkSession, path: String,
-                chunkSize: Int = 65536): DataFrame = {
+                chunkSize: Int = 65536,
+                maxBytes: Long = 1L << 30): DataFrame = {
+    // Driver-memory guard: this parse materializes the whole file in the
+    // driver before handing Spark a local relation. A genome-scale FASTA
+    // should be ingested ONCE, then persisted and re-read as parquet —
+    // the chunk store, not the FASTA, is the scale format.
+    val sz = new java.io.File(path).length()
+    require(sz <= maxBytes,
+      s"FASTA '$path' is $sz bytes (> $maxBytes cap): readFasta parses on " +
+        "the driver. Ingest once with a raised maxBytes, persist the chunk " +
+        "store with df.write.parquet(...), and read that parquet for all " +
+        "subsequent runs.")
     val src = scala.io.Source.fromFile(path)
     val rows = scala.collection.mutable.ArrayBuffer[(String, Long, Long, String)]()
     var chrom: String = null

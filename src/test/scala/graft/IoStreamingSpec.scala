@@ -159,6 +159,33 @@ class IoSpec extends SparkSpec {
     assertFrame(out.select($"gene_id", $"gene_name"),
       Seq(Seq("ENSG1", "TP53")), "gene_id", "gene_name")
   }
+
+  test("bedGraph round trip preserves the relation (bigWig delegation " +
+    "contract, reference io/fileops.py:379-431, 515-591)") {
+    val df = Seq(("chr2", 50L, 80L, 0.25),
+      ("chr1", 0L, 10L, 1.5), ("chr1", 10L, 30L, -2.0))
+      .toDF("chrom", "start", "end", "value")
+    val out = s"$tmp/out_bedgraph"
+    Tables.toBedGraph(df, out, singleFile = true)
+    val back = Tables.readBedGraph(spark, out)
+    assert(back.schema == Schemas("bedGraph"))
+    assert(rowsOf(back) == rowsOf(df))
+  }
+
+  test("bedGraph region query returns overlapping intervals unclipped, " +
+    "and skips track/comment header lines (read_bigwig fetch shape)") {
+    val p = s"$tmp/hdr.bedGraph"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      "track type=bedGraph name=cov\n# comment\n" +
+        "chr1\t0\t10\t1.0\nchr1\t10\t30\t2.0\nchr1\t30\t40\t3.0\n" +
+        "chr2\t0\t10\t9.0\n")
+    val hit = Tables.readBedGraph(spark, p,
+      chrom = Some("chr1"), start = Some(15L), end = Some(35L))
+    assertFrame(hit, Seq(Seq("chr1", 10L, 30L, 2.0), Seq("chr1", 30L, 40L, 3.0)),
+      "chrom", "start", "end", "value")
+    // no region: all records, header lines dropped
+    assert(Tables.readBedGraph(spark, p).count() == 4)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -24,6 +24,17 @@ class SeqOpsSpec extends SparkSpec {
       "chrom", "cstart", "cend", "seq")
   }
 
+  test("readFasta guards the driver parse with a size cap that points at " +
+    "the persisted-parquet path") {
+    val e = intercept[IllegalArgumentException] {
+      SeqOps.readFasta(spark, fastaFile, maxBytes = 10L)
+    }
+    assert(e.getMessage.contains("parquet"))
+    // at/under the cap parses normally
+    assert(SeqOps.readFasta(spark, fastaFile, chunkSize = 8,
+      maxBytes = 1L << 20).count() == 4)
+  }
+
   test("seq_gc / frac_gc / frac_mapped match hand-computed values " +
     "(extras.py:220-355)") {
     val chunks = SeqOps.readFasta(spark, fastaFile, chunkSize = 8)
