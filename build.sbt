@@ -27,6 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Xms pinned to Xmx: G1's periodic heap uncommit/recommit emits
+  // munmap/mmap storms, and this VM has host-level phases where munmap
+  // parks threads in uninterruptible D-state for seconds (observed via
+  // /proc/<pid>/task/*/stack during a stalled bench: __vm_munmap while
+  // the whole JVM crawled at 2 busy cores). A static heap never uncommits,
+  // removing that exposure; commitment stays lazy (no AlwaysPreTouch).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // The JVM default 240m code cache overflows under a long suite of
   // whole-stage-codegen'd queries; once full, JIT compilation stops and
   // Catalyst planning runs interpreted — measured 10-30x nondeterministic

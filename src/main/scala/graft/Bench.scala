@@ -43,8 +43,10 @@ object Bench {
         // Wait for the cancelled query to actually die: cancellation is
         // async, and a still-running zombie competes for every core and
         // poisons all subsequent timings (measured 10-20x on the queries
-        // after a timed-out one).
-        t.join(30000L)
+        // after a timed-out one). 10s cap: during a VM stall phase the
+        // worker can sit in uninterruptible munmap for far longer, and
+        // burning suite wall waiting on it costs more than the zombie does.
+        t.join(10000L)
         if (t.isAlive) System.err.println(s"[bench] $tag zombie survived cancel")
         Left("timeout")
       case e: Throwable =>
@@ -152,53 +154,99 @@ object Bench {
 
     def elapsed(): Double = (now() - suiteT0) / 1e9
 
-    /** One suite pass; streams a JSON line per query, obeys budgets. */
-    def runSuite(dir: String, sfTag: String, passReps: Int, perQueryBudget: Int,
-                 out: mutable.LinkedHashMap[String, Double]): Unit = {
+    /** One measurement pass over the whole suite; min-merges into `out`
+      * and streams a JSON line per completed query rep.
+      *
+      * Reps are organized as FULL-SUITE PASSES rather than back-to-back
+      * reps of each query: the VM's stall phases (block-writeback + munmap
+      * D-state storms) last minutes, so two adjacent reps share the same
+      * weather and min() learns nothing — while the same query minutes
+      * apart in different passes sees independent weather. Pass >1 budgets
+      * adapt to the best known time (2x best + 5s), so a phase can burn at
+      * most that much wall per already-measured query, not 90s. */
+    // Storm mode: the VM's stall phases last minutes; hammering them with
+    // 90s budgets burned the whole r6 wall budget inside pass 1 (four
+    // timeout-cancels + zombie joins ~500s). Two consecutive timeouts or
+    // >30s results flip the suite into a 25s-budget mode; three
+    // consecutive sub-10s successes flip it back. Storm-skipped queries
+    // are retried by the later passes / the rescue pass under (hopefully)
+    // better weather.
+    var stormSignals = 0
+    var calmStreak = 0
+    var storm = false
+
+    def runPass(dir: String, sfTag: String, pass: Int, perQueryBudget: Int,
+                out: mutable.LinkedHashMap[String, Double],
+                only: Option[Set[String]] = None): Unit = {
       val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => args.isEmpty || args.contains(n) }
+        .filter { case (n, _) => only.forall(_.contains(n)) }
       for ((name, fn) <- wanted) {
         if (elapsed() > totalBudget) {
-          if (!skipped.contains(name)) skipped(name) = s"total_budget:$sfTag"
+          if (!out.contains(name) && !skipped.contains(name))
+            skipped(name) = s"total_budget:$sfTag"
         } else {
-          val times = mutable.ArrayBuffer[Double]()
-          var rows = -1L
-          var err: Option[String] = None
-          var rep = 0
-          while (rep < passReps && err.isEmpty &&
-                 (rep == 0 || (times.last <= rep2Cutoff && elapsed() <= totalBudget))) {
-            val t0 = now()
-            withBudget(spark, name, perQueryBudget)(sink(fn(spark, dir))) match {
-              case Right(n) => rows = n; times += (now() - t0) / 1e9
-              case Left(e)  => err = Some(e)
-            }
-            // storage hygiene between timings: localCheckpoint blocks
-            // (e.g. dedup_components) would otherwise stay pinned in
-            // executor memory for the rest of the suite and show up as
-            // multi-second pressure spikes in unrelated later queries
-            if (!sys.env.contains("SPARK_GRAFT_NO_UNPERSIST"))
-              spark.sparkContext.getPersistentRDDs.values
-                .foreach(_.unpersist(blocking = false))
-            rep += 1
+          val adaptive = out.get(name)
+            .map(best => math.min(perQueryBudget, (best * 2 + 5).ceil.toInt))
+            .getOrElse(perQueryBudget)
+          val budget = if (storm) math.min(adaptive, 25) else adaptive
+          val t0 = now()
+          withBudget(spark, s"$name-p$pass", budget)(sink(fn(spark, dir))) match {
+            case Right(n) =>
+              val dt = (now() - t0) / 1e9
+              if (dt > 30) { stormSignals += 1; calmStreak = 0 }
+              else if (dt < 10) {
+                calmStreak += 1; stormSignals = 0
+                if (storm && calmStreak >= 3) {
+                  storm = false
+                  System.err.println("[bench] storm mode OFF")
+                }
+              }
+              val best = out.get(name).fold(dt)(math.min(_, dt))
+              out(name) = best
+              skipped.remove(name)
+              System.err.println(
+                f"[bench] $sfTag p$pass $name%-24s $dt%8.2fs  rows=$n  best=$best%.2f")
+              println(s"""{"metric":"query","query":${jstr(name)},"sf":${jstr(sfTag)},"pass":$pass,"value":$best,"unit":"sec","rows":$n}""")
+            case Left(e) =>
+              stormSignals += 1; calmStreak = 0
+              if (!storm && stormSignals >= 2) {
+                storm = true
+                System.err.println("[bench] storm mode ON (25s budgets)")
+              }
+              if (!out.contains(name)) {
+                skipped(name) = s"$e:$sfTag"
+                System.err.println(s"[bench] p$pass $name SKIPPED ($e)")
+                println(s"""{"metric":"query","query":${jstr(name)},"sf":${jstr(sfTag)},"pass":$pass,"skipped":${jstr(e)}}""")
+              } else
+                System.err.println(s"[bench] p$pass $name rep failed ($e); keeping best")
           }
-          (err, times.nonEmpty) match {
-            case (Some(e), false) =>
-              skipped(name) = s"$e:$sfTag"
-              System.err.println(s"[bench] $name SKIPPED ($e)")
-              println(s"""{"metric":"query","query":${jstr(name)},"sf":${jstr(sfTag)},"skipped":${jstr(e)}}""")
-            case _ =>
-              val dt = times.min
-              out(name) = dt
-              System.err.println(f"[bench] $sfTag $name%-24s $dt%8.2fs  rows=$rows" +
-                times.map(t => f"$t%.2f").mkString("  [", " ", "]"))
-              println(s"""{"metric":"query","query":${jstr(name)},"sf":${jstr(sfTag)},"value":$dt,"unit":"sec","rows":$rows}""")
-          }
+          // storage hygiene between timings: localCheckpoint blocks
+          // (e.g. dedup_components) would otherwise stay pinned in
+          // executor memory for the rest of the suite and show up as
+          // multi-second pressure spikes in unrelated later queries
+          if (!sys.env.contains("SPARK_GRAFT_NO_UNPERSIST"))
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
           System.out.flush()
         }
       }
     }
 
-    runSuite(sfDir, "main", effReps, queryBudget, results)
+    runPass(sfDir, "main", 1, queryBudget, results)
+    for (p <- 2 to effReps) runPass(sfDir, "main", p, queryBudget, results)
+    // Rescue pass: a query still slower than rep2Cutoff after all passes
+    // (or skipped outright) was probably measured under a stall phase
+    // every time it ran; one more try under fresh weather, wall
+    // permitting. rep2Cutoff doubles as the "fast enough, leave it" bar.
+    if (effReps >= 2 && elapsed() < totalBudget * 0.8) {
+      val retry = results.collect {
+        case (n, best) if best > rep2Cutoff => n }.toSet ++ skipped.keySet
+      if (retry.nonEmpty) {
+        System.err.println(s"[bench] rescue pass for ${retry.mkString(",")}")
+        runPass(sfDir, "main", 3, queryBudget, results, only = Some(retry))
+      }
+    }
 
     // Scale pair (VERDICT r5 #6): a 10x-smaller per-query run in the
     // same artifact turns "would it survive 100x?" into a measured
@@ -208,7 +256,7 @@ object Bench {
     if (!sys.env.contains("SPARK_GRAFT_NO_SECOND_SF") && smallDir != sfDir &&
         new java.io.File(smallDir).isDirectory && skipped.isEmpty &&
         elapsed() < totalBudget * 0.6)
-      runSuite(smallDir, "sf0.01", 1, queryBudget.min(30), resultsSmall)
+      runPass(smallDir, "sf0.01", 1, queryBudget.min(30), resultsSmall)
 
     canaryEnd = canary()
     System.err.println(f"[bench] canary-end $canaryEnd%.2fs")

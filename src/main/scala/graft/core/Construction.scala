@@ -57,15 +57,25 @@ object Construction {
       cols.startCol.cast("string"), lit("-"), cols.endCol.cast("string")))
 
   /** Coerce + validate a view (reference `construction.py:189-262`):
-    * auto-generates `name` as `chrom:start-end` when absent, and checks
-    * the viewframe invariant. */
+    * auto-generates `name` when absent — `nameStyle="ucsc"` as
+    * `chrom:start-end`, `nameStyle=None` as the bare chromosome name
+    * (reference `name_style` arg, tests/test_core_construction.py:171-212)
+    * — and checks the viewframe invariant. A caller-provided name column
+    * is accepted unchanged in either style. */
   def makeViewframe(df: DataFrame, nameCol: String = "name",
                     cols: ColSpec = ColSpec.default,
-                    check: Boolean = true): DataFrame = {
+                    check: Boolean = true,
+                    nameStyle: Option[String] = Some("ucsc")): DataFrame = {
+    val autoName = nameStyle.map(_.toLowerCase) match {
+      case Some("ucsc") =>
+        concat(cols.chromCol, lit(":"), cols.startCol, lit("-"), cols.endCol)
+      case None => cols.chromCol
+      case Some(other) =>
+        throw new IllegalArgumentException(s"nameStyle must be ucsc/None: $other")
+    }
     val named =
       if (df.columns.contains(nameCol)) df
-      else df.withColumn(nameCol,
-        concat(cols.chromCol, lit(":"), cols.startCol, lit("-"), cols.endCol))
+      else df.withColumn(nameCol, autoName)
     if (check)
       require(Checks.isViewframe(named, nameCol, cols),
         "not a valid viewframe (need unique non-null names, no overlaps)")

@@ -476,7 +476,12 @@ object Ops {
   private def mergeRangePartitioned(df: DataFrame, minDist: Option[Long],
                                     on: Seq[String], cols: ColSpec): DataFrame = {
     val keyNames = cols.chrom +: on
-    val proj = df.select((keyNames :+ cols.start :+ cols.end).map(col): _*)
+    // coords cast to Long up front: the sweep iterator reads them with
+    // getLong, and callers may pass int-typed coordinates (the output
+    // schema declares LongType either way)
+    val proj = df.select(keyNames.map(col) :+
+      cols.startCol.cast(LongType).as(cols.start) :+
+      cols.endCol.cast(LongType).as(cols.end): _*)
     val sortCols = (keyNames.map(col) :+ cols.startCol :+ cols.endCol)
     val parted = proj
       .repartitionByRange(graft.core.Par.width(proj),

@@ -57,6 +57,49 @@ class ConstructionSpec extends SparkSpec {
     assert(Checks.isBedframe(out))
   }
 
+  test("sanitizeBedframe dropNull removes incomplete rows " +
+    "(test_core_construction.py:96-116)") {
+    val dirty = Seq(
+      (Some("chr1"), Some(10L), Some(20L)),
+      (Some("chr1"), Some(10L), Some(20L)),
+      (Some("chr1"), Some(15L), None),
+      (Some("chr1"), None, Some(25L)))
+      .toDF("chrom", "start", "end")
+    val out = Construction.sanitizeBedframe(dirty, dropNull = true)
+    assertFrame(out, Seq(Seq("chr1", 10L, 20L), Seq("chr1", 10L, 20L)),
+      "chrom", "start", "end")
+  }
+
+  test("sanitizeBedframe flip+dropNull keeps the flipped row only; " +
+    "drop+dropNull empties it (test_core_construction.py:137-169)") {
+    val dirty = Seq(
+      (Some("chr1"), Some(20L), Some(10L)),
+      (Some("chr1"), None, Some(25L)))
+      .toDF("chrom", "start", "end")
+    val flipped = Construction.sanitizeBedframe(dirty, dropNull = true,
+      startExceedEnd = "flip")
+    assertFrame(flipped, Seq(Seq("chr1", 10L, 20L)), "chrom", "start", "end")
+    val dropped = Construction.sanitizeBedframe(dirty, dropNull = true,
+      startExceedEnd = "drop")
+    assert(dropped.count() == 0)
+  }
+
+  test("makeViewframe nameStyle=None names by chromosome; caller-provided " +
+    "unique names pass unchanged (test_core_construction.py:171-227)") {
+    val plain = Construction.makeViewframe(
+      Construction.fromChromsizes(spark, Map("chrTESTXq" -> 5L, "chrTEST_2p" -> 8L)),
+      nameStyle = None)
+    assertFrame(plain.select($"chrom", $"name"),
+      Seq(Seq("chrTESTXq", "chrTESTXq"), Seq("chrTEST_2p", "chrTEST_2p")),
+      "chrom", "name")
+    val named = Seq(("chrTESTX", 0L, 10L, "chrTEST_1"),
+      ("chrTESTY", 0L, 12L, "chrTEST_2")).toDF("chrom", "start", "end", "name")
+    assert(rowsOf(Construction.makeViewframe(named)) == rowsOf(named))
+    intercept[IllegalArgumentException] {
+      Construction.makeViewframe(named, nameStyle = Some("banana"))
+    }
+  }
+
   test("is_covering / is_tiling on a complete tiling") {
     val view = Seq(("chr1", 0L, 10L, "r1")).toDF("chrom", "start", "end", "name")
     val tiles = Seq(("chr1", 0L, 4L), ("chr1", 4L, 10L)).toDF("chrom", "start", "end")

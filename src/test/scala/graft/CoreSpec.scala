@@ -36,6 +36,13 @@ class RegionSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Region("chr1", Some(5L), Some(10L)).toUcscString == "chr1:5-10")
   }
 
+  test("is_complete_ucsc_string: humanized units complete, bare range or " +
+    "name alone incomplete (test_core_stringops.py:63-69)") {
+    assert(Region.isCompleteUcscString("chrX:1M-2M"))
+    assert(!Region.isCompleteUcscString("1M-2M"))
+    assert(!Region.isCompleteUcscString("chrX"))
+  }
+
   test("parse Ensembl, FASTA-pipe, dotted, and hyphenated sequence names " +
     "(test_core_stringops.py:12-55)") {
     assert(Region.parseString("6:1000-2000") ==

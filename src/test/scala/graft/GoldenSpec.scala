@@ -212,6 +212,35 @@ class GoldenSpec extends SparkSpec {
       Seq(Seq(3L, null, null)), "start_1", "start_2", "distance")
   }
 
+  test("closest k=2 returns the overlap then the nearest neighbor " +
+    "(test_ops.py:1205-1220)") {
+    val out = Closest.closest(cA, Some(cB), k = 2, suffixes = ("_1", "_2"))
+    assertFrame(out.select($"start_2", $"end_2", $"distance"),
+      Seq(Seq(4L, 8L, 0L), Seq(10L, 11L, 5L)),
+      "start_2", "end_2", "distance")
+  }
+
+  test("closest returnInput=false with returnOverlap+distance: overlap row " +
+    "carries coords, non-overlap row nulls them (test_ops.py:1237-1254)") {
+    val out = Closest.closest(cA, Some(cB), k = 2, returnInput = false,
+      returnOverlap = true, suffixes = ("_1", "_2"))
+    assert(!out.columns.contains("start_1") && !out.columns.contains("start_2"))
+    assertFrame(out.select($"have_overlap", $"overlap_start", $"overlap_end",
+      $"distance"),
+      Seq(Seq(true, 4L, 5L, 0L), Seq(false, null, null, 5L)),
+      "have_overlap", "overlap_start", "overlap_end", "distance")
+  }
+
+  test("closest self: two overlapping rows each pick the other at zero " +
+    "distance (test_ops.py:1256-1275)") {
+    val df = Seq(("chrX", 1L, 8L), ("chrX", 2L, 10L))
+      .toDF("chrom", "start", "end")
+    val out = Closest.closest(df, None, k = 1, suffixes = ("_1", "_2"))
+    assertFrame(out.select($"start_1", $"start_2", $"distance"),
+      Seq(Seq(1L, 2L, 0L), Seq(2L, 1L, 0L)),
+      "start_1", "start_2", "distance")
+  }
+
   test("closest returnOverlap on a promoted point is consistent with its " +
     "zero distance (ADVICE r4; reference promotion arrops.py:271-287)") {
     val a = Seq(("chr1", 5L, 5L)).toDF("chrom", "start", "end")
@@ -557,6 +586,75 @@ class GoldenSpec extends SparkSpec {
       Seq(Seq("chr1", 0L, 12L), Seq("chr1", 0L, 12L), Seq("chr1", 26L, 26L),
         Seq("chrX", 1L, 8L)),
       "chrom", "start", "end")
+  }
+
+  test("trim accepts non-default view column names (test_ops.py:103-113)") {
+    val funkyView = Seq(("chr1", 0L, 12L, "chr1p"), ("chr1", 13L, 26L, "chr1q"),
+      ("chrX", 1L, 8L, "chrX_0")).toDF("chr", "start", "end", "name")
+    val df = Seq(("chr1", -6L, 12L, "chr1p"), ("chr1", 32L, 36L, "chr1q"))
+      .toDF("chrom", "start", "end", "view_region")
+    val out = Ops.trim(df, funkyView, dfViewCol = Some("view_region"),
+      colsView = ColSpec("chr", "start", "end"))
+    assertFrame(out.select($"chrom", $"start", $"end"),
+      Seq(Seq("chr1", 0L, 12L), Seq("chr1", 26L, 26L)),
+      "chrom", "start", "end")
+  }
+
+  test("trim with a chromsizes-style view and custom data columns clips " +
+    "ends to chromosome length (test_ops.py:115-142)") {
+    // the dict {"chr1": 20, "chrX_0": 5} as a viewframe
+    val view = Seq(("chr1", 0L, 20L, "chr1"), ("chrX_0", 0L, 5L, "chrX_0"))
+      .toDF("chrom", "start", "end", "name")
+    val df = Seq(("chr1", 0L, 12L), ("chr1", 13L, 26L), ("chrX_0", 1L, 8L))
+      .toDF("chrom", "startFunky", "end")
+    val out = Ops.trim(df, view,
+      cols = ColSpec("chrom", "startFunky", "end"))
+    assertFrame(out.select($"chrom", $"startFunky", $"end"),
+      Seq(Seq("chr1", 0L, 12L), Seq("chr1", 13L, 20L), Seq("chrX_0", 1L, 5L)),
+      "chrom", "startFunky", "end")
+  }
+
+  test("trim with a view and NA rows infers assignment per row and passes " +
+    "NA triples through (test_ops.py:189-216)") {
+    val view = Seq(("chr1", 0L, 12L, "chr1p"), ("chr1", 13L, 26L, "chr1q"),
+      ("chrX", 1L, 12L, "chrX_0")).toDF("chrom", "start", "end", "name")
+    val df = Seq(
+      (Option("chr1"), Option(-6L), Option(12L)),
+      (Option("chr1"), Option(0L), Option(12L)),
+      (None: Option[String], None: Option[Long], None: Option[Long]),
+      (Option("chrX"), Option(1L), Option(20L)))
+      .toDF("chrom", "start", "end")
+    val out = Ops.trim(df, view) // dfViewCol=None -> assign_view path
+    assertFrame(out.select($"chrom", $"start", $"end"),
+      Seq(Seq("chr1", 0L, 12L), Seq("chr1", 0L, 12L), Seq(null, null, null),
+        Seq("chrX", 1L, 12L)),
+      "chrom", "start", "end")
+  }
+
+  // ---- coordinate dtype preservation through joins (the Spark analog of
+  // tests/test_ops.py:775-867's uint32/Int64 contracts: input column types
+  // survive inner joins unchanged, outer joins only add nullability —
+  // never a float widening) ----
+
+  test("overlap preserves coordinate column types across inner and outer " +
+    "joins; outer adds nullability, not float widening " +
+    "(test_ops.py:775-838 analog)") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val a = Seq(("chr1", 8, 12), ("chr1", 7, 10), ("chrX", 1, 8))
+      .toDF("chrom", "start", "end") // IntegerType coords
+    val b = Seq(("chr1", 6L, 10L), ("chrX", 7L, 10L), ("chrX", 1000L, 1200L))
+      .toDF("chrom", "start", "end") // LongType coords
+    val inner = Ops.overlap(a, b, how = "inner", suffixes = ("", "_"))
+    assert(inner.schema("start").dataType == IntegerType)
+    assert(inner.schema("start_").dataType == LongType)
+    // execution, not just schema: both chr1 rows x (6-10), (chrX 1-8) x (7-10)
+    assert(inner.count() == 3)
+    val outer = Ops.overlap(a, b, how = "outer", suffixes = ("", "_"))
+    assert(outer.schema("start").dataType == IntegerType)
+    assert(outer.schema("start_").dataType == LongType)
+    assert(outer.schema("start").nullable && outer.schema("start_").nullable)
+    // and the unmatched right row really is a null-left row, typed int
+    assert(outer.filter($"start".isNull && $"start_" === 1000L).count() == 1)
   }
 
   // ---- cluster min_dist family (tests/test_ops.py:869-928) ----
