@@ -125,7 +125,10 @@ object Bench {
         val d = spark.range(50L * 1000 * 1000)
           .select(xxhash64(col("id")).as("h"))
         d.persist()
-        try { d.count(); d.agg(sum(col("h"))).head() }
+        // bit_xor, not sum: summing 50M uniform 64-bit hashes overflows
+        // under ANSI mode and aborts the agg job (errors swallowed by
+        // withBudget), so the canary would only time persist+count.
+        try { d.count(); d.agg(bit_xor(col("h"))).head() }
         finally d.unpersist(blocking = false)
       }
       (now() - t0) / 1e9
