@@ -340,10 +340,14 @@ object Ops {
     * [[overlapCountsByRank]] — no pair enumeration — then fanned back out
     * to every copy by content id. `strategy` is retained for signature
     * stability; the rank path has no join-strategy choice. `binSize`
-    * doubles as the scan's coordinate bucket width. */
+    * doubles as the scan's coordinate bucket width. `returnInput=false`
+    * keeps only the count column (reference `ops.py:1427-1434`,
+    * `tests/test_ops.py:2057-2069`); row order is whatever the plan
+    * produces, so callers who need alignment keep the input. */
   def countOverlaps(df1: DataFrame, df2: DataFrame,
                     countCol: String = "count",
                     on: Seq[String] = Nil,
+                    returnInput: Boolean = true,
                     cols1: ColSpec = ColSpec.default,
                     cols2: ColSpec = ColSpec.default,
                     strategy: Strategy = Auto,
@@ -356,10 +360,12 @@ object Ops {
       df2.select((cols2.names ++ on).distinct.map(col): _*), countCol, on,
       cols1, cols2, binSize)
     // hash join-back: sort-merge would sort the wide side on a struct key
-    l.join(counts.withColumnRenamed("__id1", "__cid").hint("shuffle_hash"),
+    val out = l
+      .join(counts.withColumnRenamed("__id1", "__cid").hint("shuffle_hash"),
         col("__id1") === col("__cid"), "left")
       .withColumn(countCol, coalesce(col(countCol), lit(0L)))
       .drop("__id1", "__cid")
+    if (returnInput) out else out.select(col(countCol))
   }
 
   /** df1 rows with no overlap in df2 — a semantic anti-join (reference
@@ -398,6 +404,15 @@ object Ops {
     when(prevMax.isNull, lit(1L)).otherwise(isNew.cast("long"))
   }
 
+  /** True for rows the reference passes through untouched by cluster/merge:
+    * any null in the coordinate triple or an `on` group key (reference
+    * `ops.py:776-778` skips NA-keyed groups; `ops.py:813-827` re-appends NA
+    * rows unmerged with `n_intervals=NA`). Follows the bedframe all-or-none
+    * convention: an NA row nulls the whole (chrom,start,end) triple. */
+  private def naRow(on: Seq[String], cols: ColSpec): Column =
+    (Seq(cols.chromCol, cols.startCol, cols.endCol) ++ on.map(col))
+      .map(_.isNull).reduce(_ || _)
+
   /** Connected components of the overlap graph along the line (reference
     * `ops.py:559-708`): adds `cluster` (id, unique within `(chrom, on)`
     * group), `cluster_start`, `cluster_end`. The cummax (previous max end)
@@ -421,8 +436,11 @@ object Ops {
     val bucketed = df.withColumn("__b", Scan.bucketOf(cols.startCol, bucketSize))
     val withPrev = Scan.prefixMax(bucketed, keyNames, "__b", ord,
       cols.endCol, inclusive = false, "__pm")
+    // NA rows always open their own cluster: two null-keyed rows share a
+    // window partition (Spark groups nulls together) but must not chain
     val flagged = withPrev
-      .withColumn("__new", borderFlag(col("__pm"), cols.startCol, minDist))
+      .withColumn("__new", when(naRow(on, cols), lit(1L))
+        .otherwise(borderFlag(col("__pm"), cols.startCol, minDist)))
     val withId = Scan.prefixSum(flagged, keyNames, "__b", ord,
         col("__new"), inclusive = true, "__cid")
       .withColumn("cluster", col("__cid") - 1)
@@ -465,6 +483,8 @@ object Ops {
           .agg(min(cols.startCol).as(cols.start),
                max(cols.endCol).as(cols.end),
                count(lit(1)).as("n_intervals"))
+          .withColumn("n_intervals", when(naRow(on, cols),
+            lit(null).cast(LongType)).otherwise(col("n_intervals")))
           .drop("cluster")
       case RangePartitioned =>
         mergeRangePartitioned(df, minDist, on, cols)
@@ -488,11 +508,13 @@ object Ops {
         keyNames.map(col) :+ cols.startCol: _*)
       .sortWithinPartitions(sortCols: _*)
     val nKeys = keyNames.length
+    // nullable: NA rows pass through as their own runs with n_intervals
+    // null (reference ops.py:813-827)
     val outSchema = StructType(
       keyNames.map(n => proj.schema(n)) ++
-        Seq(StructField(cols.start, LongType, nullable = false),
-            StructField(cols.end, LongType, nullable = false),
-            StructField("n_intervals", LongType, nullable = false)))
+        Seq(StructField(cols.start, LongType, nullable = true),
+            StructField(cols.end, LongType, nullable = true),
+            StructField("n_intervals", LongType, nullable = true)))
     val gapOk: (Long, Long) => Boolean = minDist match {
       case Some(d) => (s, pe) => s <= pe + d
       case None    => (s, pe) => s < pe
@@ -501,24 +523,40 @@ object Ops {
       new Iterator[Row] {
         private var cur: Array[Any] = null // keys ++ (start, maxEnd, n)
         private var nextOut: Row = null
+        private var pendingNA: Row = null // NA row held while cur flushes
         private def sameKeys(r: Row): Boolean =
           (0 until nKeys).forall(i => r.get(i) == cur(i))
         private def emit(): Row =
           Row.fromSeq(cur.toIndexedSeq)
+        // reference passthrough contract (ops.py:813-827): any null among
+        // the group keys or coords makes the row its own run, n_intervals
+        // null — getLong on a null coord would silently read 0 otherwise
+        private def isNaRow(r: Row): Boolean =
+          (0 until nKeys + 2).exists(r.isNullAt)
         private def advance(): Unit = {
+          if (nextOut == null && pendingNA != null) {
+            nextOut = pendingNA; pendingNA = null; return
+          }
           while (nextOut == null && rows.hasNext) {
             val r = rows.next()
-            val s = r.getLong(nKeys)
-            val e = r.getLong(nKeys + 1)
-            if (cur == null) {
-              cur = (0 until nKeys).map(r.get).toArray ++ Array[Any](s, e, 1L)
-            } else if (sameKeys(r) && gapOk(s, cur(nKeys + 1).asInstanceOf[Long])) {
-              cur(nKeys + 1) =
-                math.max(cur(nKeys + 1).asInstanceOf[Long], e)
-              cur(nKeys + 2) = cur(nKeys + 2).asInstanceOf[Long] + 1L
+            if (isNaRow(r)) {
+              val na = Row.fromSeq((0 until nKeys).map(r.get) ++
+                Seq(r.get(nKeys), r.get(nKeys + 1), null))
+              if (cur != null) { nextOut = emit(); cur = null; pendingNA = na }
+              else nextOut = na
             } else {
-              nextOut = emit()
-              cur = (0 until nKeys).map(r.get).toArray ++ Array[Any](s, e, 1L)
+              val s = r.getLong(nKeys)
+              val e = r.getLong(nKeys + 1)
+              if (cur == null) {
+                cur = (0 until nKeys).map(r.get).toArray ++ Array[Any](s, e, 1L)
+              } else if (sameKeys(r) && gapOk(s, cur(nKeys + 1).asInstanceOf[Long])) {
+                cur(nKeys + 1) =
+                  math.max(cur(nKeys + 1).asInstanceOf[Long], e)
+                cur(nKeys + 2) = cur(nKeys + 2).asInstanceOf[Long] + 1L
+              } else {
+                nextOut = emit()
+                cur = (0 until nKeys).map(r.get).toArray ++ Array[Any](s, e, 1L)
+              }
             }
           }
           if (nextOut == null && cur != null) { nextOut = emit(); cur = null }
@@ -535,7 +573,10 @@ object Ops {
     val prevMax = max(cols.endCol).over(w.rowsBetween(Window.unboundedPreceding, -1))
     val wAll = w.rowsBetween(Window.unboundedPreceding, 0)
     partial
-      .withColumn("__new", borderFlag(prevMax, cols.startCol, minDist))
+      // NA passthrough runs (n_intervals null) never stitch with anything;
+      // sum() over a lone null below keeps their n_intervals null
+      .withColumn("__new", when(col("n_intervals").isNull, lit(1L))
+        .otherwise(borderFlag(prevMax, cols.startCol, minDist)))
       .withColumn("__cid", sum(col("__new")).over(wAll))
       .groupBy(keys :+ col("__cid"): _*)
       .agg(min(cols.startCol).as(cols.start),
@@ -675,6 +716,9 @@ object Ops {
     * fragments (reference `ops.py:1243-1330`). Fully-covered rows drop out;
     * an uncovered zero-length point survives as itself. `returnIndex` adds
     * the per-parent fragment counter `sub_index_` (`ops.py:1323-1329`).
+    * NA rows of BOTH sides are ignored (reference `tests/test_ops.py:
+    * 1814-1839`); the reference's eager all-null-chromosome ValueError has
+    * no lazy-plan analog and is not reproduced.
     */
   def subtract(df1: DataFrame, df2: DataFrame,
                returnIndex: Boolean = false,
@@ -687,7 +731,7 @@ object Ops {
       merge(concreteRows(df2, cols2), Some(0), Nil, cols2)
         .drop("n_intervals"), sfx)
     val c2 = ColSpec(cols2.chrom + sfx, cols2.start + sfx, cols2.end + sfx)
-    val l = RowId.withRowId(df1, "__id1")
+    val l = RowId.withRowId(concreteRows(df1, cols1), "__id1")
     val p = IntervalJoin.pairs(l, merged, cols1, c2, Nil, strategy, binSize)
       .withColumn("__ms", greatest(c2.startCol, cols1.startCol))
       .withColumn("__me", least(c2.endCol, cols1.endCol))

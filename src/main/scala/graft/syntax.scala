@@ -41,7 +41,7 @@ object syntax {
 
     def countOverlaps(other: DataFrame, countCol: String = "count",
                       on: Seq[String] = Nil): DataFrame =
-      Ops.countOverlaps(df, other, countCol, on, cols)
+      Ops.countOverlaps(df, other, countCol, on, cols1 = cols)
 
     def setdiff(other: DataFrame, on: Seq[String] = Nil): DataFrame =
       Ops.setdiff(df, other, on, cols)

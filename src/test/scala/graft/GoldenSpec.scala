@@ -375,8 +375,9 @@ class GoldenSpec extends SparkSpec {
       .toDF("chrom", "start", "end")
     assertFrame(Ops.coverage(a, b, binSize = 4).select($"start", $"coverage"),
       Seq(Seq(0L, 4L), Seq(null, 0L)), "start", "coverage")
+    // NA probe rows are dropped by subtract (test_ops.py:1814-1839)
     assertFrame(Ops.subtract(a, b, binSize = 4).select($"start", $"end"),
-      Seq(Seq(0L, 2L), Seq(6L, 10L), Seq(null, null)), "start", "end")
+      Seq(Seq(0L, 2L), Seq(6L, 10L)), "start", "end")
     // the NA probe row can't overlap anything -> survives setdiff
     assertFrame(Ops.setdiff(a, b, binSize = 4).select($"start"),
       Seq(Seq(null)), "start")
@@ -1197,5 +1198,132 @@ class GoldenSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSeq == Seq(
       "255,0,0", "255,99,71", "255,0,0", "255,136,0", "255,0,170",
       "255,0,0", "0", "0", null, "44,160,44", "0,0,0"))
+  }
+
+  // ---- merge NA passthrough (tests/test_ops.py:1024-1054) ----
+
+  private def mergeNaInput = Seq(
+    (Option("chrX"), Option(1L), Option(8L), Option.empty[String]),
+    (None: Option[String], None: Option[Long], None: Option[Long], Option("-")),
+    (Option("chr1"), Option(8L), Option(12L), Option("+")),
+    (Option("chr1"), Option(1L), Option(8L), Option.empty[String]),
+    (None: Option[String], None: Option[Long], None: Option[Long], Option("-")))
+    .toDF("chrom", "start", "end", "strand")
+
+  for (strat <- Seq(Ops.RangePartitioned, Ops.WindowSweep))
+    test(s"merge/$strat: NA rows pass through unmerged with n_intervals " +
+      "null (test_ops.py:1024-1054)") {
+      val out = Ops.merge(mergeNaInput.select($"chrom", $"start", $"end"),
+        mergeStrategy = strat)
+      // chr1 1-8 + 8-12 merge to 1-12; chrX 1-8; two NA rows survive apart
+      assert(out.count() == 4)
+      val chr1 = out.filter($"chrom" === "chr1").collect()
+      assert(chr1.length == 1 && chr1.head.getLong(1) == 1L &&
+        chr1.head.getLong(2) == 12L && chr1.head.getLong(3) == 2L)
+      val nas = out.filter($"chrom".isNull).collect()
+      assert(nas.length == 2, "NA rows must not merge with each other")
+      assert(nas.forall(_.isNullAt(3)), "NA rows carry n_intervals null")
+    }
+
+  test("merge on=[strand]: a null group key makes the row passthrough, " +
+    "so every input row survives (test_ops.py:1047-1050)") {
+    val out = Ops.merge(mergeNaInput, on = Seq("strand"))
+    assert(out.count() == 5)
+    // the lone concrete-keyed row (chr1, +) is a real 1-interval cluster
+    val plus = out.filter($"strand" === "+").collect()
+    assert(plus.length == 1 && plus.head.getAs[Long]("n_intervals") == 1L)
+    // null-strand chr1/chrX rows pass through with their real coordinates
+    val nullStrand = out.filter($"strand".isNull && $"chrom".isNotNull)
+      .select($"chrom", $"start", $"end", $"n_intervals")
+      .orderBy($"chrom").collect()
+    assert(nullStrand.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq(("chr1", 1L, 8L), ("chrX", 1L, 8L)))
+    assert(nullStrand.forall(_.isNullAt(3)))
+  }
+
+  // ---- subtract: point subtrahends + NA rows (tests/test_ops.py:1686-1862) ----
+
+  test("subtract splits at point subtrahends; an interval is untouched by " +
+    "a point at its start (test_ops.py:1686-1812, ex-split)") {
+    val df1 = Seq(("chrX", 3L, 8L), ("chr1", 4L, 7L), ("chrX", 1L, 5L))
+      .toDF("chrom", "start", "end")
+    val pts = Seq(("chrX", 4L, 4L), ("chr1", 5L, 5L))
+      .toDF("chrom", "start", "end")
+    assertFrame(
+      Ops.subtract(df1, pts, binSize = 4)
+        .select($"chrom", $"start", $"end").orderBy($"chrom", $"start", $"end"),
+      Seq(Seq("chr1", 4L, 5L), Seq("chr1", 5L, 7L), Seq("chrX", 1L, 4L),
+        Seq("chrX", 3L, 4L), Seq("chrX", 4L, 5L), Seq("chrX", 4L, 8L)),
+      "chrom", "start", "end")
+    // subtracting the point [1,1) from [0,2) splits it ...
+    val seg = Seq(("chr1", 0L, 2L)).toDF("chrom", "start", "end")
+    val p1 = Seq(("chr1", 1L, 1L)).toDF("chrom", "start", "end")
+    assertFrame(
+      Ops.subtract(seg, p1, binSize = 4).select($"chrom", $"start", $"end"),
+      Seq(Seq("chr1", 0L, 1L), Seq("chr1", 1L, 2L)), "chrom", "start", "end")
+    // ... but [1,2) is untouched by the point at its own start
+    val seg2 = Seq(("chr1", 1L, 2L)).toDF("chrom", "start", "end")
+    assertFrame(
+      Ops.subtract(seg2, p1, binSize = 4).select($"chrom", $"start", $"end"),
+      Seq(Seq("chr1", 1L, 2L)), "chrom", "start", "end")
+  }
+
+  test("subtract ignores NA rows on both sides; all-NA df1 yields empty " +
+    "(test_ops.py:1814-1862)") {
+    val df1 = Seq(
+      (None: Option[String], None: Option[Long], None: Option[Long]),
+      (Option("chr1"), Option(1L), Option(5L)))
+      .toDF("chrom", "start", "end")
+    val df2 = Seq(
+      (Option("chrX"), Option(1L), Option(5L)),
+      (None: Option[String], None: Option[Long], None: Option[Long]),
+      (Option("chr1"), Option(4L), Option(8L)),
+      (None: Option[String], None: Option[Long], None: Option[Long]),
+      (Option("chr1"), Option(10L), Option(11L)))
+      .toDF("chrom", "start", "end")
+    assertFrame(
+      Ops.subtract(df1, df2, binSize = 4).select($"chrom", $"start", $"end"),
+      Seq(Seq("chr1", 1L, 4L)), "chrom", "start", "end")
+    val allNa = df1.filter($"chrom".isNull)
+    assert(Ops.subtract(allNa, df2, binSize = 4).count() == 0)
+  }
+
+  // ---- count_overlaps return_input=False (tests/test_ops.py:2057-2069) ----
+
+  test("countOverlaps returnInput=false keeps only the count column " +
+    "(test_ops.py:2057-2069)") {
+    val a = Seq(("chr1", 8L, 12L), ("chrX", 1L, 8L)).toDF("chrom", "start", "end")
+    val b = Seq(("chr1", 6L, 10L), ("chr1", 6L, 10L), ("chrX", 7L, 10L))
+      .toDF("chrom", "start", "end")
+    val out = Ops.countOverlaps(a, b, returnInput = false, binSize = 4)
+    assert(out.columns.toSeq == Seq("count"))
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  // ---- overlap: NA left rows under keep_order (tests/test_ops.py:687-710) ----
+
+  test("overlap left keep_order: NA df1 rows stay in input position with " +
+    "null partners (test_ops.py:687-702)") {
+    val df1 = Seq(
+      (Option("chr1"), Option(8L), Option(12L), "+"),
+      (None: Option[String], None: Option[Long], None: Option[Long], "-"),
+      (Option("chrX"), Option(1L), Option(8L), "+"))
+      .toDF("chrom", "start", "end", "strand")
+    val df2 = Seq(
+      (Option("chr1"), Option(6L), Option(10L), "+"),
+      (None: Option[String], None: Option[Long], None: Option[Long], "-"),
+      (Option("chrX"), Option(7L), Option(10L), "-"))
+      .toDF("chrom2", "start2", "end2", "strand_")
+    val out = Ops.overlap(df1, df2, how = "left", keepOrder = true,
+      suffixes = ("", "_"), cols2 = ColSpec("chrom2", "start2", "end2"),
+      binSize = 4)
+    // reference: left frame restored verbatim, in order, NA row included
+    assert(out.select($"chrom", $"start", $"end", $"strand")
+      .collect().map(r => (Option(r.getString(0)), r.getString(3))).toSeq ==
+      Seq((Some("chr1"), "+"), (None, "-"), (Some("chrX"), "+")))
+    // the NA row matched nothing: partner columns null (df2 side carries
+    // the "_" suffix)
+    assert(out.filter($"strand" === "-").select($"chrom2_").collect()
+      .forall(_.isNullAt(0)))
   }
 }
