@@ -5,7 +5,7 @@ import graft.ann.Ann
 import graft.dedup.Dedup
 import graft.ops.{Closest, Extras, IntervalJoin, Ops}
 import graft.streaming.StreamOps
-import graft.text.TextOps
+import graft.text.{Corpus, TextOps}
 import graft.vis.Vis
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -570,6 +570,21 @@ object SparkEntry {
       TextOps.fingerprintMd5(col("text")).as("md5"),
       octet_length(col("text")).cast("long").as("n_bytes"))
 
+  private def txtRepetition(s: SparkSession, dir: String): DataFrame =
+    Corpus.repetitionSignals(docs(s, dir), "doc_id", "text")
+
+  /** Per-source keep rates for the stratified-sampling gate: a halving
+    * ladder over five sources, everything else dropped. */
+  private val SampleFractions: Map[String, Double] = Map(
+    "src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25,
+    "src3" -> 0.125, "src4" -> 0.0625)
+
+  private def docSampleStrat(s: SparkSession, dir: String): DataFrame =
+    Corpus.sampleStratified(docs(s, dir), "doc_id", "source",
+        SampleFractions, salt = "graft")
+      .select(col("doc_id"), col("source"),
+        Corpus.hashBucket(col("doc_id"), "graft").as("bucket"))
+
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(docs(s, dir), "doc_id", "text")
       .select(col("doc_id"), col("canonical_id"), col("is_dup"))
@@ -780,6 +795,8 @@ object SparkEntry {
     "txt_stats" -> (txtStats _),
     "txt_langid" -> (txtLangid _),
     "txt_fingerprint" -> (txtFingerprint _),
+    "txt_repetition" -> (txtRepetition _),
+    "doc_sample_strat" -> (docSampleStrat _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhash _),
@@ -1422,6 +1439,42 @@ object SparkEntry {
         |   + (1.0 - LEAST(CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0) * 5.0, 1.0)) * 0.15
         |   + (1.0 - LEAST(CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.15) AS quality
         |FROM documents""".stripMargin,
+    "txt_repetition" ->
+      """WITH lines AS (
+        |  SELECT doc_id, trim(l, ' ') AS line
+        |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+        |        FROM documents)
+        |  WHERE len(trim(l, ' ')) > 0),
+        |lg AS (SELECT doc_id, line, COUNT(*) AS cnt FROM lines GROUP BY 1, 2),
+        |ls AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_lines,
+        |    CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+        |      / SUM(cnt) AS dup_line_frac,
+        |    CAST(SUM(CASE WHEN cnt > 1 THEN cnt * len(line) ELSE 0 END) AS DOUBLE)
+        |      / SUM(cnt * len(line)) AS dup_line_char_frac
+        |  FROM lg GROUP BY 1),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |bi AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+        |  FROM bc GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(ls.n_lines, 0) AS BIGINT) AS n_lines,
+        |  ls.dup_line_frac, ls.dup_line_char_frac, bs.top_bigram_frac
+        |FROM documents d
+        |LEFT JOIN ls ON d.doc_id = ls.doc_id
+        |LEFT JOIN bs ON d.doc_id = bs.doc_id""".stripMargin,
+    "doc_sample_strat" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    CAST(('0x' || substring(md5('graft|' || doc_id), 1, 8)) AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source, bucket FROM b
+        |WHERE bucket < CASE source
+        |  WHEN 'src0' THEN 4294967296 WHEN 'src1' THEN 2147483648
+        |  WHEN 'src2' THEN 1073741824 WHEN 'src3' THEN 536870912
+        |  WHEN 'src4' THEN 268435456 ELSE 0 END""".stripMargin,
     "txt_langid" -> {
       val markers = TextOps.LangMarkers
       val scoreExprs = markers.map { case (lang, ws) =>

@@ -1,0 +1,116 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus-curation operators above the single-column [[TextOps]] layer:
+  * Gopher-style repetition signals and deterministic content-hash
+  * sampling. Everything is codegen'd Column arithmetic over
+  * explode/groupBy shapes — no higher-order lambdas (interpreted) and no
+  * UDFs in any path, so the plans survive a 1000-executor scale-up on
+  * shuffle size alone.
+  */
+object Corpus {
+
+  /** Per-document repetition signals in the style of the Gopher quality
+    * rules (Rae et al. 2021, "Scaling Language Models", appendix A1.1):
+    *
+    *   - `n_lines`: non-empty (after space-trim) line count
+    *   - `dup_line_frac`: fraction of lines whose exact text occurs more
+    *     than once in the document
+    *   - `dup_line_char_frac`: fraction of line characters inside those
+    *     duplicated lines
+    *   - `top_bigram_frac`: fraction of word-bigram occurrences taken by
+    *     the document's most frequent bigram
+    *
+    * Null fraction when the denominator is empty (no lines / <2 tokens).
+    * Scale shape: one explode per signal family feeding hash
+    * aggregations keyed by (doc, line|bigram) — high-cardinality keys
+    * that spread evenly; the only windows are partitioned by document id.
+    * All ratios are exact-long IEEE divisions, bit-reproducible across
+    * engines (the DuckDB oracle recomputes them from scratch).
+    */
+  def repetitionSignals(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val id = col(idCol)
+
+    val lineGroups = df
+      .select(id, explode(split(col(textCol), "\n")).as("__line"))
+      .withColumn("__line", trim(col("__line")))
+      .filter(length(col("__line")) > 0)
+      .groupBy(id, col("__line"))
+      .agg(count(lit(1)).as("__cnt"))
+    val lineStats = lineGroups
+      .groupBy(id)
+      .agg(
+        sum(col("__cnt")).as("n_lines"),
+        sum(when(col("__cnt") > 1, col("__cnt")).otherwise(0L)).as("__dup"),
+        sum(col("__cnt") * length(col("__line"))).as("__chars"),
+        sum(when(col("__cnt") > 1, col("__cnt") * length(col("__line")))
+          .otherwise(0L)).as("__dupChars"))
+      .select(id,
+        col("n_lines"),
+        (col("__dup").cast("double") / col("n_lines")).as("dup_line_frac"),
+        (col("__dupChars").cast("double") / col("__chars"))
+          .as("dup_line_char_frac"))
+
+    val w = Window.partitionBy(id).orderBy(col("__pos"))
+    val bigramCounts = df
+      .select(id, posexplode(TextOps.tokens(col(textCol)))
+        .as(Seq("__pos", "__w")))
+      .withColumn("__w2", lead(col("__w"), 1).over(w))
+      .filter(col("__w2").isNotNull)
+      .groupBy(id, concat_ws(" ", col("__w"), col("__w2")).as("__bigram"))
+      .agg(count(lit(1)).as("__c"))
+    val bigramStats = bigramCounts
+      .groupBy(id)
+      .agg(max(col("__c")).as("__top"), sum(col("__c")).as("__total"))
+      .select(id,
+        (col("__top").cast("double") / col("__total")).as("top_bigram_frac"))
+
+    df.select(id)
+      .join(lineStats, Seq(idCol), "left")
+      .join(bigramStats, Seq(idCol), "left")
+      .withColumn("n_lines", coalesce(col("n_lines"), lit(0L)))
+  }
+
+  /** Bucket in [0, 2^32) from the md5 of `salt|key` — the deterministic,
+    * engine-independent selector behind [[sampleByHash]]. md5 (not
+    * xxhash64) so an external system — or the DuckDB oracle — can
+    * reproduce the exact selection without Spark. */
+  def hashBucket(key: Column, salt: String): Column =
+    conv(substring(md5(concat_ws("|", lit(salt), key)), 1, 8), 16, 10)
+      .cast(LongType)
+
+  /** Deterministic content-addressed sample: keeps rows where the md5
+    * bucket of `salt|key` falls under `fraction` of the 2^32 bucket
+    * space. Unlike `df.sample()` this is reproducible across runs,
+    * partitionings, engines, and retries (no RNG state), stable under
+    * re-execution of failed tasks, and composable: disjoint salts give
+    * independent samples; the same salt at a larger fraction is a
+    * superset (so train/eval splits can grow monotonically). One
+    * codegen'd expression in the filter — pushes to the scan like any
+    * predicate. */
+  def sampleByHash(df: DataFrame, keyCol: String, fraction: Double,
+                   salt: String = "graft"): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction")
+    df.filter(hashBucket(col(keyCol), salt) <
+      lit((fraction * 4294967296.0).toLong))
+  }
+
+  /** Per-stratum deterministic sampling — the data-mixing primitive: one
+    * pass, one when-chain on the stratum column, no shuffle at all.
+    * Strata absent from `fractions` are dropped (rate 0). */
+  def sampleStratified(df: DataFrame, keyCol: String, strataCol: String,
+                       fractions: Map[String, Double],
+                       salt: String = "graft"): DataFrame = {
+    fractions.values.foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction=$f"))
+    val threshold = fractions.foldLeft(lit(0L)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit((f * 4294967296.0).toLong)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), salt) < threshold)
+  }
+}

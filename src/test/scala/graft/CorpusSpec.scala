@@ -1,0 +1,66 @@
+package graft
+
+import graft.text.Corpus
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: Gopher-style repetition signals and
+  * deterministic content-hash sampling (Rae et al. 2021 appendix A1.1
+  * for the rule shapes; the exact fractions are this engine's
+  * contract, oracled in the txt_repetition / doc_sample_strat gates). */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionSignals: duplicated lines and a dominant bigram") {
+    val df = Seq(
+      (1L, "spam spam\nspam spam\nunique line here"),
+      (2L, "all lines differ\ncompletely here"),
+      (3L, "")).toDF("id", "text")
+    val out = Corpus.repetitionSignals(df, "id", "text")
+      .orderBy($"id").collect()
+    // doc 1: lines (spam spam)x2 + 1 unique -> dup 2/3; chars 9+9+16=34,
+    // dup 18/34; tokens spam,spam,spam,spam,unique,line,here -> bigrams
+    // [spam spam]x3, [spam unique], [unique line], [line here] -> top 3/6
+    assert(out(0).getLong(1) == 3L)
+    assert(math.abs(out(0).getDouble(2) - 2.0 / 3.0) < 1e-15)
+    assert(math.abs(out(0).getDouble(3) - 18.0 / 34.0) < 1e-15)
+    assert(math.abs(out(0).getDouble(4) - 3.0 / 6.0) < 1e-15)
+    // doc 2: no duplicate lines, no repeated bigram
+    assert(out(1).getLong(1) == 2L && out(1).getDouble(2) == 0.0)
+    assert(out(1).getDouble(4) == 1.0 / 4.0)
+    // doc 3: empty text -> zero lines, null fractions
+    assert(out(2).getLong(1) == 0L && out(2).isNullAt(2) && out(2).isNullAt(4))
+  }
+
+  test("sampleByHash: deterministic, salt-sensitive, and monotone in the " +
+    "fraction (same salt at a larger rate is a superset)") {
+    val df = spark.range(2000).toDF("id")
+    def ids(fraction: Double, salt: String): Set[Long] =
+      Corpus.sampleByHash(df, "id", fraction, salt)
+        .collect().map(_.getLong(0)).toSet
+    val a = ids(0.25, "s1")
+    assert(ids(0.25, "s1") == a, "re-running must select identical rows")
+    // ~25% within binomial slop
+    assert(a.size > 380 && a.size < 620)
+    assert(a.subsetOf(ids(0.5, "s1")), "growing the rate keeps prior rows")
+    assert(ids(0.25, "s2") != a, "a different salt is a different sample")
+    assert(ids(0.0, "s1").isEmpty && ids(1.0, "s1").size == 2000)
+  }
+
+  test("sampleStratified: per-stratum rates match sampleByHash with the " +
+    "same salt; absent strata drop") {
+    val df = spark.range(1200)
+      .select($"id", concat(lit("s"), pmod($"id", lit(3))).as("src"))
+    val out = Corpus.sampleStratified(df, "id", "src",
+      Map("s0" -> 1.0, "s1" -> 0.5), salt = "x")
+    val byStratum = out.groupBy($"src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum("s0") == 400, "rate 1.0 keeps the whole stratum")
+    assert(byStratum.get("s2").isEmpty, "unlisted strata are dropped")
+    // the s1 selection is exactly sampleByHash at 0.5 restricted to s1
+    val direct = Corpus.sampleByHash(df.filter($"src" === "s1"), "id", 0.5, "x")
+      .collect().map(_.getLong(0)).toSet
+    val strat = out.filter($"src" === "s1").collect()
+      .map(_.getLong(0)).toSet
+    assert(strat == direct)
+  }
+}

@@ -202,6 +202,17 @@ class GoldenSpec extends SparkSpec {
       "strand_1", "start_2", "distance")
   }
 
+  test("closest ignoreDownstream without direction_col keeps a present " +
+    "upstream neighbor (test_ops.py:1398-1433)") {
+    val a = Seq(("chr1", 3L, 5L)).toDF("chrom", "start", "end")
+    val b = Seq(("chr1", 1L, 2L), ("chr1", 10L, 11L))
+      .toDF("chrom", "start", "end")
+    val out = Closest.closest(a, Some(b), k = 1, ignoreDownstream = true,
+      ignoreOverlaps = true, suffixes = ("_1", "_2"))
+    assertFrame(out.select($"start_2", $"end_2", $"distance"),
+      Seq(Seq(1L, 2L, 1L)), "start_2", "end_2", "distance")
+  }
+
   test("closest: side absent -> null row survives (test_ops.py:1434-1492)") {
     val a = Seq(("chr1", 3L, 5L)).toDF("chrom", "start", "end")
     val bNoUp = Seq(("chr1", 5L, 6L), ("chr1", 10L, 11L))
