@@ -570,8 +570,18 @@ object SparkEntry {
       TextOps.fingerprintMd5(col("text")).as("md5"),
       octet_length(col("text")).cast("long").as("n_bytes"))
 
+  /** The synthetic corpus carries no newlines, which would leave the
+    * line-duplication half of the gate vacuous (1 line per doc, frac 0
+    * everywhere) — so the gate deterministically synthesizes line
+    * structure by turning a set of frequent words into line breaks
+    * (both engines apply the same leftmost non-overlapping regex). At
+    * sf0.01 this yields ~8 lines/doc and a few dozen docs with real
+    * duplicate lines. */
   private def txtRepetition(s: SparkSession, dir: String): DataFrame =
-    Corpus.repetitionSignals(docs(s, dir), "doc_id", "text")
+    Corpus.repetitionSignals(
+      docs(s, dir).withColumn("text",
+        regexp_replace(col("text"), " (the|a|value|table|row) ", "\n")),
+      "doc_id", "text")
 
   /** Per-source keep rates for the stratified-sampling gate: a halving
     * ladder over five sources, everything else dropped. */
@@ -1440,10 +1450,13 @@ object SparkEntry {
         |   + (1.0 - LEAST(CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.15) AS quality
         |FROM documents""".stripMargin,
     "txt_repetition" ->
-      """WITH lines AS (
+      """WITH d2 AS (SELECT doc_id,
+        |    regexp_replace(text, ' (the|a|value|table|row) ', chr(10), 'g') AS text
+        |  FROM documents),
+        |lines AS (
         |  SELECT doc_id, trim(l, ' ') AS line
         |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
-        |        FROM documents)
+        |        FROM d2)
         |  WHERE len(trim(l, ' ')) > 0),
         |lg AS (SELECT doc_id, line, COUNT(*) AS cnt FROM lines GROUP BY 1, 2),
         |ls AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_lines,
@@ -1454,7 +1467,7 @@ object SparkEntry {
         |  FROM lg GROUP BY 1),
         |toks AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t
-        |  FROM documents),
+        |  FROM d2),
         |bi AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
         |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
         |  WHERE len(t) >= 2),

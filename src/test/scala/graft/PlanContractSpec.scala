@@ -2,6 +2,7 @@ package graft
 
 import graft.core.ColSpec
 import graft.ops.{Closest, Extras, Ops}
+import graft.text.Corpus
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -99,7 +100,9 @@ class PlanContractSpec extends SparkSpec {
       Ops.merge(ivA, Some(0)),
       Extras.pileup(ivA, bucketSize = 64),
       Extras.markRuns(ivA.withColumn("v", lit("x")), "v", bucketSize = 64),
-      Ops.countOverlaps(ivA, ivB, binSize = 4))
+      Ops.countOverlaps(ivA, ivB, binSize = 4),
+      Corpus.repetitionSignals(
+        Seq((1L, "a\nb")).toDF("id", "text"), "id", "text"))
     plans.foreach { df =>
       val windowLines = plan(df).linesIterator
         .filter(_.trim.startsWith("Window ")).toSeq
@@ -110,5 +113,21 @@ class PlanContractSpec extends SparkSpec {
         assert(brackets >= 3, s"partition-less window: $l")
       }
     }
+  }
+
+  test("sampleByHash is one scan-adjacent filter: no shuffle, no join, " +
+    "and column pruning reaches the parquet read") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_samplepush").toString
+    ivA.write.mode("overwrite").parquet(dir)
+    val read = spark.read.parquet(dir)
+    val p = plan(Corpus.sampleByHash(read, "id", 0.5).select($"id"))
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"sampling must not join:\n$p")
+    // projection-only read: the scan schema must not carry text columns
+    val readSchema = p.linesIterator
+      .flatMap(_.split("ReadSchema: ").drop(1)).mkString
+    assert(readSchema.contains("id") && !readSchema.contains("chrom"),
+      s"column pruning did not reach the scan:\n$p")
   }
 }
