@@ -393,6 +393,58 @@ object SparkEntry {
         col("nIntervals").as("n_intervals"))
   }
 
+  /** Streaming exact-dedup gate: a quarter of events arrives in three
+    * ts-ordered micro-batches; every 16th event id of the FIRST batch is
+    * re-sent in the SECOND batch with a poisoned value column. If the
+    * dedup state machine ever emits a duplicate instead of suppressing
+    * it, the oracle (which selects only originals) mismatches on rows
+    * and on the poisoned value hash. The watermark delay exceeds the
+    * feed's time span, so every duplicate is inside the dedup horizon
+    * and the streaming result must equal batch DISTINCT exactly.
+    * Original and duplicate are always in different micro-batches, so
+    * "first arrival" is deterministic. */
+  private def evtStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = eventsMs(s, dir).filter(col("event_id") % 4 === 0)
+      .select(col("event_id").as("eventId"), col("tms"),
+        col("event_type").as("eventType"), col("value"))
+      .as[StreamOps.Ev].collect().sortBy(e => (e.tms, e.eventId))
+    val batches = base.grouped(math.max(1, base.length / 3 + 1)).toSeq
+    val poisoned = batches.head.filter(_.eventId % 16 == 0)
+      .map(e => e.copy(value = e.value + 9999.0))
+    val input = MemoryStream[StreamOps.Ev]
+    s.catalog.dropTempView("evt_stream_dedup_sink")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val ckpt = graft.core.Scratch.dir.map(d =>
+      new java.io.File(d, s"ckpt-${java.util.UUID.randomUUID()}"))
+    val writer0 = StreamOps.streamingDedup(input.toDS(), delay = "365 days")
+      .writeStream.format("memory").queryName("evt_stream_dedup_sink")
+      .outputMode("append")
+    val q = ckpt.fold(writer0)(c =>
+      writer0.option("checkpointLocation", c.getAbsolutePath)).start()
+    try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        input.addData((if (i == 1) poisoned ++ b else b).toSeq)
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      ckpt.foreach { c =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(c)
+      }
+    }
+    s.table("evt_stream_dedup_sink")
+      .select(col("eventId").as("event_id"), col("tms"),
+        col("eventType").as("event_type"), col("value"))
+  }
+
   private def ivSortRank(s: SparkSession, dir: String): DataFrame = {
     val assigned = Ops.assignView(iv1(s, dir), view(s), viewOrdCol = Some("ord"))
     val ords = view(s).select(col("name").as("__vn"), col("ord"))
@@ -801,6 +853,7 @@ object SparkEntry {
     "util_colorstring" -> (utilColorstring _),
     "evt_sessionize" -> (evtSessionize _),
     "evt_stream_merge" -> (evtStreamMerge _),
+    "evt_stream_dedup" -> (evtStreamDedup _),
     "evt_window_agg" -> (evtWindowAgg _),
     "txt_stats" -> (txtStats _),
     "txt_langid" -> (txtLangid _),
@@ -1422,6 +1475,9 @@ object SparkEntry {
         |  ('c4:50-', 'c4', 50, NULL),
         |  ('c5:1.5K-0.002M', 'c5', 1500, 2000),
         |  ('c6 : 10 - 20', 'c6', 10, 20)) t(input, chrom, start, "end")""".stripMargin,
+    "evt_stream_dedup" ->
+      """SELECT event_id, epoch_ms(ts) AS tms, event_type, value
+        |FROM events WHERE event_id % 4 = 0""".stripMargin,
     "evt_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
         |s AS (SELECT *, CASE WHEN LAG(tms) OVER w IS NULL

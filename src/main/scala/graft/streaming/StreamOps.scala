@@ -37,6 +37,25 @@ object StreamOps {
   case class MergedRun(chrom: String, start: Long, end: Long, nIntervals: Long)
   case class MergeState(runs: List[MergedRun], maxStart: Long)
 
+  case class Ev(eventId: Long, tms: Long, eventType: String, value: Double)
+
+  /** Watermarked streaming exact-dedup: keeps the FIRST arrival per
+    * `eventId`, suppressing later duplicates whose event times fall
+    * inside the watermark horizon (Spark's
+    * `dropDuplicatesWithinWatermark` state machine over an event-time
+    * column derived from `tms` epoch-millis). The property that matters
+    * at unbounded-ingest scale: state is O(distinct keys within the
+    * watermark window) and is evicted as the watermark advances — a
+    * plain `dropDuplicates` on a stream accretes state forever. A key
+    * re-arriving AFTER its state was evicted is emitted again; choose
+    * `delay` to cover the system's real duplicate-delivery window. */
+  def streamingDedup(events: Dataset[Ev], delay: String): DataFrame =
+    events
+      .withColumn("__ts", timestamp_millis(col("tms")))
+      .withWatermark("__ts", delay)
+      .dropDuplicatesWithinWatermark("eventId")
+      .drop("__ts")
+
   /** Stateful streaming merge with bounded out-of-order tolerance: the
     * streaming analog of the reference's cummax sweep
     * (`arrops.py:462-477`) via `flatMapGroupsWithState`, keyed by chrom.

@@ -241,6 +241,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses within-watermark duplicates but " +
+    "re-emits a key after its state is evicted") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[StreamOps.Ev]
+    // 10s horizon; tms is epoch-millis
+    val q = StreamOps.streamingDedup(input.toDS(), delay = "10 seconds")
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    try {
+      // tms well above epoch 0: a row with eventTime <= the initial
+      // watermark (0) is silently dropped as late
+      input.addData(StreamOps.Ev(1L, 1000000L, "click", 1.0),
+        StreamOps.Ev(2L, 1001000L, "view", 2.0))
+      q.processAllAvailable()
+      // duplicate id 1 inside the horizon, poisoned value -> suppressed
+      input.addData(StreamOps.Ev(1L, 1002000L, "click", 999.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT value FROM dedup_sink WHERE eventId = 1")
+        .collect().map(_.getDouble(0)).toSeq == Seq(1.0))
+      // advance the watermark far past 1000s + 10s, evicting id 1 ...
+      input.addData(StreamOps.Ev(3L, 1100000L, "view", 3.0))
+      q.processAllAvailable()
+      // ... then a FRESH arrival of id 1 is emitted again (bounded state)
+      input.addData(StreamOps.Ev(1L, 1101000L, "click", 4.0))
+      q.processAllAvailable()
+      val id1 = spark.sql("SELECT value FROM dedup_sink WHERE eventId = 1")
+        .collect().map(_.getDouble(0)).toSeq.sorted
+      assert(id1 == Seq(1.0, 4.0),
+        s"expected re-emission after eviction, got $id1")
+      assert(spark.sql("SELECT * FROM dedup_sink").count() == 4)
+    } finally q.stop()
+  }
+
   test("streaming merge repairs out-of-order arrivals within allowedLag") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[StreamOps.Iv]
