@@ -635,6 +635,29 @@ object SparkEntry {
         regexp_replace(col("text"), " (the|a|value|table|row) ", "\n")),
       "doc_id", "text")
 
+  /** Redaction gate: the corpus carries no PII, so the gate deterministically
+    * plants it — three frequent words become an email, a dotted-quad IP,
+    * and a 9-digit account number — then redacts and fingerprints. Both
+    * engines run the same plant + redact chain; the md5 of the redacted
+    * text makes any whole-string divergence visible, the per-token counts
+    * localize which rule diverged. */
+  private def txtRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"),
+          " key ", " bob.smith+1@corp.example.org "),
+        " scan ", " 10.0.255.7 "),
+      " batch ", " 123456789 ")
+    docs(s, dir)
+      .withColumn("__p", planted)
+      .withColumn("__r", Corpus.redactPii(col("__p")))
+      .select(col("doc_id"),
+        md5(col("__r").cast("binary")).as("redacted_md5"),
+        regexp_count(col("__r"), lit("<EMAIL>")).cast("long").as("n_email"),
+        regexp_count(col("__r"), lit("<IP>")).cast("long").as("n_ip"),
+        regexp_count(col("__r"), lit("<NUM>")).cast("long").as("n_num"))
+  }
+
   /** Per-source keep rates for the stratified-sampling gate: a halving
     * ladder over five sources, everything else dropped. */
   private val SampleFractions: Map[String, Double] = Map(
@@ -859,6 +882,7 @@ object SparkEntry {
     "txt_langid" -> (txtLangid _),
     "txt_fingerprint" -> (txtFingerprint _),
     "txt_repetition" -> (txtRepetition _),
+    "txt_redact" -> (txtRedact _),
     "doc_sample_strat" -> (docSampleStrat _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -1535,6 +1559,24 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN ls ON d.doc_id = ls.doc_id
         |LEFT JOIN bs ON d.doc_id = bs.doc_id""".stripMargin,
+    "txt_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |    replace(replace(replace(text,
+        |      ' key ', ' bob.smith+1@corp.example.org '),
+        |      ' scan ', ' 10.0.255.7 '),
+        |      ' batch ', ' 123456789 ') AS t
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{7,}\b', '<NUM>', 'g') AS t
+        |  FROM p)
+        |SELECT doc_id, md5(t) AS redacted_md5,
+        |  CAST(len(regexp_extract_all(t, '<EMAIL>')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '<IP>')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(t, '<NUM>')) AS BIGINT) AS n_num
+        |FROM r""".stripMargin,
     "doc_sample_strat" ->
       """WITH b AS (SELECT doc_id, source,
         |    CAST(('0x' || substring(md5('graft|' || doc_id), 1, 8)) AS BIGINT) AS bucket

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: comma-separated query names — run just those
+    // (local iteration on one gate without paying the full 74-query dump)
+    val only: Option[Set[String]] =
+      args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.Scratch.tune(SparkSession.builder()
         .master(s"local[$cpus]")
@@ -16,6 +21,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      if (!keep(name)) ()
+      else {
       val t0 = System.nanoTime()
       try {
         // repartition(1), NOT coalesce(1): coalesce removes the final
@@ -30,11 +37,13 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      }
     }
     // signature/bucket dumps for the hash-based oracles go to a SIBLING
     // dir: the driver's gate scans outDir and must only see query results
     val auxDir = new java.io.File(outDir).getAbsolutePath + "__aux"
     SparkEntry.auxDumps.foreach { case (name, fn) =>
+      if (only.isEmpty)
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$auxDir/$name")
       catch { case e: Throwable =>
@@ -42,7 +51,7 @@ object Verify {
       }
     }
     // measured LSH quality: recall of the bucketed ANN vs exact top-k
-    try {
+    if (only.isEmpty) try {
       import org.apache.spark.sql.functions.col
       val emb = TestTables.table(spark, sfDir, "embeddings")
       val q = emb.filter(col("vec_id") % 100 === 0)

@@ -76,6 +76,21 @@ object Corpus {
       .withColumn("n_lines", coalesce(col("n_lines"), lit(0L)))
   }
 
+  /** PII scrubbing for corpus curation: emails, dotted-quad IPs, and
+    * 7+-digit runs (account/phone-shaped numbers) replaced by stable
+    * tokens. A chain of codegen'd `regexp_replace` projections — no UDF,
+    * no shuffle; the pattern set is deliberately minimal, deterministic,
+    * and RE2-compatible (portable to other engines for verification).
+    * Order matters: emails first, so their digit-bearing local parts
+    * aren't partially eaten by the number rule. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+      "\\b\\d{7,}\\b", "<NUM>")
+
   /** Bucket in [0, 2^32) from the md5 of `salt|key` — the deterministic,
     * engine-independent selector behind [[sampleByHash]]. md5 (not
     * xxhash64) so an external system — or the DuckDB oracle — can

@@ -31,6 +31,21 @@ class CorpusSpec extends SparkSpec {
     assert(out(2).getLong(1) == 0L && out(2).isNullAt(2) && out(2).isNullAt(4))
   }
 
+  test("redactPii: emails, IPs, long digit runs; short numbers and bare " +
+    "words survive; email local-part digits aren't half-eaten") {
+    val df = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "node 10.0.255.7 port 80 pin 123456 acct 12345678",
+      "id 1234567890@9876543210.example.com tail",
+      "clean text with no pii at all").toDF("text")
+      .select(Corpus.redactPii($"text").as("r"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq(
+      "mail <EMAIL> now",
+      "node <IP> port 80 pin 123456 acct <NUM>",
+      "id <EMAIL> tail",
+      "clean text with no pii at all"))
+  }
+
   test("sampleByHash: deterministic, salt-sensitive, and monotone in the " +
     "fraction (same salt at a larger rate is a superset)") {
     val df = spark.range(2000).toDF("id")
