@@ -658,6 +658,29 @@ object SparkEntry {
         regexp_count(col("__r"), lit("<NUM>")).cast("long").as("n_num"))
   }
 
+  /** Decontamination gate: docs with `doc_id % 97 == 0` act as the
+    * held-out eval set; the rest are the corpus. The corpus has no
+    * natural 8-gram overlap with the eval docs (checked), so the gate
+    * plants it — corpus docs with `doc_id % 13 == 3` get the first 12
+    * tokens of eval doc `(doc_id % 3) * 97` spliced onto their text (a
+    * LEFT join: a missing eval id at small SF simply plants nothing).
+    * Both engines run the same plant + flag chain. */
+  private def txtDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val evalSet = d.filter(col("doc_id") % 97 === 0)
+    val excerpts = evalSet.select(col("doc_id").as("__eid"),
+      concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 12))
+        .as("__ex"))
+    val corpus = d.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("__eid",
+        when(col("doc_id") % 13 === 3, (col("doc_id") % 3) * 97))
+      .join(broadcast(excerpts), Seq("__eid"), "left")
+      .select(col("doc_id"),
+        when(col("__ex").isNotNull, concat(col("text"), lit(" "), col("__ex")))
+          .otherwise(col("text")).as("text"))
+    Corpus.decontaminate(corpus, evalSet, "doc_id", "text", n = 8)
+  }
+
   /** Per-source keep rates for the stratified-sampling gate: a halving
     * ladder over five sources, everything else dropped. */
   private val SampleFractions: Map[String, Double] = Map(
@@ -883,6 +906,7 @@ object SparkEntry {
     "txt_fingerprint" -> (txtFingerprint _),
     "txt_repetition" -> (txtRepetition _),
     "txt_redact" -> (txtRedact _),
+    "txt_decontaminate" -> (txtDecontaminate _),
     "doc_sample_strat" -> (docSampleStrat _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -1577,6 +1601,34 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(t, '<IP>')) AS BIGINT) AS n_ip,
         |  CAST(len(regexp_extract_all(t, '<NUM>')) AS BIGINT) AS n_num
         |FROM r""".stripMargin,
+    "txt_decontaminate" ->
+      """WITH evx AS (SELECT doc_id AS eid,
+        |    array_to_string(list_filter(string_split_regex(lower(text),
+        |      '[^a-z0-9]+'), x -> len(x) > 0)[1:12], ' ') AS ex
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT d.doc_id,
+        |    CASE WHEN e.ex IS NOT NULL THEN d.text || ' ' || e.ex
+        |         ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN evx e
+        |    ON d.doc_id % 13 = 3 AND (d.doc_id % 3) * 97 = e.eid
+        |  WHERE d.doc_id % 97 <> 0),
+        |ctoks AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '[^a-z0-9]+'), x -> len(x) > 0) AS t FROM corpus),
+        |csh AS (SELECT DISTINCT doc_id,
+        |    t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7] AS s
+        |  FROM ctoks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |etoks AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '[^a-z0-9]+'), x -> len(x) > 0) AS t
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |esh AS (SELECT DISTINCT doc_id AS eval_id,
+        |    t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7] AS s
+        |  FROM etoks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8)
+        |SELECT c.doc_id, COUNT(DISTINCT c.s) AS n_hit_grams,
+        |  COUNT(DISTINCT e.eval_id) AS n_eval_docs
+        |FROM csh c JOIN esh e ON c.s = e.s
+        |GROUP BY c.doc_id HAVING COUNT(DISTINCT c.s) >= 1""".stripMargin,
     "doc_sample_strat" ->
       """WITH b AS (SELECT doc_id, source,
         |    CAST(('0x' || substring(md5('graft|' || doc_id), 1, 8)) AS BIGINT) AS bucket

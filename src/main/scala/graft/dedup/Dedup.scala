@@ -38,8 +38,8 @@ object Dedup {
     * before the shingle transform reads it element-wise — inlined, the
     * regex tokenization would re-run once per shingle inside the
     * interpreted lambda (measured ~4x on the shingle relation alone). */
-  private def shingleRel(df: DataFrame, idCol: String, textCol: String,
-                         n: Int): DataFrame = {
+  private[graft] def shingleRel(df: DataFrame, idCol: String,
+                                textCol: String, n: Int): DataFrame = {
     // Codegen'd n-gram construction: explode tokens with position, build
     // each gram from the next n-1 tokens via `lead` windows per doc, and
     // dedupe with a relational distinct (the reference semantics are

@@ -91,6 +91,41 @@ object Corpus {
         "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
       "\\b\\d{7,}\\b", "<NUM>")
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minHits` distinct token `n`-grams with any document of `evalSet`
+    * (the held-out benchmark whose prompts/answers must not leak into
+    * training data). Returns one row per contaminated corpus document:
+    * `(idCol, n_hit_grams, n_eval_docs)` — how many distinct grams leak
+    * and how many eval documents they touch; callers left-anti-join the
+    * corpus against it to drop. Gram semantics are DISTINCT-per-doc
+    * lowercase word n-grams, same normalization as the dedup family
+    * (reference-scale pipelines use n≈13; pick n to the eval set's
+    * prompt length).
+    *
+    * Scale shape: the eval side is benchmark-sized (1e3–1e6 grams) while
+    * the corpus side is the 100 TB side — eval grams dedupe to a slim
+    * `(gram, eval_id)` relation that is broadcast (hint only; Spark
+    * falls back to a shuffled hash join if a giant eval set exceeds the
+    * broadcast threshold), the corpus streams through one exploded
+    * shingle scan with no self-join, and the per-doc aggregation is a
+    * hash aggregate keyed by document id. No step is quadratic in
+    * corpus size. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8, minHits: Long = 1L,
+                    broadcastEval: Boolean = true): DataFrame = {
+    val c = graft.dedup.Dedup.shingleRel(corpus, idCol, textCol, n)
+    val e0 = graft.dedup.Dedup.shingleRel(evalSet, idCol, textCol, n)
+      .select(col("__id").as("__eval_id"), col("__sh"))
+    val e = if (broadcastEval) broadcast(e0) else e0
+    c.join(e, Seq("__sh"))
+      .groupBy(col("__id"))
+      .agg(count_distinct(col("__sh")).as("n_hit_grams"),
+        count_distinct(col("__eval_id")).as("n_eval_docs"))
+      .filter(col("n_hit_grams") >= minHits)
+      .select(col("__id").as(idCol), col("n_hit_grams"),
+        col("n_eval_docs"))
+  }
+
   /** Bucket in [0, 2^32) from the md5 of `salt|key` — the deterministic,
     * engine-independent selector behind [[sampleByHash]]. md5 (not
     * xxhash64) so an external system — or the DuckDB oracle — can

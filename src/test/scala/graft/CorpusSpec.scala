@@ -46,6 +46,25 @@ class CorpusSpec extends SparkSpec {
       "clean text with no pii at all"))
   }
 
+  test("decontaminate: distinct-gram and eval-doc counts; clean docs " +
+    "absent; repeated grams in a doc count once") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "nothing shared here at all"),
+      (3L, "beta gamma beta gamma")).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (10L, "beta gamma delta epsilon"),
+      (11L, "gamma delta zeta")).toDF("doc_id", "text")
+    val out = text.Corpus
+      .decontaminate(corpus, evalSet, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+    // doc 1: grams {alpha beta, beta gamma, gamma delta}; "beta gamma"
+    // hits eval 10, "gamma delta" hits 10 and 11 -> 2 grams, 2 eval docs
+    // doc 3: duplicated "beta gamma" counts once -> 1 gram, 1 eval doc
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((1L, 2L, 2L), (3L, 1L, 1L)))
+  }
+
   test("sampleByHash: deterministic, salt-sensitive, and monotone in the " +
     "fraction (same salt at a larger rate is a superset)") {
     val df = spark.range(2000).toDF("id")
