@@ -681,6 +681,14 @@ object SparkEntry {
     Corpus.decontaminate(corpus, evalSet, "doc_id", "text", n = 8)
   }
 
+  /** Top-terms gate: integer/string columns only — the ranking key is
+    * (tf DESC, df ASC, term ASC) by design, so the float tfidf column
+    * (libm ln differs across engines) never enters the hash compare. */
+  private def txtTopTerms(s: SparkSession, dir: String): DataFrame =
+    Corpus.topTerms(docs(s, dir), "doc_id", "text", k = 5)
+      .select(col("doc_id"), col("term"), col("tf"), col("df_docs"),
+        col("rank").cast("long").as("rank"))
+
   /** Per-source keep rates for the stratified-sampling gate: a halving
     * ladder over five sources, everything else dropped. */
   private val SampleFractions: Map[String, Double] = Map(
@@ -907,6 +915,7 @@ object SparkEntry {
     "txt_repetition" -> (txtRepetition _),
     "txt_redact" -> (txtRedact _),
     "txt_decontaminate" -> (txtDecontaminate _),
+    "txt_top_terms" -> (txtTopTerms _),
     "doc_sample_strat" -> (docSampleStrat _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -1629,6 +1638,18 @@ object SparkEntry {
         |  COUNT(DISTINCT e.eval_id) AS n_eval_docs
         |FROM csh c JOIN esh e ON c.s = e.s
         |GROUP BY c.doc_id HAVING COUNT(DISTINCT c.s) >= 1""".stripMargin,
+    "txt_top_terms" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '[^a-z0-9]+'), x -> len(x) > 0) AS t FROM documents),
+        |tf AS (SELECT doc_id, u.term, COUNT(*) AS tf
+        |  FROM toks, UNNEST(t) AS u(term) GROUP BY doc_id, u.term),
+        |dfd AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+        |r AS (SELECT tf.doc_id, tf.term, tf.tf, dfd.df_docs,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, dfd.df_docs ASC, tf.term ASC) AS rnk
+        |  FROM tf JOIN dfd USING (term))
+        |SELECT doc_id, term, tf, df_docs, CAST(rnk AS BIGINT) AS "rank"
+        |FROM r WHERE rnk <= 5""".stripMargin,
     "doc_sample_strat" ->
       """WITH b AS (SELECT doc_id, source,
         |    CAST(('0x' || substring(md5('graft|' || doc_id), 1, 8)) AS BIGINT) AS bucket

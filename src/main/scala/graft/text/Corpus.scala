@@ -126,6 +126,47 @@ object Corpus {
         col("n_eval_docs"))
   }
 
+  /** Per-document top-`k` salient terms — the keyword-extraction shape of
+    * TF-IDF. Returns `(idCol, term, tf, df_docs, tfidf, rank)`: term
+    * frequency in the doc, document frequency across the corpus, the
+    * conventional log-damped score `tf * ln(N / df)`, and the 1-based
+    * salience rank.
+    *
+    * The RANKING key is deliberately integer/string-only —
+    * `(tf DESC, df_docs ASC, term ASC)`: most frequent first, rarest
+    * breaking ties — NOT the float `tfidf` column. `ln` is not required
+    * to be correctly rounded, so a float rank could legitimately differ
+    * across engines/libm versions; the integer key makes the output
+    * bit-reproducible (and DuckDB-verifiable) while ordering comparably
+    * in practice. `tfidf` rides along for consumers that want the score.
+    *
+    * Scale shape: one token explode → (doc, term) hash count (map-side
+    * combinable), a vocabulary-sized df aggregate, an equi-join back on
+    * term (each (doc, term) row matches exactly one df row — hot
+    * stopwords fan out no further than their true row count), and a
+    * per-document window for the top-k. N is a scalar dimension
+    * (broadcast). */
+  def topTerms(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 10): DataFrame = {
+    val id = col(idCol)
+    val tf = df
+      .select(id, explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
+    val dfDocs = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_docs")) // tf rows are distinct (doc, term)
+    val n = df.select(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(id)
+      .orderBy(col("tf").desc, col("df_docs").asc, col("term").asc)
+    tf.join(dfDocs, Seq("term"))
+      .join(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log(col("__n").cast("double") / col("df_docs")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(id, col("term"), col("tf"), col("df_docs"), col("tfidf"),
+        col("rank"))
+  }
+
   /** Bucket in [0, 2^32) from the md5 of `salt|key` — the deterministic,
     * engine-independent selector behind [[sampleByHash]]. md5 (not
     * xxhash64) so an external system — or the DuckDB oracle — can

@@ -65,6 +65,29 @@ class CorpusSpec extends SparkSpec {
       == Seq((1L, 2L, 2L), (3L, 1L, 1L)))
   }
 
+  test("topTerms: integer rank key (tf desc, df asc, term asc); log-idf " +
+    "score; k truncation") {
+    val corpus = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana banana banana date"),
+      (3L, "cherry date elderberry")).toDF("doc_id", "text")
+    val out = text.Corpus.topTerms(corpus, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+    // doc 1: apple tf=2 (df=1); banana/cherry tf=1 with df 2,2 -> banana
+    //   beats cherry on term asc at equal (tf, df)
+    val got = out.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getInt(5))).toSeq
+    assert(got == Seq(
+      (1L, "apple", 2L, 1L, 1), (1L, "banana", 1L, 2L, 2),
+      (2L, "banana", 3L, 2L, 1), (2L, "date", 1L, 2L, 2),
+      (3L, "elderberry", 1L, 1L, 1), (3L, "cherry", 1L, 2L, 2)))
+    // tfidf = tf * ln(N/df). Catalyst's Logarithm evaluates via
+    // StrictMath.log (1 ulp off the Math.log intrinsic for ln 3) — the
+    // very cross-engine hazard that keeps tfidf out of the oracle gate.
+    val apple = out.find(r => r.getLong(0) == 1L).get
+    assert(apple.getDouble(4) == 2.0 * StrictMath.log(3.0 / 1.0))
+  }
+
   test("sampleByHash: deterministic, salt-sensitive, and monotone in the " +
     "fraction (same salt at a larger rate is a superset)") {
     val df = spark.range(2000).toDF("id")
