@@ -635,6 +635,22 @@ object SparkEntry {
         regexp_replace(col("text"), " (the|a|value|table|row) ", "\n")),
       "doc_id", "text")
 
+  /** Quality-rules gate: the synthetic corpus is single-line prose, so
+    * the gate deterministically plants document structure — every
+    * " value " becomes an ellipsis line break, every " table " a
+    * bulleted line — then scores the Gopher A1 doc-level rules. Both
+    * engines run the same plant + rule chain; thresholds were chosen so
+    * every rule is individually non-vacuous at sf0.01 (word band 269/500,
+    * bullet cap 426, ellipsis cap 406, alpha floor 495, stop floor 388;
+    * conjunction keeps 154/500). */
+  private def txtGopherQuality(s: SparkSession, dir: String): DataFrame =
+    Corpus.gopherQuality(
+      docs(s, dir).withColumn("text",
+        regexp_replace(
+          regexp_replace(col("text"), " value ", "...\n"),
+          " table ", "\n- ")),
+      "doc_id", "text")
+
   /** Redaction gate: the corpus carries no PII, so the gate deterministically
     * plants it — three frequent words become an email, a dotted-quad IP,
     * and a 9-digit account number — then redacts and fingerprints. Both
@@ -913,6 +929,7 @@ object SparkEntry {
     "txt_langid" -> (txtLangid _),
     "txt_fingerprint" -> (txtFingerprint _),
     "txt_repetition" -> (txtRepetition _),
+    "txt_gopher_quality" -> (txtGopherQuality _),
     "txt_redact" -> (txtRedact _),
     "txt_decontaminate" -> (txtDecontaminate _),
     "txt_top_terms" -> (txtTopTerms _),
@@ -1592,6 +1609,45 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN ls ON d.doc_id = ls.doc_id
         |LEFT JOIN bs ON d.doc_id = bs.doc_id""".stripMargin,
+    "txt_gopher_quality" ->
+      """WITH p AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(text,
+        |      ' value ', '...' || chr(10), 'g'),
+        |      ' table ', chr(10) || '- ', 'g') AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t, '\S+')) AS BIGINT) AS n_words,
+        |    CAST(length(t) - length(replace(t, chr(10), '')) + 1
+        |      AS BIGINT) AS n_lines,
+        |    CAST(length(regexp_replace(t, '\s+', '', 'g'))
+        |      AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(t, '(?m)^\s*[-*]'))
+        |      AS BIGINT) AS n_bul,
+        |    CAST(len(regexp_extract_all(t, '(?m)\.\.\.$'))
+        |      AS BIGINT) AS n_ell,
+        |    CAST(len(regexp_extract_all(t, '(^|\s)[^A-Za-z\s]*[A-Za-z]'))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(regexp_extract_all(lower(t),
+        |      '\b(the|and|of|to|in|a|is|that|it|for|on|with|as|was|at|by|an|be|this|are)\b'))
+        |      AS BIGINT) AS n_stop
+        |  FROM p)
+        |SELECT doc_id, n_words, n_lines,
+        |  CASE WHEN n_words > 0 THEN CAST(n_chars AS DOUBLE) / n_words
+        |       ELSE 0.0 END AS mean_word_len,
+        |  CAST(n_bul AS DOUBLE) / n_lines AS frac_bullet_lines,
+        |  CAST(n_ell AS DOUBLE) / n_lines AS frac_ellipsis_lines,
+        |  CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words
+        |       ELSE 0.0 END AS frac_alpha_words,
+        |  n_stop,
+        |  (n_words BETWEEN 50 AND 100000
+        |    AND CASE WHEN n_words > 0 THEN CAST(n_chars AS DOUBLE) / n_words
+        |             ELSE 0.0 END BETWEEN 3.0 AND 10.0
+        |    AND CAST(n_bul AS DOUBLE) / n_lines <= 0.5
+        |    AND CAST(n_ell AS DOUBLE) / n_lines <= 0.5
+        |    AND CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words
+        |             ELSE 0.0 END >= 0.9
+        |    AND n_stop >= 2) AS keep
+        |FROM m""".stripMargin,
     "txt_redact" ->
       """WITH p AS (SELECT doc_id,
         |    replace(replace(replace(text,

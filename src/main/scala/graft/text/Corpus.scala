@@ -76,6 +76,61 @@ object Corpus {
       .withColumn("n_lines", coalesce(col("n_lines"), lit(0L)))
   }
 
+  /** Doc-level quality rules in the style of Gopher appendix A1 (Rae et
+    * al. 2021) / C4 heuristics: word-count band, mean word length band,
+    * bullet-line and ellipsis-line fraction caps, alphabetic-word floor,
+    * and a stopword floor, combined into a `keep` verdict alongside the
+    * individual signals (so a pipeline can re-threshold without
+    * recomputing).
+    *
+    * Scale shape: a single narrow projection — every signal is a
+    * `regexp_count`/`length` expression over the text column, so the
+    * whole operator is one codegen'd map stage with ZERO shuffle and no
+    * line explode; at 100 TB it is scan-bound. All patterns are
+    * RE2-compatible (no lookaround, ASCII classes only) so external
+    * engines can verify bit-identically; fractions are IEEE divisions of
+    * exact longs.
+    */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
+                    minWords: Long = 50L, maxWords: Long = 100000L,
+                    minMeanWordLen: Double = 3.0,
+                    maxMeanWordLen: Double = 10.0,
+                    maxBulletFrac: Double = 0.5,
+                    maxEllipsisFrac: Double = 0.5,
+                    minAlphaFrac: Double = 0.9,
+                    minStopwords: Long = 2L): DataFrame = {
+    val t = col(textCol)
+    val nWords = regexp_count(t, lit("\\S+")).cast(LongType)
+    // non-whitespace characters / words = mean word length
+    val nChars = length(regexp_replace(t, "\\s+", "")).cast(LongType)
+    val nLines = (length(t) - length(regexp_replace(t, "\n", "")) + 1)
+      .cast(LongType)
+    // a match = one token start whose token contains >=1 ASCII letter;
+    // [^A-Za-z\s]* cannot cross whitespace, so matches never span tokens
+    val nAlpha = regexp_count(t, lit("(^|\\s)[^A-Za-z\\s]*[A-Za-z]"))
+      .cast(LongType)
+    val nBullet = regexp_count(t, lit("(?m)^\\s*[-*]")).cast(LongType)
+    val nEllipsis = regexp_count(t, lit("(?m)\\.\\.\\.$")).cast(LongType)
+    val nStop = TextOps.stopwordCount(t).cast(LongType)
+
+    val out = df.select(col(idCol),
+      nWords.as("n_words"), nLines.as("n_lines"),
+      when(nWords > 0, nChars.cast("double") / nWords).otherwise(0.0)
+        .as("mean_word_len"),
+      (nBullet.cast("double") / nLines).as("frac_bullet_lines"),
+      (nEllipsis.cast("double") / nLines).as("frac_ellipsis_lines"),
+      when(nWords > 0, nAlpha.cast("double") / nWords).otherwise(0.0)
+        .as("frac_alpha_words"),
+      nStop.as("n_stop"))
+    out.withColumn("keep",
+      col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+        col("frac_bullet_lines") <= maxBulletFrac &&
+        col("frac_ellipsis_lines") <= maxEllipsisFrac &&
+        col("frac_alpha_words") >= minAlphaFrac &&
+        col("n_stop") >= minStopwords)
+  }
+
   /** PII scrubbing for corpus curation: emails, dotted-quad IPs, and
     * 7+-digit runs (account/phone-shaped numbers) replaced by stable
     * tokens. A chain of codegen'd `regexp_replace` projections — no UDF,

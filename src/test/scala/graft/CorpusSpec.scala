@@ -31,6 +31,34 @@ class CorpusSpec extends SparkSpec {
     assert(out(2).getLong(1) == 0L && out(2).isNullAt(2) && out(2).isNullAt(4))
   }
 
+  test("gopherQuality: each rule fails in isolation; clean prose keeps") {
+    // 60 simple words incl. stopwords, one bullet line out of three
+    val good = (("the cat sat on the mat and it was very fine today " * 5)
+      .trim + "\nplain line\n- one bullet of three lines")
+    val tooShort = "the cat is on a mat"                 // 7 words < 50
+    val bullets = Array.fill(8)("- item").mkString("\n") // all lines bulleted
+    val symbols = (Array.fill(60)("### 123").mkString(" ")
+      + " the of and to in")                             // alpha frac ~0
+    val noStop = Array.fill(60)("zyxwivous").mkString(" ")
+    val df = Seq((1L, good), (2L, tooShort), (3L, bullets), (4L, symbols),
+      (5L, noStop)).toDF("id", "text")
+    val out = Corpus.gopherQuality(df, "id", "text")
+      .orderBy($"id").collect()
+    assert(out.map(_.getAs[Boolean]("keep")).toSeq ==
+      Seq(true, false, false, false, false))
+    // signal columns carry the reason each doc failed
+    assert(out(1).getAs[Long]("n_words") == 6L)
+    assert(out(2).getAs[Double]("frac_bullet_lines") == 1.0)
+    assert(out(3).getAs[Double]("frac_alpha_words") < 0.1)
+    assert(out(4).getAs[Long]("n_stop") == 0L)
+    // frac_ellipsis rule: lines ending in "..." counted against the cap
+    val ell = Seq((9L, Array.fill(60)("word ...").mkString("\n")
+      + " the of and it was")).toDF("id", "text")
+    val eRow = Corpus.gopherQuality(ell, "id", "text").collect().head
+    assert(eRow.getAs[Double]("frac_ellipsis_lines") > 0.9)
+    assert(!eRow.getAs[Boolean]("keep"))
+  }
+
   test("redactPii: emails, IPs, long digit runs; short numbers and bare " +
     "words survive; email local-part digits aren't half-eaten") {
     val df = Seq(

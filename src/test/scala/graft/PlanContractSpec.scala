@@ -115,6 +115,17 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("gopherQuality is a single codegen'd projection: no shuffle, no " +
+    "join, no window, no higher-order lambda") {
+    val p = plan(Corpus.gopherQuality(
+      Seq((1L, "the cat\n- b")).toDF("id", "text"), "id", "text"))
+    assert(!p.contains("Exchange"), s"quality rules must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"quality rules must stay a projection:\n$p")
+    assert(!p.toLowerCase.contains("lambda"),
+      s"interpreted higher-order expression in the hot path:\n$p")
+  }
+
   test("sampleByHash is one scan-adjacent filter: no shuffle, no join, " +
     "and column pruning reaches the parquet read") {
     val dir = java.nio.file.Files
