@@ -635,6 +635,25 @@ object SparkEntry {
         regexp_replace(col("text"), " (the|a|value|table|row) ", "\n")),
       "doc_id", "text")
 
+  /** Paragraph-dedup gate: same newline plant as txt_repetition (the
+    * synthetic corpus repeats phrases, so planted paragraphs collide
+    * across documents corpus-wide), then per-doc paragraph and removal
+    * counts; the doc universe is restored with a left join so a doc
+    * whose every line is empty still reports (0, 0). */
+  private def txtParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val planted = d.withColumn("text",
+      regexp_replace(col("text"), " (the|a|value|table|row) ", "\n"))
+    val agg = Corpus.dedupParagraphs(planted, "doc_id", "text")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
+    d.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** Quality-rules gate: the synthetic corpus is single-line prose, so
     * the gate deterministically plants document structure — every
     * " value " becomes an ellipsis line break, every " table " a
@@ -930,6 +949,7 @@ object SparkEntry {
     "txt_fingerprint" -> (txtFingerprint _),
     "txt_repetition" -> (txtRepetition _),
     "txt_gopher_quality" -> (txtGopherQuality _),
+    "txt_paragraph_dedup" -> (txtParagraphDedup _),
     "txt_redact" -> (txtRedact _),
     "txt_decontaminate" -> (txtDecontaminate _),
     "txt_top_terms" -> (txtTopTerms _),
@@ -1609,6 +1629,25 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN ls ON d.doc_id = ls.doc_id
         |LEFT JOIN bs ON d.doc_id = bs.doc_id""".stripMargin,
+    "txt_paragraph_dedup" ->
+      """WITH d2 AS (SELECT doc_id,
+        |    regexp_replace(text, ' (the|a|value|table|row) ', chr(10), 'g') AS text
+        |  FROM documents),
+        |parts AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM d2),
+        |lines AS (SELECT doc_id, i - 1 AS pos, trim(ps[i], ' ') AS para
+        |  FROM parts, UNNEST(generate_series(1, len(ps))) AS u(i)),
+        |l2 AS (SELECT doc_id, para, doc_id * 1048576 + pos AS k
+        |  FROM lines WHERE len(para) > 0),
+        |f AS (SELECT para, MIN(k) AS fk FROM l2 GROUP BY 1),
+        |inst AS (SELECT l2.doc_id,
+        |    CASE WHEN l2.k = f.fk THEN 0 ELSE 1 END AS removed
+        |  FROM l2 JOIN f ON l2.para = f.para),
+        |a AS (SELECT doc_id, COUNT(*) AS n_paras, SUM(removed) AS n_removed
+        |  FROM inst GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.n_paras, 0) AS BIGINT) AS n_paras,
+        |  CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed
+        |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin,
     "txt_gopher_quality" ->
       """WITH p AS (SELECT doc_id,
         |    regexp_replace(regexp_replace(text,

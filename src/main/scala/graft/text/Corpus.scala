@@ -131,6 +131,43 @@ object Corpus {
         col("n_stop") >= minStopwords)
   }
 
+  /** Corpus-WIDE paragraph-level exact dedup in the style of the C4
+    * pipeline (Raffel et al. 2020: drop repeated three-sentence spans
+    * corpus-wide, keeping one occurrence): every newline-delimited,
+    * space-trimmed, non-empty paragraph keeps only its first occurrence
+    * across the whole corpus, "first" = smallest (document id, position).
+    *
+    * Returns the line-level relation `(id, pos, para_md5, keep)` so
+    * callers can filter/reconstruct or aggregate removal stats; the
+    * ordering contract is the single arithmetic key
+    * `id << 20 | pos` (documented bound: < 2^20 paragraphs per document,
+    * ids < 2^43 — checked nowhere, stated here), which makes "first"
+    * engine-portable without struct-ordering semantics.
+    *
+    * Scale shape: paragraphs are keyed by md5 so the wide exchanges
+    * carry a 32-char key, never the text; first-occurrence is a
+    * map-side-combinable `min` groupBy on that high-cardinality key, and
+    * the instance↔first join re-uses the same key (co-partitioned
+    * hash join, no broadcast of anything unbounded). No windows, no
+    * higher-order lambdas, no driver collection.
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val id = col(idCol)
+    val lines = df
+      .select(id, posexplode(split(col(textCol), "\n")).as(Seq("pos", "__p")))
+      .withColumn("__p", trim(col("__p")))
+      .filter(length(col("__p")) > 0)
+      .select(id, col("pos"),
+        md5(col("__p").cast("binary")).as("para_md5"),
+        (shiftleft(id.cast(LongType), 20) + col("pos")).as("__k"))
+    val first = lines.groupBy(col("para_md5"))
+      .agg(min(col("__k")).as("__first"))
+    lines.join(first, Seq("para_md5"))
+      .select(id, col("pos"), col("para_md5"),
+        (col("__k") === col("__first")).as("keep"))
+  }
+
   /** PII scrubbing for corpus curation: emails, dotted-quad IPs, and
     * 7+-digit runs (account/phone-shaped numbers) replaced by stable
     * tokens. A chain of codegen'd `regexp_replace` projections — no UDF,

@@ -31,6 +31,23 @@ class CorpusSpec extends SparkSpec {
     assert(out(2).getLong(1) == 0L && out(2).isNullAt(2) && out(2).isNullAt(4))
   }
 
+  test("dedupParagraphs: corpus-wide first occurrence by (id, pos) wins; " +
+    "trim/empty lines drop; within-doc repeats also dedup") {
+    val df = Seq(
+      (2L, "shared para\nunique to two"),
+      (1L, "first line\n  shared para  \n\nfirst line"),
+      (3L, "shared para")).toDF("id", "text")
+    val out = Corpus.dedupParagraphs(df, "id", "text")
+      .orderBy($"id", $"pos").collect()
+    // doc 1: (0, first line) keep; (1, shared para) keep — (1,1) < (2,0)
+    // beats doc 2 and 3; (2, "") dropped; (3, first line) dup of (1,0)
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getBoolean(3))).toSeq ==
+      Seq((1L, 0, true), (1L, 1, true), (1L, 3, false),
+        (2L, 0, false), (2L, 1, true), (3L, 0, false)))
+    // hash column groups identical paragraphs across docs
+    assert(out(1).getString(2) == out(3).getString(2))
+  }
+
   test("gopherQuality: each rule fails in isolation; clean prose keeps") {
     // 60 simple words incl. stopwords, one bullet line out of three
     val good = (("the cat sat on the mat and it was very fine today " * 5)
