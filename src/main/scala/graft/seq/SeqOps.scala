@@ -145,8 +145,13 @@ object SeqOps {
   /** Restriction digest: fragment the genome at every occurrence of
     * `site`, cutting `cutOffset` bases after the match start (reference
     * `digest`, `extras.py:170-218`; the enzyme name -> site/offset lookup
-    * was Biopython's job there — here the caller names them, e.g. DpnII =
-    * ("GATC", 0), HindIII = ("AAGCTT", 1)). Matches spanning chunk
+    * was Biopython's job there — here the caller names them). To reproduce
+    * the reference's fragment boundaries pass
+    * `cutOffset = enzyme.fst5 + 2`: the reference places each boundary at
+    * Biopython `search()` + 1, i.e. two past the 0-based site start for a
+    * site-start cutter (its own test asserts DpnII splits "NGATCNN" at 3,
+    * `tests/test_extras.py:92-93`) — so DpnII = ("GATC", 2), HindIII =
+    * ("AAGCTT", 3). Matches spanning chunk
     * boundaries are caught by extending each chunk with the next chunk's
     * first |site|-1 characters; fragments come from the breakpoint
     * relation via a bucket-parallel next-position stitch. Output:

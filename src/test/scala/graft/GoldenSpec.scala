@@ -141,6 +141,21 @@ class GoldenSpec extends SparkSpec {
       "chrom", "start", "end", "view_region")
   }
 
+  test("complement under custom coordinate colnames emits the custom " +
+    "triple + view_region (tests/test_core_specs.py:19-37)") {
+    val cols = graft.core.ColSpec("C", "chromStart", "chromStop")
+    val df = Seq(("chr1", 1L, 5L), ("chr1", 3L, 8L), ("chr1", 8L, 10L),
+      ("chr1", 12L, 14L)).toDF("C", "chromStart", "chromStop")
+    val view = Seq(("chr1", 0L, 100L, "chr1"), ("chrX", 0L, 100L, "chrX"))
+      .toDF("chrom", "start", "end", "name")
+    val out = Ops.complement(df, view, cols = cols)
+    assert(out.columns.toSeq == Seq("C", "chromStart", "chromStop", "view_region"))
+    assertFrame(out, Seq(
+      Seq("chr1", 0L, 1L, "chr1"), Seq("chr1", 10L, 12L, "chr1"),
+      Seq("chr1", 14L, 100L, "chr1"), Seq("chrX", 0L, 100L, "chrX")),
+      "C", "chromStart", "chromStop", "view_region")
+  }
+
   // ---- closest golden cases (tests/test_ops.py:1168-1493) ----
 
   private def cA = Seq(("chr1", 1L, 5L)).toDF("chrom", "start", "end")

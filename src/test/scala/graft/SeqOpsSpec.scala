@@ -55,6 +55,92 @@ class SeqOpsSpec extends SparkSpec {
       .select($"frac_gc").head.isNullAt(0))
   }
 
+  // the reference suite's own two-record genome (tests/test_data/test.fa
+  // + test.chrom.sizes): chrTESTX "AtGcN" (5 bp), chrTEST2 "NGATCNN" (7 bp)
+  private def refFastaFile: String = {
+    val p = java.nio.file.Files.createTempFile("graft-ref", ".fa")
+    java.nio.file.Files.writeString(p, ">chrTESTX\nAtGcN\n>chrTEST2\nNGATCNN\n")
+    p.toString
+  }
+
+  test("reference test.fa parity: binnify bin counts " +
+    "(tests/test_extras.py:70-82)") {
+    val cs = Seq(("chrTESTX", 5L), ("chrTEST2", 7L)).toDF("chrom", "length")
+    assert(graft.ops.Extras.binnify(cs, 7L).count() == 2)  // max size: 1/chrom
+    assert(graft.ops.Extras.binnify(cs, 5L).count() == 3)  // min size: len+1
+    assert(graft.ops.Extras.binnify(cs, 1L).count() == 12) // sum of lengths
+  }
+
+  test("reference test.fa parity: frac_mapped at binsize 1/5/7 " +
+    "(tests/test_extras.py:96-126)") {
+    val cs = Seq(("chrTESTX", 5L), ("chrTEST2", 7L)).toDF("chrom", "length")
+    val chunks = SeqOps.readFasta(spark, refFastaFile, chunkSize = 4)
+    def fm(binsize: Long): Map[(String, Long), Double] =
+      SeqOps.fracMapped(graft.ops.Extras.binnify(cs, binsize), chunks,
+        binSize = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3))
+        .toMap
+    assert(fm(1L) == Map(
+      ("chrTESTX", 0L) -> 1.0, ("chrTESTX", 1L) -> 1.0, ("chrTESTX", 2L) -> 1.0,
+      ("chrTESTX", 3L) -> 1.0, ("chrTESTX", 4L) -> 0.0,
+      ("chrTEST2", 0L) -> 0.0, ("chrTEST2", 1L) -> 1.0, ("chrTEST2", 2L) -> 1.0,
+      ("chrTEST2", 3L) -> 1.0, ("chrTEST2", 4L) -> 1.0, ("chrTEST2", 5L) -> 0.0,
+      ("chrTEST2", 6L) -> 0.0))
+    assert(fm(5L) == Map(("chrTESTX", 0L) -> 0.8, ("chrTEST2", 0L) -> 0.8,
+      ("chrTEST2", 5L) -> 0.0))
+    assert(fm(7L) == Map(("chrTESTX", 0L) -> 0.8, ("chrTEST2", 0L) -> 4.0 / 7))
+  }
+
+  test("reference test.fa parity: frac_gc mapped_only true/false; " +
+    "all-N bin is null only under mapped_only (tests/test_extras.py:128-191)") {
+    val cs = Seq(("chrTESTX", 5L), ("chrTEST2", 7L)).toDF("chrom", "length")
+    val chunks = SeqOps.readFasta(spark, refFastaFile, chunkSize = 4)
+    def fg(binsize: Long, mappedOnly: Boolean): Map[(String, Long), Option[Double]] =
+      SeqOps.fracGc(graft.ops.Extras.binnify(cs, binsize), chunks,
+        mappedOnly = mappedOnly, binSize = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // mapped_only=True ignores N; an interval of only N is NaN -> null here
+    assert(fg(5L, mappedOnly = true) == Map(
+      ("chrTESTX", 0L) -> Some(0.5), ("chrTEST2", 0L) -> Some(0.5),
+      ("chrTEST2", 5L) -> None))
+    assert(fg(7L, mappedOnly = true) == Map(
+      ("chrTESTX", 0L) -> Some(0.5), ("chrTEST2", 0L) -> Some(0.5)))
+    // mapped_only=False counts N in the denominator; the all-N bin is 0
+    assert(fg(5L, mappedOnly = false) == Map(
+      ("chrTESTX", 0L) -> Some(0.4), ("chrTEST2", 0L) -> Some(0.4),
+      ("chrTEST2", 5L) -> Some(0.0)))
+    assert(fg(7L, mappedOnly = false) == Map(
+      ("chrTESTX", 0L) -> Some(0.4), ("chrTEST2", 0L) -> Some(2.0 / 7)))
+  }
+
+  test("reference seq_gc scalar table (tests/test_extras.py:193-206)") {
+    val rows = Seq("AT", "NNN", "NGnC", "GTCA", "nnnNgTCa").toDF("s")
+      .select(SeqOps.seqGc(col("s")).as("m"),
+        SeqOps.seqGc(col("s"), mappedOnly = false).as("a"))
+      .collect()
+    assert(rows(0).getDouble(0) == 0.0)           // "AT"
+    assert(rows(1).isNullAt(0))                   // "NNN" -> NaN there, null here
+    assert(rows(2).getDouble(0) == 1.0)           // "NGnC"
+    assert(rows(3).getDouble(0) == 0.5)           // "GTCA"
+    assert(rows(4).getDouble(1) == 0.25)          // "nnnNgTCa", mapped_only=False
+  }
+
+  test("reference digest parity: DpnII boundary lands at Biopython " +
+    "search()+1 (tests/test_extras.py:84-93 asserts chrTEST2 end==3)") {
+    val chunks = SeqOps.readFasta(spark, refFastaFile, chunkSize = 4)
+    // reference cut coordinate = 0-based site start + enzyme.fst5 + 2;
+    // DpnII (^GATC, fst5=0) on NGATCNN: site at 1 -> boundary 3
+    val dpn = SeqOps.digest(chunks, "GATC", cutOffset = 2, bucketSize = 4)
+    assertFrame(dpn, Seq(Seq("chrTESTX", 0L, 5L),
+      Seq("chrTEST2", 0L, 3L), Seq("chrTEST2", 3L, 7L)),
+      "chrom", "start", "end")
+    // HindIII (A^AGCTT): no sites in either record -> shapes unchanged
+    val hind = SeqOps.digest(chunks, "AAGCTT", cutOffset = 3, bucketSize = 4)
+    assertFrame(hind, Seq(Seq("chrTESTX", 0L, 5L), Seq("chrTEST2", 0L, 7L)),
+      "chrom", "start", "end")
+  }
+
   test("digest splits at sites incl. chunk-boundary matches " +
     "(extras.py:170-218)") {
     val chunks = SeqOps.readFasta(spark, fastaFile, chunkSize = 8)
