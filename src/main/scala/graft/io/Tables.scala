@@ -15,15 +15,30 @@ object Tables {
 
   /** Headerless TSV with a named schema preset (reference
     * `io/fileops.py:42-83`). `.`-placeholders in numeric columns parse to
-    * null (reference parse leniency, FIXTURES §4). */
+    * null (reference parse leniency, FIXTURES §4). A file narrower than
+    * the schema fills the missing tail columns with null — the reference's
+    * `schema_is_strict=False` default; with `schemaIsStrict = true` an
+    * all-null schema column raises instead (`tests/test_fileops.py:13-36`;
+    * the check is one extra codegen'd aggregate pass over the file). */
   def readTable(spark: SparkSession, path: String, schema: String = "bed3",
-                comment: String = "#"): DataFrame =
-    spark.read
+                comment: String = "#",
+                schemaIsStrict: Boolean = false): DataFrame = {
+    val df = spark.read
       .option("sep", "\t")
       .option("comment", comment)
       .option("nullValue", ".")
       .schema(Schemas(schema))
       .csv(path)
+    if (schemaIsStrict) {
+      val counts = df.select(df.columns.map(c =>
+        count(col(c)).as(c)).toIndexedSeq: _*).head
+      val empty = df.columns.filter(c => counts.getAs[Long](c) == 0L)
+      require(empty.isEmpty,
+        s"schema_is_strict: columns ${empty.mkString(", ")} of preset " +
+          s"'$schema' are entirely null in $path")
+    }
+    df
+  }
 
   /** UCSC chrom.sizes (2-col TSV) -> naturally-ordered DataFrame + map
     * (reference `io/fileops.py:86-160`). `filterChroms` regexes keep only
@@ -37,6 +52,12 @@ object Tables {
       .option("sep", "\t")
       .schema("chrom STRING, length LONG")
       .csv(path)
+      .filter(col("chrom").isNotNull && trim(col("chrom")) =!= "")
+    // a file without the 2-column (name, length) shape is an error, not a
+    // null-length frame (reference raises, tests/test_fileops.py:40-43;
+    // whitespace-only lines, as in its fixture, are tolerated above)
+    require(df.filter(col("length").isNull).isEmpty,
+      s"$path is not a chrom.sizes file: rows without a numeric length")
     if (filterChroms.nonEmpty) {
       val keep = filterChroms.map(p => col("chrom").rlike(p)).reduce(_ || _)
       df = df.filter(keep)

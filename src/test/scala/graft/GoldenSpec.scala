@@ -1218,12 +1218,15 @@ class GoldenSpec extends SparkSpec {
   test("toUcscColorstring: named, hex, short hex, alpha hex, none, null, " +
     "unknown") {
     val df = Seq("red", "tomato", "#ff0000", "#FF8800", "#f0a", "#ff000055",
-      "none", null, "nosuchcolor", "tab:green", "k")
+      "none", null, "nosuchcolor", "tab:green", "k", "green",
+      "xkcd:sky blue")
       .toDF("color")
       .select(Vis.toUcscColorstring(col("color")).as("rgb"))
+    // named/hex/short-hex/alpha-hex rows mirror tests/test_vis.py:8-30
     assert(df.collect().map(_.getString(0)).toSeq == Seq(
       "255,0,0", "255,99,71", "255,0,0", "255,136,0", "255,0,170",
-      "255,0,0", "0", "0", null, "44,160,44", "0,0,0"))
+      "255,0,0", "0", "0", null, "44,160,44", "0,0,0", "0,128,0",
+      "117,187,253"))
   }
 
   // ---- merge NA passthrough (tests/test_ops.py:1024-1054) ----

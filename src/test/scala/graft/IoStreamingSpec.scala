@@ -31,6 +31,51 @@ class IoSpec extends SparkSpec {
     assert(r.getAs[Any]("thickStart") == null && r.getLong(1) == 193500L)
   }
 
+  test("read_table schema fill vs strict: a chrom-only file widens to the " +
+    "preset with null tails; strict raises on all-null columns; bedpe " +
+    "parses 10 wide (tests/test_fileops.py:13-36)") {
+    val p1 = s"$tmp/chromonly.bed"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p1),
+      "chr1\nchr2\nchr2\n")
+    val lax = Tables.readTable(spark, p1, "bed3")
+    assert(lax.columns.length == 3 && lax.count() == 3)
+    assert(lax.filter($"start".isNull && $"end".isNull).count() == 3)
+    val e = intercept[IllegalArgumentException] {
+      Tables.readTable(spark, p1, "bed3", schemaIsStrict = true)
+    }
+    assert(e.getMessage.contains("start"))
+    val p2 = s"$tmp/full3.bed"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p2),
+      "chr1\t5\t10\nchr1\t10\t20\nchr2\t30\t40\n")
+    assert(Tables.readTable(spark, p2, "bed3").columns.length == 3)
+    assert(Tables.readTable(spark, p2, "bed6").columns.length == 6)
+    assert(Tables.readTable(spark, p2, "bed12").columns.length == 12)
+    val p3 = s"$tmp/pairs.bedpe"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p3),
+      "chr1\t5\t10\tchr2\t5\t10\tinterval1\t.\t+\t-\n" +
+        "chr1\t10\t20\tchr1\t5\t10\tinterval2\t.\t+\t-\n" +
+        "chr2\t30\t40\tchr2\t5\t10\tinterval3\t12\t+\t-\n")
+    val pe = Tables.readTable(spark, p3, "bedpe")
+    assert(pe.columns.length == 10 && pe.count() == 3)
+  }
+
+  test("read_chromsizes: a file without lengths raises; a trailing " +
+    "whitespace line is tolerated; output is name-sorted " +
+    "(tests/test_fileops.py:39-49)") {
+    val bad = s"$tmp/bad.sizes"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(bad),
+      "chr1\nchr2\nchr2\n")
+    intercept[IllegalArgumentException] {
+      Tables.readChromsizes(spark, bad, filterChroms = Nil)
+    }
+    val ok = s"$tmp/ok.sizes"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(ok),
+      "chr1\t1\nchr3\t2\nchr2\t3\n \n")
+    val cs = Tables.readChromsizes(spark, ok, filterChroms = Nil)
+    assert(cs.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("chr1", 1L), ("chr2", 3L), ("chr3", 2L)))
+  }
+
   test("to_bed round trip (tests/test_bed.py:17)") {
     val df = Seq(("chr1", 5L, 10L, "a", "100", "+"),
       ("chr1", 0L, 8L, "b", "900", "-")).toDF(Schemas("bed6").fieldNames.toIndexedSeq: _*)
