@@ -654,6 +654,18 @@ object SparkEntry {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
+  /** Sequence-packing gate: whitespace token counts (the same `\S+`
+    * count txt_stats gates), packed into 512-token sequences in doc_id
+    * order; the oracle replays the exclusive running sum with a SQL
+    * window. */
+  private def txtPack(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Corpus.packSequences(
+      d.select(col("doc_id"),
+        graft.text.TextOps.tokenCount(col("text")).as("n_tokens")),
+      "doc_id", "n_tokens", seqLen = 512L)
+  }
+
   /** Quality-rules gate: the synthetic corpus is single-line prose, so
     * the gate deterministically plants document structure — every
     * " value " becomes an ellipsis line break, every " table " a
@@ -950,6 +962,7 @@ object SparkEntry {
     "txt_repetition" -> (txtRepetition _),
     "txt_gopher_quality" -> (txtGopherQuality _),
     "txt_paragraph_dedup" -> (txtParagraphDedup _),
+    "txt_pack" -> (txtPack _),
     "txt_redact" -> (txtRedact _),
     "txt_decontaminate" -> (txtDecontaminate _),
     "txt_top_terms" -> (txtTopTerms _),
@@ -1648,6 +1661,20 @@ object SparkEntry {
         |  CAST(COALESCE(a.n_paras, 0) AS BIGINT) AS n_paras,
         |  CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed
         |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin,
+    "txt_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS token_offset
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens, token_offset,
+        |  token_offset // 512 AS seq_first,
+        |  token_offset % 512 AS seq_first_off,
+        |  (token_offset + n_tokens - 1) // 512 AS seq_last
+        |FROM o""".stripMargin,
     "txt_gopher_quality" ->
       """WITH p AS (SELECT doc_id,
         |    regexp_replace(regexp_replace(text,

@@ -168,6 +168,41 @@ object Corpus {
         (col("__k") === col("__first")).as("keep"))
   }
 
+  /** Training-sequence packing, concat-and-chunk style: documents are
+    * laid end-to-end in ascending-`idCol` order into one global token
+    * stream, which is then cut into fixed `seqLen`-token training
+    * sequences. Per document the returned relation gives its stream
+    * position and sequence span:
+    * `(id, n_tokens, token_offset, seq_first, seq_first_off, seq_last)` —
+    * everything a writer needs to emit each doc's slices into its
+    * sequences (a doc crossing a boundary contributes to
+    * `seq_last - seq_first + 1` consecutive sequences). Zero-token docs
+    * occupy no stream space and are omitted.
+    *
+    * Scale shape: the only non-local step is the global exclusive prefix
+    * sum of token counts, computed with the bucket-parallel two-level
+    * scan ([[graft.ops.Scan.prefixSum]], buckets of `idBucketWidth` ids)
+    * — no single-partition window over the corpus, no join wider than the
+    * broadcast bucket-carry relation. All chunk arithmetic is codegen'd
+    * floor-div/mod on the offset.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    seqLen: Long, idBucketWidth: Long = 1L << 16): DataFrame = {
+    require(seqLen > 0, "seqLen must be > 0")
+    import graft.ops.Scan
+    val in = df
+      .select(col(idCol), col(tokensCol).cast(LongType).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("__b", Scan.bucketOf(col(idCol).cast(LongType), idBucketWidth))
+    Scan.prefixSum(in, Nil, "__b", Seq(col(idCol)), col("n_tokens"),
+        inclusive = false, outCol = "token_offset")
+      .select(col(idCol), col("n_tokens"), col("token_offset"),
+        Scan.bucketOf(col("token_offset"), seqLen).as("seq_first"),
+        pmod(col("token_offset"), lit(seqLen)).as("seq_first_off"),
+        Scan.bucketOf(col("token_offset") + col("n_tokens") - 1, seqLen)
+          .as("seq_last"))
+  }
+
   /** PII scrubbing for corpus curation: emails, dotted-quad IPs, and
     * 7+-digit runs (account/phone-shaped numbers) replaced by stable
     * tokens. A chain of codegen'd `regexp_replace` projections — no UDF,

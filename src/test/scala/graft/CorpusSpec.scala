@@ -48,6 +48,22 @@ class CorpusSpec extends SparkSpec {
     assert(out(1).getString(2) == out(3).getString(2))
   }
 
+  test("packSequences: concat-and-chunk offsets and sequence spans; " +
+    "zero-token docs omitted") {
+    val df = Seq((1L, 4L), (2L, 9L), (3L, 3L), (4L, 10L), (5L, 0L))
+      .toDF("id", "n_tokens")
+    val out = Corpus.packSequences(df, "id", "n_tokens", seqLen = 10L)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    // stream offsets 0,4,13,16; chunk boundaries every 10 tokens
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 0L),    // [0,4)   entirely in seq 0
+      (2L, 4L, 0L, 4L, 1L),    // [4,13)  crosses into seq 1
+      (3L, 13L, 1L, 3L, 1L),   // [13,16) inside seq 1
+      (4L, 16L, 1L, 6L, 2L)))  // [16,26) spans seqs 1..2; doc 5 omitted
+  }
+
   test("gopherQuality: each rule fails in isolation; clean prose keeps") {
     // 60 simple words incl. stopwords, one bullet line out of three
     val good = (("the cat sat on the mat and it was very fine today " * 5)
