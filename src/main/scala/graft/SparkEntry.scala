@@ -570,11 +570,19 @@ object SparkEntry {
 
   // -------------------------------------------------------------- events
 
+  /** Events table with an epoch-millis `tms` column, robust to every `ts`
+    * encoding the testdata has shipped with: TIMESTAMP(NANOS) parquet (read
+    * as raw nanos via the legacy flag → LongType) and timestamp[us]
+    * (TIMESTAMP_NTZ/LTZ). Session TZ is pinned UTC everywhere (Verify,
+    * Bench, build.sbt), so the ntz→ltz cast is the identity. */
   private def eventsMs(s: SparkSession, dir: String): DataFrame = {
-    // the events table carries TIMESTAMP(NANOS) — read as raw nanos
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, dir, "events")
-      .withColumn("tms", expr("ts div 1000000"))
+    val df = table(s, dir, "events")
+    val tms = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => unix_millis(col("ts").cast("timestamp"))
+    }
+    df.withColumn("tms", tms)
   }
 
   private def evtSessionize(s: SparkSession, dir: String): DataFrame = {
@@ -593,7 +601,7 @@ object SparkEntry {
 
   private def evtWindowAgg(s: SparkSession, dir: String): DataFrame =
     eventsMs(s, dir)
-      .withColumn("hour_bucket", expr("ts div 3600000000000"))
+      .withColumn("hour_bucket", expr("tms div 3600000"))
       .groupBy(col("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100, 0).cast("long")).as("sum_value_cents"))

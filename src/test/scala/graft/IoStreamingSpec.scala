@@ -344,8 +344,13 @@ class StreamingSpec extends SparkSpec {
 
   test("windowed event counts run in batch mode over the events table") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // robust to both ts encodings: raw-nanos Long and timestamp[us]
+    val events = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
     val out = StreamOps.windowedEventCounts(events)
     assert(out.count() > 0)
   }
