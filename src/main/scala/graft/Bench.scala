@@ -101,13 +101,47 @@ object Bench {
 
     // The one line the driver parses. Also invoked from the shutdown
     // hook, so it must never touch Spark (the context may be dying).
+    //
+    // HARD LENGTH CONTRACT (r6 lesson): the driver keeps only the LAST
+    // 2000 chars of stdout and parses the final line out of that tail —
+    // r6's total line was ~2500 chars (83 queries at ns precision), so it
+    // arrived front-truncated and parsed:null. The final line must fit in
+    // the tail WITH slack for a preceding fragment, so it is built to
+    // ≤1700 chars: values at 0.1s precision, and if the full per-query
+    // map still overflows, the fastest queries collapse into one
+    // "agg_fast" summary (n/sum/max) while the slowest keep their own
+    // entries — the slow ones are what gets read against the baseline.
+    // Everything verbose (full-precision per-query, sf0.01 pairs) is
+    // already streamed as its own "metric":"query" line the moment it
+    // completes, before this line.
     def emitFinal(partial: Boolean): Unit = if (emitted.compareAndSet(false, true)) {
-      val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-      val sk = skipped.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-      val qsSmall = resultsSmall.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+      def r1(v: Double): String = (math.rint(v * 10) / 10).toString
       val total = results.values.sum
       val wall = (now() - suiteT0) / 1e9
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"partial":$partial,"skipped":$sk,"canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,"wall_sec":$wall,"reps":$effReps,"queries_sf001":$qsSmall}""")
+      val sk = skipped.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+      val sfTag = sfDir.split('/').lastOption.getOrElse(sfDir)
+      val smallTotal =
+        if (resultsSmall.isEmpty) "null" else r1(resultsSmall.values.sum)
+      def line(qs: String): String =
+        s"""{"metric":"total","value":${r1(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfTag)},"partial":$partial,"skipped":$sk,"canary_start_sec":${r1(canaryStart)},"canary_end_sec":${r1(canaryEnd)},"wall_sec":${r1(wall)},"reps":$effReps,"n_queries":${results.size},"sf001_total_sec":$smallTotal}"""
+      val bySlow = results.toSeq.sortBy(-_._2)
+      def qsFor(keep: Int): String = {
+        val kept = bySlow.take(keep)
+        val rest = bySlow.drop(keep)
+        val entries = kept.sortBy(_._1)
+          .map { case (k, v) => jstr(k) + ":" + r1(v) }
+        val agg = if (rest.isEmpty) Nil else {
+          val vs = rest.map(_._2)
+          List(s""""agg_fast":{"n":${vs.size},"sum_sec":${r1(vs.sum)},"max_sec":${r1(vs.max)}}""")
+        }
+        (entries ++ agg).mkString("{", ",", "}")
+      }
+      // widest map that fits the contract; keep-counts descend, always
+      // terminates at keep=0 (overhead alone is ~300 chars)
+      val out = (results.size to 0 by -1).iterator
+        .map(k => line(qsFor(k))).find(_.length <= 1700)
+        .getOrElse(line("{}"))
+      println(out)
       System.out.flush()
     }
     val hook = new Thread(() => emitFinal(partial = true), "bench-emit-hook")
@@ -135,11 +169,22 @@ object Bench {
     }
     canaryStart = canary()
     System.err.println(f"[bench] canary $canaryStart%.2fs")
-    // Deep throttle phase (healthy canary ~1-3s incl. cold JIT): drop to
-    // one rep so the wall budget still covers every query; the artifact
-    // records the canary time, so the run is legibly degraded.
+    // Deep throttle phase (healthy canary ~1-3s incl. cold JIT): before
+    // committing to a degraded 1-rep run, wait out the storm — the VM's
+    // stall phases last minutes, so a bounded sleep-and-retry (3x60s)
+    // often buys a healthy full-rep run for 1-3 min of wall (the healthy
+    // suite is ~100-200s, so the budget absorbs it). Only if the canary
+    // stays degraded after the retries do we drop to 1 rep.
+    var canaryWaits = 0
+    while (canaryStart > 15.0 && canaryWaits < 3) {
+      canaryWaits += 1
+      System.err.println(s"[bench] canary degraded; waiting 60s (retry $canaryWaits/3)")
+      Thread.sleep(60000L)
+      canaryStart = canary()
+      System.err.println(f"[bench] canary retry $canaryStart%.2fs")
+    }
     if (canaryStart > 15.0) {
-      System.err.println("[bench] degraded environment detected -> 1 rep")
+      System.err.println("[bench] degraded environment persists -> 1 rep")
       effReps = 1
     }
 
