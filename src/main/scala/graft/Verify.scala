@@ -20,6 +20,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A wired query that errors before producing output must stay VISIBLE:
+    // with no output dir the downstream compare silently omits it and the
+    // artifact reads as all-green (the r6 events regression hid this way).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!keep(name)) ()
       else {
@@ -35,7 +39,9 @@ object Verify {
         System.err.println(
           f"[verify] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(3).mkString(" ").take(400)
+        System.err.println(s"[verify] $name FAILED: ${errors(name)}")
       }
       }
     }
@@ -84,6 +90,19 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{AUX_DIR}", auxDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Wired-but-erroring manifest for the LOCAL gate (tools/check.py):
+    // goes to the aux sibling so the driver's outDir scan never sees it.
+    // n_wired lets the gate detect queries that vanished entirely.
+    new java.io.File(auxDir).mkdirs()
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    val nWired = SparkEntry.queries.count { case (n, _) => keep(n) }
+    Files.writeString(Paths.get(s"$auxDir/verify_errors.json"),
+      s"""{"n_wired":$nWired,"errors":$errJson}""")
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] ${errors.size}/$nWired wired queries ERRORED: " +
+        errors.keys.mkString(","))
+    }
     spark.stop()
   }
 }

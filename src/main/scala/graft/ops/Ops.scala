@@ -834,10 +834,23 @@ object Ops {
 
   // ----------------------------------------------------- view-keyed ops
 
+  /** Upper bound on rows [[withOrd]] accepts. Its global window funnels the
+    * whole input through ONE partition, which is only safe for
+    * dimension-sized views (they are broadcast everywhere else anyway); a
+    * fact table passed here would silently serialize the job. */
+  val MaxOrdViewRows: Long = 1L << 20
+
   /** View with an explicit `ord` column materializing its row order — the
     * Spark replacement for the reference's ordered-categorical trick
-    * (`ops.py:1792-1796`). Views are small; the global window is fine. */
+    * (`ops.py:1792-1796`). Guarded: refuses inputs larger than
+    * [[MaxOrdViewRows]] instead of single-partitioning them (the probe is a
+    * limit-bounded count, so it never scans more than the threshold). */
   def withOrd(view: DataFrame, ordCol: String = "ord"): DataFrame = {
+    val probe = view.limit((MaxOrdViewRows + 1).toInt).count()
+    require(probe <= MaxOrdViewRows,
+      s"withOrd: input exceeds $MaxOrdViewRows rows; it would be funneled " +
+        "through a single partition by the global ordering window. Pass a " +
+        "dimension-sized view, or precompute an explicit ord column.")
     val w = Window.orderBy(monotonically_increasing_id())
     view.withColumn(ordCol, row_number().over(w) - 1)
   }

@@ -443,4 +443,14 @@ class OpsSpec extends SparkSpec {
     }.sortBy(_.mkString(" "))
     assert(got == exp)
   }
+
+  test("withOrd refuses a fact-sized input instead of single-partitioning it") {
+    val big = spark.range(Ops.MaxOrdViewRows + 2).toDF("id")
+    val e = intercept[IllegalArgumentException](Ops.withOrd(big))
+    assert(e.getMessage.contains("single partition"))
+    // dimension-sized views still work and keep their order contract
+    val small = Seq(("chr2", 0L, 10L), ("chr1", 0L, 10L)).toDF("chrom", "start", "end")
+    assert(Ops.withOrd(small).select("chrom", "ord").collect().toSeq
+      .map(r => (r.getString(0), r.getInt(1))) == Seq(("chr2", 0), ("chr1", 1)))
+  }
 }

@@ -68,11 +68,25 @@ for name in sorted(os.listdir(out)):
             break
     results[name] = mismatch or f"OK ({len(g)} rows)"
 
+# wired-but-erroring queries produce no output dir: without this they
+# would vanish from the report and an analysis failure would read as green
+n_wired = None
+try:
+    em = json.load(open(out + "__aux/verify_errors.json"))
+    n_wired = em.get("n_wired")
+    for k, msg in em.get("errors", {}).items():
+        results[k] = f"QUERY-ERRORED {msg[:200]}"
+except FileNotFoundError:
+    pass
+
 fails = 0
-for k, v in results.items():
+for k, v in sorted(results.items()):
     flag = " " if v.startswith(("OK", "rows-only")) else "X"
     if flag == "X":
         fails += 1
     print(f"{flag} {k:24s} {v}")
-print(f"\n{len(results)} queries, {fails} failing")
-sys.exit(1 if fails else 0)
+green = len(results) - fails
+wired = n_wired if n_wired is not None else len(results)
+print(f"\n{wired} wired, {green} green, {fails} failing"
+      + (f" (MISSING {wired - len(results)} outputs)" if wired > len(results) else ""))
+sys.exit(1 if fails or wired > len(results) else 0)
