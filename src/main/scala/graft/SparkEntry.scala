@@ -166,6 +166,13 @@ object SparkEntry {
         bucketSize = SCAN_BUCKET)
       .select(col("chrom"), col("start"), col("end"))
 
+  /** Enzyme-name digest via the bundled catalog: the Arima Hi-C cocktail
+    * (DpnII GATC + HinfI GANTC) exercises name resolution, multi-enzyme
+    * cut union, and IUPAC-N matching in one gate. */
+  private def seqDigestArima(s: SparkSession, dir: String): DataFrame =
+    graft.seq.SeqOps.digest(seqChunks(s), "Arima", SCAN_BUCKET)
+      .select(col("chrom"), col("start"), col("end"))
+
   /** frac_gene_coverage composition (extras.py:357-387): iv2 "genes"
     * covered and counted against iv1. */
   private def ivGeneCoverage(s: SparkSession, dir: String): DataFrame =
@@ -932,6 +939,7 @@ object SparkEntry {
     "seq_frac_gc" -> (seqFracGc _),
     "seq_frac_mapped" -> (seqFracMapped _),
     "seq_digest" -> (seqDigest _),
+    "seq_digest_arima" -> (seqDigestArima _),
     "iv_closest" -> (ivClosest _),
     "iv_closest_k3" -> (ivClosestK3 _),
     "iv_closest_upstream" -> (ivClosestUpstream _),
@@ -1262,6 +1270,33 @@ object SparkEntry {
          |sites AS (SELECT chrom, cstart + i - 1 AS pos
          |  FROM ext, UNNEST(generate_series(1, length(seq))) u(i)
          |  WHERE substr(extseq, CAST(i AS INT), 4) = 'GATC'),
+         |lens AS (SELECT chrom, MAX(cend) AS len FROM chunksq GROUP BY chrom),
+         |cuts AS (SELECT DISTINCT chrom, pos FROM (
+         |  SELECT s.chrom, s.pos FROM sites s JOIN lens l ON s.chrom = l.chrom
+         |    WHERE s.pos > 0 AND s.pos < l.len
+         |  UNION ALL SELECT chrom, CAST(0 AS BIGINT) FROM lens
+         |  UNION ALL SELECT chrom, len FROM lens) z)
+         |SELECT chrom, pos AS start,
+         |  LEAD(pos) OVER (PARTITION BY chrom ORDER BY pos) AS "end"
+         |FROM cuts QUALIFY "end" IS NOT NULL""".stripMargin,
+    // Arima cocktail: DpnII GATC boundary at site+2, HinfI GANTC (N = any
+    // base, LIKE '_' in SQL) at site+3 — cut sets unioned before the stitch
+    "seq_digest_arima" ->
+      s"""WITH $seqChunksSql,
+         |ext AS (SELECT c.chrom, c.cstart, c.seq,
+         |    c.seq || COALESCE(n.pref, '') AS extseq
+         |  FROM chunksq c LEFT JOIN
+         |    (SELECT chrom AS nc, cstart AS ns, substr(seq, 1, 4) AS pref
+         |     FROM chunksq) n
+         |    ON c.chrom = n.nc AND c.cend = n.ns),
+         |sites AS (
+         |  SELECT chrom, cstart + i - 1 + 2 AS pos
+         |  FROM ext, UNNEST(generate_series(1, length(seq))) u(i)
+         |  WHERE substr(extseq, CAST(i AS INT), 4) = 'GATC'
+         |  UNION ALL
+         |  SELECT chrom, cstart + i - 1 + 3 AS pos
+         |  FROM ext, UNNEST(generate_series(1, length(seq))) u(i)
+         |  WHERE substr(extseq, CAST(i AS INT), 5) LIKE 'GA_TC'),
          |lens AS (SELECT chrom, MAX(cend) AS len FROM chunksq GROUP BY chrom),
          |cuts AS (SELECT DISTINCT chrom, pos FROM (
          |  SELECT s.chrom, s.pos FROM sites s JOIN lens l ON s.chrom = l.chrom

@@ -157,22 +157,57 @@ object SeqOps {
     * relation via a bucket-parallel next-position stitch. Output:
     * (chrom, start, end). */
   def digest(chunks: DataFrame, site: String, cutOffset: Int = 0,
-             bucketSize: Long = 1L << 20): DataFrame = {
-    require(site.nonEmpty, "site must be non-empty")
+             bucketSize: Long = 1L << 20): DataFrame =
+    digestSites(chunks, Seq((site, cutOffset)), bucketSize)
+
+  /** Enzyme-name digest mirroring the reference's ergonomics
+    * (`extras.py:170-218` resolves names via Biopython's enzyme db; here a
+    * bundled [[Enzymes]] catalog). Cocktails (e.g. Arima = DpnII + HinfI)
+    * resolve to several sites, all cut in one pass. */
+  def digest(chunks: DataFrame, enzyme: String): DataFrame =
+    digestSites(chunks, Enzymes.resolve(enzyme))
+
+  def digest(chunks: DataFrame, enzyme: String, bucketSize: Long): DataFrame =
+    digestSites(chunks, Enzymes.resolve(enzyme), bucketSize)
+
+  /** True where `site` (IUPAC `N` = any base) matches `ext` at 1-based
+    * position `i`, entirely within the string. Exact-equality fast path
+    * for plain ACGT sites keeps the common case a single comparison. */
+  private def siteMatchAt(ext: Column, i: Column, site: String): Column = {
     val L = site.length
+    val inBounds = length(ext) - i + 1 >= L
+    if (!site.contains('N')) inBounds && ext.substr(i, lit(L)) === lit(site)
+    else site.zipWithIndex.collect { case (c, j) if c != 'N' =>
+      ext.substr(i + lit(j), lit(1)) === lit(c.toString)
+    }.foldLeft(inBounds)(_ && _)
+  }
+
+  /** Multi-site digest core: one sequence scan finds every enzyme's match
+    * positions; boundaries from all enzymes merge (duplicates collapse in
+    * the cut-set distinct) before the fragment stitch. */
+  def digestSites(chunks: DataFrame, enzymes: Seq[(String, Int)],
+                  bucketSize: Long = 1L << 20): DataFrame = {
+    require(enzymes.nonEmpty && enzymes.forall(_._1.nonEmpty),
+      "at least one non-empty site required")
+    val maxL = enzymes.map(_._1.length).max
     val nxt = chunks.select(col("chrom").as("__nc"), col("cstart").as("__ns"),
-      substring(col("seq"), 1, L - 1).as("__pref"))
+      substring(col("seq"), 1, maxL - 1).as("__pref"))
     val ext = chunks
       .join(nxt, col("chrom") === col("__nc") && col("cend") === col("__ns"),
         "left")
       .withColumn("__ext", concat(col("seq"), coalesce(col("__pref"), lit(""))))
     // match positions whose START lies in this chunk (no double-count
-    // with the next chunk's scan of the same boundary window)
+    // with the next chunk's scan of the same boundary window); each
+    // enzyme's in-chunk offsets carry its own cut shift before the flatten
+    val posArrays = enzymes.map { case (site, off) =>
+      transform(
+        filter(sequence(lit(1), length(col("seq"))),
+          i => siteMatchAt(col("__ext"), i, site)),
+        i => i.cast("long") + lit(off.toLong - 1L))
+    }
     val sites = ext.select(col("chrom"), col("cstart"),
-        explode(filter(sequence(lit(1), length(col("seq"))),
-          i => col("__ext").substr(i, lit(L)) === lit(site))).as("__i"))
-      .select(col("chrom"),
-        (col("cstart") + col("__i") - 1 + lit(cutOffset.toLong)).as("pos"))
+        explode(flatten(array(posArrays: _*))).as("__rel"))
+      .select(col("chrom"), (col("cstart") + col("__rel")).as("pos"))
     val lens = chunks.groupBy(col("chrom")).agg(max(col("cend")).as("__len"))
     val cuts = sites
       .join(broadcast(lens), Seq("chrom"))
@@ -186,4 +221,39 @@ object SeqOps {
       .filter(col("__next").isNotNull)
       .select(col("chrom"), col("pos").as("start"), col("__next").as("end"))
   }
+}
+
+/** Bundled restriction-enzyme catalog closing the ergonomic gap to the
+  * reference's Biopython enzyme db (`extras.py:188-201`): name → cut specs
+  * `(site, cutOffset)`. `cutOffset` follows the engine's digest
+  * convention, boundary = 0-based site start + offset, where offset =
+  * Biopython `fst5 + 2` (the reference places boundaries at `search()+1`;
+  * its own test pins DpnII splitting "NGATCNN" at 3,
+  * `tests/test_extras.py:92-93`). `N` in a site matches any base. */
+object Enzymes {
+  val catalog: Map[String, Seq[(String, Int)]] = Map(
+    "DpnII"   -> Seq(("GATC", 2)),
+    "MboI"    -> Seq(("GATC", 2)),
+    "Sau3AI"  -> Seq(("GATC", 2)),
+    "HindIII" -> Seq(("AAGCTT", 3)),
+    "EcoRI"   -> Seq(("GAATTC", 3)),
+    "BamHI"   -> Seq(("GGATCC", 3)),
+    "BglII"   -> Seq(("AGATCT", 3)),
+    "NcoI"    -> Seq(("CCATGG", 3)),
+    "MseI"    -> Seq(("TTAA", 3)),
+    "HinfI"   -> Seq(("GANTC", 3)),
+    "NlaIII"  -> Seq(("CATG", 6)),
+    "AluI"    -> Seq(("AGCT", 4)),
+    "HaeIII"  -> Seq(("GGCC", 4)),
+    "HpaII"   -> Seq(("CCGG", 3)),
+    "XbaI"    -> Seq(("TCTAGA", 3)),
+    "PstI"    -> Seq(("CTGCAG", 7)),
+    "SalI"    -> Seq(("GTCGAC", 3)),
+    // the Arima Hi-C kit's two-enzyme cocktail
+    "Arima"   -> Seq(("GATC", 2), ("GANTC", 3)))
+
+  def resolve(name: String): Seq[(String, Int)] =
+    catalog.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+      .getOrElse(throw new IllegalArgumentException(
+        s"Unknown enzyme name: $name (have: ${catalog.keys.toSeq.sorted.mkString(", ")})"))
 }

@@ -153,4 +153,32 @@ class SeqOpsSpec extends SparkSpec {
     assertFrame(frags.filter($"chrom" === "chr2"), Seq(Seq("chr2", 0L, 4L)),
       "chrom", "start", "end")
   }
+
+  test("enzyme-name digest matches the explicit site+offset call " +
+    "(extras.py:188-201 name resolution)") {
+    val chunks = SeqOps.readFasta(spark, refFastaFile, chunkSize = 4)
+    val byName = SeqOps.digest(chunks, "DpnII")
+    val explicit = SeqOps.digest(chunks, "GATC", cutOffset = 2)
+    assert(rowsOf(byName) == rowsOf(explicit))
+    // case-insensitive, and MboI is an isoschizomer of DpnII
+    assert(rowsOf(SeqOps.digest(chunks, "mboi")) == rowsOf(explicit))
+    val e = intercept[IllegalArgumentException](SeqOps.digest(chunks, "NoSuchZyme"))
+    assert(e.getMessage.contains("Unknown enzyme name"))
+  }
+
+  test("IUPAC-N sites and the Arima cocktail cut at both enzymes' sites") {
+    // seq: GACTC has HinfI site GANTC at 0 (boundary 0+3=3, interior);
+    //      GATC at 6 (DpnII boundary 6+2=8)
+    val df = Seq(("chrA", 0L, 11L, "GACTCAGATCA")).toDF("chrom", "cstart", "cend", "seq")
+    assertFrame(SeqOps.digest(df, "HinfI"),
+      Seq(Seq("chrA", 0L, 3L), Seq("chrA", 3L, 11L)), "chrom", "start", "end")
+    assertFrame(SeqOps.digest(df, "Arima"),
+      Seq(Seq("chrA", 0L, 3L), Seq("chrA", 3L, 8L), Seq("chrA", 8L, 11L)),
+      "chrom", "start", "end")
+    // N never matches past the end of the sequence: site starting at the
+    // last base is out of bounds, not a wildcard hit
+    val tail = Seq(("chrB", 0L, 5L, "AGANT")).toDF("chrom", "cstart", "cend", "seq")
+    assertFrame(SeqOps.digest(tail, "HinfI"), Seq(Seq("chrB", 0L, 5L)),
+      "chrom", "start", "end")
+  }
 }
