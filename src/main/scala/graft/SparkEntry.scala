@@ -84,6 +84,25 @@ object SparkEntry {
         strategy = IntervalJoin.BinnedTwoLevel, binSize = B)
       .select(col("id_1"), col("id_2"))
 
+  /** Two-level binning chosen by `Auto` itself, not forced: ivLong's
+    * ~14% gene-scale span tail trips `resolveAuto`'s p99 probe. The probe
+    * threshold is scaled down to test-SF relation sizes (at the 256 MB
+    * production default nothing at sf0.01 counts as "known large");
+    * PlanContractSpec asserts the resolution and the three-way
+    * coarse/fine union in the physical plan. */
+  private def ivOverlapAuto2l(s: SparkSession, dir: String): DataFrame = {
+    val prev = s.conf.getOption(IntervalJoin.ProbeThresholdKey)
+    s.conf.set(IntervalJoin.ProbeThresholdKey, (1L << 12).toString)
+    try
+      Ops.overlap(ivLong(s, dir), iv1(s, dir), how = "inner",
+          suffixes = ("_1", "_2"), binSize = B)
+        .select(col("id_1"), col("id_2"))
+    finally prev match {
+      case Some(v) => s.conf.set(IntervalJoin.ProbeThresholdKey, v)
+      case None => s.conf.unset(IntervalJoin.ProbeThresholdKey)
+    }
+  }
+
   private def ivOverlapRight(s: SparkSession, dir: String): DataFrame =
     Ops.overlap(iv3(s, dir), iv2(s, dir), how = "right",
         suffixes = ("_1", "_2"), binSize = B)
@@ -450,6 +469,60 @@ object SparkEntry {
     s.table("evt_stream_dedup_sink")
       .select(col("eventId").as("event_id"), col("tms"),
         col("eventType").as("event_type"), col("value"))
+  }
+
+  /** Streaming sessionize gate: a quarter of events arrives in three
+    * ts-ordered micro-batches (watermark delay 0 is safe: the feed is
+    * globally sorted, so no batch carries an event older than the
+    * previous batch's max). Append-mode session_window only emits a
+    * session after the watermark passes its close, so two sentinel
+    * "flush" events (user -1) hours past the real maximum push the
+    * watermark far enough for every real session to finalize — the
+    * second flush batch is needed because batch N's rows are evaluated
+    * against the watermark computed from batch N-1. The oracle is the
+    * batch lag/cumsum sessionization with the matching `>= gap`
+    * boundary rule. */
+  private def evtStreamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = eventsMs(s, dir).filter(col("event_id") % 4 === 1)
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        col("tms"))
+      .as[StreamOps.SessEv].collect().sortBy(e => (e.tms, e.eventId))
+    val maxTms = base.map(_.tms).max
+    val batches = base.grouped(math.max(1, base.length / 3 + 1)).toSeq
+    val input = MemoryStream[StreamOps.SessEv]
+    s.catalog.dropTempView("evt_stream_sessionize_sink")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val ckpt = graft.core.Scratch.dir.map(d =>
+      new java.io.File(d, s"ckpt-${java.util.UUID.randomUUID()}"))
+    val writer0 = StreamOps.streamingSessionize(input.toDS())
+      .writeStream.format("memory").queryName("evt_stream_sessionize_sink")
+      .outputMode("append")
+    val q = ckpt.fold(writer0)(c =>
+      writer0.option("checkpointLocation", c.getAbsolutePath)).start()
+    try {
+      batches.foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      input.addData(StreamOps.SessEv(-1L, -1L, maxTms + 6L * 3600 * 1000))
+      q.processAllAvailable()
+      input.addData(StreamOps.SessEv(-1L, -2L, maxTms + 6L * 3600 * 1000 + 1))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      ckpt.foreach { c =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(c)
+      }
+    }
+    s.table("evt_stream_sessionize_sink")
+      .filter(col("userId") >= 0)
+      .select(col("userId").as("user_id"), col("session_start"),
+        col("session_last"), col("n_events"))
   }
 
   private def ivSortRank(s: SparkSession, dir: String): DataFrame = {
@@ -922,6 +995,7 @@ object SparkEntry {
     "iv_overlap_on" -> (ivOverlapOn _),
     "iv_overlap_right" -> (ivOverlapRight _),
     "iv_overlap_inner_2l" -> (ivOverlapInnerMl _),
+    "iv_overlap_auto_2l" -> (ivOverlapAuto2l _),
     "iv_closest_self" -> (ivClosestSelf _),
     "iv_overlap_left_pts" -> (ivOverlapLeftPts _),
     "iv_setdiff_pts" -> (ivSetdiffPts _),
@@ -971,6 +1045,7 @@ object SparkEntry {
     "evt_sessionize" -> (evtSessionize _),
     "evt_stream_merge" -> (evtStreamMerge _),
     "evt_stream_dedup" -> (evtStreamDedup _),
+    "evt_stream_sessionize" -> (evtStreamSessionize _),
     "evt_window_agg" -> (evtWindowAgg _),
     "txt_stats" -> (txtStats _),
     "txt_langid" -> (txtLangid _),
@@ -1097,6 +1172,10 @@ object SparkEntry {
       s"""WITH $iv1Sql, $iv2Sql
          |SELECT a.id AS id_1, b.id AS id_2
          |FROM iv1 a JOIN iv2 b ON a.chrom = b.chrom AND ${ovl("a", "b")}""".stripMargin,
+    "iv_overlap_auto_2l" ->
+      s"""WITH $iv1Sql, $ivLongSql
+         |SELECT a.id AS id_1, b.id AS id_2
+         |FROM ivlong a JOIN iv1 b ON a.chrom = b.chrom AND ${ovl("a", "b")}""".stripMargin,
     "iv_overlap_right" ->
       s"""WITH $iv2Sql, $iv3Sql
          |SELECT a.id AS id_1, b.id AS id_2
@@ -1628,6 +1707,17 @@ object SparkEntry {
     "evt_stream_dedup" ->
       """SELECT event_id, epoch_ms(ts) AS tms, event_type, value
         |FROM events WHERE event_id % 4 = 0""".stripMargin,
+    "evt_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms
+        |  FROM events WHERE event_id % 4 = 1),
+        |s AS (SELECT *, CASE WHEN LAG(tms) OVER w IS NULL
+        |    OR tms - LAG(tms) OVER w >= 1800000 THEN 1 ELSE 0 END AS brd
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+        |sess AS (SELECT *, SUM(brd) OVER (PARTITION BY user_id
+        |    ORDER BY tms, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+        |SELECT user_id, MIN(tms) AS session_start, MAX(tms) AS session_last,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
     "evt_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
         |s AS (SELECT *, CASE WHEN LAG(tms) OVER w IS NULL

@@ -93,6 +93,22 @@ object TestTables {
       |  SELECT id + 10000000, chrom, "end", "end", strand
       |  FROM iv2 WHERE id % 7 = 0)""".stripMargin
 
+  /** Mixed-span relation with a gene-scale tail: a 1/16 subsample of iv1
+    * (bounds the pair count) where every 7th id stretches an extra 700
+    * coords — ~14% of spans land far beyond the two-level long cut
+    * (8*binSize = 512 at the gates' B = 64), so a p99 span probe reads
+    * heavy at any sample size. */
+  def ivLong(s: SparkSession, dir: String): DataFrame =
+    iv1(s, dir).filter(col("id") % 16 === 0)
+      .select(col("id"), col("chrom"), col("start"),
+        (col("end") + when(col("id") % 7 === 0, 700L).otherwise(0L)).as("end"))
+
+  val ivLongSql: String =
+    """ivlong AS (
+      |  SELECT id, chrom, start,
+      |         "end" + CASE WHEN id % 7 = 0 THEN 700 ELSE 0 END AS "end"
+      |  FROM iv1 WHERE id % 16 = 0)""".stripMargin
+
   /** ~1.5k rows at sf0.01 — the small probe side for closest/pairing. */
   def iv3(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "customer").select(

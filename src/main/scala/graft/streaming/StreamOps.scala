@@ -39,6 +39,30 @@ object StreamOps {
 
   case class Ev(eventId: Long, tms: Long, eventType: String, value: Double)
 
+  case class SessEv(userId: Long, eventId: Long, tms: Long)
+
+  /** Streaming sessionization over the built-in `session_window`: a
+    * session extends while consecutive events of a user arrive < `gap`
+    * apart in EVENT time (a diff of exactly `gap` starts a new session —
+    * the window is `[ts, ts+gap)`). Append mode emits a session only once
+    * the watermark passes its close, so results are final — no
+    * retractions downstream. State is O(open sessions inside the
+    * watermark horizon) per the built-in's merging session store; it is
+    * evicted on emission, so unbounded ingest holds bounded state. The
+    * batch equivalent is the lag/cumsum sweep with a `>= gap` boundary
+    * rule keyed by (user, tms). */
+  def streamingSessionize(events: Dataset[SessEv], gap: String = "30 minutes",
+                          delay: String = "0 seconds"): DataFrame =
+    events.toDF()
+      .withColumn("__ts", timestamp_millis(col("tms")))
+      .withWatermark("__ts", delay)
+      .groupBy(col("userId"), session_window(col("__ts"), gap))
+      .agg(min(col("tms")).as("session_start"),
+        max(col("tms")).as("session_last"),
+        count(lit(1)).as("n_events"))
+      .select(col("userId"), col("session_start"), col("session_last"),
+        col("n_events"))
+
   /** Watermarked streaming exact-dedup: keeps the FIRST arrival per
     * `eventId`, suppressing later duplicates whose event times fall
     * inside the watermark horizon (Spark's

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.ColSpec
-import graft.ops.{Closest, Extras, Ops}
+import graft.ops.{Closest, Extras, IntervalJoin, Ops}
 import graft.text.Corpus
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -112,6 +112,34 @@ class PlanContractSpec extends SparkSpec {
         val brackets = l.count(_ == '[')
         assert(brackets >= 3, s"partition-less window: $l")
       }
+    }
+  }
+
+  test("Auto upgrades to BinnedTwoLevel via the span probe on the " +
+    "heavy-tail relation, and the gate plan carries the class-union") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val prev = spark.conf.getOption(IntervalJoin.ProbeThresholdKey)
+    spark.conf.set(IntervalJoin.ProbeThresholdKey, (1L << 12).toString)
+    try {
+      val resolved = IntervalJoin.resolveAuto(
+        TestTables.ivLong(spark, dir), TestTables.iv1(spark, dir),
+        ColSpec.default, ColSpec.default, binSize = 64)
+      assert(resolved == IntervalJoin.BinnedTwoLevel,
+        s"span probe did not upgrade the strategy: $resolved")
+      // the executed gate plan must carry the three class-disjoint joins
+      val p = plan(SparkEntry.queries("iv_overlap_auto_2l")(spark, dir))
+      assert(p.contains("Union"), s"no coarse/fine union in plan:\n$p")
+      assert("ShuffledHashJoin".r.findAllIn(p).size >= 3,
+        s"expected the three class-disjoint equi-joins:\n$p")
+      // while here: the uniformly-short pairing must NOT pay two-level
+      val short = IntervalJoin.resolveAuto(
+        TestTables.iv1(spark, dir), TestTables.iv1(spark, dir),
+        ColSpec.default, ColSpec.default, binSize = 64)
+      assert(short == IntervalJoin.Binned, s"short spans upgraded: $short")
+    } finally prev match {
+      case Some(v) => spark.conf.set(IntervalJoin.ProbeThresholdKey, v)
+      case None => spark.conf.unset(IntervalJoin.ProbeThresholdKey)
     }
   }
 
