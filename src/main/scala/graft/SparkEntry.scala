@@ -192,6 +192,46 @@ object SparkEntry {
     graft.seq.SeqOps.digest(seqChunks(s), "Arima", SCAN_BUCKET)
       .select(col("chrom"), col("start"), col("end"))
 
+  private def scratchFile(name: String): String = {
+    val base = graft.core.Scratch.dir
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    new java.io.File(base,
+      s"$name-${java.util.UUID.randomUUID()}").getAbsolutePath
+  }
+
+  /** bigWig round-trip gate: per-bin iv1 start counts written as a real
+    * BBI binary (header + chrom B+ tree + zlib sections + R-tree) and
+    * read back distributed; the oracle recomputes the relation in SQL, so
+    * any encode/decode defect shows as a value/hash mismatch. Counts are
+    * exact in the format's float32. */
+  private def ioBigwig(s: SparkSession, dir: String): DataFrame = {
+    val bins = Extras.binnify(chromsizes(s), 100L)
+    val counts = iv1(s, dir)
+      .groupBy(col("chrom").as("__c"),
+        (floor(col("start") / 100) * 100).cast("long").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val valued = bins
+      .join(counts, bins("chrom") === col("__c") && bins("start") === col("__b"),
+        "left")
+      .select(bins("chrom"), col("start"), col("end"),
+        coalesce(col("__n"), lit(0L)).cast("double").as("value"))
+    val path = scratchFile("io_bigwig")
+    graft.io.Tables.toBigWig(valued, path)
+    graft.io.Tables.readBigWig(s, path)
+  }
+
+  /** bigBed round-trip gate over iv3, id carried through the `rest`
+    * payload. */
+  private def ioBigbed(s: SparkSession, dir: String): DataFrame = {
+    val path = scratchFile("io_bigbed")
+    graft.io.Tables.toBigBed(
+      iv3(s, dir).select(col("chrom"), col("start"), col("end"), col("id")),
+      path)
+    graft.io.Tables.readBigBed(s, path)
+      .select(col("chrom"), col("start"), col("end"),
+        col("rest").cast("long").as("id"))
+  }
+
   /** frac_gene_coverage composition (extras.py:357-387): iv2 "genes"
     * covered and counted against iv1. */
   private def ivGeneCoverage(s: SparkSession, dir: String): DataFrame =
@@ -1014,6 +1054,8 @@ object SparkEntry {
     "seq_frac_mapped" -> (seqFracMapped _),
     "seq_digest" -> (seqDigest _),
     "seq_digest_arima" -> (seqDigestArima _),
+    "io_bigwig" -> (ioBigwig _),
+    "io_bigbed" -> (ioBigbed _),
     "iv_closest" -> (ivClosest _),
     "iv_closest_k3" -> (ivClosestK3 _),
     "iv_closest_upstream" -> (ivClosestUpstream _),
@@ -1358,6 +1400,20 @@ object SparkEntry {
          |SELECT chrom, pos AS start,
          |  LEAD(pos) OVER (PARTITION BY chrom ORDER BY pos) AS "end"
          |FROM cuts QUALIFY "end" IS NOT NULL""".stripMargin,
+    "io_bigwig" ->
+      s"""WITH $iv1Sql, $chromsizesSql,
+         |bins AS (SELECT chrom, CAST(s AS BIGINT) AS start,
+         |    LEAST(CAST(s AS BIGINT) + 100, length) AS "end"
+         |  FROM chroms CROSS JOIN range(0, 2570, 100) r(s)),
+         |counts AS (SELECT chrom, (start // 100) * 100 AS b, COUNT(*) AS n
+         |  FROM iv1 GROUP BY chrom, (start // 100) * 100)
+         |SELECT bins.chrom, bins.start, bins."end",
+         |  CAST(COALESCE(counts.n, 0) AS DOUBLE) AS value
+         |FROM bins LEFT JOIN counts
+         |  ON bins.chrom = counts.chrom AND bins.start = counts.b""".stripMargin,
+    "io_bigbed" ->
+      s"""WITH $iv3Sql
+         |SELECT chrom, start, "end", id FROM iv3""".stripMargin,
     // Arima cocktail: DpnII GATC boundary at site+2, HinfI GANTC (N = any
     // base, LIKE '_' in SQL) at site+3 — cut sets unioned before the stitch
     "seq_digest_arima" ->

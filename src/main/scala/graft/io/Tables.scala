@@ -229,6 +229,30 @@ object Tables {
     out.write.option("sep", "\t").mode("overwrite").csv(path)
   }
 
+  // ------------------------------------------------------------- bigWig
+
+  /** Reference-parity entry points for the BBI binary formats
+    * (`read_bigwig`/`to_bigwig`/`read_bigbed`/`to_bigbed`,
+    * `io/fileops.py:379-486`, `515-669`) over the pure-JVM [[BigWig]] /
+    * [[BigBed]] container implementation. */
+  def readBigWig(spark: SparkSession, path: String,
+                 chrom: Option[String] = None, start: Option[Long] = None,
+                 end: Option[Long] = None): DataFrame =
+    BigWig.read(spark, path, chrom, start, end)
+
+  def toBigWig(df: DataFrame, path: String,
+               chromSizes: Map[String, Long] = Map.empty): Unit =
+    BigWig.write(df, path, chromSizes)
+
+  def readBigBed(spark: SparkSession, path: String,
+                 chrom: Option[String] = None, start: Option[Long] = None,
+                 end: Option[Long] = None): DataFrame =
+    BigBed.read(spark, path, chrom, start, end)
+
+  def toBigBed(df: DataFrame, path: String,
+               chromSizes: Map[String, Long] = Map.empty): Unit =
+    BigBed.write(df, path, chromSizes)
+
   // ------------------------------------------------------------------ GTF
 
   /** Expand a GTF `attributes` column (`key "value"; ...`) into a map

@@ -1,0 +1,135 @@
+package graft
+
+import graft.io.{Bbi, BigBed, BigWig}
+import org.apache.spark.sql.functions._
+
+/** BBI (bigWig/bigBed) container round-trips and index semantics. The
+  * sandbox has no external bigWig tooling, so cross-implementation bytes
+  * can't be checked here; these specs pin the published container layout
+  * (header/chrom-B+tree/R-tree offsets, both byte orders, zlib sections)
+  * via structural asserts plus full read-back equality. */
+class BigWigSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_bbi").toString
+    s"$d/$name"
+  }
+
+  private def sampleWig = Seq(
+    ("chr1", 0L, 100L, 1.5), ("chr1", 100L, 250L, -2.0),
+    ("chr1", 400L, 401L, 0.25), ("chr10", 5L, 50L, 3.0),
+    ("chr2", 10L, 20L, 7.5), ("chr2", 20L, 40L, 0.0))
+    .toDF("chrom", "start", "end", "value")
+
+  test("bigWig round-trips losslessly: compressed/uncompressed, LE/BE") {
+    for ((compress, be) <- Seq((true, false), (false, false), (true, true))) {
+      val p = tmp(s"rt_${compress}_$be.bw")
+      BigWig.write(sampleWig, p, compress = compress, bigEndian = be)
+      assertFrame(BigWig.read(spark, p),
+        sampleWig.collect().toSeq.map(_.toSeq),
+        "chrom", "start", "end", "value")
+    }
+  }
+
+  test("bigWig header/meta carries the documented fields and the R-tree " +
+    "prunes a region fetch to overlapping sections") {
+    val p = tmp("meta.bw")
+    BigWig.write(sampleWig, p, itemsPerSection = 2)
+    val meta = Bbi.readMeta(p, Bbi.BigWigMagic)
+    assert(meta.header.version == 4 && meta.header.zoomLevels == 0)
+    assert(meta.header.uncompressBufSize > 0)
+    assert(meta.chroms.map(_._2).sorted == Seq("chr1", "chr10", "chr2"))
+    // byte-sorted chrom ids: chr10 sorts before chr2
+    assert(meta.chroms.sortBy(_._1).map(_._2) == Seq("chr1", "chr10", "chr2"))
+    assert(meta.blocks.size >= 3) // >= one section per chrom at 2/section
+    val chr1Ix = meta.chroms.find(_._2 == "chr1").get._1
+    val pruned = Bbi.pruneBlocks(meta.blocks, chr1Ix, 380L, 500L)
+    assert(pruned.size < meta.blocks.size && pruned.nonEmpty)
+    // unclipped overlap fetch — same shape as Tables.readBedGraph region
+    assertFrame(
+      BigWig.read(spark, p, chrom = Some("chr1"), start = Some(50L),
+        end = Some(120L)),
+      Seq(Seq("chr1", 0L, 100L, 1.5), Seq("chr1", 100L, 250L, -2.0)),
+      "chrom", "start", "end", "value")
+    assert(BigWig.read(spark, p, chrom = Some("nope")).isEmpty)
+  }
+
+  test("nested-extent regression: a section's R-tree bound is its max " +
+    "end, so a long run is still found via a late-coordinate query") {
+    val p = tmp("nested.bw")
+    val df = Seq(("chr1", 0L, 1000L, 1.0), ("chr1", 10L, 20L, 2.0),
+      ("chr1", 2000L, 2010L, 3.0)).toDF("chrom", "start", "end", "value")
+    BigWig.write(df, p, itemsPerSection = 2)
+    assertFrame(
+      BigWig.read(spark, p, chrom = Some("chr1"), start = Some(500L),
+        end = Some(600L)),
+      Seq(Seq("chr1", 0L, 1000L, 1.0)), "chrom", "start", "end", "value")
+  }
+
+  test("multi-level R-tree: >256 sections round-trip and region-fetch") {
+    val p = tmp("big.bw")
+    val df = spark.range(300).select(
+      lit("chr1").as("chrom"), (col("id") * 10).as("start"),
+      (col("id") * 10 + 10).as("end"), col("id").cast("double").as("value"))
+    BigWig.write(df, p, itemsPerSection = 1)
+    val meta = Bbi.readMeta(p, Bbi.BigWigMagic)
+    assert(meta.blocks.size == 300)
+    assert(BigWig.read(spark, p).count() == 300)
+    assertFrame(
+      BigWig.read(spark, p, chrom = Some("chr1"), start = Some(1500L),
+        end = Some(1520L)),
+      Seq(Seq("chr1", 1500L, 1510L, 150.0), Seq("chr1", 1510L, 1520L, 151.0)),
+      "chrom", "start", "end", "value")
+  }
+
+  test("varStep and fixedStep section encodings decode (read-side parity " +
+    "with files other tools write)") {
+    val bb = java.nio.ByteBuffer.allocate(24 + 8 + 24 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // varStep: span 5, items (100, 1.5)
+    bb.putInt(0).putInt(100).putInt(105).putInt(0).putInt(5)
+      .put(2.toByte).put(0.toByte).putShort(1.toShort)
+    bb.putInt(100).putFloat(1.5f)
+    // fixedStep: start 200, step 10, span 4, values (7.0, 8.0)
+    bb.putInt(0).putInt(200).putInt(214).putInt(10).putInt(4)
+      .put(3.toByte).put(0.toByte).putShort(2.toShort)
+    bb.putFloat(7.0f).putFloat(8.0f)
+    val got = BigWig.decodeSections(bb.array(), bigEndian = false)
+    assert(got == Seq((0, 100L, 105L, 1.5), (0, 200L, 204L, 7.0),
+      (0, 210L, 214L, 8.0)))
+  }
+
+  test("empty relation round-trips to an empty, well-formed file") {
+    val p = tmp("empty.bw")
+    BigWig.write(sampleWig.filter(lit(false)), p)
+    assert(Bbi.readMeta(p, Bbi.BigWigMagic).blocks.isEmpty)
+    assert(BigWig.read(spark, p).isEmpty)
+  }
+
+  test("writer guard refuses unbounded relations") {
+    val e = intercept[IllegalArgumentException](
+      BigWig.write(sampleWig, tmp("guard.bw"), maxRows = 3))
+    assert(e.getMessage.contains("single-writer"))
+  }
+
+  test("bigBed round-trips bed3+rest columns and region-fetches") {
+    val p = tmp("rt.bb")
+    val df = Seq(("chr1", 0L, 100L, "alpha", 960L),
+      ("chr1", 150L, 170L, "beta", 5L), ("chr2", 10L, 20L, "gamma", 0L))
+      .toDF("chrom", "start", "end", "name", "score")
+    BigBed.write(df, p)
+    val back = BigBed.read(spark, p)
+      .select(col("chrom"), col("start"), col("end"),
+        split(col("rest"), "\t")(0).as("name"),
+        split(col("rest"), "\t")(1).cast("long").as("score"))
+    assertFrame(back, df.collect().toSeq.map(_.toSeq),
+      "chrom", "start", "end", "name", "score")
+    val meta = Bbi.readMeta(p, Bbi.BigBedMagic)
+    assert(meta.header.fieldCount == 5)
+    assertFrame(
+      BigBed.read(spark, p, chrom = Some("chr1"), start = Some(160L),
+        end = Some(165L)).select(col("chrom"), col("start"), col("end")),
+      Seq(Seq("chr1", 150L, 170L)), "chrom", "start", "end")
+  }
+}
