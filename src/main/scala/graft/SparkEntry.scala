@@ -232,6 +232,20 @@ object SparkEntry {
         col("rest").cast("long").as("id"))
   }
 
+  /** tabix gate: iv3 written as BGZF BED + .tbi, then a REGION query that
+    * must resolve through the binning index; the oracle recomputes the
+    * overlap in SQL. */
+  private def ioTabix(s: SparkSession, dir: String): DataFrame = {
+    val path = scratchFile("io_tabix") + ".bed.gz"
+    graft.io.Tables.toTabix(
+      iv3(s, dir).select(col("chrom"), col("start"), col("end"), col("id")),
+      path)
+    graft.io.Tables.readTabix(s, path, chrom = Some("c3"),
+        start = Some(500L), end = Some(1500L))
+      .select(col("_c0").as("chrom"), col("_c1").cast("long").as("start"),
+        col("_c2").cast("long").as("end"), col("_c3").cast("long").as("id"))
+  }
+
   /** frac_gene_coverage composition (extras.py:357-387): iv2 "genes"
     * covered and counted against iv1. */
   private def ivGeneCoverage(s: SparkSession, dir: String): DataFrame =
@@ -1056,6 +1070,7 @@ object SparkEntry {
     "seq_digest_arima" -> (seqDigestArima _),
     "io_bigwig" -> (ioBigwig _),
     "io_bigbed" -> (ioBigbed _),
+    "io_tabix" -> (ioTabix _),
     "iv_closest" -> (ivClosest _),
     "iv_closest_k3" -> (ivClosestK3 _),
     "iv_closest_upstream" -> (ivClosestUpstream _),
@@ -1414,6 +1429,10 @@ object SparkEntry {
     "io_bigbed" ->
       s"""WITH $iv3Sql
          |SELECT chrom, start, "end", id FROM iv3""".stripMargin,
+    "io_tabix" ->
+      s"""WITH $iv3Sql
+         |SELECT chrom, start, "end", id FROM iv3
+         |WHERE chrom = 'c3' AND start < 1500 AND "end" > 500""".stripMargin,
     // Arima cocktail: DpnII GATC boundary at site+2, HinfI GANTC (N = any
     // base, LIKE '_' in SQL) at site+3 — cut sets unioned before the stitch
     "seq_digest_arima" ->

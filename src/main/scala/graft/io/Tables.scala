@@ -253,6 +253,18 @@ object Tables {
                chromSizes: Map[String, Long] = Map.empty): Unit =
     BigBed.write(df, path, chromSizes)
 
+  /** Reference-parity tabix entry point (`read_tabix`,
+    * `io/fileops.py:163-217`) over the pure-JVM [[Tabix]] reader. */
+  def readTabix(spark: SparkSession, path: String,
+                chrom: Option[String] = None, start: Option[Long] = None,
+                end: Option[Long] = None,
+                schema: Option[String] = None): DataFrame =
+    Tabix.read(spark, path, chrom, start, end, schema)
+
+  def toTabix(df: DataFrame, path: String,
+              config: Tabix.Config = Tabix.Bed): Unit =
+    Tabix.write(df, path, config)
+
   // ------------------------------------------------------------------ GTF
 
   /** Expand a GTF `attributes` column (`key "value"; ...`) into a map
