@@ -246,6 +246,27 @@ object SparkEntry {
         col("_c2").cast("long").as("end"), col("_c3").cast("long").as("id"))
   }
 
+  /** BAM gate: iv3-derived alignment records (cigar = span + 'M') written
+    * as real BGZF BAM + .bai, then a region query that must resolve
+    * through the index and the CIGAR reference-length overlap rule. */
+  private def ioBam(s: SparkSession, dir: String): DataFrame = {
+    val path = scratchFile("io_bam") + ".bam"
+    val recs = iv3(s, dir).select(
+      concat(lit("r"), col("id").cast("string")).as("qname"),
+      ((col("id") % 2) * 16).cast("long").as("flag"),
+      col("chrom").as("rname"), col("start").as("pos"),
+      (lit(30L) + col("id") % 10).as("mapq"),
+      concat((col("end") - col("start")).cast("string"), lit("M")).as("cigar"),
+      lit(-1L).as("rnext"), lit(-1L).as("pnext"), lit(0L).as("tlen"),
+      lit(null).cast("string").as("seq"), lit(null).cast("string").as("qual"),
+      lit("{}").as("tags"))
+    graft.io.Tables.toBam(recs, path)
+    graft.io.Tables.readAlignments(s, path, chrom = Some("c3"),
+        start = Some(500L), end = Some(1500L))
+      .select(col("qname"), col("flag"), col("rname"), col("pos"),
+        col("mapq"), col("cigar"))
+  }
+
   /** frac_gene_coverage composition (extras.py:357-387): iv2 "genes"
     * covered and counted against iv1. */
   private def ivGeneCoverage(s: SparkSession, dir: String): DataFrame =
@@ -1071,6 +1092,7 @@ object SparkEntry {
     "io_bigwig" -> (ioBigwig _),
     "io_bigbed" -> (ioBigbed _),
     "io_tabix" -> (ioTabix _),
+    "io_bam" -> (ioBam _),
     "iv_closest" -> (ivClosest _),
     "iv_closest_k3" -> (ivClosestK3 _),
     "iv_closest_upstream" -> (ivClosestUpstream _),
@@ -1433,6 +1455,13 @@ object SparkEntry {
       s"""WITH $iv3Sql
          |SELECT chrom, start, "end", id FROM iv3
          |WHERE chrom = 'c3' AND start < 1500 AND "end" > 500""".stripMargin,
+    "io_bam" ->
+      s"""WITH $iv3Sql
+         |SELECT 'r' || CAST(id AS VARCHAR) AS qname,
+         |  CAST(id % 2 * 16 AS BIGINT) AS flag, chrom AS rname,
+         |  start AS pos, CAST(30 + id % 10 AS BIGINT) AS mapq,
+         |  CAST("end" - start AS VARCHAR) || 'M' AS cigar
+         |FROM iv3 WHERE chrom = 'c3' AND start < 1500 AND "end" > 500""".stripMargin,
     // Arima cocktail: DpnII GATC boundary at site+2, HinfI GANTC (N = any
     // base, LIKE '_' in SQL) at site+3 — cut sets unioned before the stitch
     "seq_digest_arima" ->

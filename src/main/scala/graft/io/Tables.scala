@@ -265,6 +265,22 @@ object Tables {
               config: Tabix.Config = Tabix.Bed): Unit =
     Tabix.write(df, path, config)
 
+  /** Reference-parity alignment reader (`read_alignments`,
+    * `io/fileops.py:237-283`) over the pure-JVM [[Bam]] codec. SAM text
+    * input still goes through `readTable(schema = "sam")`; CRAM is
+    * unsupported (htslib codec). */
+  def readAlignments(spark: SparkSession, path: String,
+                     chrom: Option[String] = None, start: Option[Long] = None,
+                     end: Option[Long] = None): DataFrame = {
+    require(path.endsWith(".bam"),
+      s"$path: only .bam is supported (SAM via readTable, CRAM unsupported)")
+    Bam.read(spark, path, chrom, start, end)
+  }
+
+  def toBam(df: DataFrame, path: String,
+            chromSizes: Map[String, Long] = Map.empty): Unit =
+    Bam.write(df, path, chromSizes)
+
   // ------------------------------------------------------------------ GTF
 
   /** Expand a GTF `attributes` column (`key "value"; ...`) into a map
