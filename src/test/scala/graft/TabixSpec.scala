@@ -104,6 +104,19 @@ class TabixSpec extends SparkSpec {
     assert(Tabix.read(spark, p, Some("chr1"), Some(200L), Some(210L)).isEmpty)
   }
 
+  test("VCF convention (1-based, no end column) treats each record as " +
+    "one base for overlap") {
+    val p = tmp("v.vcf.gz")
+    // VCF POS 1-based: POS 100 is 0-based [99, 100)
+    val df = Seq(("chr1", 100L, "rs1", "A", "T"),
+      ("chr1", 300L, "rs2", "G", "C"))
+      .toDF("chrom", "pos", "id", "ref", "alt")
+    Tabix.write(df, p, config = Tabix.Vcf)
+    val hit = Tabix.read(spark, p, Some("chr1"), Some(99L), Some(100L))
+    assert(hit.count() == 1 && hit.head().getString(2) == "rs1")
+    assert(Tabix.read(spark, p, Some("chr1"), Some(100L), Some(299L)).isEmpty)
+  }
+
   test(".tbi codec round-trips the index structure") {
     val p = tmp("x.bed.gz")
     val df = Seq(("chrA", 5L, 9L, "z")).toDF("chrom", "start", "end", "name")
