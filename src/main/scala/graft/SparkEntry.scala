@@ -267,6 +267,27 @@ object SparkEntry {
         col("mapq"), col("cigar"))
   }
 
+  /** pairix gate: iv3-derived contact pairs written as a .pairs BGZF +
+    * 2D index, then a query2D that must resolve the (chrom1, chrom2)
+    * block and filter both coordinate ranges. */
+  private def ioPairix(s: SparkSession, dir: String): DataFrame = {
+    val path = scratchFile("io_pairix") + ".pairs.gz"
+    graft.io.Tables.toPairix(
+      iv3(s, dir).select(
+        concat(lit("p"), col("id").cast("string")).as("read_id"),
+        col("chrom").as("chrom1"), (col("start") + 1).as("pos1"),
+        // id>>3 varies WITHIN a chrom1 stratum (chrom1 is id%8-derived,
+        // so any pure id%8 function would pin chrom2 == chrom1)
+        concat(lit("c"), (shiftright(col("id"), 3) % 8).cast("string"))
+          .as("chrom2"),
+        ((col("id") * 53) % 2400 + 1).as("pos2")),
+      path)
+    graft.io.Tables.readPairix(s, path, "c3", 0L, 1600L,
+        chrom2 = Some("c5"), start2 = Some(0L), end2 = Some(3000L))
+      .select(col("read_id"), col("chrom1"), col("pos1").cast("long"),
+        col("chrom2"), col("pos2").cast("long"))
+  }
+
   /** frac_gene_coverage composition (extras.py:357-387): iv2 "genes"
     * covered and counted against iv1. */
   private def ivGeneCoverage(s: SparkSession, dir: String): DataFrame =
@@ -1093,6 +1114,7 @@ object SparkEntry {
     "io_bigbed" -> (ioBigbed _),
     "io_tabix" -> (ioTabix _),
     "io_bam" -> (ioBam _),
+    "io_pairix" -> (ioPairix _),
     "iv_closest" -> (ivClosest _),
     "iv_closest_k3" -> (ivClosestK3 _),
     "iv_closest_upstream" -> (ivClosestUpstream _),
@@ -1462,6 +1484,16 @@ object SparkEntry {
          |  start AS pos, CAST(30 + id % 10 AS BIGINT) AS mapq,
          |  CAST("end" - start AS VARCHAR) || 'M' AS cigar
          |FROM iv3 WHERE chrom = 'c3' AND start < 1500 AND "end" > 500""".stripMargin,
+    "io_pairix" ->
+      s"""WITH $iv3Sql
+         |SELECT 'p' || CAST(id AS VARCHAR) AS read_id, chrom AS chrom1,
+         |  start + 1 AS pos1,
+         |  'c' || CAST((id // 8) % 8 AS VARCHAR) AS chrom2,
+         |  (id * 53) % 2400 + 1 AS pos2
+         |FROM iv3 WHERE chrom = 'c3'
+         |  AND 'c' || CAST((id // 8) % 8 AS VARCHAR) = 'c5'
+         |  AND start >= 0 AND start < 1600
+         |  AND (id * 53) % 2400 >= 0 AND (id * 53) % 2400 < 3000""".stripMargin,
     // Arima cocktail: DpnII GATC boundary at site+2, HinfI GANTC (N = any
     // base, LIKE '_' in SQL) at site+3 — cut sets unioned before the stitch
     "seq_digest_arima" ->

@@ -265,6 +265,16 @@ object Tables {
               config: Tabix.Config = Tabix.Bed): Unit =
     Tabix.write(df, path, config)
 
+  /** Reference-parity 2D pairs reader (`read_pairix`,
+    * `io/fileops.py:183-235`) over the engine's [[Pairix]] layer. */
+  def readPairix(spark: SparkSession, path: String,
+                 chrom1: String, start1: Long, end1: Long,
+                 chrom2: Option[String] = None, start2: Option[Long] = None,
+                 end2: Option[Long] = None): DataFrame =
+    Pairix.read(spark, path, chrom1, start1, end1, chrom2, start2, end2)
+
+  def toPairix(df: DataFrame, path: String): Unit = Pairix.write(df, path)
+
   /** Reference-parity alignment reader (`read_alignments`,
     * `io/fileops.py:237-283`) over the pure-JVM [[Bam]] codec. SAM text
     * input still goes through `readTable(schema = "sam")`; CRAM is
