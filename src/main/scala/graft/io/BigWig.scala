@@ -45,8 +45,10 @@ private[graft] object Bbi {
   case class BlockRef(startChromIx: Int, startBase: Long, endChromIx: Int,
       endBase: Long, offset: Long, size: Long)
 
+  case class ZoomHeader(reduction: Long, dataOffset: Long, indexOffset: Long)
+
   case class Meta(header: Header, chroms: Seq[(Int, String, Long)],
-      blocks: Seq[BlockRef])
+      blocks: Seq[BlockRef], zooms: Seq[ZoomHeader] = Nil)
 
   def u32(bb: ByteBuffer): Long = bb.getInt & 0xFFFFFFFFL
 
@@ -72,8 +74,16 @@ private[graft] object Bbi {
         bb.getLong, bb.getLong, bb.getLong, bb.getShort & 0xFFFF,
         bb.getShort & 0xFFFF, bb.getLong, bb.getLong, bb.getInt,
         order == ByteOrder.BIG_ENDIAN)
+      // zoom headers sit immediately after the fixed header (24 bytes each)
+      val zooms = if (h.zoomLevels == 0) Nil else {
+        val zb = readAt(raf, 64, 24 * h.zoomLevels, order)
+        Seq.fill(h.zoomLevels) {
+          val red = u32(zb); zb.getInt
+          ZoomHeader(red, zb.getLong, zb.getLong)
+        }
+      }
       Meta(h, readChromTree(raf, h.chromTreeOffset, order),
-        readRTree(raf, h.fullIndexOffset, order))
+        readRTree(raf, h.fullIndexOffset, order), zooms)
     } finally raf.close()
   }
 
@@ -109,8 +119,8 @@ private[graft] object Bbi {
     out.toSeq.map { case (id, name, size) => (id, name, size) }
   }
 
-  private def readRTree(raf: RandomAccessFile, off: Long,
-                        order: ByteOrder): Seq[BlockRef] = {
+  private[graft] def readRTree(raf: RandomAccessFile, off: Long,
+                               order: ByteOrder): Seq[BlockRef] = {
     val hd = readAt(raf, off, 48, order)
     require(hd.getInt == RTreeMagic, "bad R-tree magic")
     val out = scala.collection.mutable.ArrayBuffer.empty[BlockRef]
@@ -291,40 +301,66 @@ private[graft] object Bbi {
     b.toArray
   }
 
-  /** Shared driver-side assembly: header + summary + chrom tree + data
-    * sections + R-tree, with offsets resolved in one pass. */
+  /** Shared driver-side assembly: header + zoom headers + summary +
+    * chrom tree + data sections + R-tree + per-level zoom sections with
+    * their own R-trees, with offsets resolved in one pass. Each zoom
+    * level is (reduction, sections, recordCount). */
   def writeFile(path: String, magic: Int, fieldCount: Int,
                 definedFieldCount: Int,
                 chroms: Seq[(String, Int, Long)],
                 sections: Seq[(BlockRef, Array[Byte])], dataCount: Long,
                 summary: Array[Byte], compress: Boolean,
-                order: ByteOrder): Unit = {
-    val packed = sections.map { case (ref, raw) =>
+                order: ByteOrder,
+                zooms: Seq[(Long, Seq[(BlockRef, Array[Byte])], Long)] = Nil)
+      : Unit = {
+    def pack(ss: Seq[(BlockRef, Array[Byte])]) = ss.map { case (ref, raw) =>
       (ref, if (compress) deflate(raw) else raw, raw.length)
     }
+    val packed = pack(sections)
+    val zPacked = zooms.map { case (red, ss, n) => (red, pack(ss), n) }
     val uncompressBufSize =
       if (!compress) 0
-      else packed.foldLeft(0) { case (m, (_, _, rawLen)) => math.max(m, rawLen) }
+      else (packed ++ zPacked.flatMap(_._2))
+        .foldLeft(0) { case (m, (_, _, rawLen)) => math.max(m, rawLen) }
     val chromTree = chromTreeBytes(chroms, order)
-    val totalSummaryOffset = 64L
+    val totalSummaryOffset = 64L + 24L * zooms.size
     val chromTreeOffset = totalSummaryOffset + summary.length
     val fullDataOffset = chromTreeOffset + chromTree.length
     var off = fullDataOffset + 8
-    val placed = packed.map { case (ref, bytes, _) =>
-      val r = ref.copy(offset = off, size = bytes.length.toLong)
-      off += bytes.length
-      (r, bytes)
+    def place(ps: Seq[(BlockRef, Array[Byte], Int)]) = ps.map {
+      case (ref, bytes, _) =>
+        val r = ref.copy(offset = off, size = bytes.length.toLong)
+        off += bytes.length
+        (r, bytes)
     }
+    val placed = place(packed)
     val fullIndexOffset = off
     val rTree = rTreeBytes(placed.map(_._1), fullIndexOffset,
       endFileOffset = fullIndexOffset, order = order)
-    val header = headerBytes(magic, 0, chromTreeOffset, fullDataOffset,
-      fullIndexOffset, fieldCount, definedFieldCount, totalSummaryOffset,
-      uncompressBufSize, order)
+    off += rTree.length
+    // zoom levels: u32 record count, sections, then that level's R-tree
+    val zPlaced = zPacked.map { case (red, ps, n) =>
+      val dataOffset = off
+      off += 4
+      val pl = place(ps)
+      val indexOffset = off
+      val zt = rTreeBytes(pl.map(_._1), indexOffset,
+        endFileOffset = indexOffset, order = order)
+      off += zt.length
+      (red, dataOffset, indexOffset, n, pl, zt)
+    }
+    val header = headerBytes(magic, zooms.size, chromTreeOffset,
+      fullDataOffset, fullIndexOffset, fieldCount, definedFieldCount,
+      totalSummaryOffset, uncompressBufSize, order)
     val raf = new RandomAccessFile(path, "rw")
     try {
       raf.setLength(0)
       raf.write(header)
+      zPlaced.foreach { case (red, dOff, iOff, _, _, _) =>
+        val zh = new Buf(order)
+        zh.u32(red).u32(0L).u64(dOff).u64(iOff)
+        raf.write(zh.toArray)
+      }
       raf.write(summary)
       raf.write(chromTree)
       val cnt = ByteBuffer.allocate(8).order(order)
@@ -332,6 +368,13 @@ private[graft] object Bbi {
       raf.write(cnt.array())
       placed.foreach { case (_, bytes) => raf.write(bytes) }
       raf.write(rTree)
+      zPlaced.foreach { case (_, _, _, n, pl, zt) =>
+        val c = ByteBuffer.allocate(4).order(order)
+        c.putInt(n.toInt)
+        raf.write(c.array())
+        pl.foreach { case (_, bytes) => raf.write(bytes) }
+        raf.write(zt)
+      }
     } finally raf.close()
   }
 
@@ -434,13 +477,43 @@ object BigWig {
     df
   }
 
+  /** Aggregate base runs into reduction-width zoom summary bins:
+    * (chromId, binStart, binEnd, validCount, min, max, sum, sumSq) with
+    * per-base accounting, the BBI zoom semantics. */
+  private def zoomRecords(rows: Seq[(String, Long, Long, Double)],
+      id: Map[String, Int], reduction: Long)
+      : Seq[(Int, Long, Long, Long, Double, Double, Double, Double)] = {
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[(Int, Long), (Long, Double, Double, Double, Double)]
+    rows.foreach { case (c, s, e, v) =>
+      val cid = id(c)
+      var k = s / reduction
+      while (k * reduction < e) {
+        val ov = math.min(e, (k + 1) * reduction) - math.max(s, k * reduction)
+        if (ov > 0) {
+          val (n, mn, mx, su, sq) =
+            acc.getOrElse((cid, k), (0L, v, v, 0.0, 0.0))
+          acc((cid, k)) = (n + ov, math.min(mn, v), math.max(mx, v),
+            su + v * ov, sq + v * v * ov)
+        }
+        k += 1
+      }
+    }
+    acc.toSeq.map { case ((cid, k), (n, mn, mx, su, sq)) =>
+      (cid, k * reduction, (k + 1) * reduction, n, mn, mx, su, sq)
+    }.sortBy(r => (r._1, r._2))
+  }
+
   /** Write (chrom, start, end, value) as a version-4 bigWig (type-1
-    * sections, zoomLevels=0). `chromSizes` defaults to each chrom's max
-    * end. Bounded driver-side sink — see [[Bbi.collectGuarded]]. */
+    * sections). `zoomReductions` adds browser-grade multi-resolution
+    * summary levels (32-byte zoom records + per-level R-tree); empty =
+    * zoomLevels 0. `chromSizes` defaults to each chrom's max end. Bounded
+    * driver-side sink — see [[Bbi.collectGuarded]]. */
   def write(df: DataFrame, path: String,
             chromSizes: Map[String, Long] = Map.empty,
             compress: Boolean = true, itemsPerSection: Int = 256,
-            maxRows: Long = 1L << 24, bigEndian: Boolean = false): Unit = {
+            maxRows: Long = 1L << 24, bigEndian: Boolean = false,
+            zoomReductions: Seq[Long] = Nil): Unit = {
     val order = if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
     val rows = collectGuarded(
       df.select(col("chrom").cast("string"), col("start").cast("long"),
@@ -467,10 +540,92 @@ object BigWig {
         g.foreach { case (_, s, e, v) => b.u32(s).u32(e).f32(v.toFloat) }
         (BlockRef(cid, g.head._2, cid, maxEnd, 0L, 0L), b.toArray)
       }
+    val zooms = zoomReductions.sorted.map { red =>
+      val recs = zoomRecords(rows.toSeq, id, red)
+      val zSections = recs.grouped(itemsPerSection).toSeq
+        .flatMap(g => g.groupBy(_._1).toSeq.sortBy(_._1).map(_._2))
+        .map { g =>
+          val cid = g.head._1
+          val maxEnd = g.iterator.map(_._3).max
+          val b = new Buf(order)
+          g.foreach { case (c, s, e, n, mn, mx, su, sq) =>
+            b.u32(c.toLong).u32(s).u32(e).u32(n)
+              .f32(mn.toFloat).f32(mx.toFloat).f32(su.toFloat).f32(sq.toFloat)
+          }
+          (BlockRef(cid, g.head._2, cid, maxEnd, 0L, 0L), b.toArray)
+        }
+      (red, zSections, recs.size.toLong)
+    }
     writeFile(path, BigWigMagic, 0, 0, sizes, sections,
       dataCount = sections.size.toLong,
       summary = summaryBytes(rows.toSeq.map(r => (r._2, r._3, r._4)), order),
-      compress = compress, order = order)
+      compress = compress, order = order, zooms = zooms)
+  }
+
+  /** Read a zoom level's summary bins: the level with the largest
+    * reduction <= `reduction` (browser pick rule), as (chrom, start, end,
+    * valid_count, min, max, sum, sum_sq). Region pruning goes through the
+    * level's own R-tree. */
+  def readZoom(spark: SparkSession, path: String, reduction: Long,
+               chrom: Option[String] = None, start: Option[Long] = None,
+               end: Option[Long] = None): DataFrame = {
+    val meta = readMeta(path, BigWigMagic)
+    require(meta.zooms.nonEmpty, s"$path has no zoom levels")
+    val level = meta.zooms.filter(_.reduction <= reduction) match {
+      case Seq() => meta.zooms.minBy(_.reduction)
+      case fit => fit.maxBy(_.reduction)
+    }
+    val raf = new RandomAccessFile(path, "r")
+    val blocks = try {
+      val all = readRTree(raf, level.indexOffset,
+        if (meta.header.bigEndian) ByteOrder.BIG_ENDIAN
+        else ByteOrder.LITTLE_ENDIAN)
+      val byName = meta.chroms.map(c => c._2 -> c._1).toMap
+      chrom match {
+        case None => all
+        case Some(c) => byName.get(c) match {
+          case None => Nil
+          case Some(ix) => pruneBlocks(all, ix,
+            start.getOrElse(0L), end.getOrElse(Long.MaxValue))
+        }
+      }
+    } finally raf.close()
+    val names = meta.chroms.map(c => c._1 -> c._2).toMap
+    val bigEndian = meta.header.bigEndian
+    val compressed = meta.header.uncompressBufSize > 0
+    val bufHint = meta.header.uncompressBufSize
+    val sc = spark.sparkContext
+    val bn = sc.broadcast(names)
+    val slices = math.max(1, math.min(blocks.size, sc.defaultParallelism))
+    val zschema = StructType(Seq(
+      StructField("chrom", StringType), StructField("start", LongType),
+      StructField("end", LongType), StructField("valid_count", LongType),
+      StructField("min", DoubleType), StructField("max", DoubleType),
+      StructField("sum", DoubleType), StructField("sum_sq", DoubleType)))
+    val rows = sc.parallelize(blocks, slices).mapPartitions { it =>
+      val raf2 = new RandomAccessFile(path, "r")
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => raf2.close()))
+      it.flatMap { b =>
+        val raw = new Array[Byte](b.size.toInt)
+        raf2.seek(b.offset); raf2.readFully(raw)
+        val bytes = if (compressed) inflate(raw, bufHint) else raw
+        val bb = ByteBuffer.wrap(bytes).order(
+          if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        while (bb.remaining() >= 32) {
+          out += Row(bn.value(bb.getInt), u32(bb), u32(bb), u32(bb),
+            bb.getFloat.toDouble, bb.getFloat.toDouble,
+            bb.getFloat.toDouble, bb.getFloat.toDouble)
+        }
+        out
+      }
+    }
+    var df = spark.createDataFrame(rows, zschema)
+    chrom.foreach(c => df = df.filter(col("chrom") === c))
+    start.foreach(s => df = df.filter(col("end") > s))
+    end.foreach(e => df = df.filter(col("start") < e))
+    df
   }
 }
 

@@ -100,6 +100,36 @@ class BigWigSpec extends SparkSpec {
       (0, 210L, 214L, 8.0)))
   }
 
+  test("zoom levels: summary bins match a hand aggregation, region-fetch " +
+    "through the level's own R-tree, browser pick rule") {
+    val p = tmp("zoom.bw")
+    BigWig.write(sampleWig, p, zoomReductions = Seq(100L, 400L))
+    val meta = Bbi.readMeta(p, Bbi.BigWigMagic)
+    assert(meta.header.zoomLevels == 2 &&
+      meta.zooms.map(_.reduction) == Seq(100L, 400L))
+    // zoom headers shift every downstream offset: base read must survive
+    assertFrame(BigWig.read(spark, p), sampleWig.collect().toSeq.map(_.toSeq),
+      "chrom", "start", "end", "value")
+    // chr1 runs: [0,100)@1.5  [100,250)@-2.0  [400,401)@0.25
+    // bin [0,100): n=100 sum=150; [100,200): n=100 sum=-200;
+    // [200,300): n=50 sum=-100; [400,500): n=1 sum=0.25
+    val z = BigWig.readZoom(spark, p, 100L, chrom = Some("chr1"))
+      .select("start", "end", "valid_count", "min", "max", "sum")
+    assertFrame(z, Seq(
+      Seq(0L, 100L, 100L, 1.5, 1.5, 150.0),
+      Seq(100L, 200L, 100L, -2.0, -2.0, -200.0),
+      Seq(200L, 300L, 50L, -2.0, -2.0, -100.0),
+      Seq(400L, 500L, 1L, 0.25, 0.25, 0.25)),
+      "start", "end", "valid_count", "min", "max", "sum")
+    // asking for a coarser reduction picks the largest level <= it
+    assert(BigWig.readZoom(spark, p, 10000L).head().getLong(2) > 0)
+    // region prune: only the bin overlapping [150, 160)
+    assertFrame(
+      BigWig.readZoom(spark, p, 100L, Some("chr1"), Some(150L), Some(160L))
+        .select("start", "sum"),
+      Seq(Seq(100L, -200.0)), "start", "sum")
+  }
+
   test("empty relation round-trips to an empty, well-formed file") {
     val p = tmp("empty.bw")
     BigWig.write(sampleWig.filter(lit(false)), p)
