@@ -211,11 +211,14 @@ object Tabix {
     * records one chunk per maximal run of consecutive records per bin.
     * Bounded driver-side sink — see [[Bbi.collectGuarded]]. */
   def write(df: DataFrame, path: String, config: Config = Bed,
-            maxRows: Long = 1L << 24): Unit = {
+            maxRows: Long = 1L << 24,
+            headerLines: Seq[String] = Nil): Unit = {
     val cols = df.columns
     require(cols.length >= math.max(config.colSeq,
       math.max(config.colBeg, math.max(config.colEnd, 1))),
       "fewer columns than the tabix config addresses")
+    require(headerLines.forall(_.startsWith(config.meta.toString)),
+      s"header lines must start with the meta char '${config.meta}'")
     val tsv = Bbi.collectGuarded(
       df.select(concat_ws("\t", cols.map(c => col(c).cast("string")): _*)
           .as("line"),
@@ -230,6 +233,9 @@ object Tabix {
       .empty[String, (scala.collection.mutable.Map[Int, Vector[Chunk]],
         scala.collection.mutable.ArrayBuffer[Long])]
     try {
+      // header lines precede the first indexed record: no chunk ever
+      // addresses them, and the in-chunk meta filter is belt-and-braces
+      headerLines.foreach(h => w.write((h + "\n").getBytes("UTF-8")))
       tsv.foreach { case (line, chromName) =>
         if (!seen(chromName)) { seen += chromName; names += chromName }
         val vb = w.tell

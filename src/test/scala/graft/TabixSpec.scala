@@ -96,7 +96,8 @@ class TabixSpec extends SparkSpec {
     val df = Seq(("chr1", "src", "gene", 101L, 200L),
       ("chr1", "src", "gene", 501L, 600L))
       .toDF("chrom", "source", "feature", "start", "end")
-    Tabix.write(df, p, config = Tabix.Gff)
+    Tabix.write(df, p, config = Tabix.Gff,
+      headerLines = Seq("##gff-version 3", "#note header lines are skipped"))
     val hit = Tabix.read(spark, p, Some("chr1"), Some(150L), Some(160L))
     assert(hit.count() == 1)
     assert(hit.head().getString(3) == "101")
