@@ -342,6 +342,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("events gates are encoding-robust: a nanos-as-long events table " +
+    "produces the same sessionization as the timestamp[us] original") {
+    // the r6 regression class: testdata regens have shipped ts as BOTH
+    // TIMESTAMP(NANOS)->long and timestamp[us]; the gates must survive a
+    // flip in either direction. Synthesize a nanos-long twin of the real
+    // sf0.001 events table and run the REAL gate query against both.
+    val real = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$real/events.parquet").exists())
+    val dir = java.nio.file.Files.createTempDirectory("graft_evnanos").toString
+    spark.read.parquet(s"$real/events.parquet")
+      .withColumn("ts",
+        (unix_micros(col("ts").cast("timestamp")) * 1000L).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // sanity: the twin really is long-typed
+    assert(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      == org.apache.spark.sql.types.LongType)
+    for (gate <- Seq("evt_sessionize", "evt_window_agg")) {
+      val a = rowsOf(SparkEntry.queries(gate)(spark, real))
+      val b = rowsOf(SparkEntry.queries(gate)(spark, dir))
+      assert(a == b, s"$gate diverges between ts encodings")
+      assert(a.nonEmpty)
+    }
+  }
+
   test("windowed event counts run in batch mode over the events table") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
