@@ -3,7 +3,7 @@ package graft
 import graft.core.{ColSpec, NatOrder, Region}
 import graft.ann.Ann
 import graft.dedup.Dedup
-import graft.ops.{Closest, Extras, IntervalJoin, Ops}
+import graft.ops.{BucketedJoin, Closest, Extras, IntervalJoin, Ops}
 import graft.streaming.StreamOps
 import graft.text.{Corpus, TextOps}
 import graft.vis.Vis
@@ -75,6 +75,33 @@ object SparkEntry {
       .select(col("id_1") +: col("id_2") +:
         (if (how == "inner") Seq(col("overlap_start"), col("overlap_end"))
          else Nil): _*)
+
+  /** Same pair set as iv_overlap_inner through the bucketed bin-index
+    * layout (`ops.BucketedJoin`): both sides materialized once as
+    * co-bucketed tables on `(chrom, bin)`, then joined exchange-free —
+    * the amortize-the-shuffle-across-queries posture for a corpus that
+    * is joined against repeatedly. The gate validates that the layout
+    * emits exactly the shuffled strategy's pairs (the timing includes
+    * the two bucketed writes; the join itself has zero exchanges,
+    * plan-asserted in BucketedJoinSpec). */
+  private def ivOverlapBucketed(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.core.Scratch.dir
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val path = s"$base/bji-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val c1 = ColSpec.default
+    val c2 = ColSpec.default.withSuffix("_2")
+    BucketedJoin.writeBinIndex(
+      iv1(s, dir).select("id", "chrom", "start", "end"),
+      "graft_bji1", s"$path/i1", c1, binSize = B, numBuckets = 8)
+    BucketedJoin.writeBinIndex(
+      ColSpec.suffixAll(iv2(s, dir).select("id", "chrom", "start", "end"), "_2"),
+      "graft_bji2", s"$path/i2", c2, binSize = B, numBuckets = 8,
+      binColName = "__bin_2")
+    BucketedJoin.pairsFromBinIndex(
+      s.table("graft_bji1"), s.table("graft_bji2"), c1, c2,
+      rightBin = "__bin_2", binSize = B)
+      .select(col("id").as("id_1"), col("id_2"))
+  }
 
   /** Same join as iv_overlap_inner through the hierarchical-binning
     * strategy — gate-validates BinnedTwoLevel's exactly-once emission. */
@@ -621,6 +648,66 @@ object SparkEntry {
         col("session_last"), col("n_events"))
   }
 
+  /** Streaming tumbling-window agg gate: a quarter of events arrives in
+    * three ts-ordered micro-batches through the watermarked 1-hour
+    * window aggregation (`StreamOps.windowedEventCounts`). Values are
+    * pre-scaled to integer cents so the double sum is exact and the
+    * hash oracle is deterministic. Watermark delay 0 is safe on the
+    * sorted feed; two sentinel "__flush" events hours past the real
+    * maximum finalize every real window under append mode (batch N's
+    * rows are evaluated against the watermark computed from batch N-1).
+    * The oracle is the batch GROUP BY over the same epoch-hour bucket,
+    * so a window that ever double-emitted or dropped a finalized pane
+    * would mismatch on rows and hash. */
+  private def evtStreamWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = eventsMs(s, dir).filter(col("event_id") % 4 === 2)
+      .select(col("event_id").as("eventId"), col("tms"),
+        col("event_type").as("eventType"),
+        round(col("value") * 100, 0).as("value"))
+      .as[StreamOps.Ev].collect().sortBy(e => (e.tms, e.eventId))
+    val maxTms = base.map(_.tms).max
+    val batches = base.grouped(math.max(1, base.length / 3 + 1)).toSeq
+    val input = MemoryStream[StreamOps.Ev]
+    s.catalog.dropTempView("evt_stream_window_sink")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val ckpt = graft.core.Scratch.dir.map(d =>
+      new java.io.File(d, s"ckpt-${java.util.UUID.randomUUID()}"))
+    val windowed = StreamOps.windowedEventCounts(
+      input.toDF().withColumn("__ts", timestamp_millis(col("tms")))
+        .withColumnRenamed("eventType", "event_type"),
+      tsCol = "__ts", window_ = "1 hour", watermark = "0 seconds")
+    val writer0 = windowed
+      .writeStream.format("memory").queryName("evt_stream_window_sink")
+      .outputMode("append")
+    val q = ckpt.fold(writer0)(c =>
+      writer0.option("checkpointLocation", c.getAbsolutePath)).start()
+    try {
+      batches.foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      input.addData(StreamOps.Ev(-1L, maxTms + 6L * 3600 * 1000, "__flush", 0.0))
+      q.processAllAvailable()
+      input.addData(StreamOps.Ev(-2L, maxTms + 6L * 3600 * 1000 + 1, "__flush", 0.0))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      ckpt.foreach { c =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(c)
+      }
+    }
+    s.table("evt_stream_window_sink")
+      .filter(col("event_type") =!= "__flush")
+      .select(expr("unix_millis(window.start) div 3600000").as("hour_bucket"),
+        col("event_type"), col("n"),
+        col("value_sum").cast("long").as("sum_value_cents"))
+  }
+
   private def ivSortRank(s: SparkSession, dir: String): DataFrame = {
     val assigned = Ops.assignView(iv1(s, dir), view(s), viewOrdCol = Some("ord"))
     val ords = view(s).select(col("name").as("__vn"), col("ord"))
@@ -920,6 +1007,11 @@ object SparkEntry {
       .select(col("doc_id"), col("term"), col("tf"), col("df_docs"),
         col("rank").cast("long").as("rank"))
 
+  /** Top-200 global vocabulary — integer/string rank key only, so the
+    * hash compare is engine-portable. */
+  private def txtVocab(s: SparkSession, dir: String): DataFrame =
+    Corpus.vocabulary(docs(s, dir), "doc_id", "text", topN = 200)
+
   /** Per-source keep rates for the stratified-sampling gate: a halving
     * ladder over five sources, everything else dropped. */
   private val SampleFractions: Map[String, Double] = Map(
@@ -1092,6 +1184,7 @@ object SparkEntry {
     "iv_overlap_right" -> (ivOverlapRight _),
     "iv_overlap_inner_2l" -> (ivOverlapInnerMl _),
     "iv_overlap_auto_2l" -> (ivOverlapAuto2l _),
+    "iv_overlap_bucketed" -> (ivOverlapBucketed _),
     "iv_closest_self" -> (ivClosestSelf _),
     "iv_overlap_left_pts" -> (ivOverlapLeftPts _),
     "iv_setdiff_pts" -> (ivSetdiffPts _),
@@ -1147,6 +1240,7 @@ object SparkEntry {
     "evt_stream_merge" -> (evtStreamMerge _),
     "evt_stream_dedup" -> (evtStreamDedup _),
     "evt_stream_sessionize" -> (evtStreamSessionize _),
+    "evt_stream_window" -> (evtStreamWindow _),
     "evt_window_agg" -> (evtWindowAgg _),
     "txt_stats" -> (txtStats _),
     "txt_langid" -> (txtLangid _),
@@ -1158,6 +1252,7 @@ object SparkEntry {
     "txt_redact" -> (txtRedact _),
     "txt_decontaminate" -> (txtDecontaminate _),
     "txt_top_terms" -> (txtTopTerms _),
+    "txt_vocab" -> (txtVocab _),
     "doc_sample_strat" -> (docSampleStrat _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -1277,6 +1372,10 @@ object SparkEntry {
       s"""WITH $iv1Sql, $ivLongSql
          |SELECT a.id AS id_1, b.id AS id_2
          |FROM ivlong a JOIN iv1 b ON a.chrom = b.chrom AND ${ovl("a", "b")}""".stripMargin,
+    "iv_overlap_bucketed" ->
+      s"""WITH $iv1Sql, $iv2Sql
+         |SELECT a.id AS id_1, b.id AS id_2
+         |FROM iv1 a JOIN iv2 b ON a.chrom = b.chrom AND ${ovl("a", "b")}""".stripMargin,
     "iv_overlap_right" ->
       s"""WITH $iv2Sql, $iv3Sql
          |SELECT a.id AS id_1, b.id AS id_2
@@ -1864,6 +1963,11 @@ object SparkEntry {
         |SELECT user_id, session_id, MIN(tms) AS session_start,
         |  COUNT(*) AS n_events
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "evt_stream_window" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events WHERE event_id % 4 = 2 GROUP BY 1, 2""".stripMargin,
     "evt_window_agg" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         |  COUNT(*) AS n,
@@ -2041,6 +2145,17 @@ object SparkEntry {
         |  FROM tf JOIN dfd USING (term))
         |SELECT doc_id, term, tf, df_docs, CAST(rnk AS BIGINT) AS "rank"
         |FROM r WHERE rnk <= 5""".stripMargin,
+    "txt_vocab" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '[^a-z0-9]+'), x -> len(x) > 0) AS t FROM documents),
+        |tf AS (SELECT doc_id, u.term, COUNT(*) AS cnt
+        |  FROM toks, UNNEST(t) AS u(term) GROUP BY doc_id, u.term),
+        |v AS (SELECT term, CAST(SUM(cnt) AS BIGINT) AS n_occurrences,
+        |    COUNT(*) AS df_docs FROM tf GROUP BY term),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n_occurrences DESC,
+        |    df_docs ASC, term ASC) AS rnk FROM v)
+        |SELECT term, n_occurrences, df_docs, CAST(rnk AS BIGINT) AS "rank"
+        |FROM r WHERE rnk <= 200""".stripMargin,
     "doc_sample_strat" ->
       """WITH b AS (SELECT doc_id, source,
         |    CAST(('0x' || substring(md5('graft|' || doc_id), 1, 8)) AS BIGINT) AS bucket

@@ -71,7 +71,7 @@ object IntervalJoin {
   }
 
   /** Integer floor-division that is exact for negative coordinates. */
-  private def fdiv(c: Column, w: Long): Column =
+  private[ops] def fdiv(c: Column, w: Long): Column =
     ((c - pmod(c, lit(w))) / lit(w)).cast("long")
 
   /** The overlap predicate with point promotion, on already-suffixed specs. */

@@ -294,6 +294,37 @@ object Corpus {
         col("rank"))
   }
 
+  /** Global corpus vocabulary, top-`topN` tokens: one row per token with
+    * its total occurrence count, document frequency, and a deterministic
+    * global rank over the integer/string-only key
+    * `(n_occurrences DESC, df_docs ASC, term ASC)` — the vocabulary
+    * primitive behind tokenizer training and frequency-floor filtering.
+    *
+    * Scale shape: token explode → (doc, term) hash count (map-side
+    * combinable before the only corpus-sized exchange) → vocabulary-sized
+    * term aggregate. The top-N itself is `orderBy(...).limit(topN)`,
+    * which Spark executes as TakeOrderedAndProject — each task keeps a
+    * local N-row heap and only N rows per partition ever move, so no
+    * global sort of the vocabulary happens anywhere. The final
+    * `row_number` window runs over the already-limited N-row relation
+    * (bounded by the caller's `topN`, the same dimension-only posture as
+    * `Ops.withOrd`). */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+                 topN: Int = 50000): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("__doc"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("__doc"), col("term")).agg(count(lit(1)).as("__cnt"))
+    val key = Seq(col("n_occurrences").desc, col("df_docs").asc,
+      col("term").asc)
+    tf.groupBy(col("term"))
+      .agg(sum(col("__cnt")).as("n_occurrences"),
+        count(lit(1)).as("df_docs"))
+      .orderBy(key: _*)
+      .limit(topN)
+      .withColumn("rank", row_number().over(Window.orderBy(key: _*)).cast(LongType))
+  }
+
   /** Bucket in [0, 2^32) from the md5 of `salt|key` — the deterministic,
     * engine-independent selector behind [[sampleByHash]]. md5 (not
     * xxhash64) so an external system — or the DuckDB oracle — can
