@@ -1039,6 +1039,25 @@ object SparkEntry {
         numHashes = 48, bands = 16, threshold = 0.6)
       .select(col("id_1"), col("id_2"), col("jaccard"))
 
+  /** Incremental minhash dedup: docs with `doc_id % 3 != 0` play the
+    * already-ingested corpus (banded LSH index written to a bucketed
+    * table per call); `doc_id % 3 == 0` is the ingest batch probing it.
+    * Same LSH parameters as dedup_minhash_lsh, so the result must equal
+    * the full recompute restricted to pairs touching the batch — which
+    * is exactly what the oracle computes. */
+  private def dedupMinhashIncr(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir)
+    val base = graft.core.Scratch.dir
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    Dedup.writeMinhashIndex(all.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", "graft_mhidx",
+      s"$base/mhidx-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    Dedup.incrementalMinhashPairs(all.filter(col("doc_id") % 3 === 0),
+        all, "graft_mhidx", "doc_id", "text",
+        n = 3, numHashes = 48, bands = 16, threshold = 0.6)
+      .select(col("id_1"), col("id_2"), col("jaccard"))
+  }
+
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
       .select(col("id_1"), col("id_2"), col("hamming").cast("long").as("hamming"))
@@ -1257,6 +1276,7 @@ object SparkEntry {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhash _),
+    "dedup_minhash_incr" -> (dedupMinhashIncr _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_components" -> (dedupComponents _),
     "emb_cosine_topk" -> (embCosineTopk _),
@@ -2218,6 +2238,22 @@ object SparkEntry {
         |  CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
         |FROM inter JOIN sizes x ON id_1 = x.doc_id JOIN sizes y ON id_2 = y.doc_id
         |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.6""".stripMargin,
+    "dedup_minhash_incr" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_1, id_2,
+        |  CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
+        |FROM inter JOIN sizes x ON id_1 = x.doc_id JOIN sizes y ON id_2 = y.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.6
+        |  AND (id_1 % 3 = 0 OR id_2 % 3 = 0)""".stripMargin,
     "dedup_simhash" ->
       """WITH sigs AS (SELECT doc_id, sig
         |  FROM read_parquet('{AUX_DIR}/simhash_sigs/*.parquet')),

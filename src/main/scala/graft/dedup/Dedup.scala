@@ -170,6 +170,15 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"__m$i")): _*).as("__sig"))
   }
 
+  /** Banded LSH keys of a signature relation: one row per (doc, band)
+    * with the band's hash — the candidate-generation key. Equal `__bh`
+    * within a band <=> the `r` signature rows of that band all match. */
+  private[graft] def bandedRel(sig: DataFrame, bands: Int, r: Int): DataFrame =
+    sig.select(col("__id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("__sig"), b * lit(r) + 1, lit(r)))))).as(Seq("__band", "__bh")))
+
   /** MinHash+LSH near-dup pairs: shingle -> minhash signature -> banded
     * bucket join -> exact-Jaccard verification of candidates.
     * `bands * rowsPerBand` must equal `numHashes`. Output like
@@ -182,17 +191,23 @@ object Dedup {
     // the aggregation output is itself an exchange product, so the banded
     // self-join's two references reuse one materialized stage under AQE
     val sig = minhashSigRel(df, idCol, textCol, n, numHashes)
-    val banded = sig.select(col("__id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          slice(col("__sig"), b * lit(r) + 1, lit(r)))))).as(Seq("__band", "__bh")))
+    val banded = bandedRel(sig, bands, r)
     val cand = banded.alias("x")
       .join(banded.alias("y"),
         col("x.__band") === col("y.__band") && col("x.__bh") === col("y.__bh") &&
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_1"), col("y.__id").as("id_2"))
       .distinct()
-    // verify candidates with exact jaccard
+    verifyJaccard(cand, df, idCol, textCol, n, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate id pairs against the shingle
+    * sets of `df` (which must contain the text of every id appearing in
+    * `cand`). The composite (id, shingle) join key keeps the plan at true
+    * intersection cost — never an id-only fanout. */
+  private[graft] def verifyJaccard(cand: DataFrame, df: DataFrame,
+                                   idCol: String, textCol: String, n: Int,
+                                   threshold: Double): DataFrame = {
     val sh = shingleRel(df, idCol, textCol, n)
     val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     val sh2 = sh.select(col("__id").as("__rid2"), col("__sh").as("__sh2"))
@@ -210,6 +225,79 @@ object Dedup {
           (col("n_1") + col("n_2") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_1", "id_2", "jaccard")
+  }
+
+  /** Persist the banded LSH index of a corpus as a bucketed, sorted
+    * table keyed by `(band, band-hash)` — the corpus side of INCREMENTAL
+    * dedup. Written once per corpus build; every later ingest batch
+    * probes it via [[incrementalMinhashPairs]] with the corpus side
+    * read hash-clustered straight off the bucketed scan (no corpus
+    * shuffle, ever again). The index stores only `(id, band, hash)` —
+    * ~tens of bytes/doc — never text or shingles. */
+  def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                        table: String, path: String,
+                        n: Int = 3, numHashes: Int = 48, bands: Int = 16,
+                        numBuckets: Int = 32): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    bandedRel(minhashSigRel(df, idCol, textCol, n, numHashes),
+        bands, numHashes / bands)
+      .write.mode("overwrite").option("path", path)
+      .bucketBy(numBuckets, "__band", "__bh")
+      .sortBy("__band", "__bh")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Near-dup pairs of an ingest BATCH against an indexed corpus, plus
+    * within-batch pairs — the incremental form of [[minhashLshPairs]]:
+    * dedup a new delivery against 100 TB already ingested WITHOUT
+    * recomputing (or reshuffling) the corpus.
+    *
+    * Scale shape: the batch's band hashes are computed fresh (O(batch));
+    * the candidate join probes the bucketed index with the BATCH as the
+    * shuffled hash-build side (`SHUFFLE_HASH` hint) while the corpus
+    * side streams hash-clustered off its bucketed scan — the only
+    * corpus-sized cost is the one index scan. Candidate verification
+    * re-shingles only docs that appear in candidates.
+    *
+    * `universe` must contain `(idCol, textCol)` for every id that can
+    * appear in a candidate (corpus + batch) — exact-Jaccard verification
+    * reads text from it, id-pruned to candidate members. Same output
+    * contract as [[minhashLshPairs]]: identical parameters on the index
+    * write and here give exactly the full recompute's pairs restricted
+    * to pairs touching the batch. */
+  def incrementalMinhashPairs(newDocs: DataFrame, universe: DataFrame,
+                              indexTable: String,
+                              idCol: String, textCol: String,
+                              n: Int = 3, numHashes: Int = 48,
+                              bands: Int = 16,
+                              threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val s = newDocs.sparkSession
+    val newBanded = bandedRel(
+      minhashSigRel(newDocs, idCol, textCol, n, numHashes), bands, r)
+    val store = s.table(indexTable)
+    val vsCorpus = newBanded.hint("SHUFFLE_HASH").alias("x")
+      .join(store.alias("y"),
+        col("x.__band") === col("y.__band") && col("x.__bh") === col("y.__bh") &&
+          col("x.__id") =!= col("y.__id"))
+      .select(least(col("x.__id"), col("y.__id")).as("id_1"),
+        greatest(col("x.__id"), col("y.__id")).as("id_2"))
+    val vsBatch = newBanded.alias("x")
+      .join(newBanded.alias("y"),
+        col("x.__band") === col("y.__band") && col("x.__bh") === col("y.__bh") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_1"), col("y.__id").as("id_2"))
+    val cand = vsCorpus.unionByName(vsBatch).distinct()
+    // semi-join prune BEFORE shingling: verification re-shingles only
+    // candidate members, not the whole universe
+    val candIds = cand.select(col("id_1").as(idCol))
+      .unionByName(cand.select(col("id_2").as(idCol))).distinct()
+    val pruned = universe.join(candIds, Seq(idCol), "left_semi")
+    verifyJaccard(cand, pruned, idCol, textCol, n, threshold)
   }
 
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected

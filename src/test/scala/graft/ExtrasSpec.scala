@@ -173,6 +173,37 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("incremental minhash equals the full recompute restricted to " +
+    "batch-touching pairs, probing the index via a bucketed scan") {
+    // near-dup pairs planted across the corpus/batch split (1,2), inside
+    // the batch (4,6), and inside the corpus (3,5) — the last must NOT
+    // appear in the incremental output
+    val mk = (salt: Int, changed: Int) => (0 until 60)
+      .map(i => if (i == changed) s"CH$salt" else s"tok${salt}_$i").mkString(" ")
+    val df = Seq(
+      (1L, mk(0, -1)), (2L, mk(0, 30)),       // corpus x batch near-dups
+      (3L, mk(1, -1)), (5L, mk(1, 25)),       // corpus-internal near-dups
+      (4L, mk(2, -1)), (6L, mk(2, 20)),       // batch-internal near-dups
+      (7L, (0 until 60).map(i => s"uniq$i").mkString(" "))).toDF("doc_id", "text")
+    val corpus = df.filter($"doc_id" % 2 === 1)
+    val batch = df.filter($"doc_id" % 2 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx").toString
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", "mhidx_spec",
+      s"$dir/idx", numBuckets = 4)
+    val incr = Dedup.incrementalMinhashPairs(batch, df, "mhidx_spec",
+      "doc_id", "text", threshold = 0.5)
+    val got = rowsOf(incr.select($"id_1", $"id_2"))
+    val full = rowsOf(Dedup.minhashLshPairs(df, "doc_id", "text",
+        threshold = 0.5)
+      .filter($"id_1" % 2 === 0 || $"id_2" % 2 === 0)
+      .select($"id_1", $"id_2"))
+    assert(got == Seq(Seq(1L, 2L), Seq(4L, 6L)))
+    assert(got == full)
+    val p = incr.queryExecution.executedPlan.toString
+    assert(p.contains("Bucketed: true"),
+      s"index probe did not use the bucketed scan:\n$p")
+  }
+
   test("simhash: near-identical docs within small hamming distance") {
     val base = (0 until 80).map(i => s"tok$i").mkString(" ")
     val near = base + " extraword"
