@@ -378,14 +378,19 @@ private[graft] object Bbi {
     } finally raf.close()
   }
 
-  /** Bounded-collect guard for the single-file sinks. */
+  /** Bounded-collect guard for the single-file sinks: ONE execution —
+    * `limit(maxRows+1).collect()` returns every row when the input is
+    * within bounds (and, over an ordered input, in order: Spark plans
+    * ordered limits as TakeOrderedAndProject), and the +1 row proves an
+    * overflow without a separate count() pass that would re-run the
+    * whole upstream query. */
   def collectGuarded(df: DataFrame, maxRows: Long): Array[Row] = {
-    val probe = df.limit((maxRows + 1).toInt).count()
-    require(probe <= maxRows,
+    val rows = df.limit((maxRows + 1).toInt).collect()
+    require(rows.length <= maxRows,
       s"bigWig/bigBed writer: input exceeds $maxRows rows; a BBI file is " +
         "a single-writer binary sink. Write bedGraph/chrom-partitioned " +
         "parquet for larger relations, or raise maxRows explicitly.")
-    df.collect()
+    rows
   }
 }
 
