@@ -91,25 +91,45 @@ object SeqOps {
 
   /** Per-interval (gcCount, nCount, coveredLen) against the chunk store:
     * the interval join clips each chunk to the interval and sums the
-    * per-slice character counts. */
+    * per-slice character counts.
+    *
+    * Two physical shapes by store size (Auto resolution): a
+    * dimension-sized store (a few chroms of test sequence, a plasmid
+    * panel) broadcasts — ONE pass over `df` with a left broadcast join
+    * and a struct-carry aggregation, no bin explode, no join-back
+    * recompute; a genome-scale store takes the binned shuffle join with
+    * the stats joined back by row id. */
   private def sliceStats(df: DataFrame, chunks: DataFrame, cols: ColSpec,
                          binSize: Long): DataFrame = {
     val ch = chunks.select(col("chrom").as("__sc"), col("cstart").as("__ss"),
       col("cend").as("__se"), col("seq").as("__seq"))
     val l = RowId.withRowId(df, "__sid")
-    val p = IntervalJoin.pairs(l, ch, cols, chunkSpec, Nil,
-      IntervalJoin.Binned, binSize)
     val os = greatest(cols.startCol, col("__ss"))
     val oe = least(cols.endCol, col("__se"))
     val slice = col("__seq").substr((os - col("__ss") + 1).cast("int"),
       (oe - os).cast("int"))
-    val stats = p
-      .withColumn("__slice", slice)
-      .groupBy(col("__sid").as("__gid"))
-      .agg(sum(gcCount(col("__slice"))).as("__gc"),
-        sum(nCount(col("__slice"))).as("__n"),
-        sum(oe - os).as("__covered"))
-    l.join(stats, col("__sid") === col("__gid"), "left").drop("__gid")
+    IntervalJoin.resolveAuto(l, ch, cols, chunkSpec, binSize) match {
+      case IntervalJoin.BroadcastRight =>
+        val cond = (cols.chromCol === col("__sc")) &&
+          IntervalJoin.overlapPredicate(cols, chunkSpec)
+        l.join(broadcast(ch), cond, "left")
+          .groupBy(col("__sid"))
+          .agg(first(struct(df.columns.map(col): _*)).as("__row"),
+            sum(gcCount(slice)).as("__gc"),
+            sum(nCount(slice)).as("__n"),
+            sum(oe - os).as("__covered"))
+          .select(df.columns.map(c => col(s"__row.$c")) ++
+            Seq(col("__sid"), col("__gc"), col("__n"), col("__covered")): _*)
+      case strat =>
+        val p = IntervalJoin.pairs(l, ch, cols, chunkSpec, Nil, strat, binSize)
+        val stats = p
+          .withColumn("__slice", slice)
+          .groupBy(col("__sid").as("__gid"))
+          .agg(sum(gcCount(col("__slice"))).as("__gc"),
+            sum(nCount(col("__slice"))).as("__n"),
+            sum(oe - os).as("__covered"))
+        l.join(stats, col("__sid") === col("__gid"), "left").drop("__gid")
+    }
   }
 
   /** Fraction of mapped (non-N) bases per interval (reference
