@@ -4,6 +4,7 @@ import graft.core.ColSpec
 import graft.ops.{BucketedJoin, IntervalJoin}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 /** Contract for the bucketed bin-index layout: two tables written by
   * `BucketedJoin.writeBinIndex` with the same bucket count join with
@@ -48,6 +49,48 @@ class BucketedJoinSpec extends SparkSpec {
     val p = pairs.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"),
       s"co-bucketed join plan contains an exchange:\n$p")
+  }
+
+  test("bucketed bin-index join equals brute force on random inputs " +
+    "(points, bin-straddlers, empty sides)") {
+    import spark.implicits._
+    val genIvs: Gen[List[(Long, String, Long, Long)]] =
+      Gen.choose(0, 30).flatMap { n =>
+        Gen.listOfN(n, for {
+          g <- Gen.oneOf("a", "b")
+          s <- Gen.choose(0L, 300L)
+          span <- Gen.choose(0L, 80L) // incl. points and multi-bin spans
+        } yield (g, s, s + span))
+      }.map(_.zipWithIndex.map { case ((g, s, e), i) => (i.toLong, g, s, e) })
+    val dir = java.nio.file.Files.createTempDirectory("graft_bprop").toString
+    var it = 0
+    val c1 = ColSpec.default
+    val c2 = ColSpec.default.withSuffix("_2")
+    val prop = Prop.forAll(genIvs, genIvs) { (l, r) =>
+      it += 1
+      val df1 = l.toDF("id", "chrom", "start", "end")
+      val df2 = ColSpec.suffixAll(r.map { case (i, g, s, e) =>
+        (i + 1000L, g, s, e) }.toDF("id", "chrom", "start", "end"), "_2")
+      BucketedJoin.writeBinIndex(df1, s"bp_a_$it", s"$dir/a$it", c1,
+        binSize = 16, numBuckets = 2)
+      BucketedJoin.writeBinIndex(df2, s"bp_b_$it", s"$dir/b$it", c2,
+        binSize = 16, numBuckets = 2, binColName = "__bin_2")
+      val got = BucketedJoin.pairsFromBinIndex(
+        spark.table(s"bp_a_$it"), spark.table(s"bp_b_$it"), c1, c2,
+        rightBin = "__bin_2", binSize = 16)
+        .select(col("id"), col("id_2"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+      def pe(s: Long, e: Long) = if (s == e) s + 1 else e
+      val brute = (for {
+        (i1, g1, s1, e1) <- l
+        (i2, g2, s2, e2) <- r
+        if g1 == g2 && s1 < pe(s2, e2) && s2 < pe(s1, e1)
+      } yield (i1, i2 + 1000L)).sorted
+      got == brute
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("a bucketed side joining an unbucketed side shuffles only the " +

@@ -204,6 +204,44 @@ class TextDedupSpec extends SparkSpec {
       s"index probe did not use the bucketed scan:\n$p")
   }
 
+  test("property: incremental minhash equals the full recompute " +
+    "restricted to batch-touching pairs on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // few salts -> families of near-dups (<= 2 changed tokens of 50,
+    // jaccard well above threshold); change == -1 -> exact copies
+    val genDocs: Gen[List[(Long, String)]] =
+      Gen.choose(4, 12).flatMap { n =>
+        Gen.listOfN(n, for {
+          salt <- Gen.choose(0, 3)
+          change <- Gen.choose(-1, 48)
+        } yield (salt, change))
+      }.map(_.zipWithIndex.map { case ((salt, ch), i) =>
+        (i.toLong, (0 until 50).map(j =>
+          if (j == ch) s"CH${salt}_$i" else s"tok${salt}_$j").mkString(" "))
+      })
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhprop").toString
+    var it = 0
+    val prop = Prop.forAll(genDocs) { docs =>
+      it += 1
+      val df = docs.toDF("doc_id", "text")
+      val corpus = df.filter($"doc_id" % 2 === 1)
+      val batch = df.filter($"doc_id" % 2 === 0)
+      Dedup.writeMinhashIndex(corpus, "doc_id", "text", s"mhprop_$it",
+        s"$dir/idx$it", numBuckets = 2)
+      val incr = rowsOf(Dedup.incrementalMinhashPairs(batch, df,
+        s"mhprop_$it", "doc_id", "text", threshold = 0.5)
+        .select($"id_1", $"id_2"))
+      val full = rowsOf(Dedup.minhashLshPairs(df, "doc_id", "text",
+          threshold = 0.5)
+        .filter($"id_1" % 2 === 0 || $"id_2" % 2 === 0)
+        .select($"id_1", $"id_2"))
+      incr == full
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("simhash: near-identical docs within small hamming distance") {
     val base = (0 until 80).map(i => s"tok$i").mkString(" ")
     val near = base + " extraword"
