@@ -1012,6 +1012,14 @@ object SparkEntry {
   private def txtVocab(s: SparkSession, dir: String): DataFrame =
     Corpus.vocabulary(docs(s, dir), "doc_id", "text", topN = 200)
 
+  /** Per-source length profile with exact histogram-derived discrete
+    * quantiles (integer-valued, engine-portable); mean is one IEEE
+    * division of two exact longs, identical in DuckDB. */
+  private def txtProfile(s: SparkSession, dir: String): DataFrame =
+    Corpus.profile(docs(s, dir), "source", length(col("text")))
+      .select(col("source"), col("n_docs"), col("total"), col("min_v"),
+        col("max_v"), col("mean_v"), col("p50"), col("p90"), col("p99"))
+
   /** Per-source keep rates for the stratified-sampling gate: a halving
     * ladder over five sources, everything else dropped. */
   private val SampleFractions: Map[String, Double] = Map(
@@ -1272,6 +1280,7 @@ object SparkEntry {
     "txt_decontaminate" -> (txtDecontaminate _),
     "txt_top_terms" -> (txtTopTerms _),
     "txt_vocab" -> (txtVocab _),
+    "txt_profile" -> (txtProfile _),
     "doc_sample_strat" -> (docSampleStrat _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -2176,6 +2185,20 @@ object SparkEntry {
         |    df_docs ASC, term ASC) AS rnk FROM v)
         |SELECT term, n_occurrences, df_docs, CAST(rnk AS BIGINT) AS "rank"
         |FROM r WHERE rnk <= 200""".stripMargin,
+    "txt_profile" ->
+      """WITH h AS (SELECT source, CAST(length(text) AS BIGINT) AS v,
+        |    COUNT(*) AS c FROM documents GROUP BY source, v),
+        |cum AS (SELECT *, CAST(SUM(c) OVER (PARTITION BY source ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumc FROM h),
+        |t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(v * c) AS BIGINT) AS tot FROM h GROUP BY source)
+        |SELECT source, t.n AS n_docs, t.tot AS total,
+        |  MIN(v) AS min_v, MAX(v) AS max_v,
+        |  CAST(t.tot AS DOUBLE) / CAST(t.n AS DOUBLE) AS mean_v,
+        |  MIN(CASE WHEN cumc >= CEIL(0.5 * t.n) THEN v END) AS p50,
+        |  MIN(CASE WHEN cumc >= CEIL(0.9 * t.n) THEN v END) AS p90,
+        |  MIN(CASE WHEN cumc >= CEIL(0.99 * t.n) THEN v END) AS p99
+        |FROM cum JOIN t USING (source) GROUP BY source, t.n, t.tot""".stripMargin,
     "doc_sample_strat" ->
       """WITH b AS (SELECT doc_id, source,
         |    CAST(('0x' || substring(md5('graft|' || doc_id), 1, 8)) AS BIGINT) AS bucket

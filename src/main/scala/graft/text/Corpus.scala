@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Corpus-curation operators above the single-column [[TextOps]] layer:
   * Gopher-style repetition signals and deterministic content-hash
@@ -323,6 +323,49 @@ object Corpus {
       .orderBy(key: _*)
       .limit(topN)
       .withColumn("rank", row_number().over(Window.orderBy(key: _*)).cast(LongType))
+  }
+
+  /** Per-stratum corpus profile with EXACT discrete quantiles of an
+    * integer measure (doc length, token count): `n_docs`, `total`,
+    * `min`/`max`, `mean`, and for each requested p the smallest value
+    * whose cumulative count reaches `ceil(p * n)` — the classic
+    * `percentile_disc` definition, integer-valued and therefore
+    * bit-reproducible across engines.
+    *
+    * Exact quantiles normally need a per-stratum sort of all rows — a
+    * scale hazard. This computes them from the VALUE HISTOGRAM instead:
+    * one hash aggregation to (stratum, value, count) — map-side
+    * combinable, cardinality = distinct values (doc lengths), orders of
+    * magnitude below row count — then a cumulative sum windowed over the
+    * histogram (partition size = distinct values per stratum, bounded),
+    * and one conditional-min aggregate per quantile. No row-level sort,
+    * no approximation. */
+  def profile(df: DataFrame, strataCol: String, measure: Column,
+              ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(ps.forall(p => p > 0.0 && p <= 1.0), s"quantiles out of (0,1]: $ps")
+    val strata = col(strataCol)
+    val hist = df.select(strata, measure.cast(LongType).as("__v"))
+      .groupBy(strata, col("__v")).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(strata).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(w))
+    val qs = ps.map { p =>
+      val tag = math.round(p * 100).toInt
+      min(when(col("__cum") >= ceil(lit(p) * col("__n")).cast(LongType),
+        col("__v"))).as(s"p${tag}")
+    }
+    val totals = hist.groupBy(strata)
+      .agg(sum(col("__c")).as("__n"), sum(col("__v") * col("__c")).as("__tot"))
+    val aggs = Seq(
+      first(col("__n")).as("n_docs"),
+      first(col("__tot")).as("total"),
+      min(col("__v")).as("min_v"),
+      max(col("__v")).as("max_v"),
+      (first(col("__tot")).cast(DoubleType) /
+        first(col("__n")).cast(DoubleType)).as("mean_v")) ++ qs
+    cum.join(totals, Seq(strataCol))
+      .groupBy(strata)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Bucket in [0, 2^32) from the md5 of `salt|key` — the deterministic,

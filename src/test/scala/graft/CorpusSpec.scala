@@ -181,4 +181,19 @@ class CorpusSpec extends SparkSpec {
       .map(_.getLong(0)).toSet
     assert(strat == direct)
   }
+
+  test("profile: exact discrete quantiles from the value histogram " +
+    "(percentile_disc rank rule, duplicates collapse into one bucket)") {
+    // stratum a: values 1..10 -> p50 = 5 (ceil(0.5*10)=5th), p90 = 9,
+    // p99 = 10; stratum b: 7,7,7,100 -> n=4, p50 = 7 (rank 2), p90 = 100
+    // (rank 4), min 7, max 100, mean 121/4
+    val df = ((1 to 10).map(v => ("a", v.toLong)) ++
+      Seq(("b", 7L), ("b", 7L), ("b", 7L), ("b", 100L)))
+      .toDF("src", "v")
+    val out = Corpus.profile(df, "src", $"v")
+    assertFrame(out,
+      Seq(Seq("a", 10L, 55L, 1L, 10L, 5.5, 5L, 9L, 10L),
+        Seq("b", 4L, 121L, 7L, 100L, 30.25, 7L, 100L, 100L)),
+      "src", "n_docs", "total", "min_v", "max_v", "mean_v", "p50", "p90", "p99")
+  }
 }
