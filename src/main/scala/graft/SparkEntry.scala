@@ -1070,6 +1070,14 @@ object SparkEntry {
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
       .select(col("id_1"), col("id_2"), col("hamming").cast("long").as("hamming"))
 
+  /** Exact integer-quantized second-moment sums of the embeddings —
+    * the distributed half of covariance/PCA (`Ann.pca` eigensolves the
+    * dimension-sized result on the driver). Every value is a sum of
+    * products of `round(x * 1024)` longs, bit-equal across engines. */
+  private def embCov(s: SparkSession, dir: String): DataFrame =
+    Ann.covarianceMoments(table(s, dir, "embeddings"))
+      .select(col("i"), col("j"), col("s"))
+
   private def embCosineTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
     Ann.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
@@ -1288,6 +1296,7 @@ object SparkEntry {
     "dedup_minhash_incr" -> (dedupMinhashIncr _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_components" -> (dedupComponents _),
+    "emb_cov" -> (embCov _),
     "emb_cosine_topk" -> (embCosineTopk _),
     "emb_ann_lsh" -> (embAnnLsh _),
     "emb_ivf_topk" -> (embIvfTopk _),
@@ -2376,6 +2385,19 @@ object SparkEntry {
         |JOIN aug a1 ON a1.vec_id = x.vec_id
         |JOIN aug a2 ON a2.vec_id = y.vec_id
         |WHERE list_cosine_similarity(a1.v, a2.v) >= 0.9""".stripMargin,
+    "emb_cov" ->
+      """WITH q AS (SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS i,
+        |    CAST(round(embedding[u.i] * 1024) AS BIGINT) AS q
+        |  FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)),
+        |prods AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS s
+        |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |  GROUP BY 1, 2),
+        |firsts AS (SELECT i, CAST(-1 AS BIGINT) AS j,
+        |    CAST(SUM(q) AS BIGINT) AS s FROM q GROUP BY i),
+        |cnt AS (SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+        |    CAST(COUNT(*) AS BIGINT) AS s FROM embeddings)
+        |SELECT * FROM prods UNION ALL SELECT * FROM firsts
+        |UNION ALL SELECT * FROM cnt""".stripMargin,
     "emb_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),

@@ -266,4 +266,102 @@ object Ann {
       .filter(col("cosine") >= threshold)
       .select(col("x.__id").as("id_1"), col("y.__id").as("id_2"), col("cosine"))
   }
+
+  /** Integer-quantized second-moment sums of the embedding column in
+    * long format — the distributed half of covariance/PCA, exact and
+    * engine-reproducible: every output is a sum of products of
+    * `round(x * scale)` longs (scale a power of two keeps the quantize
+    * itself exact over float inputs). Rows: `(i, j, s)` with
+    * `0 <= i <= j < dim` carrying `sum(q_i * q_j)`, `(i, -1, sum(q_i))`
+    * first moments, and `(-1, -1, n)`.
+    *
+    * Shape: one posexplode to (row, dim, q), a self equi-join on row id
+    * emitting the upper triangle (d(d+1)/2 products per row — the
+    * unavoidable cost of a Gram matrix), and a (i, j)-keyed hash
+    * aggregation that combines map-side. No window, no driver loop; the
+    * d^2-aggregate-expressions alternative stops codegenning near
+    * d ~ 30, this shape is d-independent. */
+  def covarianceMoments(df: DataFrame, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        scale: Double = 1024.0): DataFrame = {
+    val q = df.select(col(idCol).as("__id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__i", "__x")))
+      .select(col("__id"), col("__i").cast("long").as("__i"),
+        round(col("__x") * scale).cast("long").as("__q"))
+    val b = q.select(col("__id").as("__id2"), col("__i").as("__j"),
+      col("__q").as("__q2"))
+    val prods = q.join(b,
+        col("__id") === col("__id2") && col("__j") >= col("__i"))
+      .groupBy(col("__i"), col("__j"))
+      .agg(sum(col("__q") * col("__q2")).as("s"))
+      .select(col("__i").as("i"), col("__j").as("j"), col("s"))
+    val firsts = q.groupBy(col("__i"))
+      .agg(sum(col("__q")).as("s"))
+      .select(col("__i").as("i"), lit(-1L).as("j"), col("s"))
+    val cnt = df.agg(count(lit(1)).as("s"))
+      .select(lit(-1L).as("i"), lit(-1L).as("j"), col("s"))
+    prods.unionByName(firsts).unionByName(cnt)
+  }
+
+  /** Covariance matrix + PCA basis from [[covarianceMoments]]: the
+    * moment relation is dimension-sized (d(d+3)/2 + 1 rows), so the
+    * eigensolve runs on the driver — classic cyclic Jacobi on the
+    * symmetric covariance, deterministic sweep order. Returns the top-k
+    * (eigenvalue, eigenvector) pairs, eigenvalues descending. */
+  def pca(df: DataFrame, k: Int, idCol: String = "vec_id",
+          vecCol: String = "embedding",
+          scale: Double = 1024.0,
+          sweeps: Int = 16): Array[(Double, Array[Double])] = {
+    val m = covarianceMoments(df, idCol, vecCol, scale).collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(2))).toMap
+    val n = m((-1, -1)).toDouble
+    require(n > 1, s"pca needs > 1 row, got $n")
+    val dim = m.keys.iterator.map(_._1).max + 1
+    val mean = Array.tabulate(dim)(i => m((i, -1)) / n / scale)
+    val c = Array.tabulate(dim, dim) { (i, j) =>
+      val s = m((math.min(i, j), math.max(i, j))).toDouble / (scale * scale)
+      s / n - mean(i) * mean(j)
+    }
+    // cyclic Jacobi: rotate out the (p,q) off-diagonal entries in fixed
+    // row-major order until convergence; V accumulates the eigenvectors
+    val v = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > 1e-12) {
+      off = 0.0
+      for (p <- 0 until dim; qq <- (p + 1) until dim) {
+        off = math.max(off, math.abs(c(p)(qq)))
+        if (math.abs(c(p)(qq)) > 1e-14) {
+          val theta = 0.5 * math.atan2(2 * c(p)(qq), c(qq)(qq) - c(p)(p))
+          val (cs, sn) = (math.cos(theta), math.sin(theta))
+          for (i <- 0 until dim) {
+            val (a1, a2) = (c(i)(p), c(i)(qq))
+            c(i)(p) = cs * a1 - sn * a2; c(i)(qq) = sn * a1 + cs * a2
+          }
+          for (i <- 0 until dim) {
+            val (a1, a2) = (c(p)(i), c(qq)(i))
+            c(p)(i) = cs * a1 - sn * a2; c(qq)(i) = sn * a1 + cs * a2
+            val (v1, v2) = (v(i)(p), v(i)(qq))
+            v(i)(p) = cs * v1 - sn * v2; v(i)(qq) = sn * v1 + cs * v2
+          }
+        }
+      }
+      sweep += 1
+    }
+    (0 until dim).map(i => (c(i)(i), Array.tabulate(dim)(r => v(r)(i))))
+      .sortBy(-_._1).take(k).toArray
+  }
+
+  /** Project the embedding column onto a PCA basis: `k` fused dot
+    * products per row against broadcast literal basis vectors — one
+    * codegen'd scan, no shuffle, no UDF. Output column `outCol` is
+    * `array<double>` of length k. */
+  def pcaProject(df: DataFrame, basis: Array[Array[Double]],
+                 vecCol: String = "embedding",
+                 outCol: String = "pca"): DataFrame = {
+    val comps = basis.map { bvec =>
+      dot(col(vecCol), array(bvec.map(lit): _*).cast("array<double>"))
+    }
+    df.withColumn(outCol, array(comps: _*))
+  }
 }

@@ -318,6 +318,37 @@ class AnnSpec extends SparkSpec {
     assert(ivf.exceptAll(bf).count() == 0)
     assert(bf.exceptAll(ivf).count() == 0)
   }
+
+  test("pca recovers a planted dominant direction; basis orthonormal, " +
+    "eigenvalues descending; projection via fused dots") {
+    // data = t * dir (dominant axis) + small noise in 8 dims
+    val rnd = new scala.util.Random(7)
+    val dir0 = Array.fill(8)(rnd.nextGaussian())
+    val nrm = math.sqrt(dir0.map(x => x * x).sum)
+    val dir = dir0.map(_ / nrm)
+    val data = (0 until 300).map { i =>
+      val t = rnd.nextGaussian() * 3.0
+      (i.toLong, Array.tabulate(8)(d =>
+        (t * dir(d) + rnd.nextGaussian() * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    val basis = Ann.pca(data, k = 3, scale = 65536.0)
+    val evs = basis.map(_._1)
+    assert(evs.zip(evs.tail).forall { case (a, b) => a >= b },
+      s"eigenvalues not descending: ${evs.mkString(",")}")
+    val top = basis(0)._2
+    val align = math.abs(top.zip(dir).map { case (a, b) => a * b }.sum)
+    assert(align > 0.99, s"top component misaligned: $align")
+    for (a <- basis.map(_._2); b <- basis.map(_._2)) {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val expected = if (a eq b) 1.0 else 0.0
+      assert(math.abs(d - expected) < 1e-6, s"basis not orthonormal: $d")
+    }
+    // dominant eigenvalue ~ var(t) = 9; noise axes ~ 0.0025
+    assert(basis(0)._1 > 5.0 && basis(1)._1 < 0.1)
+    val proj = Ann.pcaProject(data, basis.map(_._2))
+    val row = proj.select($"pca").head().getSeq[Double](0)
+    assert(row.length == 3)
+  }
 }
 
 class ComponentsSpec extends SparkSpec {
