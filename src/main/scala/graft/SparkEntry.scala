@@ -708,6 +708,74 @@ object SparkEntry {
         col("value_sum").cast("long").as("sum_value_cents"))
   }
 
+  /** Stream-stream join gate: the last quarter of events splits into a
+    * "left" stream (event_id % 8 == 3) and a "right" stream (% 8 == 7);
+    * each left event must pair with same-user right events at most 24
+    * hours older (24h, not 30min: the synthetic feed is user-sparse and
+    * a narrow bound matches zero rows at sf0.001 — a vacuous gate).
+    * Both streams feed ts-ordered micro-batches in
+    * lockstep (watermark delay 0 is safe: batch k of either stream never
+    * carries an event older than batch k-1's max), and sentinel flush
+    * events on BOTH streams push both watermarks past every real match
+    * so append mode finalizes it. Oracle = the batch self-join with the
+    * identical time-bound predicate. */
+  private def evtStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = eventsMs(s, dir).filter(col("event_id") % 4 === 3)
+      .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+        col("tms"))
+      .as[StreamOps.JEv].collect().sortBy(e => (e.tms, e.eventId))
+    val maxTms = base.map(_.tms).max
+    val lRows = base.filter(_.eventId % 8 == 3)
+    val rRows = base.filter(_.eventId % 8 == 7)
+    val lBatches = lRows.grouped(math.max(1, lRows.length / 3 + 1)).toSeq
+    val rBatches = rRows.grouped(math.max(1, rRows.length / 3 + 1)).toSeq
+    val lIn = MemoryStream[StreamOps.JEv]
+    val rIn = MemoryStream[StreamOps.JEv]
+    s.catalog.dropTempView("evt_stream_join_sink")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    // 4, not 8: a stream-stream join keeps FOUR state stores per
+    // partition per trigger; store open/commit overhead, not data,
+    // dominates this feed's micro-batches
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val ckpt = graft.core.Scratch.dir.map(d =>
+      new java.io.File(d, s"ckpt-${java.util.UUID.randomUUID()}"))
+    val writer0 = StreamOps.streamingEventJoin(lIn.toDS(), rIn.toDS(),
+        withinMs = 86400000L)
+      .writeStream.format("memory").queryName("evt_stream_join_sink")
+      .outputMode("append")
+    val q = ckpt.fold(writer0)(c =>
+      writer0.option("checkpointLocation", c.getAbsolutePath)).start()
+    try {
+      (0 until math.max(lBatches.size, rBatches.size)).foreach { k =>
+        if (k < lBatches.size) lIn.addData(lBatches(k).toSeq)
+        if (k < rBatches.size) rIn.addData(rBatches(k).toSeq)
+        q.processAllAvailable()
+      }
+      val flushT = maxTms + 6L * 3600 * 1000
+      lIn.addData(StreamOps.JEv(-1L, -1L, flushT))
+      rIn.addData(StreamOps.JEv(-2L, -1L, flushT))
+      q.processAllAvailable()
+      lIn.addData(StreamOps.JEv(-3L, -1L, flushT + 1))
+      rIn.addData(StreamOps.JEv(-4L, -1L, flushT + 1))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      ckpt.foreach { c =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(c)
+      }
+    }
+    s.table("evt_stream_join_sink")
+      .filter(col("l_id") >= 0)
+      .select(col("l_id"), col("r_id"), col("user_id"), col("dt_ms"))
+  }
+
   private def ivSortRank(s: SparkSession, dir: String): DataFrame = {
     val assigned = Ops.assignView(iv1(s, dir), view(s), viewOrdCol = Some("ord"))
     val ords = view(s).select(col("name").as("__vn"), col("ord"))
@@ -1276,6 +1344,7 @@ object SparkEntry {
     "evt_stream_dedup" -> (evtStreamDedup _),
     "evt_stream_sessionize" -> (evtStreamSessionize _),
     "evt_stream_window" -> (evtStreamWindow _),
+    "evt_stream_join" -> (evtStreamJoin _),
     "evt_window_agg" -> (evtWindowAgg _),
     "txt_stats" -> (txtStats _),
     "txt_langid" -> (txtLangid _),
@@ -2001,6 +2070,14 @@ object SparkEntry {
         |SELECT user_id, session_id, MIN(tms) AS session_start,
         |  COUNT(*) AS n_events
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "evt_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS tms
+        |  FROM events WHERE event_id % 4 = 3)
+        |SELECT a.event_id AS l_id, b.event_id AS r_id, a.user_id,
+        |  a.tms - b.tms AS dt_ms
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |WHERE a.event_id % 8 = 3 AND b.event_id % 8 = 7
+        |  AND b.tms BETWEEN a.tms - 86400000 AND a.tms""".stripMargin,
     "evt_stream_window" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         |  COUNT(*) AS n,

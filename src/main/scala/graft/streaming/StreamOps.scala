@@ -80,6 +80,34 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("eventId")
       .drop("__ts")
 
+  case class JEv(eventId: Long, userId: Long, tms: Long)
+
+  /** Watermarked stream-stream INNER join: each left event pairs with
+    * the right-stream events of the same key whose event time falls
+    * within `withinMs` at-or-before it (the click-to-preceding-views
+    * shape). The time-bound condition is expressed on the two
+    * watermarked event-time columns, which is what lets Spark bound the
+    * join state: a buffered right row is evicted once the watermark
+    * passes `r.ts + withinMs` (it can never match a future left row),
+    * so state is O(rows inside the bound + watermark horizon) per key —
+    * a plain unbounded stream-stream join would buffer both streams
+    * forever. Append mode emits each match exactly once. */
+  def streamingEventJoin(left: Dataset[JEv], right: Dataset[JEv],
+                         withinMs: Long,
+                         delay: String = "0 seconds"): DataFrame = {
+    val l = left.toDF("l_id", "l_user", "l_tms")
+      .withColumn("__lts", timestamp_millis(col("l_tms")))
+      .withWatermark("__lts", delay)
+    val r = right.toDF("r_id", "r_user", "r_tms")
+      .withColumn("__rts", timestamp_millis(col("r_tms")))
+      .withWatermark("__rts", delay)
+    val sec = withinMs / 1000
+    l.join(r, col("l_user") === col("r_user") &&
+        expr(s"__rts BETWEEN __lts - INTERVAL $sec SECONDS AND __lts"))
+      .select(col("l_id"), col("r_id"), col("l_user").as("user_id"),
+        (col("l_tms") - col("r_tms")).as("dt_ms"))
+  }
+
   /** Stateful streaming merge with bounded out-of-order tolerance: the
     * streaming analog of the reference's cummax sweep
     * (`arrops.py:462-477`) via `flatMapGroupsWithState`, keyed by chrom.
