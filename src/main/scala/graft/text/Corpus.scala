@@ -346,16 +346,23 @@ object Corpus {
     val strata = col(strataCol)
     val hist = df.select(strata, measure.cast(LongType).as("__v"))
       .groupBy(strata, col("__v")).agg(count(lit(1)).as("__c"))
+    // running + whole-partition sums share one exchange/sort over the
+    // HISTOGRAM (partition rows = distinct values per stratum) — the
+    // per-stratum totals come from the unbounded frame, not a second
+    // scan-and-join of the input
     val w = Window.partitionBy(strata).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = hist.withColumn("__cum", sum(col("__c")).over(w))
+    val wAll = Window.partitionBy(strata)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__tot", sum(col("__v") * col("__c")).over(wAll))
     val qs = ps.map { p =>
       val tag = math.round(p * 100).toInt
       min(when(col("__cum") >= ceil(lit(p) * col("__n")).cast(LongType),
         col("__v"))).as(s"p${tag}")
     }
-    val totals = hist.groupBy(strata)
-      .agg(sum(col("__c")).as("__n"), sum(col("__v") * col("__c")).as("__tot"))
     val aggs = Seq(
       first(col("__n")).as("n_docs"),
       first(col("__tot")).as("total"),
@@ -363,9 +370,7 @@ object Corpus {
       max(col("__v")).as("max_v"),
       (first(col("__tot")).cast(DoubleType) /
         first(col("__n")).cast(DoubleType)).as("mean_v")) ++ qs
-    cum.join(totals, Seq(strataCol))
-      .groupBy(strata)
-      .agg(aggs.head, aggs.tail: _*)
+    cum.groupBy(strata).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Bucket in [0, 2^32) from the md5 of `salt|key` — the deterministic,
