@@ -1080,6 +1080,13 @@ object SparkEntry {
   private def txtVocab(s: SparkSession, dir: String): DataFrame =
     Corpus.vocabulary(docs(s, dir), "doc_id", "text", topN = 200)
 
+  /** Per-doc distinct-3-gram novelty vs corpus-wide first owners —
+    * 487/500 docs at sf0.001 share at least one gram, so the fractions
+    * are non-trivial at every scale. */
+  private def txtNovelty(s: SparkSession, dir: String): DataFrame =
+    Corpus.ngramNovelty(docs(s, dir), "doc_id", "text", n = 3)
+      .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novelty"))
+
   /** Per-source length profile with exact histogram-derived discrete
     * quantiles (integer-valued, engine-portable); mean is one IEEE
     * division of two exact longs, identical in DuckDB. */
@@ -1358,6 +1365,7 @@ object SparkEntry {
     "txt_top_terms" -> (txtTopTerms _),
     "txt_vocab" -> (txtVocab _),
     "txt_profile" -> (txtProfile _),
+    "txt_novelty" -> (txtNovelty _),
     "doc_sample_strat" -> (docSampleStrat _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -2271,6 +2279,19 @@ object SparkEntry {
         |    df_docs ASC, term ASC) AS rnk FROM v)
         |SELECT term, n_occurrences, df_docs, CAST(rnk AS BIGINT) AS "rank"
         |FROM r WHERE rnk <= 200""".stripMargin,
+    "txt_novelty" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |f AS (SELECT s, MIN(doc_id) AS first_id FROM sh GROUP BY s)
+        |SELECT sh.doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(SUM(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+        |FROM sh JOIN f USING (s) GROUP BY sh.doc_id""".stripMargin,
     "txt_profile" ->
       """WITH h AS (SELECT source, CAST(length(text) AS BIGINT) AS v,
         |    COUNT(*) AS c FROM documents GROUP BY source, v),

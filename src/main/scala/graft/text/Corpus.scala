@@ -373,6 +373,32 @@ object Corpus {
     cum.groupBy(strata).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * word n-grams whose corpus-wide FIRST owner (minimum doc id) is the
+    * document itself — the "how much of this doc is new text" signal
+    * behind dedup-aware mixing and crawl-snapshot triage. Documents with
+    * fewer than `n` tokens have no n-grams and no output row.
+    *
+    * Scale shape (same posture as the C4 paragraph dedup): the gram
+    * relation exchanges on the md5 of the gram — a fixed-width 32-char
+    * key, never the text — through one min-groupBy for first owners and
+    * one co-partitioned join back; per-doc counts are a hash aggregation
+    * on doc id. No windows, no lambdas. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val sh = graft.dedup.Dedup.shingleRel(df, idCol, textCol, n)
+      .select(col("__id"), md5(col("__sh").cast("binary")).as("__k"))
+    val firsts = sh.groupBy(col("__k")).agg(min(col("__id")).as("__first"))
+    sh.join(firsts, Seq("__k"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("__id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Bucket in [0, 2^32) from the md5 of `salt|key` — the deterministic,
     * engine-independent selector behind [[sampleByHash]]. md5 (not
     * xxhash64) so an external system — or the DuckDB oracle — can
