@@ -182,6 +182,42 @@ class CorpusSpec extends SparkSpec {
     assert(strat == direct)
   }
 
+  test("property: profile quantiles equal the sorted-list percentile_disc " +
+    "rule on random multisets") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genVals: Gen[List[Long]] =
+      Gen.choose(1, 60).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 20L)))
+    val prop = Prop.forAll(genVals) { vs =>
+      val df = vs.map(("s", _)).toDF("src", "v")
+      val row = Corpus.profile(df, "src", $"v").head()
+      val sorted = vs.sorted
+      def disc(p: Double): Long =
+        sorted(math.ceil(p * vs.length).toLong.toInt - 1)
+      row.getAs[Long]("n_docs") == vs.length &&
+        row.getAs[Long]("total") == vs.sum &&
+        row.getAs[Long]("p50") == disc(0.5) &&
+        row.getAs[Long]("p90") == disc(0.9) &&
+        row.getAs[Long]("p99") == disc(0.99)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("ngramNovelty: first owner keeps 1.0, an exact copy scores 0.0, " +
+    "a partial borrower lands in between; short docs have no row") {
+    val df = Seq(
+      (1L, "a b c d e"),          // grams: abc bcd cde — first owner
+      (2L, "a b c d e"),          // exact copy: all grams owned by 1
+      (3L, "a b c x y z"),        // abc owned by 1; bcx cxy xyz novel
+      (4L, "q r")).toDF("doc_id", "text") // < 3 tokens: no row
+    val out = Corpus.ngramNovelty(df, "doc_id", "text", n = 3)
+    assertFrame(out,
+      Seq(Seq(1L, 3L, 3L, 1.0), Seq(2L, 3L, 0L, 0.0),
+        Seq(3L, 4L, 3L, 0.75)),
+      "doc_id", "n_grams", "n_novel", "novelty")
+  }
+
   test("profile: exact discrete quantiles from the value histogram " +
     "(percentile_disc rank rule, duplicates collapse into one bucket)") {
     // stratum a: values 1..10 -> p50 = 5 (ceil(0.5*10)=5th), p90 = 9,
