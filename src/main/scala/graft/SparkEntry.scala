@@ -1134,7 +1134,10 @@ object SparkEntry {
       .getOrElse(System.getProperty("java.io.tmpdir"))
     Dedup.writeMinhashIndex(all.filter(col("doc_id") % 3 =!= 0),
       "doc_id", "text", "graft_mhidx",
-      s"$base/mhidx-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      s"$base/mhidx-${dir.replaceAll("[^a-zA-Z0-9]", "_")}",
+      // 8 buckets, not the 32-bucket production default: the gate corpus
+      // is thousands of rows and per-bucket file/task overhead dominates
+      numBuckets = 8)
     Dedup.incrementalMinhashPairs(all.filter(col("doc_id") % 3 === 0),
         all, "graft_mhidx", "doc_id", "text",
         n = 3, numHashes = 48, bands = 16, threshold = 0.6)
