@@ -91,10 +91,14 @@ object StreamOps {
     * passes `r.ts + withinMs` (it can never match a future left row),
     * so state is O(rows inside the bound + watermark horizon) per key —
     * a plain unbounded stream-stream join would buffer both streams
-    * forever. Append mode emits each match exactly once. */
+    * forever. Append mode emits each match exactly once; with
+    * `joinType = "leftOuter"` an unmatched left event emits once with
+    * null right columns after the watermark proves no match can still
+    * arrive. */
   def streamingEventJoin(left: Dataset[JEv], right: Dataset[JEv],
                          withinMs: Long,
-                         delay: String = "0 seconds"): DataFrame = {
+                         delay: String = "0 seconds",
+                         joinType: String = "inner"): DataFrame = {
     val l = left.toDF("l_id", "l_user", "l_tms")
       .withColumn("__lts", timestamp_millis(col("l_tms")))
       .withWatermark("__lts", delay)
@@ -103,7 +107,8 @@ object StreamOps {
       .withWatermark("__rts", delay)
     val sec = withinMs / 1000
     l.join(r, col("l_user") === col("r_user") &&
-        expr(s"__rts BETWEEN __lts - INTERVAL $sec SECONDS AND __lts"))
+        expr(s"__rts BETWEEN __lts - INTERVAL $sec SECONDS AND __lts"),
+        joinType)
       .select(col("l_id"), col("r_id"), col("l_user").as("user_id"),
         (col("l_tms") - col("r_tms")).as("dt_ms"))
   }

@@ -286,6 +286,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join: inner emits exactly the in-bound matches; " +
+    "leftOuter adds null-right rows once the watermark closes them out") {
+    implicit val sq = spark.sqlContext
+    val H = 3600000L
+    // left events for user 1 at t=2h and user 2 at t=5h; right events
+    // for user 1 at t=1h (in the 2h bound) and t=4h (after the left,
+    // never matches); user 2 has no right events at all
+    val lRows = Seq(StreamOps.JEv(10, 1, 2 * H), StreamOps.JEv(11, 2, 5 * H))
+    val rRows = Seq(StreamOps.JEv(20, 1, 1 * H), StreamOps.JEv(21, 1, 4 * H))
+    for (how <- Seq("inner", "leftOuter")) {
+      val lIn = MemoryStream[StreamOps.JEv]
+      val rIn = MemoryStream[StreamOps.JEv]
+      spark.catalog.dropTempView(s"ssj_$how")
+      val q = StreamOps.streamingEventJoin(lIn.toDS(), rIn.toDS(),
+          withinMs = 2 * H, joinType = how)
+        .writeStream.format("memory").queryName(s"ssj_$how")
+        .outputMode("append").start()
+      try {
+        lIn.addData(lRows); rIn.addData(rRows)
+        q.processAllAvailable()
+        // two flush rounds: outer emission needs the watermark (computed
+        // from batch N-1) to pass left.ts + bound
+        for (k <- 0 to 1) {
+          lIn.addData(StreamOps.JEv(-1L - k, -1, 20 * H + k))
+          rIn.addData(StreamOps.JEv(-3L - k, -1, 20 * H + k))
+          q.processAllAvailable()
+        }
+        val out = spark.table(s"ssj_$how")
+          .filter($"l_id" >= 0)
+          .select($"l_id", $"r_id", $"dt_ms")
+          .collect().map(r => (r.getLong(0),
+            if (r.isNullAt(1)) -99L else r.getLong(1),
+            if (r.isNullAt(2)) -99L else r.getLong(2))).toSeq.sorted
+        val matches = Seq((10L, 20L, H))
+        val expected =
+          if (how == "inner") matches
+          else (matches :+ ((11L, -99L, -99L))).sorted
+        assert(out == expected, s"$how: got $out")
+      } finally q.stop()
+    }
+  }
+
   test("streaming dedup suppresses within-watermark duplicates but " +
     "re-emits a key after its state is evicted") {
     implicit val sq = spark.sqlContext
