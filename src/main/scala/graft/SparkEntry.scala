@@ -1282,6 +1282,49 @@ object SparkEntry {
         step = 5)
       .select(col("media_id").as("doc_id"), col("frame").cast("long").as("frame"))
 
+  // ------------------------------------------------------- SQL extension
+
+  /** Plain-SQL interval overlap planned through the Catalyst extension
+    * (`plans.IntervalJoinRewrite`, active via `spark.sql.extensions` in
+    * the Verify/Bench sessions): the user writes the textbook range
+    * predicate and the optimizer rule rewrites the join onto genome bins
+    * — same candidate algebra as `iv_overlap_inner`, arrived at from raw
+    * SQL instead of the DataFrame API. No point promotion here: the SQL
+    * text means exactly what it says, and the oracle runs the identical
+    * text. Bin width is sized to the test coordinate space through the
+    * rule's runtime conf (sticky on the session — harmless: only these
+    * SQL-shaped joins consult it); `smallBytes` drops so the rewrite
+    * also fires on sf0.001-sized inputs (PlanContractSpec asserts the
+    * resulting plan shape). */
+  private def extSqlOverlap(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set(graft.plans.IntervalJoinRewrite.BinSizeKey, B.toString)
+    s.conf.set(graft.plans.IntervalJoinRewrite.SmallBytesKey, "1024")
+    iv1(s, dir).createOrReplaceTempView("graft_sql_iv1")
+    iv2(s, dir).createOrReplaceTempView("graft_sql_iv2")
+    s.sql(
+      """SELECT a.id AS id_1, b.id AS id_2
+        |FROM graft_sql_iv1 a JOIN graft_sql_iv2 b
+        |  ON a.chrom = b.chrom
+        | AND a.start < b.`end` AND b.start < a.`end`""".stripMargin)
+  }
+
+  /** Point-in-interval join in plain SQL — the no-equi-key-free shape's
+    * sibling: `b.start <= a.start AND a.start < b.end`. The rule's
+    * matcher sees the point side as a zero-length interval
+    * (start = end = a.start), so the same binned rewrite applies; vanilla
+    * Spark would scan every same-chrom build row per probe. */
+  private def extSqlPoint(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set(graft.plans.IntervalJoinRewrite.BinSizeKey, B.toString)
+    s.conf.set(graft.plans.IntervalJoinRewrite.SmallBytesKey, "1024")
+    iv3(s, dir).createOrReplaceTempView("graft_sql_iv3")
+    iv2(s, dir).createOrReplaceTempView("graft_sql_iv2")
+    s.sql(
+      """SELECT a.id AS id_1, b.id AS id_2
+        |FROM graft_sql_iv3 a JOIN graft_sql_iv2 b
+        |  ON a.chrom = b.chrom
+        | AND b.start <= a.start AND a.start < b.`end`""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1298,6 +1341,8 @@ object SparkEntry {
     "iv_overlap_inner_2l" -> (ivOverlapInnerMl _),
     "iv_overlap_auto_2l" -> (ivOverlapAuto2l _),
     "iv_overlap_bucketed" -> (ivOverlapBucketed _),
+    "ext_sql_overlap" -> (extSqlOverlap _),
+    "ext_sql_point" -> (extSqlPoint _),
     "iv_closest_self" -> (ivClosestSelf _),
     "iv_overlap_left_pts" -> (ivOverlapLeftPts _),
     "iv_setdiff_pts" -> (ivSetdiffPts _),
@@ -1494,6 +1539,16 @@ object SparkEntry {
       s"""WITH $iv1Sql, $iv2Sql
          |SELECT a.id AS id_1, b.id AS id_2
          |FROM iv1 a JOIN iv2 b ON a.chrom = b.chrom AND ${ovl("a", "b")}""".stripMargin,
+    "ext_sql_overlap" ->
+      s"""WITH $iv1Sql, $iv2Sql
+         |SELECT a.id AS id_1, b.id AS id_2
+         |FROM iv1 a JOIN iv2 b ON a.chrom = b.chrom
+         |  AND a.start < b."end" AND b.start < a."end"""".stripMargin,
+    "ext_sql_point" ->
+      s"""WITH $iv2Sql, $iv3Sql
+         |SELECT a.id AS id_1, b.id AS id_2
+         |FROM iv3 a JOIN iv2 b ON a.chrom = b.chrom
+         |  AND b.start <= a.start AND a.start < b."end"""".stripMargin,
     "iv_overlap_right" ->
       s"""WITH $iv2Sql, $iv3Sql
          |SELECT a.id AS id_1, b.id AS id_2

@@ -1,0 +1,152 @@
+package graft
+
+import graft.plans.IntervalJoinRewrite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+/** The Catalyst extension (`plans.IntervalJoinRewrite`, registered via
+  * `spark.sql.extensions` in TestSpark): plain-SQL range joins must plan
+  * as binned equi-joins and return exactly the naive semantics. */
+class ExtensionSpec extends SparkSpec with BeforeAndAfterAll {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set(IntervalJoinRewrite.BinSizeKey, "64")
+    spark.conf.set(IntervalJoinRewrite.SmallBytesKey, "0")
+  }
+
+  override def afterAll(): Unit = {
+    // the session is JVM-shared across suites: restore defaults so no
+    // later suite sees a zeroed dimension-side cutoff
+    spark.conf.unset(IntervalJoinRewrite.BinSizeKey)
+    spark.conf.unset(IntervalJoinRewrite.SmallBytesKey)
+    spark.conf.unset(IntervalJoinRewrite.EnabledKey)
+    super.afterAll()
+  }
+
+  private def ivA: DataFrame = spark.range(0, 1200).select(
+    col("id").as("ida"),
+    concat(lit("c"), (col("id") % 4).cast("string")).as("chrom"),
+    ((col("id") * 37) % 3000).as("start"),
+    ((col("id") * 37) % 3000 + 1 + col("id") % 50).as("end"))
+
+  private def ivB: DataFrame = spark.range(0, 900).select(
+    col("id").as("idb"),
+    concat(lit("c"), (col("id") % 4).cast("string")).as("chrom2"),
+    ((col("id") * 53) % 3000).as("start2"),
+    ((col("id") * 53) % 3000 + 1 + col("id") % 30).as("end2"))
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def assertRewritten(df: DataFrame): Unit = {
+    val p = planOf(df)
+    assert(p.contains("Generate explode"), s"no bin explode in plan:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"no SHJ in plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nested-loop survived the rewrite:\n$p")
+  }
+
+  test("SQL overlap join rewrites to the binned plan and matches brute force") {
+    ivA.createOrReplaceTempView("ext_a")
+    ivB.createOrReplaceTempView("ext_b")
+    val sql = spark.sql(
+      """SELECT a.ida, b.idb FROM ext_a a JOIN ext_b b
+        |  ON a.chrom = b.chrom2 AND a.start < b.end2 AND b.start2 < a.`end`
+        |""".stripMargin)
+    assertRewritten(sql)
+    val brute = ivA.crossJoin(ivB)
+      .filter(col("chrom") === col("chrom2") &&
+        col("start") < col("end2") && col("start2") < col("end"))
+      .select("ida", "idb")
+    assert(sql.count() > 1000, "fixture must be non-vacuous")
+    assert(sql.exceptAll(brute).isEmpty && brute.exceptAll(sql).isEmpty)
+  }
+
+  test("pure range join (no equi key) rewrites — the would-be cartesian shape") {
+    val pts = spark.range(0, 800)
+      .select(col("id").as("pid"), ((col("id") * 97) % 3000).as("p"))
+    val rng = spark.range(0, 300).select(
+      col("id").as("rid"),
+      ((col("id") * 31) % 3000).as("lo"),
+      ((col("id") * 31) % 3000 + 40).as("hi"))
+    pts.createOrReplaceTempView("ext_pts")
+    rng.createOrReplaceTempView("ext_rng")
+    val sql = spark.sql(
+      """SELECT p.pid, r.rid FROM ext_pts p JOIN ext_rng r
+        |  ON r.lo <= p.p AND p.p < r.hi""".stripMargin)
+    assertRewritten(sql)
+    val brute = pts.crossJoin(rng)
+      .filter(col("lo") <= col("p") && col("p") < col("hi"))
+      .select("pid", "rid")
+    assert(sql.count() > 100)
+    assert(sql.exceptAll(brute).isEmpty && brute.exceptAll(sql).isEmpty)
+  }
+
+  test("flipped spellings (>, >=) and <= bounds match brute force") {
+    ivA.createOrReplaceTempView("ext_a")
+    ivB.createOrReplaceTempView("ext_b")
+    val sql = spark.sql(
+      """SELECT a.ida, b.idb FROM ext_a a JOIN ext_b b
+        |  ON a.chrom = b.chrom2 AND b.end2 >= a.start AND a.`end` > b.start2
+        |""".stripMargin)
+    assertRewritten(sql)
+    val brute = ivA.crossJoin(ivB)
+      .filter(col("chrom") === col("chrom2") &&
+        col("end2") >= col("start") && col("end") > col("start2"))
+      .select("ida", "idb")
+    assert(sql.exceptAll(brute).isEmpty && brute.exceptAll(sql).isEmpty)
+  }
+
+  test("hinted joins and non-inner joins are left to Spark") {
+    val hinted = ivA.join(broadcast(ivB),
+      col("chrom") === col("chrom2") &&
+        col("start") < col("end2") && col("start2") < col("end"))
+    assert(!planOf(hinted).contains("Generate explode"),
+      "broadcast-hinted join must not be rewritten")
+    ivA.createOrReplaceTempView("ext_a")
+    ivB.createOrReplaceTempView("ext_b")
+    val left = spark.sql(
+      """SELECT a.ida, b.idb FROM ext_a a LEFT JOIN ext_b b
+        |  ON a.chrom = b.chrom2 AND a.start < b.end2 AND b.start2 < a.`end`
+        |""".stripMargin)
+    assert(!planOf(left).contains("Generate explode"),
+      "outer join must not be rewritten")
+  }
+
+  test("kill switch disables the rewrite") {
+    spark.conf.set(IntervalJoinRewrite.EnabledKey, "false")
+    try {
+      ivA.createOrReplaceTempView("ext_a")
+      ivB.createOrReplaceTempView("ext_b")
+      val sql = spark.sql(
+        """SELECT a.ida, b.idb FROM ext_a a JOIN ext_b b
+          |  ON a.chrom = b.chrom2 AND a.start < b.end2 AND b.start2 < a.`end`
+          |""".stripMargin)
+      assert(!planOf(sql).contains("Generate explode"))
+    } finally spark.conf.set(IntervalJoinRewrite.EnabledKey, "true")
+  }
+
+  test("zero-length points participate exactly as the predicate says") {
+    // a point [p, p) AT the interval's start coordinate fails strict <
+    // (start2 < end needs 90 < 90), but p in [lo, hi) must match under
+    // the point-in-interval spelling
+    val pt = Seq((1L, "c0", 90L, 90L)).toDF("ida", "chrom", "start", "end")
+      .unionByName(ivA.limit(0))
+    val rng = Seq((7L, "c0", 90L, 120L)).toDF("idb", "chrom2", "start2", "end2")
+    pt.createOrReplaceTempView("ext_pt")
+    rng.createOrReplaceTempView("ext_rng2")
+    val strict = spark.sql(
+      """SELECT a.ida, b.idb FROM ext_pt a JOIN ext_rng2 b
+        |  ON a.chrom = b.chrom2 AND a.start < b.end2 AND b.start2 < a.`end`
+        |""".stripMargin)
+    assert(strict.count() == 0, "strict predicate excludes the empty interval")
+    val pin = spark.sql(
+      """SELECT a.ida, b.idb FROM ext_pt a JOIN ext_rng2 b
+        |  ON a.chrom = b.chrom2 AND b.start2 <= a.start AND a.start < b.end2
+        |""".stripMargin)
+    assert(pin.count() == 1, "point-in-interval must match")
+  }
+}
