@@ -1087,6 +1087,20 @@ object SparkEntry {
     Corpus.ngramNovelty(docs(s, dir), "doc_id", "text", n = 3)
       .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novelty"))
 
+  /** Duplicated-span gate: every 3rd document self-concatenates, so its
+    * second half is an exact within-doc repeat whose 8-token windows are
+    * all removable (non-first) and merge into one long span — plus
+    * whatever cross-doc phrase repetition the synthetic corpus carries
+    * naturally. Non-vacuous at sf0.001 (the plant alone guarantees ~1/3
+    * of docs emit a span); the oracle replays the window hashing,
+    * first-owner resolution, and the island merge in SQL. */
+  private def txtDupSpans(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).withColumn("text",
+      when(col("doc_id") % 3 === 0, concat_ws(" ", col("text"), col("text")))
+        .otherwise(col("text")))
+    Corpus.duplicatedSpans(planted, "doc_id", "text", n = 8)
+  }
+
   /** Per-source length profile with exact histogram-derived discrete
     * quantiles (integer-valued, engine-portable); mean is one IEEE
     * division of two exact longs, identical in DuckDB. */
@@ -1414,6 +1428,7 @@ object SparkEntry {
     "txt_vocab" -> (txtVocab _),
     "txt_profile" -> (txtProfile _),
     "txt_novelty" -> (txtNovelty _),
+    "txt_dup_spans" -> (txtDupSpans _),
     "doc_sample_strat" -> (docSampleStrat _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -2350,6 +2365,27 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS novelty
         |FROM sh JOIN f USING (s) GROUP BY sh.doc_id""".stripMargin,
+    "txt_dup_spans" ->
+      s"""WITH pl AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' ' || text ELSE text END AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t
+        |  FROM pl),
+        |grams AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+        |    md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |        t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]) AS k,
+        |    doc_id * 1048576 + (i - 1) AS inst
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |fo AS (SELECT k, MIN(inst) AS fi FROM grams GROUP BY k),
+        |dsp AS (SELECT g.inst AS id, g.doc_id AS chrom, g.p AS start,
+        |    g.p + 8 AS "end"
+        |  FROM grams g JOIN fo USING (k) WHERE g.inst <> fo.fi),
+        |${TestTables.mergedSql("dsp")}
+        |SELECT chrom AS doc_id, start AS span_start, "end" AS span_end,
+        |  n_intervals AS n_dup_windows
+        |FROM m1""".stripMargin,
     "txt_profile" ->
       """WITH h AS (SELECT source, CAST(length(text) AS BIGINT) AS v,
         |    COUNT(*) AS c FROM documents GROUP BY source, v),

@@ -423,6 +423,66 @@ object Corpus {
       lit((fraction * 4294967296.0).toLong))
   }
 
+  /** Corpus-wide duplicated-substring spans — the scalable approximation
+    * of exact-substring training-data dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", which
+    * removes every repeated 50-token substring via a suffix array; a
+    * suffix array is not a shuffle-friendly structure, so the accepted
+    * distributed approximation slides an `n`-token window instead):
+    *
+    *  1. every position `p` of every document contributes the md5 of its
+    *     `n`-token window (per-doc `lead` windows over exploded tokens —
+    *     codegen'd, no lambdas; the exchange carries 32-char keys, never
+    *     text),
+    *  2. an occurrence is REMOVABLE iff it is not the corpus-wide first
+    *     (smallest `doc_id<<20 | p` arithmetic key — the
+    *     [[dedupParagraphs]] convention; every copy of a duplicated
+    *     window except one is marked, so dedup never erases a string
+    *     from the corpus entirely),
+    *  3. removable windows become token-coordinate intervals
+    *     `[p, p + n)` and the ENGINE'S OWN genomic merge
+    *     ([[graft.ops.Ops.merge]], range-partitioned sweep, doc id as
+    *     the chromosome) collapses them into maximal spans.
+    *
+    * Output: (idCol, span_start, span_end, n_dup_windows) — one row per
+    * maximal duplicated span, token coordinates, `n_dup_windows` = how
+    * many removable windows the span absorbed. Docs shorter than `n`
+    * tokens contribute nothing. Scale shape: per-doc windows, one
+    * hash-keyed exchange for first-owner resolution, and the merge's
+    * range partitioning — no corpus-sized window, no driver state. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 8): DataFrame = {
+    require(n >= 1, s"window must be >= 1 token, got $n")
+    val w = Window.partitionBy(col("__id")).orderBy(col("__p"))
+    val rest = (1 until n).map(j => lead(col("__t"), j).over(w))
+    val full = if (n > 1) rest.last.isNotNull else lit(true)
+    val grams = df
+      .select(col(idCol).cast(LongType).as("__id"), col(textCol).as("__text"))
+      .repartition(graft.core.Par.width(df), col("__id"))
+      .select(col("__id"),
+        posexplode(TextOps.tokens(col("__text"))).as(Seq("__p", "__t")))
+      .select(col("__id"), col("__p").cast(LongType).as("__p"),
+        md5(concat_ws(" ", (col("__t") +: rest): _*).cast("binary")).as("__k"),
+        full.as("__full"))
+      .filter(col("__full"))
+      .withColumn("__inst", shiftleft(col("__id"), 20) + col("__p"))
+    // first-owner in ONE pass: a min window over the hash key costs the
+    // same single exchange a groupBy would, without the self-join that
+    // re-runs the whole tokenize+lead pipeline for the aggregate branch
+    // (measured 4.0s -> 1.15s at sf0.01; a per-key partition holds the
+    // occurrence count of one 8-gram — bounded in any real corpus)
+    val removable = grams
+      .withColumn("__f",
+        min(col("__inst")).over(Window.partitionBy(col("__k"))))
+      .filter(col("__inst") =!= col("__f"))
+      .select(col("__id").as("__doc"), col("__p").as("start"),
+        (col("__p") + n).as("end"))
+    graft.ops.Ops.merge(removable, minDist = Some(0),
+        cols = graft.core.ColSpec("__doc", "start", "end"))
+      .select(col("__doc").as(idCol), col("start").as("span_start"),
+        col("end").as("span_end"), col("n_intervals").as("n_dup_windows"))
+  }
+
   /** Per-stratum deterministic sampling — the data-mixing primitive: one
     * pass, one when-chain on the stratum column, no shuffle at all.
     * Strata absent from `fractions` are dropped (rate 0). */

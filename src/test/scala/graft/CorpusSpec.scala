@@ -232,4 +232,27 @@ class CorpusSpec extends SparkSpec {
         Seq("b", 4L, 121L, 7L, 100L, 30.25, 7L, 100L, 100L)),
       "src", "n_docs", "total", "min_v", "max_v", "mean_v", "p50", "p90", "p99")
   }
+
+  test("duplicatedSpans: all-but-first window occurrences merge into " +
+    "maximal token spans") {
+    val base = "a b c d e f g h"            // one exact 8-token window
+    val df = Seq(
+      // 19 tokens; the window at p=11 repeats the one at p=0 -> [11,19)
+      (1L, s"$base x y z $base"),
+      // whole doc duplicates doc 1's first window -> [0,8)
+      (2L, base),
+      // shorter than the window -> contributes nothing
+      (3L, "q w e r t"),
+      // 9 tokens: window p=0 duplicates doc 1, p=1 ('b..i') is novel
+      (4L, s"$base i"),
+      // exact copy of doc 1: every one of its 12 windows is removable
+      // and they chain into ONE maximal span [0,19)
+      (5L, s"$base x y z $base"))
+      .toDF("doc_id", "text")
+    val out = Corpus.duplicatedSpans(df, "doc_id", "text", n = 8)
+    assertFrame(out,
+      Seq(Seq(1L, 11L, 19L, 1L), Seq(2L, 0L, 8L, 1L),
+        Seq(4L, 0L, 8L, 1L), Seq(5L, 0L, 19L, 12L)),
+      "doc_id", "span_start", "span_end", "n_dup_windows")
+  }
 }
