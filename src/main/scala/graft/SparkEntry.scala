@@ -1101,6 +1101,38 @@ object SparkEntry {
     Corpus.duplicatedSpans(planted, "doc_id", "text", n = 8)
   }
 
+  /** Per-domain cap gate: `source` as the domain, cap 10 in md5 hash
+    * order (each of the 20 sources holds 25 docs at sf0.001/0.01 and 250
+    * at sf0.1, so the cap BINDS at every SF) — exactly 10 x 20 = 200
+    * rows regardless of scale; the WindowGroupLimit map-side pre-prune
+    * is plan-asserted in CorpusSpec. */
+  private def docDomainCap(s: SparkSession, dir: String): DataFrame =
+    Corpus.capPerKey(docs(s, dir), "source", "doc_id", cap = 10)
+      .select(col("doc_id"), col("source"))
+
+  /** C4 cleaning gate: the txt_repetition newline plant creates line
+    * structure, then one guaranteed-kept line everywhere, two more for
+    * even ids (so the >= 3 kept-line page floor splits the corpus), a
+    * javascript line for id % 7 (kept by punctuation+words, killed by
+    * the marker rule), and lorem-ipsum / curly-brace page poisons for
+    * id % 13 / id % 11 — every rule individually non-vacuous at every
+    * SF, replayed verbatim by the oracle. */
+  private def txtC4(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = docs(s, dir).withColumn("text", concat(
+      regexp_replace(col("text"), " (the|a|value|table|row) ", "\n"),
+      lit("\nthis line has more than five words."),
+      when(id % 2 === 0, lit("\nsecond kept line with enough words here." +
+        "\nthird kept sentence also has many words.")).otherwise(lit("")),
+      when(id % 7 === 0,
+        lit("\nplease enable javascript to continue.")).otherwise(lit("")),
+      when(id % 13 === 0,
+        lit("\nlorem ipsum dolor sit amet paragraph.")).otherwise(lit("")),
+      when(id % 11 === 0,
+        lit("\ncurly brace { appears on this page.")).otherwise(lit(""))))
+    Corpus.c4QualityFilter(planted, "doc_id", "text")
+  }
+
   /** Per-source length profile with exact histogram-derived discrete
     * quantiles (integer-valued, engine-portable); mean is one IEEE
     * division of two exact longs, identical in DuckDB. */
@@ -1429,7 +1461,9 @@ object SparkEntry {
     "txt_profile" -> (txtProfile _),
     "txt_novelty" -> (txtNovelty _),
     "txt_dup_spans" -> (txtDupSpans _),
+    "txt_c4_filter" -> (txtC4 _),
     "doc_sample_strat" -> (docSampleStrat _),
+    "doc_domain_cap" -> (docDomainCap _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhash _),
@@ -2400,6 +2434,40 @@ object SparkEntry {
         |  MIN(CASE WHEN cumc >= CEIL(0.9 * t.n) THEN v END) AS p90,
         |  MIN(CASE WHEN cumc >= CEIL(0.99 * t.n) THEN v END) AS p99
         |FROM cum JOIN t USING (source) GROUP BY source, t.n, t.tot""".stripMargin,
+    "txt_c4_filter" ->
+      """WITH pl AS (SELECT doc_id,
+        |    regexp_replace(text, ' (the|a|value|table|row) ', chr(10), 'g')
+        |    || chr(10) || 'this line has more than five words.'
+        |    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'second kept line with enough words here.' || chr(10) || 'third kept sentence also has many words.' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'please enable javascript to continue.' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet paragraph.' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'curly brace { appears on this page.' ELSE '' END AS text
+        |  FROM documents),
+        |ln AS (SELECT doc_id, trim(l, ' ') AS l
+        |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM pl)
+        |  WHERE len(trim(l, ' ')) > 0),
+        |v AS (SELECT doc_id, l,
+        |    (regexp_matches(l, '[.!?"]$')
+        |     AND len(regexp_extract_all(l, '\S+')) >= 5
+        |     AND NOT contains(lower(l), 'javascript')) AS keep
+        |  FROM ln),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_lines,
+        |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    MAX(CASE WHEN contains(lower(l), 'lorem ipsum') THEN 1 ELSE 0 END) AS lor,
+        |    MAX(CASE WHEN contains(l, '{') THEN 1 ELSE 0 END) AS cur
+        |  FROM v GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(n_lines, 0) AS n_lines,
+        |  COALESCE(n_kept, 0) AS n_kept,
+        |  (COALESCE(n_kept, 0) >= 3 AND COALESCE(lor, 0) = 0
+        |   AND COALESCE(cur, 0) = 0) AS page_keep
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "doc_domain_cap" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    CAST(('0x' || substring(md5('graft|' || doc_id), 1, 8)) AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source FROM b
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+        |  ORDER BY bucket ASC, doc_id ASC) <= 10""".stripMargin,
     "doc_sample_strat" ->
       """WITH b AS (SELECT doc_id, source,
         |    CAST(('0x' || substring(md5('graft|' || doc_id), 1, 8)) AS BIGINT) AS bucket

@@ -483,6 +483,68 @@ object Corpus {
         col("end").as("span_end"), col("n_intervals").as("n_dup_windows"))
   }
 
+  /** Per-key document quota (the C4 / RefinedWeb per-domain cap): keep at
+    * most `cap` rows per key, chosen in deterministic content-hash order
+    * (`md5(salt|id)` — unbiased, retry-stable, engine-portable) with the
+    * id as the tiebreak. Spark plans the `row_number <= cap` filter as a
+    * WindowGroupLimit: every map task pre-prunes to `cap` rows per key
+    * BEFORE the exchange, so a 100 TB crawl with a million-page domain
+    * ships at most `cap` rows of it per task — the shuffle is bounded by
+    * cap x keys, not by the skewed domain. */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, cap: Int,
+                salt: String = "graft"): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(hashBucket(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
+  /** C4-style line/page quality verdicts (Raffel et al. 2020, §2.2 —
+    * the cleaning pass behind the C4 corpus). Per document:
+    *
+    *  - a LINE (newline-split, space-trimmed, empties ignored) is kept
+    *    iff it ends in a terminal punctuation mark (`. ! ? "`), has at
+    *    least `minWords` whitespace words, and does not mention
+    *    "javascript" (case-insensitive),
+    *  - the PAGE is kept iff at least `minKeptLines` lines survive
+    *    (C4's >= 3-sentence floor, with kept lines as the sentence
+    *    proxy) and no line contains "lorem ipsum" or a curly brace.
+    *
+    * Output: (idCol, n_lines, n_kept, page_keep). Containment checks are
+    * per-line (a marker spanning a newline is not detected — C4's rules
+    * are line-scoped anyway). One explode feeding a per-doc hash
+    * aggregate; every predicate is a codegen'd expression, no lambdas,
+    * no UDFs, nothing corpus-wide. Docs whose every line is empty (or
+    * empty docs) produce n_lines = 0 and page_keep = false. */
+  def c4QualityFilter(df: DataFrame, idCol: String, textCol: String,
+                      minWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    val id = col(idCol)
+    val lines = df
+      .select(id, posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__raw")))
+      .withColumn("__l", trim(col("__raw")))
+      .filter(length(col("__l")) > 0)
+      .withColumn("__keep",
+        col("__l").rlike("[.!?\"]$") &&
+          regexp_count(col("__l"), lit("\\S+")) >= minWords &&
+          !lower(col("__l")).contains("javascript"))
+    df.select(id).join(
+        lines.groupBy(id).agg(
+          count(lit(1)).as("n_lines"),
+          sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+          max(when(lower(col("__l")).contains("lorem ipsum"), 1L)
+            .otherwise(0L)).as("__lorem"),
+          max(when(col("__l").contains("{"), 1L).otherwise(0L)).as("__curly")),
+        Seq(idCol), "left")
+      .select(id,
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_kept"), lit(0L)) >= minKeptLines &&
+          coalesce(col("__lorem"), lit(0L)) === 0 &&
+          coalesce(col("__curly"), lit(0L)) === 0).as("page_keep"))
+  }
+
   /** Per-stratum deterministic sampling — the data-mixing primitive: one
     * pass, one when-chain on the stratum column, no shuffle at all.
     * Strata absent from `fractions` are dropped (rate 0). */

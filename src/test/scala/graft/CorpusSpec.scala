@@ -233,6 +233,50 @@ class CorpusSpec extends SparkSpec {
       "src", "n_docs", "total", "min_v", "max_v", "mean_v", "p50", "p90", "p99")
   }
 
+  test("capPerKey keeps at most cap rows per key, deterministically, " +
+    "with a map-side WindowGroupLimit pre-prune") {
+    val df = (1L to 25L).map(i => (i, if (i <= 20) "big" else "small"))
+      .toDF("id", "dom")
+    val out = Corpus.capPerKey(df, "dom", "id", cap = 3)
+    val counts = out.groupBy($"dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 3L, "small" -> 3L))
+    // deterministic under re-execution (hash order, no RNG)
+    assert(rowsOf(out) == rowsOf(Corpus.capPerKey(df, "dom", "id", cap = 3)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter must pre-prune before the exchange:\n$plan")
+  }
+
+  test("c4QualityFilter: each line and page rule in isolation") {
+    val kept3 = "one good line with five words.\n" +
+      "two good line with five words.\nthree good line with five words."
+    val df = Seq(
+      (1L, kept3),                                       // 3 kept -> page keep
+      (2L, kept3 + "\nshort line."),                     // word floor drops l4
+      (3L, kept3 + "\nno terminal punctuation on this line"),
+      (4L, kept3 + "\nplease enable javascript to continue."),
+      (5L, kept3 + "\nlorem ipsum dolor sit amet today."),  // page poison
+      (6L, kept3 + "\na curly { brace poisons the page."),  // page poison
+      (7L, "only two kept lines here today.\nsecond kept line is here now."),
+      (8L, ""),                                          // empty doc
+      (9L, "ends with a quote as terminal \""))
+      .toDF("doc_id", "text")
+    val out = Corpus.c4QualityFilter(df, "doc_id", "text")
+    assertFrame(out,
+      Seq(
+        Seq(1L, 3L, 3L, true),
+        Seq(2L, 4L, 3L, true),   // dropped line doesn't kill the page
+        Seq(3L, 4L, 3L, true),
+        Seq(4L, 4L, 3L, true),   // javascript line dropped, page survives
+        Seq(5L, 4L, 4L, false),  // lorem ipsum kills the page
+        Seq(6L, 4L, 4L, false),  // curly brace kills the page
+        Seq(7L, 2L, 2L, false),  // under the 3-kept-line floor
+        Seq(8L, 0L, 0L, false),
+        Seq(9L, 1L, 1L, false)), // quote counts as terminal punctuation
+      "doc_id", "n_lines", "n_kept", "page_keep")
+  }
+
   test("duplicatedSpans: all-but-first window occurrences merge into " +
     "maximal token spans") {
     val base = "a b c d e f g h"            // one exact 8-token window
