@@ -1229,6 +1229,25 @@ object SparkEntry {
         col("rank").cast("long").as("rank"))
   }
 
+  /** PQ geometry shared by the gate and its aux dumps: 8 subspaces of 8
+    * dims, 16 centroids each (nibble codes). `pqCodebooks` is
+    * deterministic, so gate and dumps recompute identical books. */
+  private def pqBooks(s: SparkSession, dir: String) =
+    Ann.pqCodebooks(table(s, dir, "embeddings"), m = 8, k = 16)
+
+  /** Product-quantization ADC top-k gate: codes + books recomputed fresh
+    * (deterministic Lloyd), asymmetric distances in exact quantized
+    * longs; the oracle replays the lookup table, the (sub, code) joins,
+    * and the ranking from the dumped books/codes. */
+  private def embPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val books = pqBooks(s, dir)
+    Ann.pqAdcTopK(Ann.pqEncode(emb, books), books,
+      emb.filter(col("vec_id") % 100 === 0), k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("dist"))
+  }
+
   /** Natural duplicate edges for the components gate: exact-duplicate
     * star edges (each doc in a same-md5 group linked to the group's min
     * id). One hash shuffle — deliberately NOT the minhash pipeline, which
@@ -1474,6 +1493,7 @@ object SparkEntry {
     "emb_cosine_topk" -> (embCosineTopk _),
     "emb_ann_lsh" -> (embAnnLsh _),
     "emb_ivf_topk" -> (embIvfTopk _),
+    "emb_pq_topk" -> (embPqTopk _),
     "emb_cosine_dedup" -> (embCosineDedup _),
     "emb_lsh_cap" -> (embLshCap _),
     "mm_meta" -> (mmMeta _),
@@ -1512,7 +1532,13 @@ object SparkEntry {
       Ann.ivfProbes(emb.filter(col("vec_id") % 100 === 0),
         Ann.ivfCentroids(emb, 8), nProbe = 2)
     }),
-    "dup_pairs" -> ((s, dir) => exactDupEdges(s, dir)))
+    "dup_pairs" -> ((s, dir) => exactDupEdges(s, dir)),
+    "pq_books" -> ((s, dir) => {
+      import s.implicits._
+      pqBooks(s, dir).toSeq.toDF("sub", "cid", "cv")
+    }),
+    "pq_codes" -> ((s, dir) =>
+      Ann.pqEncode(table(s, dir, "embeddings"), pqBooks(s, dir))))
 
   // ------------------------------------------------------------- oracles
 
@@ -2645,6 +2671,29 @@ object SparkEntry {
         |JOIN aug a1 ON a1.vec_id = x.vec_id
         |JOIN aug a2 ON a2.vec_id = y.vec_id
         |WHERE list_cosine_similarity(a1.v, a2.v) >= 0.9""".stripMargin,
+    "emb_pq_topk" ->
+      """WITH bk AS (SELECT sub, cid, cv
+        |  FROM read_parquet('{AUX_DIR}/pq_books/*.parquet')),
+        |cd AS (SELECT vec_id, sub, code
+        |  FROM read_parquet('{AUX_DIR}/pq_codes/*.parquet')),
+        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |t AS (SELECT query_id, sub, cid,
+        |    CAST(SUM((CAST(round(qv[sub * 8 + u.i] * 1024) AS BIGINT)
+        |              - CAST(round(cv[u.i] * 1024) AS BIGINT))
+        |           * (CAST(round(qv[sub * 8 + u.i] * 1024) AS BIGINT)
+        |              - CAST(round(cv[u.i] * 1024) AS BIGINT))) AS BIGINT) AS pd
+        |  FROM q, bk, UNNEST(generate_series(1, 8)) AS u(i)
+        |  GROUP BY 1, 2, 3),
+        |d AS (SELECT t.query_id, c.vec_id AS neighbor_id,
+        |    CAST(SUM(t.pd) AS BIGINT) AS dist
+        |  FROM cd c JOIN t ON t.sub = c.sub AND t.cid = c.code
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, dist FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY dist ASC, neighbor_id ASC) AS rn
+        |  FROM d WHERE query_id <> neighbor_id) z
+        |WHERE rn <= 5""".stripMargin,
     "emb_cov" ->
       """WITH q AS (SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS i,
         |    CAST(round(embedding[u.i] * 1024) AS BIGINT) AS q

@@ -364,4 +364,95 @@ object Ann {
     }
     df.withColumn(outCol, array(comps: _*))
   }
+
+  // --------------------------------------------- product quantization
+
+  /** Product-quantization codebooks (Jegou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the vector space splits
+    * into `m` contiguous subspaces of d/m dims, each trained with its own
+    * k-centroid deterministic Lloyd ([[ivfCentroids]] on the sliced
+    * relation — m sequential small jobs). An encoded corpus then stores
+    * `m * log2(k)` bits per vector instead of d floats — the RAM path
+    * for billion-vector ANN (64 dims of float32 -> 8 nibble codes is a
+    * 64x compression). Returns (sub, cid, centroid-subvector) rows. */
+  def pqCodebooks(corpus: DataFrame, m: Int, k: Int, iters: Int = 2,
+                  idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[(Int, Int, Array[Double])] = {
+    val d = corpus.select(size(col(vecCol)).as("__d")).head.getInt(0)
+    require(d % m == 0, s"dims=$d not divisible by m=$m subspaces")
+    val sd = d / m
+    (0 until m).flatMap { s =>
+      val sliced = corpus.select(col(idCol),
+        slice(col(vecCol).cast("array<double>"), s * sd + 1, sd).as("__sv"))
+      ivfCentroids(sliced, k, iters, idCol, "__sv")
+        .map { case (cid, cv) => (s, cid, cv) }
+    }.toArray
+  }
+
+  /** Long-format PQ codes: one (vec_id, sub, code) row per subspace —
+    * the shuffle-friendly layout (the ADC scan joins on (sub, code)
+    * directly; no array re-assembly lambda anywhere). Encoding is a
+    * broadcast of the m*k book rows against the corpus scan with a
+    * map-side-combinable `min_by` argmin per (vector, subspace); the
+    * only exchange carries (id, sub, code). */
+  def pqEncode(corpus: DataFrame, books: Array[(Int, Int, Array[Double])],
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sd = books.head._3.length
+    val b = broadcast(books.toSeq.toDF("sub", "__cid", "__cv"))
+    corpus.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .crossJoin(b)
+      .withColumn("__d",
+        sqDist(slice(col("__v"), col("sub") * sd + 1, lit(sd)), col("__cv")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("__cid"), struct(col("__d"), col("__cid"))).as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: per query, a
+    * quantized (sub, cid) -> partial-distance lookup table (query and
+    * centroid coordinates rounded to `scale` units, so every distance is
+    * an EXACT long — deterministic and engine-reproducible), then an
+    * exhaustive scan of the code relation that joins the broadcast table
+    * on (sub, code) and sums m partial distances per (query, vector).
+    * That exhaustive-but-cheap scan is PQ's contract: distance cost is m
+    * lookups, memory cost is the codes. The per-query ranking is a
+    * `row_number <= k` filter, which Spark plans as a WindowGroupLimit —
+    * each map task pre-prunes to k rows per query before the exchange,
+    * so no query ever funnels the corpus through one partition. The
+    * query set is small by contract (same as [[lshTopK]]). */
+  def pqAdcTopK(codes: DataFrame, books: Array[(Int, Int, Array[Double])],
+                queries: DataFrame, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                scale: Double = 1024.0): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val sd = books.head._3.length
+    val b = books.toSeq.toDF("__tsub", "__tcid", "__cv")
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val table = q.crossJoin(broadcast(b))
+      .withColumn("__qs", slice(col("__qv"), col("__tsub") * sd + 1, lit(sd)))
+      .select(col("query_id"), col("__tsub"), col("__tcid"),
+        posexplode(arrays_zip(col("__qs"), col("__cv")))
+          .as(Seq("__z", "__pair")))
+      .select(col("query_id"), col("__tsub"), col("__tcid"),
+        (round(col("__pair").getField("__qs") * scale).cast("long") -
+          round(col("__pair").getField("__cv") * scale).cast("long")).as("__dq"))
+      .groupBy(col("query_id"), col("__tsub"), col("__tcid"))
+      .agg(sum(col("__dq") * col("__dq")).as("__pd"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    codes.select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
+      .join(broadcast(table),
+        col("sub") === col("__tsub") && col("code") === col("__tcid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__pd")).as("dist"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("dist"))
+  }
 }

@@ -349,6 +349,42 @@ class AnnSpec extends SparkSpec {
     val row = proj.select($"pca").head().getSeq[Double](0)
     assert(row.length == 3)
   }
+
+  test("pq: codebooks cover every subspace, identical vectors share " +
+    "codes, and ADC ranks an exact clone first") {
+    // four well-separated cluster prototypes in 8 dims; vectors 0..39 are
+    // exact copies of their cluster prototype, so per-subspace Lloyd with
+    // k=4 can place a centroid on each prototype and quantization error
+    // for clone queries is exactly 0
+    val protos = Array(
+      Array(10f, 10f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 10f, 10f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 0f, 10f, 10f, 0f, 0f),
+      Array(0f, 0f, 0f, 0f, 0f, 0f, 10f, 10f))
+    val data = (0 until 40).map(i => (i.toLong, protos(i % 4)))
+      .toDF("vec_id", "embedding")
+    val m = 4
+    val books = Ann.pqCodebooks(data, m = m, k = 4, iters = 3)
+    assert(books.map(_._1).distinct.sorted.toSeq == (0 until m),
+      "every subspace needs a codebook")
+    assert(books.forall(_._3.length == 2), "subvector dim = d/m")
+    val codes = Ann.pqEncode(data, books)
+    assert(codes.count() == 40L * m)
+    // identical vectors -> identical code words
+    val distinctPerCluster = codes
+      .withColumn("cl", $"vec_id" % 4)
+      .groupBy($"cl", $"sub").agg(countDistinct($"code").as("n"))
+      .agg(max($"n")).head().getLong(0)
+    assert(distinctPerCluster == 1L, "clones must share codes")
+    // a query that IS corpus vector 0 must rank another clone of
+    // prototype 0 first, at distance 0 (self excluded)
+    val top = Ann.pqAdcTopK(codes, books, data.filter($"vec_id" === 0L), 3)
+      .orderBy($"rank").collect()
+    assert(top.length == 3)
+    assert(top(0).getAs[Long]("neighbor_id") % 4 == 0L &&
+      top(0).getAs[Long]("dist") == 0L,
+      s"rank-1 must be a clone at ADC distance 0: ${top.mkString(";")}")
+  }
 }
 
 class ComponentsSpec extends SparkSpec {
