@@ -776,6 +776,52 @@ object SparkEntry {
       .select(col("l_id"), col("r_id"), col("user_id"), col("dt_ms"))
   }
 
+  /** Stream-static enrichment gate: a 1/4 subsample of the events stream
+    * fed in 4 micro-batches, left-joined per batch against the broadcast
+    * customer dimension (`user_id -> mktsegment`). Stateless — every
+    * event emits exactly once with its segment, so the oracle is the
+    * plain batch left join; all user_ids resolve at every SF (events
+    * user range is a subset of custkeys), while the LEFT keeps the
+    * semantics honest if a future regen breaks that. */
+  private def evtStreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = eventsMs(s, dir).filter(col("event_id") % 4 === 1)
+      .select(col("event_id").as("eventId"), col("user_id").as("userId"),
+        col("tms"))
+      .as[StreamOps.JEv].collect().sortBy(e => (e.tms, e.eventId))
+    val dim = table(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("userId"),
+        col("c_mktsegment").as("segment"))
+    val in = MemoryStream[StreamOps.JEv]
+    s.catalog.dropTempView("evt_stream_enrich_sink")
+    val ckpt = graft.core.Scratch.dir.map(d =>
+      new java.io.File(d, s"ckpt-${java.util.UUID.randomUUID()}"))
+    val writer0 = StreamOps.streamingEnrich(in.toDF(), dim, Seq("userId"))
+      .select(col("eventId").as("event_id"), col("userId").as("user_id"),
+        col("segment"))
+      .writeStream.format("memory").queryName("evt_stream_enrich_sink")
+      .outputMode("append")
+    val q = ckpt.fold(writer0)(c =>
+      writer0.option("checkpointLocation", c.getAbsolutePath)).start()
+    try {
+      base.grouped(math.max(1, base.length / 4 + 1)).foreach { b =>
+        in.addData(b.toSeq)
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      ckpt.foreach { c =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(c)
+      }
+    }
+    s.table("evt_stream_enrich_sink")
+  }
+
   private def ivSortRank(s: SparkSession, dir: String): DataFrame = {
     val assigned = Ops.assignView(iv1(s, dir), view(s), viewOrdCol = Some("ord"))
     val ords = view(s).select(col("name").as("__vn"), col("ord"))
@@ -1465,6 +1511,7 @@ object SparkEntry {
     "evt_stream_sessionize" -> (evtStreamSessionize _),
     "evt_stream_window" -> (evtStreamWindow _),
     "evt_stream_join" -> (evtStreamJoin _),
+    "evt_stream_enrich" -> (evtStreamEnrich _),
     "evt_window_agg" -> (evtWindowAgg _),
     "txt_stats" -> (txtStats _),
     "txt_langid" -> (txtLangid _),
@@ -2219,6 +2266,10 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.user_id = b.user_id
         |WHERE a.event_id % 8 = 3 AND b.event_id % 8 = 7
         |  AND b.tms BETWEEN a.tms - 86400000 AND a.tms""".stripMargin,
+    "evt_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_id % 4 = 1""".stripMargin,
     "evt_stream_window" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         |  COUNT(*) AS n,

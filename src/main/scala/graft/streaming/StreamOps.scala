@@ -113,6 +113,21 @@ object StreamOps {
         (col("l_tms") - col("r_tms")).as("dt_ms"))
   }
 
+  /** Stream-static enrichment: a batch dimension joined onto every
+    * micro-batch of the stream. Stateless — no watermark and no join
+    * state, because the static side is complete by definition; Spark
+    * re-resolves the static plan each micro-batch, so a dimension
+    * refreshed in place (an overwritten parquet dir, a view over a
+    * table) is picked up without restarting the query. `broadcastDim`
+    * (default) ships the dimension to every task — the right call for
+    * user/geo/catalog lookups; pass false for a dimension too large to
+    * broadcast and Spark shuffles each micro-batch against it instead.
+    * Left join: an event with no dimension row passes through with
+    * nulls rather than silently dropping. */
+  def streamingEnrich(events: DataFrame, dim: DataFrame, keys: Seq[String],
+                      broadcastDim: Boolean = true): DataFrame =
+    events.join(if (broadcastDim) broadcast(dim) else dim, keys, "left")
+
   /** Stateful streaming merge with bounded out-of-order tolerance: the
     * streaming analog of the reference's cummax sweep
     * (`arrops.py:462-477`) via `flatMapGroupsWithState`, keyed by chrom.
