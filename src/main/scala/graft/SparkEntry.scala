@@ -1179,6 +1179,18 @@ object SparkEntry {
     Corpus.c4QualityFilter(planted, "doc_id", "text")
   }
 
+  /** Linear-classifier scoring gate: hash-derived integer weights over
+    * the corpus's own distinct-term vocabulary (the model is a stand-in;
+    * the broadcast-weights + exact-long-margin plumbing is the product).
+    * Margin signs split the corpus roughly in half, so `keep` is
+    * non-vacuous at every SF. */
+  private def txtQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val vocab = d.select(explode(TextOps.tokens(col("text"))).as("term"))
+      .distinct()
+    Corpus.scoreLinear(d, "doc_id", "text", Corpus.hashWeights(vocab))
+  }
+
   /** Per-source length profile with exact histogram-derived discrete
     * quantiles (integer-valued, engine-portable); mean is one IEEE
     * division of two exact longs, identical in DuckDB. */
@@ -1528,6 +1540,7 @@ object SparkEntry {
     "txt_novelty" -> (txtNovelty _),
     "txt_dup_spans" -> (txtDupSpans _),
     "txt_c4_filter" -> (txtC4 _),
+    "txt_quality_score" -> (txtQuality _),
     "doc_sample_strat" -> (docSampleStrat _),
     "doc_domain_cap" -> (docDomainCap _),
     "dedup_exact" -> (dedupExact _),
@@ -2476,6 +2489,23 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS novelty
         |FROM sh JOIN f USING (s) GROUP BY sh.doc_id""".stripMargin,
+    "txt_quality_score" ->
+      """WITH tok AS (SELECT doc_id, u.t AS term
+        |  FROM (SELECT doc_id,
+        |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        x -> len(x) > 0) AS l
+        |    FROM documents), UNNEST(l) AS u(t)),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |ww AS (SELECT DISTINCT term,
+        |    CAST(('0x' || substring(md5('graft-w|' || term), 1, 8)) AS BIGINT)
+        |      % 2001 - 1000 AS weight
+        |  FROM tok),
+        |agg AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_terms,
+        |    CAST(SUM(tf * weight) AS BIGINT) AS margin
+        |  FROM tf JOIN ww USING (term) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(n_terms, 0) AS n_terms,
+        |  COALESCE(margin, 0) AS margin, COALESCE(margin, 0) > 0 AS keep
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
     "txt_dup_spans" ->
       s"""WITH pl AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN text || ' ' || text ELSE text END AS text

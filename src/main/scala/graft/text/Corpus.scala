@@ -483,6 +483,49 @@ object Corpus {
         col("end").as("span_end"), col("n_intervals").as("n_dup_windows"))
   }
 
+  /** Linear bag-of-words text classifier scoring — the execution shape of
+    * the fastText-style quality filters behind DCLM / FineWeb-Edu style
+    * curation (a learned model assigns each doc a quality score; docs
+    * below a margin are dropped). The ENGINE side is what matters here:
+    * tokens explode once, per-(doc, term) counts hash-aggregate map-side,
+    * term weights arrive as a BROADCAST relation (the model is dimension
+    * data — a few hundred thousand rows for any real vocabulary), and the
+    * per-doc margin is one more hash aggregate. Weights are integer
+    * (fixed-point millis, the convention real exported linear models
+    * quantize to anyway) so the margin is an exact long — deterministic,
+    * engine-portable, no float-sum ordering anywhere.
+    *
+    * `weights`: (term, weight) rows; `bias` adds to every margin; a term
+    * absent from the table scores 0. Output: (idCol, n_terms, margin,
+    * keep = margin > 0). */
+  def scoreLinear(df: DataFrame, idCol: String, textCol: String,
+                  weights: DataFrame, bias: Long = 0L): DataFrame = {
+    val id = col(idCol)
+    val tf = df
+      .select(id, explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(id, col("term")).agg(count(lit(1)).as("__tf"))
+    df.select(id).join(
+        tf.join(broadcast(weights.select(col("term"),
+            col("weight").cast(LongType).as("__w"))),
+          Seq("term"), "left")
+          .groupBy(id)
+          .agg(sum(col("__tf")).as("n_terms"),
+            sum(col("__tf") * coalesce(col("__w"), lit(0L))).as("__dot")),
+        Seq(idCol), "left")
+      .select(id, coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        (coalesce(col("__dot"), lit(0L)) + bias).as("margin"))
+      .withColumn("keep", col("margin") > 0L)
+  }
+
+  /** Hash-derived stand-in weight table for [[scoreLinear]] over a given
+    * vocabulary: weight(term) = signed md5 bucket in [-1000, 1000] —
+    * deterministic and engine-reproducible, so gates can exercise the
+    * full scoring plumbing without shipping a real model. */
+  def hashWeights(vocab: DataFrame, termCol: String = "term",
+                  salt: String = "graft-w"): DataFrame =
+    vocab.select(col(termCol).as("term"),
+      (hashBucket(col(termCol), salt) % 2001L - 1000L).as("weight"))
+
   /** Per-key document quota (the C4 / RefinedWeb per-domain cap): keep at
     * most `cap` rows per key, chosen in deterministic content-hash order
     * (`md5(salt|id)` — unbiased, retry-stable, engine-portable) with the
