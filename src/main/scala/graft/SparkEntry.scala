@@ -2497,7 +2497,7 @@ object SparkEntry {
         |    FROM documents), UNNEST(l) AS u(t)),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
         |ww AS (SELECT DISTINCT term,
-        |    CAST(('0x' || substring(md5('graft-w|' || term), 1, 8)) AS BIGINT)
+        |    CAST(('0x' || substring(md5('graft-w1|' || term), 1, 8)) AS BIGINT)
         |      % 2001 - 1000 AS weight
         |  FROM tok),
         |agg AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_terms,

@@ -522,7 +522,7 @@ object Corpus {
     * deterministic and engine-reproducible, so gates can exercise the
     * full scoring plumbing without shipping a real model. */
   def hashWeights(vocab: DataFrame, termCol: String = "term",
-                  salt: String = "graft-w"): DataFrame =
+                  salt: String = "graft-w1"): DataFrame =
     vocab.select(col(termCol).as("term"),
       (hashBucket(col(termCol), salt) % 2001L - 1000L).as("weight"))
 
