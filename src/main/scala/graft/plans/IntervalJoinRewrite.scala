@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{
-  And, Attribute, AttributeReference, AttributeSet, Cast, EqualTo, Explode,
-  Expression, Greatest, GreaterThan, GreaterThanOrEqual, IntegralDivide,
-  LessThan, LessThanOrEqual, Literal, Pmod, PredicateHelper,
+  Add, And, Attribute, AttributeReference, AttributeSet, Cast, EqualTo,
+  Explode, Expression, Greatest, GreaterThan, GreaterThanOrEqual,
+  IntegralDivide, LessThan, LessThanOrEqual, Literal, Pmod, PredicateHelper,
   Sequence => SeqExpr, Subtract}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{
@@ -113,7 +113,21 @@ case class IntervalJoinRewrite(session: SparkSession)
     def fromSide(e: Expression, out: AttributeSet): Boolean =
       e.deterministic && e.references.nonEmpty &&
         e.references.subsetOf(out) && integral(e)
-    val less = splitConjunctivePredicates(cond).flatMap(asLess)
+    def oneSided(e: Expression): Boolean =
+      fromSide(e, l.outputSet) || fromSide(e, r.outputSet)
+    // the band-join spelling `a.x - b.y <= c` crosses sides inside one
+    // operand; move the subtrahend across the inequality so the pair
+    // becomes single-sided (`a.x <= c + b.y`). Validity of the result is
+    // re-checked by the side classification below, so a move that did
+    // not separate the sides simply fails to match.
+    def unCross(p: (Expression, Expression)): (Expression, Expression) =
+      p match {
+        case (a, b) if oneSided(a) && oneSided(b) => p
+        case (Subtract(x, y, m), b) => (x, Add(b, y, m))
+        case (a, Subtract(x, y, m)) => (Add(a, y, m), x)
+        case other => other
+      }
+    val less = splitConjunctivePredicates(cond).flatMap(asLess).map(unCross)
     // one conjunct bounding a left expression by a right one, and one the
     // other way around: together they bracket an overlap of the implied
     // intervals (ls, le) x (rs, re)

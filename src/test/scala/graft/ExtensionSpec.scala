@@ -100,6 +100,26 @@ class ExtensionSpec extends SparkSpec with BeforeAndAfterAll {
     assert(sql.exceptAll(brute).isEmpty && brute.exceptAll(sql).isEmpty)
   }
 
+  test("band-join spelling (a.x - b.x bounded both ways) rewrites and " +
+    "matches brute force") {
+    val ta = spark.range(0, 900)
+      .select(col("id").as("ida"), ((col("id") * 61) % 5000).as("x"))
+    val tb = spark.range(0, 700)
+      .select(col("id").as("idb"), ((col("id") * 83) % 5000).as("y"))
+    ta.createOrReplaceTempView("ext_ta")
+    tb.createOrReplaceTempView("ext_tb")
+    // |x - y| <= 25 written as two cross-side differences
+    val sql = spark.sql(
+      """SELECT a.ida, b.idb FROM ext_ta a JOIN ext_tb b
+        |  ON a.x - b.y <= 25 AND b.y - a.x <= 25""".stripMargin)
+    assertRewritten(sql)
+    val brute = ta.crossJoin(tb)
+      .filter(abs(col("x") - col("y")) <= 25)
+      .select("ida", "idb")
+    assert(sql.count() > 100)
+    assert(sql.exceptAll(brute).isEmpty && brute.exceptAll(sql).isEmpty)
+  }
+
   test("hinted joins and non-inner joins are left to Spark") {
     val hinted = ivA.join(broadcast(ivB),
       col("chrom") === col("chrom2") &&
