@@ -1356,6 +1356,15 @@ object SparkEntry {
     Ann.cosineDedupPairs(augEmb(s, dir), threshold = 0.9, numPlanes = 6)
       .select(col("id_1"), col("id_2"))
 
+  /** SemDeDup gate: [[augEmb]]'s 0.5-scaled planted copies are
+    * direction-identical to their originals, so spherical clustering
+    * puts each copy in its original's cluster and the pair verifies at
+    * cosine ~1 — `keep` drops the copy (min-id representative = the
+    * original). The oracle takes the dumped assignment as given and
+    * recomputes pairs, components (recursive CTE) and the keep rule. */
+  private def embSemDedup(s: SparkSession, dir: String): DataFrame =
+    Ann.semDedup(augEmb(s, dir), threshold = 0.9, kCentroids = 8, iters = 2)
+
   /** [[augEmb]] plus a deliberately crowded LSH bucket: 500 copies of
     * vector 0, 0.5-scaled (positive scaling preserves every hyperplane
     * projection's sign, so all 500 provably share vector 0's bucket). */
@@ -1555,6 +1564,7 @@ object SparkEntry {
     "emb_ivf_topk" -> (embIvfTopk _),
     "emb_pq_topk" -> (embPqTopk _),
     "emb_cosine_dedup" -> (embCosineDedup _),
+    "emb_semdedup" -> (embSemDedup _),
     "emb_lsh_cap" -> (embLshCap _),
     "mm_meta" -> (mmMeta _),
     "mm_frames" -> (mmFrames _))
@@ -1578,6 +1588,9 @@ object SparkEntry {
     "emb_dedup_buckets" -> ((s, dir) =>
       augEmb(s, dir).select(col("vec_id"),
         Ann.lshBucket(col("embedding"), 6).as("bucket"))),
+    "semdedup_assign" -> ((s, dir) =>
+      Ann.semDedupAssign(augEmb(s, dir), kCentroids = 8, iters = 2)
+        .select(col("vec_id"), col("centroid_id"))),
     "emb_cap_buckets" -> ((s, dir) =>
       crowdEmb(s, dir).select(col("vec_id"),
         Ann.lshBucket(col("embedding"), 6).as("bucket"))),
@@ -2731,6 +2744,30 @@ object SparkEntry {
         |JOIN aug a1 ON a1.vec_id = x.vec_id
         |JOIN aug a2 ON a2.vec_id = y.vec_id
         |WHERE list_cosine_similarity(a1.v, a2.v) >= 0.9""".stripMargin,
+    "emb_semdedup" ->
+      """WITH RECURSIVE asg AS (SELECT vec_id, centroid_id
+        |  FROM read_parquet('{AUX_DIR}/semdedup_assign/*.parquet')),
+        |aug AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000,
+        |    CAST(list_transform(embedding, x -> x * CAST(0.5 AS FLOAT)) AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |pairs AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b
+        |  FROM asg x JOIN asg y
+        |    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+        |  JOIN aug a1 ON a1.vec_id = x.vec_id
+        |  JOIN aug a2 ON a2.vec_id = y.vec_id
+        |  WHERE list_cosine_similarity(a1.v, a2.v) >= 0.9),
+        |e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |comp AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS root
+        |  FROM reach GROUP BY a)
+        |SELECT asg.vec_id, asg.centroid_id,
+        |  COALESCE(comp.root = asg.vec_id, TRUE) AS keep
+        |FROM asg LEFT JOIN comp USING (vec_id)""".stripMargin,
     "emb_lsh_cap" ->
       """WITH bk AS (SELECT vec_id, bucket
         |  FROM read_parquet('{AUX_DIR}/emb_cap_buckets/*.parquet')),

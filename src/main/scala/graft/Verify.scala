@@ -49,8 +49,10 @@ object Verify {
     // signature/bucket dumps for the hash-based oracles go to a SIBLING
     // dir: the driver's gate scans outDir and must only see query results
     val auxDir = new java.io.File(outDir).getAbsolutePath + "__aux"
+    // full runs dump every aux; a subset run dumps an aux only if its
+    // name is listed too (e.g. `Verify sf out emb_semdedup,semdedup_assign`)
     SparkEntry.auxDumps.foreach { case (name, fn) =>
-      if (only.isEmpty)
+      if (only.isEmpty || only.exists(_.contains(name)))
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$auxDir/$name")
       catch { case e: Throwable =>

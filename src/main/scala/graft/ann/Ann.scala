@@ -267,6 +267,72 @@ object Ann {
       .select(col("x.__id").as("id_1"), col("y.__id").as("id_2"), col("cosine"))
   }
 
+  /** L2-normalize an embedding column to unit length (array<double>,
+    * codegen'd kernel). Zero vectors pass through unscaled. */
+  def l2Normalize(vec: Column): Column = colOf(VecL2Normalize(exprOf(vec)))
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): cluster L2-normalized embeddings
+    * with the deterministic IVF quantizer ([[ivfCentroids]] on the unit
+    * sphere = spherical k-means), generate within-cluster candidate
+    * pairs, verify with exact cosine on the ORIGINAL vectors, connect
+    * near-duplicates into components and keep the smallest id per
+    * component. Returns one row per input: (vec_id, centroid_id, keep).
+    *
+    * Scale shape: the within-cluster self-join is the only
+    * quadratic-risk step — size `kCentroids ~ N / targetClusterSize` so
+    * each inverted list stays bounded (the web-scale SemDeDup recipe:
+    * ~1e5 clusters over 1e9 embeddings keeps lists at ~1e4). As a safety
+    * net `maxClusterSize` drops clusters above the cap from the
+    * candidate universe (their members are all kept), bounding the worst
+    * key to cap^2 — the [[cosineDedupPairs]] posture. Components reuse
+    * [[graft.dedup.Dedup.resolveComponents]] (driver union-find for
+    * dimension-sized edge lists, pointer-jumping beyond). */
+  def semDedup(df: DataFrame, threshold: Double, kCentroids: Int = 8,
+               iters: Int = 2, idCol: String = "vec_id",
+               vecCol: String = "embedding",
+               maxClusterSize: Option[Long] = Some(100000L),
+               cents: Option[Array[(Int, Array[Double])]] = None): DataFrame = {
+    val v = semDedupAssign(df, kCentroids, iters, idCol, vecCol, cents)
+      .persist()
+    var cand = v
+    maxClusterSize.foreach(cap => cand = dropHotBuckets(v, "centroid_id", cap))
+    val pairs = cand.alias("x").join(cand.alias("y"),
+        col("x.centroid_id") === col("y.centroid_id") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .withColumn("__cos", cosine(col("x.__raw"), col("y.__raw")))
+      .filter(col("__cos") >= threshold)
+      .select(col("x.vec_id").as("id_1"), col("y.vec_id").as("id_2"))
+    val comps = graft.dedup.Dedup.resolveComponents(pairs)
+      .withColumnRenamed("id", "vec_id")
+    v.select(col("vec_id"), col("centroid_id"))
+      .join(comps, Seq("vec_id"), "left")
+      .withColumn("keep",
+        coalesce(col("component_id") === col("vec_id"), lit(true)))
+      .select(col("vec_id"), col("centroid_id"), col("keep"))
+  }
+
+  /** [[semDedup]]'s spherical-cluster assignment: (vec_id, __raw,
+    * centroid_id), one scan — normalize, broadcast-nested-loop over k
+    * centroids, map-side-combinable `min_by` argmin. The raw vector rides
+    * the groupBy key (vec_id is the true key) so the verification join
+    * reads it without a second corpus scan. Deterministic end to end:
+    * the oracle's aux dump and the gate recompute identical assignments. */
+  def semDedupAssign(df: DataFrame, kCentroids: Int = 8, iters: Int = 2,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     cents: Option[Array[(Int, Array[Double])]] = None): DataFrame = {
+    val nd = df.select(col(idCol).as("vec_id"),
+      l2Normalize(col(vecCol)).as("__nv"), col(vecCol).as("__raw"))
+    val cs = cents.getOrElse(
+      ivfCentroids(nd, kCentroids, iters, "vec_id", "__nv"))
+    nd.crossJoin(centroidDf(nd, cs))
+      .withColumn("__d", sqDist(col("__nv"), col("__cv")))
+      .groupBy(col("vec_id"), col("__raw"))
+      .agg(min_by(col("__cid"), struct(col("__d"), col("__cid")))
+        .as("centroid_id"))
+  }
+
   /** Integer-quantized second-moment sums of the embedding column in
     * long format — the distributed half of covariance/PCA, exact and
     * engine-reproducible: every output is a sum of products of

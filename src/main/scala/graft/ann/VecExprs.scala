@@ -200,6 +200,41 @@ object VecKernels {
     }
     bucket
   }
+
+  /** L2-normalize to array<double>: x / ||x||. Two index-order passes
+    * (sum of squares, then scale) so the result is deterministic across
+    * executors. A zero-norm vector is returned unscaled (as doubles)
+    * rather than NaN-filled; a null element nulls the whole result.
+    */
+  def l2nF(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var ss = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = a.getFloat(i).toDouble; ss += x * x; i += 1
+    }
+    val inv = if (ss == 0.0) 1.0 else 1.0 / math.sqrt(ss)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = a.getFloat(i).toDouble * inv; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  def l2nD(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var ss = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = a.getDouble(i); ss += x * x; i += 1
+    }
+    val inv = if (ss == 0.0) 1.0 else 1.0 / math.sqrt(ss)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = a.getDouble(i) * inv; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
 }
 
 /** Base for the binary vector kernels: dispatches on the two array
@@ -313,6 +348,47 @@ case class VecLshBucket(child: Expression, numPlanes: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = if (isFloat) "lshF" else "lshD"
     defineCodeGen(ctx, ev, c => s"graft.ann.VecKernels.$m($c, $numPlanes)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** L2-normalization to unit length as array<double> — the spherical
+  * k-means prep for [[graft.ann.Ann.semDedup]]. See [[VecKernels.l2nF]]
+  * for the zero-norm and null-element contract.
+  */
+case class VecL2Normalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_l2_normalize"
+
+  @transient private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    if (isFloat) VecKernels.l2nF(v.asInstanceOf[ArrayData])
+    else VecKernels.l2nD(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isFloat) "l2nF" else "l2nD"
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("vecNorm")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  graft.ann.VecKernels.$m($c);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res; }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

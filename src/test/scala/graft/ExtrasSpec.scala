@@ -319,6 +319,36 @@ class AnnSpec extends SparkSpec {
     assert(bf.exceptAll(ivf).count() == 0)
   }
 
+  test("semDedup: scaled clones co-cluster with their originals and are " +
+    "dropped; every input row appears exactly once") {
+    // 0.5-scaled copies are direction-identical -> same spherical cluster,
+    // cosine 1 with the original -> component root (min id) survives
+    val clones = vecs.filter($"vec_id" % 10 === 0 && $"vec_id" < 30)
+      .select(($"vec_id" + 100L).as("vec_id"),
+        transform($"embedding", x => x * lit(0.5f)).as("embedding"))
+    val out = Ann.semDedup(vecs.unionByName(clones), threshold = 0.95,
+      kCentroids = 4).collect()
+    assert(out.length == 53)
+    val keep = out.map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val asg = out.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    Seq(0L, 10L, 20L).foreach { id =>
+      assert(asg(id) == asg(id + 100L), s"clone of $id landed elsewhere")
+      assert(!keep(id + 100L), s"clone of $id kept")
+      assert(keep(id), s"original $id dropped")
+    }
+  }
+
+  test("semDedup cluster-occupancy cap removes hot clusters from the " +
+    "candidate universe (members all kept)") {
+    val clones = vecs.filter($"vec_id" < 5)
+      .select(($"vec_id" + 100L).as("vec_id"),
+        transform($"embedding", x => x * lit(0.5f)).as("embedding"))
+    val out = Ann.semDedup(vecs.unionByName(clones), threshold = 0.95,
+      kCentroids = 1, maxClusterSize = Some(10L)).collect()
+    // one cluster holding all 55 rows > cap 10 -> no pairs anywhere
+    assert(out.length == 55 && out.forall(_.getBoolean(2)))
+  }
+
   test("pca recovers a planted dominant direction; basis orthonormal, " +
     "eigenvalues descending; projection via fused dots") {
     // data = t * dir (dominant axis) + small noise in 8 dims
