@@ -1211,6 +1211,19 @@ object SparkEntry {
       .select(col("doc_id"), col("source"),
         Corpus.hashBucket(col("doc_id"), "graft").as("bucket"))
 
+  /** Mixture weights with exact binary fractions so the Spark-side
+    * `(w - floor(w)) * 2^32` threshold and the oracle's hardcoded
+    * integer constants are the same number — no float boundary risk. */
+  private val MixWeights = Map(
+    "src0" -> 2.25, "src1" -> 0.5, "src2" -> 1.0, "src3" -> 1.75)
+
+  private def docMix(s: SparkSession, dir: String): DataFrame =
+    Corpus.mixBySource(docs(s, dir).select(col("doc_id"), col("source")),
+      MixWeights)
+
+  private def txtChunk(s: SparkSession, dir: String): DataFrame =
+    Corpus.chunk(docs(s, dir), size = 128, overlap = 32)
+
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(docs(s, dir), "doc_id", "text")
       .select(col("doc_id"), col("canonical_id"), col("is_dup"))
@@ -1552,6 +1565,8 @@ object SparkEntry {
     "txt_quality_score" -> (txtQuality _),
     "doc_sample_strat" -> (docSampleStrat _),
     "doc_domain_cap" -> (docDomainCap _),
+    "doc_mix" -> (docMix _),
+    "txt_chunk" -> (txtChunk _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhash _),
@@ -2597,6 +2612,27 @@ object SparkEntry {
         |  WHEN 'src0' THEN 4294967296 WHEN 'src1' THEN 2147483648
         |  WHEN 'src2' THEN 1073741824 WHEN 'src3' THEN 536870912
         |  WHEN 'src4' THEN 268435456 ELSE 0 END""".stripMargin,
+    "doc_mix" ->
+      """WITH w AS (SELECT * FROM (VALUES
+        |    ('src0', CAST(2 AS BIGINT), CAST(1073741824 AS BIGINT)),
+        |    ('src1', CAST(0 AS BIGINT), CAST(2147483648 AS BIGINT)),
+        |    ('src2', CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |    ('src3', CAST(1 AS BIGINT), CAST(3221225472 AS BIGINT)))
+        |  AS t(source, n_full, thresh))
+        |SELECT d.doc_id, d.source, e.epoch
+        |FROM documents d
+        |JOIN w USING (source),
+        |  UNNEST(generate_series(0, w.n_full)) e(epoch)
+        |WHERE e.epoch < w.n_full OR
+        |  CAST(('0x' || substring(
+        |    md5('mix|' || e.epoch || '|' || d.doc_id), 1, 8)) AS BIGINT)
+        |  < w.thresh""".stripMargin,
+    "txt_chunk" ->
+      """SELECT doc_id, t.chunk_id, t.chunk_id * 96 AS chunk_start,
+        |  substring(text, CAST(t.chunk_id * 96 + 1 AS INT), 128) AS chunk_text
+        |FROM documents,
+        |  UNNEST(generate_series(0,
+        |    GREATEST(0, (length(text) - 128 + 95) // 96))) t(chunk_id)""".stripMargin,
     "txt_langid" -> {
       val markers = TextOps.LangMarkers
       val scoreExprs = markers.map { case (lang, ws) =>

@@ -601,4 +601,64 @@ object Corpus {
     }
     df.filter(hashBucket(col(keyCol), salt) < threshold)
   }
+
+  /** Overlapping fixed-size character chunks — the RAG / long-context
+    * splitting primitive: chunk `i` covers characters
+    * `[i*stride, i*stride + size)` with `stride = size - overlap`, the
+    * last chunk being the first one whose window reaches the end of the
+    * text (an empty document still yields one empty chunk, so no row is
+    * silently dropped). Pure codegen'd arithmetic: the chunk count is
+    * exact integer math (`(len - size + stride - 1) div stride`, clamped
+    * at zero — truncating and flooring division agree after the clamp),
+    * one `explode(sequence(...))` per document, and a `substring`
+    * projection; no shuffle at all, so it scales as a map-only pass. */
+  def chunk(df: DataFrame, size: Int, overlap: Int,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(size > 0, s"size=$size")
+    require(overlap >= 0 && overlap < size, s"overlap=$overlap vs size=$size")
+    val stride = size - overlap
+    df.select(col(idCol), col(textCol),
+        explode(sequence(lit(0L), greatest(lit(0L),
+          expr(s"(length($textCol) - $size + ${stride - 1}) div $stride")
+            .cast(LongType)))).as("chunk_id"))
+      .withColumn("chunk_start", col("chunk_id") * stride)
+      .withColumn("chunk_text",
+        expr(s"substring($textCol, chunk_start + 1, $size)"))
+      .select(col(idCol), col("chunk_id"), col("chunk_start"),
+        col("chunk_text"))
+  }
+
+  /** Deterministic source-weighted data mixing with epoch repetition —
+    * the Pile/Dolma-style mixture primitive: a source with weight `w`
+    * contributes `floor(w)` full copies of each document (epochs
+    * `0..floor(w)-1`) plus one fractionally sampled epoch at rate
+    * `w - floor(w)`; sources absent from `weights` are dropped.
+    * Fractional selection is the [[hashBucket]] md5 rule over
+    * `epoch|doc_id`, so each epoch's sample is independent, the mixture
+    * is reproducible across engines/partitionings/retries, and a larger
+    * fractional rate keeps the smaller rate's rows (monotone growth).
+    * Scale shape: one codegen'd when-chain + `explode(sequence)` +
+    * filter — rows multiply by at most `ceil(max weight)` and the
+    * predicate runs map-side; no shuffle. Returns (idCol, srcCol, epoch)
+    * plus the input's other columns. */
+  def mixBySource(df: DataFrame, weights: Map[String, Double],
+                  idCol: String = "doc_id", srcCol: String = "source",
+                  salt: String = "mix"): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    weights.values.foreach(w => require(w >= 0.0, s"weight=$w"))
+    val wcol = weights.foldLeft(lit(null).cast(DoubleType)) {
+      case (acc, (k, w)) => when(col(srcCol) === k, lit(w)).otherwise(acc)
+    }
+    df.withColumn("__w", wcol)
+      .filter(col("__w").isNotNull && col("__w") > 0.0)
+      .withColumn("__nfull", floor(col("__w")).cast(LongType))
+      .withColumn("__thresh",
+        ((col("__w") - floor(col("__w"))) * 4294967296.0).cast(LongType))
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("__nfull"))))
+      .filter(col("epoch") < col("__nfull") ||
+        hashBucket(concat_ws("|", col("epoch"), col(idCol)), salt) <
+          col("__thresh"))
+      .drop("__w", "__nfull", "__thresh")
+  }
 }

@@ -299,4 +299,57 @@ class CorpusSpec extends SparkSpec {
         Seq(4L, 0L, 8L, 1L), Seq(5L, 0L, 19L, 12L)),
       "doc_id", "span_start", "span_end", "n_dup_windows")
   }
+
+  test("chunk: stride windows, clipped tail, empty doc keeps one row") {
+    val df = Seq(
+      (1L, "abcdefghij"),   // len 10, size 6 stride 4 -> starts 0, 4
+      (2L, "abcdef"),       // exact fit -> one chunk
+      (3L, "ab"),           // shorter than size -> one chunk
+      (4L, "")              // empty -> one empty chunk
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunk(df, size = 6, overlap = 2)
+    assertFrame(out, Seq(
+      Seq(1L, 0L, 0L, "abcdef"), Seq(1L, 1L, 4L, "efghij"),
+      Seq(2L, 0L, 0L, "abcdef"),
+      Seq(3L, 0L, 0L, "ab"),
+      Seq(4L, 0L, 0L, "")),
+      "doc_id", "chunk_id", "chunk_start", "chunk_text")
+  }
+
+  test("chunk: last window reaches the end exactly once past a boundary") {
+    // len 11, size 6, stride 4: starts 0, 4, 8 (8+6 covers 11)
+    val df = Seq((1L, "abcdefghijk")).toDF("doc_id", "text")
+    val out = Corpus.chunk(df, size = 6, overlap = 2)
+    assertFrame(out, Seq(
+      Seq(1L, 0L, 0L, "abcdef"), Seq(1L, 1L, 4L, "efghij"),
+      Seq(1L, 2L, 8L, "ijk")),
+      "doc_id", "chunk_id", "chunk_start", "chunk_text")
+  }
+
+  test("mixBySource: integer weights copy, fractions sample " +
+    "deterministically, absent sources drop") {
+    val df = (0L until 40L).map(i =>
+      (i, if (i < 20) "a" else if (i < 30) "b" else "zzz"))
+      .toDF("doc_id", "source")
+    val out = Corpus.mixBySource(df, Map("a" -> 2.5, "b" -> 1.0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // source b: exactly one epoch per doc (frac 0 adds nothing)
+    assert(out.count(_._2 == "b") == 10)
+    assert(out.filter(_._2 == "b").forall(_._3 == 0L))
+    // source zzz: dropped entirely
+    assert(!out.exists(_._2 == "zzz"))
+    // source a: epochs 0 and 1 are full copies; epoch 2 is the ~50%
+    // md5 sample — deterministic, so two runs agree exactly
+    val a = out.filter(_._2 == "a")
+    assert(a.count(_._3 == 0L) == 20 && a.count(_._3 == 1L) == 20)
+    val frac = a.filter(_._3 == 2L).map(_._1).toSet
+    assert(frac.nonEmpty && frac.size < 20, s"fractional epoch size ${frac.size}")
+    val again = Corpus.mixBySource(df, Map("a" -> 2.5, "b" -> 1.0))
+      .filter($"epoch" === 2L).select("doc_id").as[Long].collect().toSet
+    assert(again == frac)
+    // monotone: a larger fractional rate keeps every rate-0.5 row
+    val larger = Corpus.mixBySource(df, Map("a" -> 2.75))
+      .filter($"epoch" === 2L).select("doc_id").as[Long].collect().toSet
+    assert(frac.subsetOf(larger))
+  }
 }
