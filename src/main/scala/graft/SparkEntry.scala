@@ -273,6 +273,25 @@ object SparkEntry {
         col("_c2").cast("long").as("end"), col("_c3").cast("long").as("id"))
   }
 
+  /** DSv2 gate: the same relation as io_tabix read through
+    * `spark.read.format("tabix")` with the region expressed as Catalyst
+    * predicates — the ScanBuilder must translate them into an index
+    * query (pushdown path), and the result must match the oracle's SQL
+    * overlap recompute exactly. A different region from io_tabix so the
+    * two gates cannot mask each other. */
+  private def ioDsv2(s: SparkSession, dir: String): DataFrame = {
+    val path = scratchFile("io_dsv2") + ".bed.gz"
+    graft.io.Tables.toTabix(
+      iv3(s, dir).select(col("chrom"), col("start"), col("end"),
+        col("id").cast("string").as("name")),
+      path)
+    s.read.format("tabix").option("preset", "bed4").load(path)
+      .filter(col("chrom") === "c5" && col("start") < 1800L &&
+        col("end") > 200L)
+      .select(col("chrom"), col("start"), col("end"),
+        col("name").cast("long").as("id"))
+  }
+
   /** BAM gate: iv3-derived alignment records (cigar = span + 'M') written
     * as real BGZF BAM + .bai, then a region query that must resolve
     * through the index and the CIGAR reference-length overlap rule. */
@@ -1509,6 +1528,7 @@ object SparkEntry {
     "io_bigwig" -> (ioBigwig _),
     "io_bigbed" -> (ioBigbed _),
     "io_tabix" -> (ioTabix _),
+    "io_dsv2" -> (ioDsv2 _),
     "io_bam" -> (ioBam _),
     "io_pairix" -> (ioPairix _),
     "iv_closest" -> (ivClosest _),
@@ -1912,6 +1932,10 @@ object SparkEntry {
       s"""WITH $iv3Sql
          |SELECT chrom, start, "end", id FROM iv3
          |WHERE chrom = 'c3' AND start < 1500 AND "end" > 500""".stripMargin,
+    "io_dsv2" ->
+      s"""WITH $iv3Sql
+         |SELECT chrom, start, "end", id FROM iv3
+         |WHERE chrom = 'c5' AND start < 1800 AND "end" > 200""".stripMargin,
     "io_bam" ->
       s"""WITH $iv3Sql
          |SELECT 'r' || CAST(id AS VARCHAR) AS qname,

@@ -127,4 +127,69 @@ class TabixSpec extends SparkSpec {
     assert(Tabix.readIndex(p + ".tbi2") == idx)
     assert(idx.config == Tabix.Bed && idx.names == Vector("chrA"))
   }
+
+  test("DSv2 tabix format: region predicates push into the index, " +
+    "partitions prune, columns prune, rows match the function reader") {
+    import graft.sources.{TabixScan, TabixScanBuilder}
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThan}
+    val p = tmp("dsv2.bed.gz")
+    val df = spark.range(5000).select(
+      concat(lit("chr"), (col("id") % 3).cast("string")).as("chrom"),
+      (col("id") * 100).as("start"), (col("id") * 100 + 150).as("end"),
+      concat(lit("n"), col("id").cast("string")).as("name"))
+    Tabix.write(df, p)
+    val t = spark.read.format("tabix").option("preset", "bed4").load(p)
+    // full scan equals the input relation
+    assert(t.count() == 5000)
+    // region query through Catalyst predicates == overlap semantics
+    val q = t.filter(col("chrom") === "chr1" &&
+      col("start") < 250200L && col("end") > 250000L)
+    val exp = df.filter(col("chrom") === "chr1" &&
+      col("start") < 250200L && col("end") > 250000L)
+    assertFrame(q, rowsOf(exp), "chrom", "start", "end", "name")
+    // the pushed predicates are visible in the scan description and the
+    // plan carries no separate Filter over them (exact enforcement)
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("tabix " + p), planStr)
+    // column pruning narrows ReadSchema to the projection
+    val names = q.select("name")
+    assert(names.queryExecution.executedPlan.toString.contains("name"))
+    assert(names.count() == exp.count())
+    // driver-side proof of partition pruning: the region scan plans
+    // strictly fewer decompressed bytes than the full scan
+    val sb = new TabixScanBuilder(p, None, graft.io.Schemas("bed4"))
+    sb.pushFilters(Array(EqualTo("chrom", "chr1"),
+      LessThan("start", 250200L), GreaterThan("end", 250000L)))
+    assert(sb.pushedFilters().length == 3)
+    val narrow = sb.build().asInstanceOf[TabixScan].planInputPartitions()
+    val full = new TabixScanBuilder(p, None, graft.io.Schemas("bed4"))
+      .build().asInstanceOf[TabixScan].planInputPartitions()
+    def bytes(ps: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+      ps.map { ip =>
+        val tp = ip.asInstanceOf[graft.sources.TabixPartition]
+        (tp.vEnd >>> 16) - (tp.vBeg >>> 16)
+      }.sum
+    assert(narrow.length >= 1 && bytes(narrow) < bytes(full),
+      s"narrow=${bytes(narrow)} full=${bytes(full)}")
+    // an unknown chromosome plans zero partitions (driver-side no-op)
+    assert(t.filter(col("chrom") === "nope").count() == 0)
+  }
+
+  test("DSv2 tabix format: 1-based GFF begin bound shifts into the " +
+    "0-based query space") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val p = tmp("dsv2.gff.gz")
+    val df = Seq(("chr1", "src", "gene", 101L, 200L),
+      ("chr1", "src", "gene", 501L, 600L))
+      .toDF("chrom", "source", "feature", "start", "end")
+    Tabix.write(df, p, config = Tabix.Gff)
+    val t = spark.read.format("tabix")
+      .option("ddl", "chrom string, source string, feature string, " +
+        "start long, end long").load(p)
+    // overlap with 0-based [150, 250): only the first gene
+    val got = t.filter(col("chrom") === "chr1" &&
+      col("start") < lit(251L) && col("end") > lit(150L))
+    assertFrame(got.select("start", "end"), Seq(Seq(101L, 200L)),
+      "start", "end")
+  }
 }
