@@ -444,15 +444,64 @@ object Ann {
   def pqCodebooks(corpus: DataFrame, m: Int, k: Int, iters: Int = 2,
                   idCol: String = "vec_id", vecCol: String = "embedding")
       : Array[(Int, Int, Array[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val d = corpus.select(size(col(vecCol)).as("__d")).head.getInt(0)
     require(d % m == 0, s"dims=$d not divisible by m=$m subspaces")
     val sd = d / m
-    (0 until m).flatMap { s =>
-      val sliced = corpus.select(col(idCol),
-        slice(col(vecCol).cast("array<double>"), s * sd + 1, sd).as("__sv"))
-      ivfCentroids(sliced, k, iters, idCol, "__sv")
-        .map { case (cid, cv) => (s, cid, cv) }
-    }.toArray
+    // All m subspaces train TOGETHER: the per-sub formulation (m
+    // sequential ivfCentroids loops) costs m * (1 + iters) driver-
+    // synchronized jobs — 24 for the nibble-book default, pure job
+    // overhead at any corpus size (measured 80s cold on the bench).
+    // Fused long format (sub, id, subvec) runs 1 seed job + iters
+    // iteration jobs total and produces the SAME books: the seed rule
+    // orders by (xxhash64(id), id) — vector-independent, so every sub
+    // seeds from the same k corpus rows — and each sub's Lloyd step
+    // below is the exact per-sub arithmetic (integer micro-unit sums,
+    // min_by (dist, cid) ties) keyed by __sub.
+    val sliced = corpus.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .select(col("__id"),
+        explode(array((0 until m).map(lit): _*)).as("__sub"), col("__v"))
+      .select(col("__sub"), col("__id"),
+        slice(col("__v"), col("__sub") * sd + 1, lit(sd)).as("__sv"))
+      .persist()
+    val micro = 1e6
+    // per-sub seeds via rank-limited window (WindowGroupLimit pre-prunes
+    // to k rows per sub map-side — only m*k rows reach the driver)
+    val seedW = Window.partitionBy(col("__sub"))
+      .orderBy(xxhash64(col("__id")), col("__id"))
+    var cents: Array[(Int, Int, Array[Double])] = sliced
+      .withColumn("__rn", row_number().over(seedW))
+      .filter(col("__rn") <= k)
+      .select(col("__sub"), (col("__rn") - 1).as("__cid"), col("__sv"))
+      .as[(Int, Int, Array[Double])].collect()
+      .sortBy(t => (t._1, t._2))
+    for (_ <- 0 until iters) {
+      val cdf = broadcast(spark.createDataset(cents.toSeq)
+        .toDF("__csub", "__cid", "__cv"))
+      val sums = sliced.join(cdf, col("__sub") === col("__csub"))
+        .withColumn("__d", sqDist(col("__sv"), col("__cv")))
+        .groupBy(col("__sub"), col("__id"), col("__sv"))
+        .agg(min_by(col("__cid"), struct(col("__d"), col("__cid"))).as("__cid"))
+        .select(col("__sub"), col("__cid"),
+          posexplode(col("__sv")).as(Seq("__dim", "__x")))
+        .groupBy(col("__sub"), col("__cid"), col("__dim"))
+        .agg(sum(round(col("__x") * micro).cast("long")).as("__s"),
+          count(lit(1)).as("__n"))
+        .groupBy(col("__sub"), col("__cid"))
+        .agg(transform(array_sort(collect_list(struct(col("__dim"),
+          col("__s"), col("__n")))),
+          s => s.getField("__s").cast("double") /
+            (s.getField("__n") * micro)).as("__cv"))
+        .as[(Int, Int, Array[Double])].collect()
+        .map { case (s, cid, cv) => (s, cid) -> cv }.toMap
+      cents = cents.map { case (s, cid, old) =>
+        (s, cid, sums.getOrElse((s, cid), old))
+      }
+    }
+    sliced.unpersist(blocking = false)
+    cents
   }
 
   /** Long-format PQ codes: one (vec_id, sub, code) row per subspace —

@@ -176,10 +176,55 @@ case class IntervalJoinRewrite(session: SparkSession)
   }
 }
 
+/** SQL surface for the engine's codegen'd kernels: registered in every
+  * graft session so plain-`spark.sql` users get the vector math without
+  * touching the Scala API (and without UDF overhead — these resolve to
+  * the same native Catalyst expressions the Column API uses). */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import graft.ann.{VecCosine, VecDot, VecL2Normalize, VecLshBucket, VecSqDist}
+
+  private def fixedArity(name: String, n: Int)(
+      build: Seq[Expression] => Expression)(args: Seq[Expression]): Expression = {
+    require(args.length == n,
+      s"$name expects $n argument(s), got ${args.length}")
+    build(args)
+  }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getCanonicalName, "vec_dot"),
+      fixedArity("vec_dot", 2)(a => VecDot(a(0), a(1))) _),
+    (FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VecCosine].getCanonicalName, "vec_cosine"),
+      fixedArity("vec_cosine", 2)(a => VecCosine(a(0), a(1))) _),
+    (FunctionIdentifier("vec_sqdist"),
+      new ExpressionInfo(classOf[VecSqDist].getCanonicalName, "vec_sqdist"),
+      fixedArity("vec_sqdist", 2)(a => VecSqDist(a(0), a(1))) _),
+    (FunctionIdentifier("vec_l2_normalize"),
+      new ExpressionInfo(classOf[VecL2Normalize].getCanonicalName,
+        "vec_l2_normalize"),
+      fixedArity("vec_l2_normalize", 1)(a => VecL2Normalize(a(0))) _),
+    (FunctionIdentifier("vec_lsh_bucket"),
+      new ExpressionInfo(classOf[VecLshBucket].getCanonicalName,
+        "vec_lsh_bucket"),
+      fixedArity("vec_lsh_bucket", 2) { a =>
+        a(1) match {
+          case Literal(n: Int, IntegerType) => VecLshBucket(a(0), n)
+          case other => throw new IllegalArgumentException(
+            "vec_lsh_bucket(vec, numPlanes): numPlanes must be an " +
+              s"integer literal, got $other")
+        }
+      } _))
+}
+
 /** `spark.sql.extensions` entry point registering graft's Catalyst
-  * rules. */
+  * rules and SQL functions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(s => IntervalJoinRewrite(s))
+    GraftFunctions.all.foreach(e.injectFunction)
   }
 }

@@ -169,4 +169,29 @@ class ExtensionSpec extends SparkSpec with BeforeAndAfterAll {
         |""".stripMargin)
     assert(pin.count() == 1, "point-in-interval must match")
   }
+
+  test("SQL functions: vec_* resolve to the native kernels") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "vec_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
+        "vec_sqdist(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS s").head()
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 1.0 &&
+      r.getDouble(2) == 25.0)
+    val n = spark.sql(
+      "SELECT vec_l2_normalize(array(3.0d, 4.0d)) AS v").head()
+      .getSeq[Double](0)
+    assert(n.zip(Seq(0.6, 0.8)).forall { case (a, b) =>
+      math.abs(a - b) < 1e-15 })
+    // bucket function agrees with the Column-API expression on real data
+    val df = Seq((1L, Array(0.5f, -1.5f, 2.0f))).toDF("id", "v")
+    df.createOrReplaceTempView("ext_vec")
+    val sqlB = spark.sql("SELECT vec_lsh_bucket(v, 6) AS b FROM ext_vec")
+      .head().getLong(0)
+    val colB = df.select(graft.ann.Ann.lshBucket(col("v"), 6)).head().getLong(0)
+    assert(sqlB == colB)
+    // arity / literal contract errors surface at analysis, not runtime
+    intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1.0d))").collect()
+    }
+  }
 }
