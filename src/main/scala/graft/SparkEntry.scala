@@ -727,6 +727,77 @@ object SparkEntry {
         col("value_sum").cast("long").as("sum_value_cents"))
   }
 
+  /** File-source streaming gate: the canonical `readStream` -> transform
+    * -> `writeStream` pipeline over REAL files (every other evt_stream_*
+    * gate feeds MemoryStream; this one exercises the production ingest
+    * shape). A quarter of events lands as five single-file parquet drops
+    * in ts order (three data files + two watermark-flush files, the
+    * evt_stream_window sentinel rule), each with an explicit strictly
+    * increasing modification time so FileStreamSource's
+    * mtime-ordered discovery is deterministic; `maxFilesPerTrigger=1`
+    * ingests one file per micro-batch, so the watermark advances between
+    * files exactly like the MemoryStream batch feeds. Oracle = the batch
+    * GROUP BY over the same epoch-hour bucket. */
+  private def evtStreamFile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = eventsMs(s, dir).filter(col("event_id") % 4 === 0)
+      .select(col("event_id").as("eventId"), col("tms"),
+        col("event_type").as("eventType"),
+        round(col("value") * 100, 0).as("value"))
+      .as[StreamOps.Ev].collect().sortBy(e => (e.tms, e.eventId))
+    val maxTms = base.map(_.tms).max
+    val batches: Seq[Seq[StreamOps.Ev]] =
+      base.grouped(math.max(1, base.length / 3 + 1)).map(_.toSeq).toSeq ++
+        Seq(Seq(StreamOps.Ev(-1L, maxTms + 6L * 3600 * 1000, "__flush", 0.0)),
+          Seq(StreamOps.Ev(-2L, maxTms + 6L * 3600 * 1000 + 1, "__flush", 0.0)))
+    val srcDir = new java.io.File(scratchFile("evt_stream_file_src"))
+    srcDir.mkdirs()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    val t0 = System.currentTimeMillis() - 3600 * 1000
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = new java.io.File(scratchFile(s"esf_tmp_$i"))
+      s.createDataset(b).toDF().repartition(1)
+        .write.parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.startsWith("part-")).get
+      val dst = new java.io.File(srcDir, f"batch-$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 60000L)
+      rm(tmp)
+    }
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.catalog.dropTempView("evt_stream_file_sink")
+    val ckpt = graft.core.Scratch.dir.map(d =>
+      new java.io.File(d, s"ckpt-${java.util.UUID.randomUUID()}"))
+    val stream = s.readStream
+      .schema(org.apache.spark.sql.Encoders.product[StreamOps.Ev].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+    val windowed = StreamOps.windowedEventCounts(
+      stream.withColumn("__ts", timestamp_millis(col("tms")))
+        .withColumnRenamed("eventType", "event_type"),
+      tsCol = "__ts", window_ = "1 hour", watermark = "0 seconds")
+    val writer0 = windowed
+      .writeStream.format("memory").queryName("evt_stream_file_sink")
+      .outputMode("append")
+    val q = ckpt.fold(writer0)(c =>
+      writer0.option("checkpointLocation", c.getAbsolutePath)).start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      ckpt.foreach(rm)
+      rm(srcDir)
+    }
+    s.table("evt_stream_file_sink")
+      .filter(col("event_type") =!= "__flush")
+      .select(expr("unix_millis(window.start) div 3600000").as("hour_bucket"),
+        col("event_type"), col("n"),
+        col("value_sum").cast("long").as("sum_value_cents"))
+  }
+
   /** Stream-stream join gate: the last quarter of events splits into a
     * "left" stream (event_id % 8 == 3) and a "right" stream (% 8 == 7);
     * each left event must pair with same-user right events at most 24
@@ -1564,6 +1635,7 @@ object SparkEntry {
     "evt_stream_dedup" -> (evtStreamDedup _),
     "evt_stream_sessionize" -> (evtStreamSessionize _),
     "evt_stream_window" -> (evtStreamWindow _),
+    "evt_stream_file" -> (evtStreamFile _),
     "evt_stream_join" -> (evtStreamJoin _),
     "evt_stream_enrich" -> (evtStreamEnrich _),
     "evt_window_agg" -> (evtWindowAgg _),
@@ -2340,6 +2412,11 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events WHERE event_id % 4 = 2 GROUP BY 1, 2""".stripMargin,
+    "evt_stream_file" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events WHERE event_id % 4 = 0 GROUP BY 1, 2""".stripMargin,
     "evt_window_agg" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         |  COUNT(*) AS n,
