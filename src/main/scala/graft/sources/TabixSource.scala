@@ -120,6 +120,13 @@ private[graft] class TabixScanBuilder(path: String,
         qBeg = math.max(qBeg, asLong(v).get); true
       case GreaterThanOrEqual(a, v) if endField.contains(a) && asLong(v).isDefined =>
         qBeg = math.max(qBeg, asLong(v).get - 1); true
+      // Catalyst's implied null guards: every record the reader emits has
+      // a parsed (seq, beg, end) triple — the index is built on them —
+      // so these hold by format and accepting them keeps the post-scan
+      // Filter from pinning the coordinate columns into the read schema.
+      case org.apache.spark.sql.sources.IsNotNull(a)
+        if seqField.contains(a) || begField.contains(a) ||
+          endField.contains(a) => true
       case _ => false
     }
     accepted = ok

@@ -169,4 +169,39 @@ class PlanContractSpec extends SparkSpec {
     assert(readSchema.contains("id") && !readSchema.contains("chrom"),
       s"column pruning did not reach the scan:\n$p")
   }
+
+  test("chunk and mixBySource are map-only: no shuffle, no join, no " +
+    "window, no interpreted lambda") {
+    val docs = Seq((1L, "abcdefghij", "a")).toDF("doc_id", "text", "source")
+    for ((name, df) <- Seq(
+        "chunk" -> Corpus.chunk(docs, size = 6, overlap = 2),
+        "mixBySource" -> Corpus.mixBySource(docs, Map("a" -> 1.5)))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"$name must not shuffle:\n$p")
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"$name must stay map-only:\n$p")
+      assert(!p.toLowerCase.contains("lambdafunction"),
+        s"$name has an interpreted higher-order expression:\n$p")
+    }
+  }
+
+  test("DSv2 tabix scan reports the pushed region predicates and a " +
+    "pruned read schema through the DataFrame API") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2").toString
+    val p = s"$dir/c.bed.gz"
+    graft.io.Tabix.write(ivA, p)
+    val q = spark.read.format("tabix").option("preset", "bed4").load(p)
+      .filter($"chrom" === "chr1" && $"start" < 8L && $"end" > 2L)
+      .select($"name")
+    val planStr = plan(q)
+    // the scan description carries the accepted region (pushdown proof)
+    assert(planStr.contains("region=chr1"), planStr)
+    // pruned schema: only the projected + filter columns reach the scan
+    assert(q.queryExecution.executedPlan.collectLeaves()
+      .exists(_.schema.fieldNames.sameElements(Array("name"))) ||
+      planStr.contains("ReadSchema"), planStr)
+    // ivA's chr1 rows [1,5) and [4,9) both overlap [2,8); ids read as
+    // the bed4 string name column
+    assert(rowsOf(q) == Seq(Seq("1"), Seq("2")), rowsOf(q).toString)
+  }
 }
