@@ -247,6 +247,29 @@ object SparkEntry {
     graft.io.Tables.readBigWig(s, path)
   }
 
+  /** DSv2 bigwig gate: the io_bigwig relation written once, read back
+    * through `spark.read.format("bigwig")` with a chrom + coordinate
+    * region expressed as Catalyst predicates — the scan must prune
+    * R-tree blocks from the pushed region and still match the oracle's
+    * SQL recomputation of the selected bins exactly. */
+  private def ioDsv2Bw(s: SparkSession, dir: String): DataFrame = {
+    val bins = Extras.binnify(chromsizes(s), 100L)
+    val counts = iv1(s, dir)
+      .groupBy(col("chrom").as("__c"),
+        (floor(col("start") / 100) * 100).cast("long").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val valued = bins
+      .join(counts, bins("chrom") === col("__c") && bins("start") === col("__b"),
+        "left")
+      .select(bins("chrom"), col("start"), col("end"),
+        coalesce(col("__n"), lit(0L)).cast("double").as("value"))
+    val path = scratchFile("io_dsv2_bw")
+    graft.io.Tables.toBigWig(valued, path)
+    s.read.format("bigwig").load(path)
+      .filter(col("chrom") === "c2" && col("start") < 1700L &&
+        col("end") > 300L)
+  }
+
   /** bigBed round-trip gate over iv3, id carried through the `rest`
     * payload. */
   private def ioBigbed(s: SparkSession, dir: String): DataFrame = {
@@ -1597,6 +1620,7 @@ object SparkEntry {
     "seq_digest" -> (seqDigest _),
     "seq_digest_arima" -> (seqDigestArima _),
     "io_bigwig" -> (ioBigwig _),
+    "io_dsv2_bw" -> (ioDsv2Bw _),
     "io_bigbed" -> (ioBigbed _),
     "io_tabix" -> (ioTabix _),
     "io_dsv2" -> (ioDsv2 _),
@@ -1997,6 +2021,19 @@ object SparkEntry {
          |  CAST(COALESCE(counts.n, 0) AS DOUBLE) AS value
          |FROM bins LEFT JOIN counts
          |  ON bins.chrom = counts.chrom AND bins.start = counts.b""".stripMargin,
+    "io_dsv2_bw" ->
+      s"""WITH $iv1Sql, $chromsizesSql,
+         |bins AS (SELECT chrom, CAST(s AS BIGINT) AS start,
+         |    LEAST(CAST(s AS BIGINT) + 100, length) AS "end"
+         |  FROM chroms CROSS JOIN range(0, 2570, 100) r(s)),
+         |counts AS (SELECT chrom, (start // 100) * 100 AS b, COUNT(*) AS n
+         |  FROM iv1 GROUP BY chrom, (start // 100) * 100)
+         |SELECT bins.chrom, bins.start, bins."end",
+         |  CAST(COALESCE(counts.n, 0) AS DOUBLE) AS value
+         |FROM bins LEFT JOIN counts
+         |  ON bins.chrom = counts.chrom AND bins.start = counts.b
+         |WHERE bins.chrom = 'c2' AND bins.start < 1700
+         |  AND bins."end" > 300""".stripMargin,
     "io_bigbed" ->
       s"""WITH $iv3Sql
          |SELECT chrom, start, "end", id FROM iv3""".stripMargin,

@@ -1,6 +1,7 @@
 package graft
 
 import graft.io.{Bbi, BigBed, BigWig}
+import graft.sources.{BbiPartition, BbiScan, BbiScanBuilder}
 import org.apache.spark.sql.functions._
 
 /** BBI (bigWig/bigBed) container round-trips and index semantics. The
@@ -161,5 +162,50 @@ class BigWigSpec extends SparkSpec {
       BigBed.read(spark, p, chrom = Some("chr1"), start = Some(160L),
         end = Some(165L)).select(col("chrom"), col("start"), col("end")),
       Seq(Seq("chr1", 150L, 170L)), "chrom", "start", "end")
+  }
+
+  test("DSv2 bigwig/bigbed formats: region predicates prune R-tree " +
+    "blocks, columns prune, rows match the function readers") {
+    val pw = tmp("dsv2.bw")
+    // enough sections that region pruning is observable (one section per
+    // 256 items by default — use many rows across chroms)
+    val big = spark.range(3000).select(
+      concat(lit("chr"), (col("id") % 3).cast("string")).as("chrom"),
+      (col("id") * 10).as("start"), (col("id") * 10 + 8).as("end"),
+      (col("id") % 7).cast("double").as("value"))
+    BigWig.write(big.orderBy("chrom", "start"), pw)
+    val t = spark.read.format("bigwig").load(pw)
+    assert(t.count() == 3000)
+    val q = t.filter(col("chrom") === "chr1" &&
+      col("start") < 9000L && col("end") > 8000L)
+    val exp = BigWig.read(spark, pw, Some("chr1"), Some(8000L), Some(9000L))
+    assertFrame(q, rowsOf(exp), "chrom", "start", "end", "value")
+    assert(q.queryExecution.executedPlan.toString.contains("region=chr1"),
+      q.queryExecution.executedPlan.toString)
+    // partition pruning: the region plans strictly fewer block bytes
+    val sbN = new BbiScanBuilder(pw, Bbi.BigWigMagic, t.schema, "bigwig")
+    sbN.pushFilters(Array(
+      org.apache.spark.sql.sources.EqualTo("chrom", "chr1"),
+      org.apache.spark.sql.sources.LessThan("start", 9000L),
+      org.apache.spark.sql.sources.GreaterThan("end", 8000L)))
+    def bytes(s: BbiScanBuilder) =
+      s.build().asInstanceOf[BbiScan].planInputPartitions()
+        .flatMap(_.asInstanceOf[BbiPartition].extents).map(_._2).sum
+    val narrow = bytes(sbN)
+    val full = bytes(new BbiScanBuilder(pw, Bbi.BigWigMagic, t.schema, "bigwig"))
+    assert(narrow > 0 && narrow < full, s"narrow=$narrow full=$full")
+    // column pruning: a value-only projection scans one-column rows
+    assert(q.select("value").queryExecution.executedPlan.collectLeaves()
+      .exists(_.schema.fieldNames.sameElements(Array("value"))))
+    // bigbed through the same machinery
+    val pb = tmp("dsv2.bb")
+    BigBed.write(sampleWig.withColumnRenamed("value", "score"), pb)
+    val tb = spark.read.format("bigbed").load(pb)
+      .filter(col("chrom") === "chr2" && col("start") < 30L && col("end") > 15L)
+    val expB = BigBed.read(spark, pb, Some("chr2"), Some(15L), Some(30L))
+    assertFrame(tb, rowsOf(expB), "chrom", "start", "end", "rest")
+    // unknown chromosome plans zero partitions
+    assert(spark.read.format("bigwig").load(pw)
+      .filter(col("chrom") === "nope").count() == 0)
   }
 }
