@@ -338,6 +338,42 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("semDedup with one cluster equals brute-force cosine components") {
+    // kCentroids=1 makes the cluster structure vacuous, so keep must
+    // equal the O(n^2) ground truth: connected components of the
+    // cosine>=t graph, min id kept per component
+    val rnd = new scala.util.Random(11)
+    val data = (0L until 40L).map { i =>
+      // a few colinear families (j*base scaled) force multi-node comps
+      val fam = (i % 5).toInt
+      val base = Array.tabulate(8)(d =>
+        math.sin(fam * 8 + d).toFloat)
+      if (i < 20) (i, base.map(x => x * (1.0f + i * 0.1f)))
+      else (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val t = 0.999
+    val out = Ann.semDedup(data, threshold = t, kCentroids = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // driver brute force
+    val vecs = data.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val ab = a.zip(b).map { case (x, y) => x * y }.sum
+      ab / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for (a <- ids; b <- ids if a < b && cos(vecs(a), vecs(b)) >= t) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = ids.map(i => i -> (find(i) == i)).toMap
+    assert(out == expect,
+      ids.filter(i => out(i) != expect(i)).mkString("mismatch at ", ",", ""))
+  }
+
   test("semDedup cluster-occupancy cap removes hot clusters from the " +
     "candidate universe (members all kept)") {
     val clones = vecs.filter($"vec_id" < 5)
