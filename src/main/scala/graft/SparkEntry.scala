@@ -1337,6 +1337,20 @@ object SparkEntry {
   private def txtChunk(s: SparkSession, dir: String): DataFrame =
     Corpus.chunk(docs(s, dir), size = 128, overlap = 32)
 
+  /** Unicode-normalization gate: every doc gets a planted combining
+    * sequence (" cafe" + U+0301) so NFC recomposition is non-vacuous on
+    * every row; md5 of the normalized text + per-row changed flag and
+    * normalized char count hash-match DuckDB's nfc_normalize. */
+  private def txtNormalize(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(col("doc_id"),
+      concat(col("text"), lit(" cafe\u0301")).as("text"))
+    val norm = graft.text.TextOps.normalizeUnicode(col("text"))
+    planted.select(col("doc_id"),
+      md5(norm).as("norm_md5"),
+      (norm =!= col("text")).cast("long").as("changed"),
+      length(norm).cast("long").as("n_chars_norm"))
+  }
+
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(docs(s, dir), "doc_id", "text")
       .select(col("doc_id"), col("canonical_id"), col("is_dup"))
@@ -1390,6 +1404,17 @@ object SparkEntry {
     val emb = table(s, dir, "embeddings")
     Ann.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Contrastive hard-negative gate: top-5 most-similar OTHER-label
+    * vectors per query — exercises the embeddings table's label column;
+    * oracle re-ranks with the identical label-mismatch predicate. */
+  private def embHardNeg(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Ann.hardNegatives(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        col("neighbor_label").cast("long").as("neighbor_label"),
+        col("rank").cast("long").as("rank"))
   }
 
   private def embAnnLsh(s: SparkSession, dir: String): DataFrame = {
@@ -1683,6 +1708,7 @@ object SparkEntry {
     "doc_domain_cap" -> (docDomainCap _),
     "doc_mix" -> (docMix _),
     "txt_chunk" -> (txtChunk _),
+    "txt_normalize" -> (txtNormalize _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhash _),
@@ -1691,6 +1717,7 @@ object SparkEntry {
     "dedup_components" -> (dedupComponents _),
     "emb_cov" -> (embCov _),
     "emb_cosine_topk" -> (embCosineTopk _),
+    "emb_hard_neg" -> (embHardNeg _),
     "emb_ann_lsh" -> (embAnnLsh _),
     "emb_ivf_topk" -> (embIvfTopk _),
     "emb_pq_topk" -> (embPqTopk _),
@@ -2765,6 +2792,13 @@ object SparkEntry {
         |  CAST(('0x' || substring(
         |    md5('mix|' || e.epoch || '|' || d.doc_id), 1, 8)) AS BIGINT)
         |  < w.thresh""".stripMargin,
+    "txt_normalize" ->
+      """WITH t AS (SELECT doc_id, text || ' cafe' || chr(769) AS text
+        |  FROM documents)
+        |SELECT doc_id, md5(nfc_normalize(text)) AS norm_md5,
+        |  CAST(nfc_normalize(text) <> text AS BIGINT) AS changed,
+        |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_norm
+        |FROM t""".stripMargin,
     "txt_chunk" ->
       """SELECT doc_id, t.chunk_id, t.chunk_id * 96 AS chunk_start,
         |  substring(text, CAST(t.chunk_id * 96 + 1 AS INT), 128) AS chunk_text
@@ -3006,6 +3040,20 @@ object SparkEntry {
         |    list_cosine_similarity(qv, v) AS c
         |  FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id)
         |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, neighbor_id) AS rn FROM scored) z
+        |WHERE rn <= 5""".stripMargin,
+    "emb_hard_neg" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS ql, v AS qv
+        |  FROM e WHERE vec_id % 100 = 0),
+        |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    CAST(e.label AS BIGINT) AS neighbor_label,
+        |    list_cosine_similarity(qv, v) AS c
+        |  FROM q CROSS JOIN e WHERE e.label <> q.ql)
+        |SELECT query_id, neighbor_id, neighbor_label,
+        |  CAST(rn AS BIGINT) AS rank FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY c DESC, neighbor_id) AS rn FROM scored) z
         |WHERE rn <= 5""".stripMargin,

@@ -50,6 +50,32 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("__cos").as("cosine"))
   }
 
+  /** Contrastive hard-negative mining: for each query vector, the top-k
+    * most-similar corpus vectors carrying a DIFFERENT label — the
+    * standard negative-selection step for contrastive/embedding training
+    * (high-cosine other-class examples are the informative negatives).
+    * Same execution contract as [[bruteForceTopK]] (small broadcast query
+    * set, corpus streams once); swap the candidate source for
+    * [[ivfTopK]]'s probe lists at corpus scale. Returns
+    * (query_id, neighbor_id, neighbor_label, rank). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      col(labelCol).as("__ql"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      col(labelCol).as("neighbor_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_label") =!= col("__ql"))
+      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        col("rank"))
+  }
+
   /** Sign-bucket signature of `numPlanes` hyperplane bits packed to a long.
     * Hyperplanes are deterministic pseudo-random: component h[p][d] derived
     * from a hash of (p, d), mapped to [-1, 1) — no RNG state, so plans are

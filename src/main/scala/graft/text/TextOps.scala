@@ -87,6 +87,14 @@ object TextOps {
       (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch), lit(0)), lit(p)))
   }
 
+  /** Unicode normalization ([[UnicodeNormalize]], codegen'd): the
+    * canonical pre-dedup step — byte-identical dedup keys need
+    * canonically equivalent strings to hash identically. */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+    column(UnicodeNormalize(expression(text), form))
+  }
+
   /** Lower-cased word tokens. `array_remove`, not a `filter` lambda: the
     * split only yields empty strings (at the text boundaries), and
     * array_remove is a plain codegen'd expression while higher-order

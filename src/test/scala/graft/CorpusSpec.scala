@@ -300,6 +300,24 @@ class CorpusSpec extends SparkSpec {
       "doc_id", "span_start", "span_end", "n_dup_windows")
   }
 
+  test("unicode normalization: NFC recomposes, NFKC folds compatibility " +
+    "forms, normal text passes through, nulls stay null") {
+    import graft.text.TextOps
+    val df = Seq(
+      (1L, "café"),        // e + combining acute -> U+00E9
+      (2L, "plain ascii"),
+      (3L, "ﬁle"),          // LATIN SMALL LIGATURE FI (NFKC -> "fi")
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = df.select($"id",
+        TextOps.normalizeUnicode($"text").as("nfc"),
+        TextOps.normalizeUnicode($"text", "NFKC").as("nfkc"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L)._1 == "café" && out(1L)._2 == "café")
+    assert(out(2L)._1 == "plain ascii")
+    assert(out(3L)._1 == "ﬁle" && out(3L)._2 == "file")
+    assert(out(4L)._1 == null && out(4L)._2 == null)
+  }
+
   test("chunk: stride windows, clipped tail, empty doc keeps one row") {
     val df = Seq(
       (1L, "abcdefghij"),   // len 10, size 6 stride 4 -> starts 0, 4

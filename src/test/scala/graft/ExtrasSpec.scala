@@ -319,6 +319,33 @@ class AnnSpec extends SparkSpec {
     assert(bf.exceptAll(ivf).count() == 0)
   }
 
+  test("hardNegatives: only other-label neighbors, ranked by cosine") {
+    val labeled = vecs.withColumn("label",
+      (col("vec_id") % 3).cast("int"))
+    val out = Ann.hardNegatives(labeled, labeled.filter($"vec_id" < 3), k = 4)
+      .collect()
+    assert(out.length == 12)
+    out.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      assert(r.getInt(2) == (n % 3).toInt)       // neighbor's true label
+      assert((q % 3) != (n % 3), s"same-label pair $q,$n")
+    }
+    // rank 1 is the global other-label argmax by exact cosine
+    val raw = labeled.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val ab = a.zip(b).map { case (x, y) => x * y }.sum
+      ab / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for (q <- 0L until 3L) {
+      val best = raw.keys.filter(n => n % 3 != q % 3)
+        .maxBy(n => (cos(raw(q), raw(n)), -n))
+      val got = out.filter(r => r.getLong(0) == q && r.getInt(3) == 1)
+      assert(got.length == 1 && got.head.getLong(1) == best,
+        s"query $q: expected $best got ${got.head.getLong(1)}")
+    }
+  }
+
   test("semDedup: scaled clones co-cluster with their originals and are " +
     "dropped; every input row appears exactly once") {
     // 0.5-scaled copies are direction-identical -> same spherical cluster,
