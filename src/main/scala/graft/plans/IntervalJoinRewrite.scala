@@ -217,6 +217,19 @@ object GraftFunctions {
             "vec_lsh_bucket(vec, numPlanes): numPlanes must be an " +
               s"integer literal, got $other")
         }
+      } _),
+    (FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(
+        classOf[graft.text.UnicodeNormalize].getCanonicalName,
+        "unicode_normalize"),
+      fixedArity("unicode_normalize", 2) { a =>
+        a(1) match {
+          case Literal(f, _) if f != null =>
+            graft.text.UnicodeNormalize(a(0), f.toString)
+          case other => throw new IllegalArgumentException(
+            "unicode_normalize(text, form): form must be a string " +
+              s"literal (NFC/NFD/NFKC/NFKD), got $other")
+        }
       } _))
 }
 

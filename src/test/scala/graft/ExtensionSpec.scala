@@ -189,6 +189,8 @@ class ExtensionSpec extends SparkSpec with BeforeAndAfterAll {
       .head().getLong(0)
     val colB = df.select(graft.ann.Ann.lshBucket(col("v"), 6)).head().getLong(0)
     assert(sqlB == colB)
+    assert(spark.sql("SELECT unicode_normalize('cafe\u0301', 'NFC') AS s")
+      .head().getString(0) == "caf\u00e9")
     // arity / literal contract errors surface at analysis, not runtime
     intercept[Exception] {
       spark.sql("SELECT vec_dot(array(1.0d))").collect()
