@@ -277,8 +277,16 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val s = newDocs.sparkSession
+    // The batch's banded keys are referenced three times below (corpus
+    // probe + both sides of the within-batch join) and the candidate
+    // relation three more (verification join + both id prunes): without
+    // a persist barrier each reference re-executes its whole subtree —
+    // including the INDEX SCAN, turning "one corpus scan" into three
+    // (measured 15s vs 5s on the bench gate). Both relations are
+    // batch-/candidate-sized, never corpus-sized.
     val newBanded = bandedRel(
       minhashSigRel(newDocs, idCol, textCol, n, numHashes), bands, r)
+      .persist()
     val store = s.table(indexTable)
     val vsCorpus = newBanded.hint("SHUFFLE_HASH").alias("x")
       .join(store.alias("y"),
@@ -291,7 +299,7 @@ object Dedup {
         col("x.__band") === col("y.__band") && col("x.__bh") === col("y.__bh") &&
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_1"), col("y.__id").as("id_2"))
-    val cand = vsCorpus.unionByName(vsBatch).distinct()
+    val cand = vsCorpus.unionByName(vsBatch).distinct().persist()
     // semi-join prune BEFORE shingling: verification re-shingles only
     // candidate members, not the whole universe
     val candIds = cand.select(col("id_1").as(idCol))
