@@ -201,6 +201,39 @@ object Ann {
     cents
   }
 
+  /** Persist trained coarse-quantizer centroids as a parquet model
+    * artifact — the 100 TB workflow trains ONCE (on a bounded sample)
+    * and every later job loads the centroids next to the data instead of
+    * re-running Lloyd. Dimension-sized, single file. */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+                    cents: Array[(Int, Array[Double])], path: String): Unit = {
+    import spark.implicits._
+    spark.createDataset(cents.toSeq).toDF("cid", "cv")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Array[(Int, Array[Double])] = {
+    import spark.implicits._
+    spark.read.parquet(path).select(col("cid"), col("cv"))
+      .as[(Int, Array[Double])].collect().sortBy(_._1)
+  }
+
+  /** [[saveCentroids]] for PQ codebooks: (sub, cid, cv) rows. */
+  def savePqBooks(spark: org.apache.spark.sql.SparkSession,
+                  books: Array[(Int, Int, Array[Double])], path: String): Unit = {
+    import spark.implicits._
+    spark.createDataset(books.toSeq).toDF("sub", "cid", "cv")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadPqBooks(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Array[(Int, Int, Array[Double])] = {
+    import spark.implicits._
+    spark.read.parquet(path).select(col("sub"), col("cid"), col("cv"))
+      .as[(Int, Int, Array[Double])].collect().sortBy(t => (t._1, t._2))
+  }
+
   private def centroidDf(corpus: DataFrame,
                          cents: Array[(Int, Array[Double])]): DataFrame = {
     val spark = corpus.sparkSession

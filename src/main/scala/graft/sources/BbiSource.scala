@@ -68,8 +68,11 @@ private[graft] class BbiTable(path: String, magic: Int,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BbiScanBuilder(path, magic, tableSchema, fmt)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val sb = new BbiScanBuilder(path, magic, tableSchema, fmt)
+    Option(options.get("region")).foreach(sb.seedRegion)
+    sb
+  }
 }
 
 private[graft] class BbiScanBuilder(path: String, magic: Int,
@@ -85,6 +88,17 @@ private[graft] class BbiScanBuilder(path: String, magic: Int,
   private var qEnd: Long = Long.MaxValue
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+
+  /** Seed the region from an `option("region", "chr1:1,000-2M")` load
+    * option (the [[graft.core.Region]] UCSC grammar); composes with the
+    * Catalyst-predicate path — the intersection wins. */
+  private[sources] def seedRegion(spec: String): this.type = {
+    val r = graft.core.Region.parseString(spec)
+    chrom = Some(r.chrom)
+    r.start.foreach(s => qBeg = math.max(qBeg, s))
+    r.end.foreach(e => qEnd = math.min(qEnd, e))
+    this
+  }
 
   private def asLong(v: Any): Option[Long] = v match {
     case i: Int => Some(i.toLong)

@@ -66,8 +66,11 @@ private[graft] class TabixTable(path: String, indexPath: Option[String],
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TabixScanBuilder(path, indexPath, tableSchema)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val sb = new TabixScanBuilder(path, indexPath, tableSchema)
+    Option(options.get("region")).foreach(sb.seedRegion)
+    sb
+  }
 }
 
 private[graft] class TabixScanBuilder(path: String,
@@ -96,6 +99,18 @@ private[graft] class TabixScanBuilder(path: String,
   private var qEnd: Long = Tabix.MaxCoord
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+
+  /** Seed the region from an `option("region", "chr1:1,000-2M")` load
+    * option (the engine's UCSC grammar, [[graft.core.Region]]) — the
+    * ergonomic twin of the Catalyst-predicate path; both compose (the
+    * intersection wins). Called by [[TabixTable]]. */
+  private[sources] def seedRegion(spec: String): this.type = {
+    val r = graft.core.Region.parseString(spec)
+    chrom = Some(r.chrom)
+    r.start.foreach(s => qBeg = math.max(qBeg, s))
+    r.end.foreach(e => qEnd = math.min(qEnd, e))
+    this
+  }
 
   private def asLong(v: Any): Option[Long] = v match {
     case i: Int => Some(i.toLong)

@@ -307,6 +307,28 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("centroid and PQ-book model artifacts round-trip bit-exactly and " +
+    "drive identical queries") {
+    val d = java.nio.file.Files.createTempDirectory("graft_model").toString
+    val cs = Ann.ivfCentroids(vecs, k = 4)
+    Ann.saveCentroids(spark, cs, s"$d/cents")
+    val cs2 = Ann.loadCentroids(spark, s"$d/cents")
+    assert(cs.map(_._1).sameElements(cs2.map(_._1)))
+    cs.zip(cs2).foreach { case ((_, a), (_, b)) => assert(a.sameElements(b)) }
+    val fresh = Ann.ivfTopK(vecs, vecs.filter($"vec_id" < 3), k = 3,
+      kCentroids = 4, cents = Some(cs))
+    val loaded = Ann.ivfTopK(vecs, vecs.filter($"vec_id" < 3), k = 3,
+      kCentroids = 4, cents = Some(cs2))
+    assert(fresh.exceptAll(loaded).isEmpty && loaded.exceptAll(fresh).isEmpty)
+    val books = Ann.pqCodebooks(vecs, m = 4, k = 4)
+    Ann.savePqBooks(spark, books, s"$d/books")
+    val books2 = Ann.loadPqBooks(spark, s"$d/books")
+    assert(books.length == books2.length)
+    books.zip(books2).foreach { case ((s1, c1, a), (s2, c2, b)) =>
+      assert(s1 == s2 && c1 == c2 && a.sameElements(b))
+    }
+  }
+
   test("ivf topk with full probing equals brute force") {
     // nProbe = kCentroids probes every inverted list -> the candidate set
     // is the whole corpus and IVF degenerates to exact top-k

@@ -175,6 +175,26 @@ class TabixSpec extends SparkSpec {
     assert(t.filter(col("chrom") === "nope").count() == 0)
   }
 
+  test("DSv2 region load option seeds the scan via the UCSC grammar " +
+    "and composes with Catalyst predicates") {
+    val p = tmp("dsv2opt.bed.gz")
+    val df = spark.range(2000).select(
+      concat(lit("chr"), (col("id") % 2).cast("string")).as("chrom"),
+      (col("id") * 100).as("start"), (col("id") * 100 + 150).as("end"),
+      concat(lit("n"), col("id").cast("string")).as("name"))
+    Tabix.write(df, p)
+    val viaOpt = spark.read.format("tabix").option("preset", "bed4")
+      .option("region", "chr1:50,000-80000").load(p)
+    val viaFilter = spark.read.format("tabix").option("preset", "bed4")
+      .load(p).filter(col("chrom") === "chr1" &&
+        col("start") < 80000L && col("end") > 50000L)
+    assertFrame(viaOpt, rowsOf(viaFilter), "chrom", "start", "end", "name")
+    assert(viaOpt.count() > 0)
+    // intersection with a further Catalyst bound narrows the result
+    val both = viaOpt.filter(col("start") < 60000L)
+    assert(both.count() < viaOpt.count() && both.count() > 0)
+  }
+
   test("DSv2 tabix format: 1-based GFF begin bound shifts into the " +
     "0-based query space") {
     import org.apache.spark.sql.functions.{col, lit}
