@@ -250,6 +250,23 @@ object Dedup {
       .saveAsTable(table)
   }
 
+  /** Append an ingest batch's banded keys to an existing minhash index
+    * ([[writeMinhashIndex]] created it) — the post-probe half of the
+    * ingest loop: probe first, then append, so the NEXT batch dedups
+    * against this one. Bucket spec must match the create call. */
+  def appendMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                         table: String, n: Int = 3, numHashes: Int = 48,
+                         bands: Int = 16, numBuckets: Int = 32): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    bandedRel(minhashSigRel(df, idCol, textCol, n, numHashes),
+        bands, numHashes / bands)
+      .write.mode("append")
+      .bucketBy(numBuckets, "__band", "__bh")
+      .sortBy("__band", "__bh")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Near-dup pairs of an ingest BATCH against an indexed corpus, plus
     * within-batch pairs — the incremental form of [[minhashLshPairs]]:
     * dedup a new delivery against 100 TB already ingested WITHOUT

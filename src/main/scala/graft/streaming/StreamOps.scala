@@ -174,4 +174,47 @@ object StreamOps {
           closed.iterator
       }
   }
+
+  /** Streaming corpus ingest with dedup-on-arrival: every micro-batch of
+    * documents is (1) appended to the parquet doc store, (2) probed
+    * against the persisted banded-LSH index for verified near-dup pairs
+    * vs EVERYTHING ingested before it plus within itself
+    * ([[graft.dedup.Dedup.incrementalMinhashPairs]]) — handed to
+    * `onPairs` — and (3) its own banded keys appended to the index
+    * ([[graft.dedup.Dedup.appendMinhashIndex]]) so the NEXT batch dedups
+    * against this one. Probe-before-append keeps a batch from matching
+    * its own keys through the index (within-batch pairs come from the
+    * probe's batch self-join).
+    *
+    * Scale shape per batch: only the batch is shuffled (signatures +
+    * probe build side); the index streams hash-clustered off its
+    * bucketed scan, and verification re-shingles candidate members only.
+    * State lives entirely in the index table + doc store — the streaming
+    * query itself is stateless (`foreachBatch`), so a restart resumes
+    * from the checkpoint with no state-store migration concerns. */
+  def streamingIngestDedup(docs: DataFrame, indexTable: String,
+      docStorePath: String,
+      onPairs: (DataFrame, Long) => Unit,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, numHashes: Int = 48, bands: Int = 16,
+      threshold: Double = 0.5, numBuckets: Int = 32)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        batch.persist()
+        if (!batch.isEmpty) {
+          batch.select(idCol, textCol).write.mode("append")
+            .parquet(docStorePath)
+          val universe = s.read.parquet(docStorePath)
+          val pairs = graft.dedup.Dedup.incrementalMinhashPairs(
+            batch.toDF(), universe, indexTable, idCol, textCol,
+            n, numHashes, bands, threshold)
+          onPairs(pairs, batchId)
+          graft.dedup.Dedup.appendMinhashIndex(batch.toDF(), idCol, textCol,
+            indexTable, n, numHashes, bands, numBuckets)
+        }
+        batch.unpersist()
+        ()
+    }
 }

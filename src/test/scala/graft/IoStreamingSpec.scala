@@ -420,4 +420,43 @@ class StreamingSpec extends SparkSpec {
     val out = StreamOps.windowedEventCounts(events)
     assert(out.count() > 0)
   }
+
+  test("streaming ingest dedup: each micro-batch probes the index, then " +
+    "appends its keys so later batches dedup against it") {
+    import graft.dedup.Dedup
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mk = (salt: Int, changed: Int) => (0 until 60)
+      .map(i => if (i == changed) s"CH$salt" else s"tok${salt}_$i").mkString(" ")
+    // corpus doc 1; batch A brings 2 (near-dup of 1) and 4; batch B
+    // brings 6 (near-dup of 4 — FOUND ONLY IF batch A's keys were
+    // appended) and 8 (unique)
+    val corpus = Seq((1L, mk(0, -1))).toDF("doc_id", "text")
+    val batchA = Seq((2L, mk(0, 30)), (4L, mk(2, -1)))
+    val batchB = Seq((6L, mk(2, 20)), (8L, (0 until 60).map(i => s"u$i").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+    spark.sql("DROP TABLE IF EXISTS sidx_spec")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", "sidx_spec",
+      s"$dir/idx", numBuckets = 4)
+    corpus.write.mode("overwrite").parquet(s"$dir/store")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingIngestDedup(
+        input.toDF().toDF("doc_id", "text"), "sidx_spec", s"$dir/store",
+        (pairs, batchId) => seen ++= pairs.collect().map(r =>
+          (batchId, r.getLong(0), r.getLong(1))),
+        threshold = 0.5, numBuckets = 4)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData(batchA); q.processAllAvailable()
+      input.addData(batchB); q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = seen.groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sorted.toList).toMap
+    assert(byBatch(0L) == List((1L, 2L)), s"batch 0: ${byBatch.get(0L)}")
+    assert(byBatch(1L) == List((4L, 6L)), s"batch 1: ${byBatch.get(1L)}")
+    // the doc store accumulated everything
+    assert(spark.read.parquet(s"$dir/store").count() == 5)
+  }
 }
