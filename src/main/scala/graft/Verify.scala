@@ -43,6 +43,20 @@ object Verify {
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
           .linesIterator.take(3).mkString(" ").take(400)
         System.err.println(s"[verify] $name FAILED: ${errors(name)}")
+        // Make the failure VISIBLE to the driver's outDir scan (r6
+        // ADVICE: an erroring gate must surface in the artifact, not
+        // vanish): a one-row relation with the error under a
+        // __verify_error column can never rows/schema/hash-match any
+        // oracle, so the compare records a FAILING entry instead of
+        // omitting the query. Also clobbers any partial write.
+        try {
+          import org.apache.spark.sql.types.{StringType, StructField, StructType}
+          spark.createDataFrame(
+              java.util.Arrays.asList(
+                org.apache.spark.sql.Row(s"$name: ${errors(name)}")),
+              StructType(Seq(StructField("__verify_error", StringType))))
+            .repartition(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
       }
     }
