@@ -204,9 +204,16 @@ object StreamOps {
         val s = batch.sparkSession
         batch.persist()
         if (!batch.isEmpty) {
-          batch.select(idCol, textCol).write.mode("append")
-            .parquet(docStorePath)
-          val universe = s.read.parquet(docStorePath)
+          // replay-idempotent store write: foreachBatch re-delivers a
+          // batch after a failure with the SAME batchId, and a plain
+          // append would duplicate its rows — overwrite of a
+          // batch-addressed subdirectory makes the replay a no-op.
+          // (Index replay is also safe: duplicated band keys only create
+          // duplicate candidates, and the probe's distinct() absorbs
+          // them — exact-once output, at-least-once key rows.)
+          batch.select(idCol, textCol).write.mode("overwrite")
+            .parquet(s"$docStorePath/batch=$batchId")
+          val universe = s.read.parquet(s"$docStorePath/batch=*")
           val pairs = graft.dedup.Dedup.incrementalMinhashPairs(
             batch.toDF(), universe, indexTable, idCol, textCol,
             n, numHashes, bands, threshold)

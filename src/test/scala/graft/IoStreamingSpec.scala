@@ -439,7 +439,7 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS sidx_spec")
     Dedup.writeMinhashIndex(corpus, "doc_id", "text", "sidx_spec",
       s"$dir/idx", numBuckets = 4)
-    corpus.write.mode("overwrite").parquet(s"$dir/store")
+    corpus.write.mode("overwrite").parquet(s"$dir/store/batch=seed")
     val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     val input = MemoryStream[(Long, String)]
     val q = StreamOps.streamingIngestDedup(
@@ -456,7 +456,7 @@ class StreamingSpec extends SparkSpec {
       .mapValues(_.map(t => (t._2, t._3)).sorted.toList).toMap
     assert(byBatch(0L) == List((1L, 2L)), s"batch 0: ${byBatch.get(0L)}")
     assert(byBatch(1L) == List((4L, 6L)), s"batch 1: ${byBatch.get(1L)}")
-    // the doc store accumulated everything
-    assert(spark.read.parquet(s"$dir/store").count() == 5)
+    // the doc store accumulated everything (batch-addressed dirs)
+    assert(spark.read.parquet(s"$dir/store/batch=*").count() == 5)
   }
 }
