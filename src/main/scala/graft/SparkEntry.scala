@@ -357,6 +357,11 @@ object SparkEntry {
         col("chrom2"), col("pos2").cast("long"))
   }
 
+  /** Interval-set Jaccard of iv1 vs iv2 (the bedtools statistic): one
+    * row of exact longs plus their single IEEE division. */
+  private def ivJaccard(s: SparkSession, dir: String): DataFrame =
+    Extras.jaccardIntervals(iv1(s, dir), iv2(s, dir), binSize = B)
+
   /** frac_gene_coverage composition (extras.py:357-387): iv2 "genes"
     * covered and counted against iv1. */
   private def ivGeneCoverage(s: SparkSession, dir: String): DataFrame =
@@ -1640,6 +1645,7 @@ object SparkEntry {
     "iv_merge_strict" -> ivMerge(None) _,
     "iv_coverage" -> (ivCoverage _),
     "iv_gene_coverage" -> (ivGeneCoverage _),
+    "iv_jaccard" -> (ivJaccard _),
     "seq_frac_gc" -> (seqFracGc _),
     "seq_frac_mapped" -> (seqFracMapped _),
     "seq_digest" -> (seqDigest _),
@@ -1906,6 +1912,24 @@ object SparkEntry {
     "iv_merge" ->
       s"""WITH $iv1Sql, $mergedIv1Sql
          |SELECT chrom, start, "end", n_intervals FROM m1""".stripMargin,
+    "iv_jaccard" ->
+      s"""WITH $iv1Sql, $iv2Sql, $mergedIv1Sql,
+         |${TestTables.mergedSql("iv2", "m2")},
+         |inter AS (
+         |  SELECT COALESCE(SUM(GREATEST(0,
+         |      LEAST(m1."end", m2."end") - GREATEST(m1.start, m2.start))),
+         |    0) AS intersection_bp,
+         |    COUNT(*) AS n_intersections
+         |  FROM m1 JOIN m2 ON m1.chrom = m2.chrom AND ${ovl("m1", "m2")}),
+         |b1 AS (SELECT COALESCE(SUM("end" - start), 0) AS bp1 FROM m1),
+         |b2 AS (SELECT COALESCE(SUM("end" - start), 0) AS bp2 FROM m2)
+         |SELECT CAST(intersection_bp AS BIGINT) AS intersection_bp,
+         |  CAST(bp1 + bp2 - intersection_bp AS BIGINT) AS union_bp,
+         |  CASE WHEN bp1 + bp2 - intersection_bp > 0 THEN
+         |    CAST(intersection_bp AS DOUBLE) /
+         |    CAST(bp1 + bp2 - intersection_bp AS DOUBLE) END AS jaccard,
+         |  n_intersections
+         |FROM inter, b1, b2""".stripMargin,
     "iv_merge_on" ->
       s"""WITH $iv1Sql
          |SELECT chrom, strand, MIN(start) AS start, MAX("end") AS "end",

@@ -194,10 +194,10 @@ object TestTables {
       |  SELECT 'c' || CAST(i AS VARCHAR) AS chrom, CAST(2570 AS BIGINT) AS length
       |  FROM range(8) t(i))""".stripMargin
 
-  /** SQL fragment: min_dist=0 merge of `src` as CTE `m1` (chrom,start,end,
-    * n_intervals). */
-  def mergedSql(src: String): String =
-    s"""m1 AS (
+  /** SQL fragment: min_dist=0 merge of `src` as CTE `name` (chrom,start,
+    * end, n_intervals). */
+  def mergedSql(src: String, name: String = "m1"): String =
+    s"""$name AS (
        |  SELECT chrom, MIN(start) AS start, MAX("end") AS "end", COUNT(*) AS n_intervals
        |  FROM (
        |    SELECT chrom, start, "end",

@@ -303,4 +303,40 @@ object Extras {
     l.join(levels, col("__sid") === col("__lid"), "inner")
       .drop("__sid", "__lid")
   }
+
+  /** Interval-set Jaccard statistic (the `bedtools jaccard` measure —
+    * beyond the reference, which has no whole-set similarity): both
+    * inputs are self-merged (min_dist=0) so internal overlap cannot
+    * double-count, the intersection is the total overlapping base count
+    * of the merged runs, and the union is `bp1 + bp2 - intersection`.
+    * Returns exactly one row:
+    * (intersection_bp, union_bp, jaccard, n_intersections) — jaccard is
+    * the single IEEE division of two exact longs. Scale shape: two
+    * range-partitioned merge sweeps + one binned overlap join + scalar
+    * aggregates; nothing quadratic, nothing single-partition. */
+  def jaccardIntervals(df1: DataFrame, df2: DataFrame,
+                       cols1: ColSpec = ColSpec.default,
+                       cols2: ColSpec = ColSpec.default,
+                       binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
+    val m1 = Ops.merge(df1, cols = cols1)
+    val m2 = Ops.merge(df2, cols = cols2)
+    val pairs = Ops.overlap(m1, m2, how = "inner", suffixes = ("_1", "_2"),
+      returnOverlap = true, binSize = binSize)
+    val inter = pairs.agg(
+      coalesce(sum(greatest(lit(0L), col("overlap_end") - col("overlap_start"))),
+        lit(0L)).as("intersection_bp"),
+      count(lit(1)).as("n_intersections"))
+    val bp1 = m1.agg(coalesce(sum(col(cols1.end) - col(cols1.start)), lit(0L))
+      .as("__bp1"))
+    val bp2 = m2.agg(coalesce(sum(col(cols2.end) - col(cols2.start)), lit(0L))
+      .as("__bp2"))
+    inter.crossJoin(bp1).crossJoin(bp2)
+      .withColumn("union_bp",
+        col("__bp1") + col("__bp2") - col("intersection_bp"))
+      .withColumn("jaccard",
+        when(col("union_bp") > 0L,
+          col("intersection_bp").cast("double") / col("union_bp").cast("double")))
+      .select(col("intersection_bp"), col("union_bp"), col("jaccard"),
+        col("n_intersections"))
+  }
 }

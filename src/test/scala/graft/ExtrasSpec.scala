@@ -35,6 +35,24 @@ class ExtrasSpec extends SparkSpec {
       Seq(Seq("a", "b"), Seq("b", "c")), "name_1", "name_2")
   }
 
+  test("jaccardIntervals: hand-computed overlap/union, internal overlap " +
+    "merged away, empty intersection yields 0 and null jaccard") {
+    // a: [0,10)+[5,15) merge to [0,15); [30,40). b: [10,20), [35,50)
+    val a = Seq(("chr1", 0L, 10L), ("chr1", 5L, 15L), ("chr1", 30L, 40L))
+      .toDF("chrom", "start", "end")
+    val b = Seq(("chr1", 10L, 20L), ("chr1", 35L, 50L))
+      .toDF("chrom", "start", "end")
+    // inter = [10,15)=5 + [35,40)=5 = 10; bp_a=25, bp_b=25, union=40
+    val r = Extras.jaccardIntervals(a, b, binSize = 16).head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 40L)
+    assert(math.abs(r.getDouble(2) - 0.25) < 1e-15 && r.getLong(3) == 2L)
+    val disjoint = Extras.jaccardIntervals(a,
+      Seq(("chr2", 0L, 5L)).toDF("chrom", "start", "end"), binSize = 16).head()
+    assert(disjoint.getLong(0) == 0L && disjoint.getLong(1) == 30L &&
+      disjoint.isNullAt(2) == false) // 0/30 = 0.0, not null
+    assert(disjoint.getDouble(2) == 0.0)
+  }
+
   test("pairByDistance intervening count filter") {
     val df = Seq(("chr1", 0L, 2L, "a"), ("chr1", 10L, 12L, "b"),
       ("chr1", 20L, 22L, "c")).toDF("chrom", "start", "end", "name")
