@@ -362,6 +362,12 @@ object SparkEntry {
   private def ivJaccard(s: SparkSession, dir: String): DataFrame =
     Extras.jaccardIntervals(iv1(s, dir), iv2(s, dir), binSize = B)
 
+  /** Relative-distance statistic of iv2 midpoints against iv1 flanks
+    * (bedtools reldist): exact flank deltas + their single division. */
+  private def ivReldist(s: SparkSession, dir: String): DataFrame =
+    Extras.relDistance(iv2(s, dir), iv1(s, dir), binSize = B,
+      bucketSize = SCAN_BUCKET)
+
   /** frac_gene_coverage composition (extras.py:357-387): iv2 "genes"
     * covered and counted against iv1. */
   private def ivGeneCoverage(s: SparkSession, dir: String): DataFrame =
@@ -1646,6 +1652,7 @@ object SparkEntry {
     "iv_coverage" -> (ivCoverage _),
     "iv_gene_coverage" -> (ivGeneCoverage _),
     "iv_jaccard" -> (ivJaccard _),
+    "iv_reldist" -> (ivReldist _),
     "seq_frac_gc" -> (seqFracGc _),
     "seq_frac_mapped" -> (seqFracMapped _),
     "seq_digest" -> (seqDigest _),
@@ -1912,6 +1919,20 @@ object SparkEntry {
     "iv_merge" ->
       s"""WITH $iv1Sql, $mergedIv1Sql
          |SELECT chrom, start, "end", n_intervals FROM m1""".stripMargin,
+    "iv_reldist" ->
+      s"""WITH $iv1Sql, $iv2Sql,
+         |am AS (SELECT id, chrom, (start + "end") // 2 AS m FROM iv2),
+         |bm AS (SELECT chrom, (start + "end") // 2 AS m FROM iv1),
+         |up AS (SELECT a.id, MIN(a.m - b.m) AS dup FROM am a JOIN bm b
+         |  ON a.chrom = b.chrom AND b.m <= a.m GROUP BY a.id),
+         |down AS (SELECT a.id, MIN(b.m - a.m) AS ddown FROM am a JOIN bm b
+         |  ON a.chrom = b.chrom AND b.m >= a.m GROUP BY a.id)
+         |SELECT up.id, CAST(dup AS BIGINT) AS d_upstream,
+         |  CAST(ddown AS BIGINT) AS d_downstream,
+         |  CASE WHEN dup + ddown = 0 THEN 0.0
+         |       ELSE CAST(LEAST(dup, ddown) AS DOUBLE) /
+         |            CAST(dup + ddown AS DOUBLE) END AS reldist
+         |FROM up JOIN down USING (id)""".stripMargin,
     "iv_jaccard" ->
       s"""WITH $iv1Sql, $iv2Sql, $mergedIv1Sql,
          |${TestTables.mergedSql("iv2", "m2")},

@@ -53,6 +53,25 @@ class ExtrasSpec extends SparkSpec {
     assert(disjoint.getDouble(2) == 0.0)
   }
 
+  test("relDistance: hand-computed flanks, coincident midpoint = 0, " +
+    "missing flank drops the row") {
+    val a = Seq((1L, "chr1", 10L, 20L),   // mid 15: flanks 5 and 18
+      (2L, "chr1", 16L, 20L),             // mid 18: coincident with b mid
+      (3L, "chr1", 0L, 2L),               // mid 1: no upstream b -> drop
+      (4L, "chr2", 0L, 10L))              // chrom with no b at all -> drop
+      .toDF("id", "chrom", "start", "end")
+    val b = Seq(("chr1", 0L, 10L),        // mid 5
+      ("chr1", 16L, 20L),                 // mid 18
+      ("chr1", 25L, 35L))                 // mid 30
+      .toDF("chrom", "start", "end")
+    val out = Extras.relDistance(a, b, binSize = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((10L, 3L, 3.0 / 13.0)))
+    assert(out(2L) == ((0L, 0L, 0.0)))
+  }
+
   test("pairByDistance intervening count filter") {
     val df = Seq(("chr1", 0L, 2L, "a"), ("chr1", 10L, 12L, "b"),
       ("chr1", 20L, 22L, "c")).toDF("chrom", "start", "end", "name")
