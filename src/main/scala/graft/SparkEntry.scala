@@ -368,6 +368,13 @@ object SparkEntry {
     Extras.relDistance(iv2(s, dir), iv1(s, dir), binSize = B,
       bucketSize = SCAN_BUCKET)
 
+  /** Coverage-depth histogram of iv1 over the synthetic chromsizes
+    * (bedtools genomecov summary): exact per-depth base totals + their
+    * single division by the genome size. */
+  private def ivGenomecov(s: SparkSession, dir: String): DataFrame =
+    Extras.coverageHistogram(iv1(s, dir), chromsizes(s),
+      bucketSize = SCAN_BUCKET)
+
   /** frac_gene_coverage composition (extras.py:357-387): iv2 "genes"
     * covered and counted against iv1. */
   private def ivGeneCoverage(s: SparkSession, dir: String): DataFrame =
@@ -1653,6 +1660,7 @@ object SparkEntry {
     "iv_gene_coverage" -> (ivGeneCoverage _),
     "iv_jaccard" -> (ivJaccard _),
     "iv_reldist" -> (ivReldist _),
+    "iv_genomecov" -> (ivGenomecov _),
     "seq_frac_gc" -> (seqFracGc _),
     "seq_frac_mapped" -> (seqFracMapped _),
     "seq_digest" -> (seqDigest _),
@@ -1919,6 +1927,25 @@ object SparkEntry {
     "iv_merge" ->
       s"""WITH $iv1Sql, $mergedIv1Sql
          |SELECT chrom, start, "end", n_intervals FROM m1""".stripMargin,
+    "iv_genomecov" ->
+      s"""WITH $iv1Sql, $chromsizesSql,
+         |ev AS (SELECT chrom, start AS pos, CAST(1 AS BIGINT) AS d FROM iv1
+         |  UNION ALL SELECT chrom, "end", CAST(-1 AS BIGINT) FROM iv1),
+         |agg AS (SELECT chrom, pos, SUM(d) AS delta FROM ev GROUP BY chrom, pos),
+         |c AS (SELECT chrom, pos,
+         |    CAST(SUM(delta) OVER (PARTITION BY chrom ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS depth,
+         |    LEAD(pos) OVER (PARTITION BY chrom ORDER BY pos) AS next
+         |  FROM agg),
+         |h AS (SELECT depth, CAST(SUM(next - pos) AS BIGINT) AS n_bases
+         |  FROM c WHERE next IS NOT NULL AND depth > 0 GROUP BY depth),
+         |g AS (SELECT CAST(SUM(length) AS BIGINT) AS gb FROM chroms),
+         |hz AS (SELECT * FROM h UNION ALL
+         |  SELECT CAST(0 AS BIGINT),
+         |    gb - COALESCE((SELECT SUM(n_bases) FROM h), 0) FROM g)
+         |SELECT depth, n_bases,
+         |  CAST(n_bases AS DOUBLE) / CAST(gb AS DOUBLE) AS fraction
+         |FROM hz, g""".stripMargin,
     "iv_reldist" ->
       s"""WITH $iv1Sql, $iv2Sql,
          |am AS (SELECT id, chrom, (start + "end") // 2 AS m FROM iv2),

@@ -378,4 +378,30 @@ object Extras {
       .select(col("__aid").as(idCol), col("__dup").as("d_upstream"),
         col("__ddown").as("d_downstream"), col("reldist"))
   }
+
+  /** Genome-wide coverage-depth histogram (the `bedtools genomecov`
+    * summary): for every depth, the total bases at exactly that depth
+    * and the genome fraction (single IEEE division of exact longs).
+    * Depth 0 is the chromsizes remainder — `pileup` only emits runs
+    * between a chromosome's first and last event, so leading/trailing
+    * uncovered spans are accounted by subtraction. Scale shape: one
+    * bucket-parallel pileup sweep + a depth-keyed hash agg (persisted:
+    * it is depth-cardinality-sized and referenced twice). */
+  def coverageHistogram(df: DataFrame, chromSizes: DataFrame,
+                        cols: ColSpec = ColSpec.default,
+                        bucketSize: Long = 1L << 20): DataFrame = {
+    val hist = pileup(df, None, cols, bucketSize)
+      .filter(col("depth") > 0)
+      .groupBy(col("depth"))
+      .agg(sum(col(cols.end) - col(cols.start)).as("n_bases"))
+      .persist()
+    val g = chromSizes.agg(sum(col("length")).cast("long").as("__g"))
+    val covered = hist.agg(coalesce(sum(col("n_bases")), lit(0L)).as("__cov"))
+    val zero = g.crossJoin(covered)
+      .select(lit(0L).as("depth"), (col("__g") - col("__cov")).as("n_bases"))
+    hist.unionByName(zero).crossJoin(g)
+      .withColumn("fraction",
+        col("n_bases").cast("double") / col("__g").cast("double"))
+      .select(col("depth"), col("n_bases"), col("fraction"))
+  }
 }

@@ -53,6 +53,20 @@ class ExtrasSpec extends SparkSpec {
     assert(disjoint.getDouble(2) == 0.0)
   }
 
+  test("coverageHistogram: hand-computed depth bands incl. the depth-0 " +
+    "chromsizes remainder") {
+    // chr1 [0,10)+[5,15): depth 1 on [0,5)+[10,15)=10, depth 2 on [5,10)=5
+    // chr2 [20,30): depth 1 on 10 more. genome = 2*100 = 200 -> depth0 175
+    val df = Seq(("chr1", 0L, 10L), ("chr1", 5L, 15L), ("chr2", 20L, 30L))
+      .toDF("chrom", "start", "end")
+    val cs = Seq(("chr1", 100L), ("chr2", 100L)).toDF("chrom", "length")
+    val out = Extras.coverageHistogram(df, cs, bucketSize = 8)
+    assertFrame(out.select($"depth", $"n_bases"),
+      Seq(Seq(0L, 175L), Seq(1L, 20L), Seq(2L, 5L)), "depth", "n_bases")
+    val fr = out.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(fr(2L) == 5.0 / 200.0 && fr(0L) == 175.0 / 200.0)
+  }
+
   test("relDistance: hand-computed flanks, coincident midpoint = 0, " +
     "missing flank drops the row") {
     val a = Seq((1L, "chr1", 10L, 20L),   // mid 15: flanks 5 and 18
