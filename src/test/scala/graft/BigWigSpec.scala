@@ -164,6 +164,18 @@ class BigWigSpec extends SparkSpec {
       Seq(Seq("chr1", 150L, 170L)), "chrom", "start", "end")
   }
 
+  test("DSv2 bigwig region load option equals the Catalyst-predicate path") {
+    val p = tmp("opt.bw")
+    BigWig.write(sampleWig, p)
+    val viaOpt = spark.read.format("bigwig")
+      .option("region", "chr1:50-200").load(p)
+    val viaFilter = spark.read.format("bigwig").load(p)
+      .filter(col("chrom") === "chr1" &&
+        col("start") < 200L && col("end") > 50L)
+    assertFrame(viaOpt, rowsOf(viaFilter), "chrom", "start", "end", "value")
+    assert(viaOpt.count() == 2) // [0,100) and [100,250) overlap [50,200)
+  }
+
   test("DSv2 bigwig/bigbed formats: region predicates prune R-tree " +
     "blocks, columns prune, rows match the function readers") {
     val pw = tmp("dsv2.bw")
