@@ -375,6 +375,12 @@ object SparkEntry {
     Extras.coverageHistogram(iv1(s, dir), chromsizes(s),
       bucketSize = SCAN_BUCKET)
 
+  /** Multi-set intersection runs of iv1/iv2/iv3 (bedtools multiinter):
+    * covered genome partitioned by how many sets cover each run. */
+  private def ivMultiinter(s: SparkSession, dir: String): DataFrame =
+    Extras.multiIntersect(
+      Seq(iv1(s, dir), iv2(s, dir), iv3(s, dir)), bucketSize = SCAN_BUCKET)
+
   /** frac_gene_coverage composition (extras.py:357-387): iv2 "genes"
     * covered and counted against iv1. */
   private def ivGeneCoverage(s: SparkSession, dir: String): DataFrame =
@@ -1661,6 +1667,7 @@ object SparkEntry {
     "iv_jaccard" -> (ivJaccard _),
     "iv_reldist" -> (ivReldist _),
     "iv_genomecov" -> (ivGenomecov _),
+    "iv_multiinter" -> (ivMultiinter _),
     "seq_frac_gc" -> (seqFracGc _),
     "seq_frac_mapped" -> (seqFracMapped _),
     "seq_digest" -> (seqDigest _),
@@ -1927,6 +1934,23 @@ object SparkEntry {
     "iv_merge" ->
       s"""WITH $iv1Sql, $mergedIv1Sql
          |SELECT chrom, start, "end", n_intervals FROM m1""".stripMargin,
+    "iv_multiinter" ->
+      s"""WITH $iv1Sql, $iv2Sql, $iv3Sql, $mergedIv1Sql,
+         |${TestTables.mergedSql("iv2", "m2")},
+         |${TestTables.mergedSql("iv3", "m3")},
+         |u AS (SELECT chrom, start, "end" FROM m1
+         |  UNION ALL SELECT chrom, start, "end" FROM m2
+         |  UNION ALL SELECT chrom, start, "end" FROM m3),
+         |ev AS (SELECT chrom, start AS pos, CAST(1 AS BIGINT) AS d FROM u
+         |  UNION ALL SELECT chrom, "end", CAST(-1 AS BIGINT) FROM u),
+         |agg AS (SELECT chrom, pos, SUM(d) AS delta FROM ev GROUP BY chrom, pos),
+         |c AS (SELECT chrom, pos,
+         |    CAST(SUM(delta) OVER (PARTITION BY chrom ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_sets,
+         |    LEAD(pos) OVER (PARTITION BY chrom ORDER BY pos) AS next
+         |  FROM agg)
+         |SELECT chrom, pos AS start, next AS "end", n_sets FROM c
+         |WHERE next IS NOT NULL AND n_sets > 0""".stripMargin,
     "iv_genomecov" ->
       s"""WITH $iv1Sql, $chromsizesSql,
          |ev AS (SELECT chrom, start AS pos, CAST(1 AS BIGINT) AS d FROM iv1

@@ -404,4 +404,29 @@ object Extras {
         col("n_bases").cast("double") / col("__g").cast("double"))
       .select(col("depth"), col("n_bases"), col("fraction"))
   }
+
+  /** Multi-set intersection runs (the `bedtools multiinter` shape):
+    * partition the covered genome into maximal runs labelled by HOW MANY
+    * of the input interval SETS cover them. Each input is self-merged
+    * first so a set counts at most once per base; the merged relations
+    * union and one pileup sweep yields (chrom, start, end, n_sets) for
+    * every run covered by at least one set. Scale shape: k merge sweeps
+    * + one bucket-parallel pileup — linear in rows. */
+  def multiIntersect(dfs: Seq[DataFrame],
+                     cols: ColSpec = ColSpec.default,
+                     bucketSize: Long = 1L << 20): DataFrame = {
+    require(dfs.nonEmpty, "multiIntersect needs at least one input")
+    val merged = dfs.map(df => Ops.merge(df, cols = cols)
+      .select(cols.chromCol, cols.startCol, cols.endCol))
+    // persist barrier: the range-partitioned merge plans are
+    // NONDETERMINISTICALLY partitioned (repartitionByRange samples), and
+    // the pileup scan consumes its input in more than one plan branch —
+    // without a single materialization the branches can see inconsistent
+    // row sets (the graft.ops.RowId hazard; observed as phantom
+    // zero-length runs). The merged union is at most input-sized.
+    val u = merged.reduce(_ unionByName _).persist()
+    pileup(u, None, cols, bucketSize)
+      .filter(col("depth") > 0)
+      .withColumnRenamed("depth", "n_sets")
+  }
 }

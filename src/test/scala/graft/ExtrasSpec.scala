@@ -53,6 +53,17 @@ class ExtrasSpec extends SparkSpec {
     assert(disjoint.getDouble(2) == 0.0)
   }
 
+  test("multiIntersect: runs labelled by the number of covering SETS, " +
+    "internal overlap within a set counted once") {
+    // set A [0,10)+[5,15) merges to [0,15); set B [8,20)
+    val a = Seq(("c1", 0L, 10L), ("c1", 5L, 15L)).toDF("chrom", "start", "end")
+    val b = Seq(("c1", 8L, 20L)).toDF("chrom", "start", "end")
+    assertFrame(Extras.multiIntersect(Seq(a, b), bucketSize = 8),
+      Seq(Seq("c1", 0L, 8L, 1L), Seq("c1", 8L, 15L, 2L),
+        Seq("c1", 15L, 20L, 1L)),
+      "chrom", "start", "end", "n_sets")
+  }
+
   test("coverageHistogram: hand-computed depth bands incl. the depth-0 " +
     "chromsizes remainder") {
     // chr1 [0,10)+[5,15): depth 1 on [0,5)+[10,15)=10, depth 2 on [5,10)=5
