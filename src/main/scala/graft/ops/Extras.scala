@@ -318,8 +318,11 @@ object Extras {
                        cols1: ColSpec = ColSpec.default,
                        cols2: ColSpec = ColSpec.default,
                        binSize: Long = IntervalJoin.DefaultBinSize): DataFrame = {
-    val m1 = Ops.merge(df1, cols = cols1)
-    val m2 = Ops.merge(df2, cols = cols2)
+    // persist barrier on each merged side: both feed TWO plan branches
+    // (the overlap join and a bp aggregate), and the range-partitioned
+    // merge is nondeterministically partitioned — see [[multiIntersect]]
+    val m1 = Ops.merge(df1, cols = cols1).persist()
+    val m2 = Ops.merge(df2, cols = cols2).persist()
     val pairs = Ops.overlap(m1, m2, how = "inner", suffixes = ("_1", "_2"),
       returnOverlap = true, binSize = binSize)
     val inter = pairs.agg(

@@ -24,6 +24,17 @@ import org.apache.spark.sql.functions._
   * buckets" is exactly "prior rows outside my bucket". Used by [[Closest]]
   * (sequence numbering + as-of positions), [[Ops.cluster]], and
   * `Extras.pileup`/`markRuns`.
+  *
+  * INPUT CONTRACT: the input relation is referenced by MORE THAN ONE plan
+  * branch (the per-bucket pass and the broadcast bucket summary), so its
+  * lineage must re-evaluate consistently. Raw scans and persisted
+  * relations qualify; a UNION whose children carry compatible hash
+  * partitioning does NOT — Spark elides the exchange above such unions,
+  * and the summary branch can observe split groups (duplicate bucket
+  * keys that fan out the stitch join; seen as phantom zero-length runs
+  * in `Extras.multiIntersect` before its persist barrier). When
+  * composing a scan over merged/unioned relations, `.persist()` the
+  * input first.
   */
 object Scan {
 
