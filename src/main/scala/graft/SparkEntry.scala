@@ -810,7 +810,11 @@ object SparkEntry {
       val part = tmp.listFiles().find(_.getName.startsWith("part-")).get
       val dst = new java.io.File(srcDir, f"batch-$i%04d.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(t0 + i * 60000L)
+      // FileStreamSource discovers in mtime order; the watermark-flush
+      // sentinel ordering of this gate depends on it, so a silent
+      // setLastModified failure must surface, not flake the gate.
+      require(dst.setLastModified(t0 + i * 60000L),
+        s"setLastModified failed for $dst")
       rm(tmp)
     }
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
@@ -1966,7 +1970,8 @@ object SparkEntry {
          |g AS (SELECT CAST(SUM(length) AS BIGINT) AS gb FROM chroms),
          |hz AS (SELECT * FROM h UNION ALL
          |  SELECT CAST(0 AS BIGINT),
-         |    gb - COALESCE((SELECT SUM(n_bases) FROM h), 0) FROM g)
+         |    CAST(gb - COALESCE((SELECT SUM(n_bases) FROM h), 0) AS BIGINT)
+         |  FROM g)
          |SELECT depth, n_bases,
          |  CAST(n_bases AS DOUBLE) / CAST(gb AS DOUBLE) AS fraction
          |FROM hz, g""".stripMargin,

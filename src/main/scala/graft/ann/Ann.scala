@@ -363,8 +363,15 @@ object Ann {
       .withColumn("__cos", cosine(col("x.__raw"), col("y.__raw")))
       .filter(col("__cos") >= threshold)
       .select(col("x.vec_id").as("id_1"), col("y.vec_id").as("id_2"))
+    // resolveComponents is eager (it counts the symmetrized edges), so
+    // the pair branch has fully consumed `v` by here; release the
+    // barrier instead of leaking a CacheManager entry per call. The
+    // final branch recomputes the assignment scan once — deterministic
+    // ([[semDedupAssign]]), and `cs` is already a materialized array, so
+    // the recompute is one corpus scan, not a second k-means.
     val comps = graft.dedup.Dedup.resolveComponents(pairs)
       .withColumnRenamed("id", "vec_id")
+    v.unpersist(blocking = false)
     v.select(col("vec_id"), col("centroid_id"))
       .join(comps, Seq("vec_id"), "left")
       .withColumn("keep",

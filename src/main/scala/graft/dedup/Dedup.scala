@@ -290,7 +290,24 @@ object Dedup {
                               idCol: String, textCol: String,
                               n: Int = 3, numHashes: Int = 48,
                               bands: Int = 16,
-                              threshold: Double = 0.5): DataFrame = {
+                              threshold: Double = 0.5): DataFrame =
+    incrementalMinhashPairsWithRelease(newDocs, universe, indexTable,
+      idCol, textCol, n, numHashes, bands, threshold)._1
+
+  /** [[incrementalMinhashPairs]] plus a release thunk that unpersists the
+    * two internal cache barriers (batch band keys + candidate pairs).
+    * Call it AFTER the returned pairs are fully consumed — a per-batch
+    * caller that never releases (e.g. a long-running ingest stream)
+    * accumulates two permanent CacheManager entries per batch.
+    * [[graft.streaming.StreamOps.streamingIngestDedup]] releases after
+    * every `onPairs`. */
+  def incrementalMinhashPairsWithRelease(
+      newDocs: DataFrame, universe: DataFrame,
+      indexTable: String,
+      idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 48,
+      bands: Int = 16,
+      threshold: Double = 0.5): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val s = newDocs.sparkSession
@@ -322,7 +339,12 @@ object Dedup {
     val candIds = cand.select(col("id_1").as(idCol))
       .unionByName(cand.select(col("id_2").as(idCol))).distinct()
     val pruned = universe.join(candIds, Seq(idCol), "left_semi")
-    verifyJaccard(cand, pruned, idCol, textCol, n, threshold)
+    val out = verifyJaccard(cand, pruned, idCol, textCol, n, threshold)
+    (out, () => {
+      newBanded.unpersist(blocking = false)
+      cand.unpersist(blocking = false)
+      ()
+    })
   }
 
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
@@ -336,7 +358,10 @@ object Dedup {
     *    union-find — the pair graph after near-dup FILTERING is usually
     *    dimension-sized relative to the corpus (the same argument that
     *    broadcasts chromsizes), and one collect of (long, long) pairs
-    *    beats ~log(n) shuffle rounds of job overhead;
+    *    beats ~log(n) shuffle rounds of job overhead. The default (1M
+    *    edges ~ tens of MB on the driver) is sized for a SHARED driver:
+    *    a deployment that owns its driver heap can raise it toward
+    *    `spark.driver.maxResultSize / 32B-per-edge`;
     *  - larger graphs run distributed min-label propagation WITH pointer
     *    jumping (each round also replaces a node's label by its label's
     *    label), converging in O(log diameter) rounds instead of
@@ -350,7 +375,7 @@ object Dedup {
   def resolveComponents(pairs: DataFrame, idCol1: String = "id_1",
                         idCol2: String = "id_2",
                         maxIters: Int = 25,
-                        smallGraphThreshold: Long = 10000000L): DataFrame = {
+                        smallGraphThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     // Cache the pair list FIRST: the symmetrized edge union below

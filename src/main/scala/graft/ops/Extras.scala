@@ -333,7 +333,7 @@ object Extras {
       .as("__bp1"))
     val bp2 = m2.agg(coalesce(sum(col(cols2.end) - col(cols2.start)), lit(0L))
       .as("__bp2"))
-    inter.crossJoin(bp1).crossJoin(bp2)
+    val out = inter.crossJoin(bp1).crossJoin(bp2)
       .withColumn("union_bp",
         col("__bp1") + col("__bp2") - col("intersection_bp"))
       .withColumn("jaccard",
@@ -341,6 +341,15 @@ object Extras {
           col("intersection_bp").cast("double") / col("union_bp").cast("double")))
       .select(col("intersection_bp"), col("union_bp"), col("jaccard"),
         col("n_intersections"))
+    // the statistic is exactly ONE row: compute it eagerly so both merge
+    // barriers release before returning — a lazy return would pin two
+    // input-sized cache entries in the CacheManager for the session
+    // lifetime (per-call leak in a long-lived session).
+    val rows = out.collect()
+    m1.unpersist(blocking = false)
+    m2.unpersist(blocking = false)
+    df1.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   /** Relative-distance statistic (bedtools `reldist`, Favorov et al.
@@ -402,10 +411,17 @@ object Extras {
     val covered = hist.agg(coalesce(sum(col("n_bases")), lit(0L)).as("__cov"))
     val zero = g.crossJoin(covered)
       .select(lit(0L).as("depth"), (col("__g") - col("__cov")).as("n_bases"))
-    hist.unionByName(zero).crossJoin(g)
+    val out = hist.unionByName(zero).crossJoin(g)
       .withColumn("fraction",
         col("n_bases").cast("double") / col("__g").cast("double"))
       .select(col("depth"), col("n_bases"), col("fraction"))
+      // eager, depth-cardinality-sized: localCheckpoint materializes the
+      // histogram so the input-sized `hist` barrier releases now instead
+      // of leaking a CacheManager entry per call; its own blocks are
+      // ContextCleaner-collected once the result is unreferenced.
+      .localCheckpoint()
+    hist.unpersist(blocking = false)
+    out
   }
 
   /** Multi-set intersection runs (the `bedtools multiinter` shape):
@@ -428,8 +444,15 @@ object Extras {
     // row sets (the graft.ops.RowId hazard; observed as phantom
     // zero-length runs). The merged union is at most input-sized.
     val u = merged.reduce(_ unionByName _).persist()
-    pileup(u, None, cols, bucketSize)
+    val out = pileup(u, None, cols, bucketSize)
       .filter(col("depth") > 0)
       .withColumnRenamed("depth", "n_sets")
+      // eager: materializing the runs lets the union barrier release
+      // immediately (no per-call CacheManager leak); the checkpoint
+      // blocks are ContextCleaner-collected with the result, and the
+      // runs are no larger than the merged input the persist held.
+      .localCheckpoint()
+    u.unpersist(blocking = false)
+    out
   }
 }

@@ -107,6 +107,15 @@ private[graft] class BbiScanBuilder(path: String, magic: Int,
     case _ => None
   }
 
+  // Saturating +-1: an accepted filter is NOT re-evaluated by Spark, so
+  // a wrap at Long.MaxValue/MinValue would silently invert the region
+  // into an empty query instead of a degenerate-but-correct one.
+  private def satAdd(v: Long, d: Long): Long = {
+    val r = v + d
+    if (d > 0 && r < v) Long.MaxValue
+    else if (d < 0 && r > v) Long.MinValue else r
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition {
       case EqualTo("chrom", v: String)
@@ -115,11 +124,11 @@ private[graft] class BbiScanBuilder(path: String, magic: Int,
       case LessThan("start", v) if asLong(v).isDefined =>
         qEnd = math.min(qEnd, asLong(v).get); true
       case LessThanOrEqual("start", v) if asLong(v).isDefined =>
-        qEnd = math.min(qEnd, asLong(v).get + 1); true
+        qEnd = math.min(qEnd, satAdd(asLong(v).get, 1)); true
       case GreaterThan("end", v) if asLong(v).isDefined =>
         qBeg = math.max(qBeg, asLong(v).get); true
       case GreaterThanOrEqual("end", v) if asLong(v).isDefined =>
-        qBeg = math.max(qBeg, asLong(v).get - 1); true
+        qBeg = math.max(qBeg, satAdd(asLong(v).get, -1)); true
       // every decoded record carries all four fields — null guards hold
       // by format, and accepting them keeps pruning effective
       case IsNotNull(a) if tableSchema.fieldNames.contains(a) => true

@@ -119,6 +119,15 @@ private[graft] class TabixScanBuilder(path: String,
     case _ => None
   }
 
+  // Saturating coordinate shift: accepted filters are not re-evaluated
+  // by Spark, so a Long.MaxValue/MinValue wrap would silently invert the
+  // region into an empty query (see BbiSource for the same guard).
+  private def satAdd(v: Long, d: Long): Long = {
+    val r = v + d
+    if (d > 0 && r < v) Long.MaxValue
+    else if (d < 0 && r > v) Long.MinValue else r
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition {
       case EqualTo(a, v: String) if seqField.contains(a) &&
@@ -126,15 +135,15 @@ private[graft] class TabixScanBuilder(path: String,
       // interval-overlap bounds in the file's coordinate convention;
       // translated to the index's 0-based half-open query space
       case LessThan(a, v) if begField.contains(a) && asLong(v).isDefined =>
-        val x = asLong(v).get - (if (oneBased) 1 else 0)
+        val x = satAdd(asLong(v).get, if (oneBased) -1L else 0L)
         qEnd = math.min(qEnd, x); true
       case LessThanOrEqual(a, v) if begField.contains(a) && asLong(v).isDefined =>
-        val x = asLong(v).get + 1 - (if (oneBased) 1 else 0)
+        val x = satAdd(asLong(v).get, if (oneBased) 0L else 1L)
         qEnd = math.min(qEnd, x); true
       case GreaterThan(a, v) if endField.contains(a) && asLong(v).isDefined =>
         qBeg = math.max(qBeg, asLong(v).get); true
       case GreaterThanOrEqual(a, v) if endField.contains(a) && asLong(v).isDefined =>
-        qBeg = math.max(qBeg, asLong(v).get - 1); true
+        qBeg = math.max(qBeg, satAdd(asLong(v).get, -1L)); true
       // Catalyst's implied null guards: every record the reader emits has
       // a parsed (seq, beg, end) triple — the index is built on them —
       // so these hold by format and accepting them keeps the post-scan

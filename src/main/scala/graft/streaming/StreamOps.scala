@@ -214,10 +214,15 @@ object StreamOps {
           batch.select(idCol, textCol).write.mode("overwrite")
             .parquet(s"$docStorePath/batch=$batchId")
           val universe = s.read.parquet(s"$docStorePath/batch=*")
-          val pairs = graft.dedup.Dedup.incrementalMinhashPairs(
-            batch.toDF(), universe, indexTable, idCol, textCol,
-            n, numHashes, bands, threshold)
-          onPairs(pairs, batchId)
+          // onPairs consumes the pairs synchronously, so the probe's two
+          // internal cache barriers can be released before the batch
+          // ends — without this every micro-batch leaked two permanent
+          // CacheManager entries into a long-running ingest stream.
+          val (pairs, release) = graft.dedup.Dedup
+            .incrementalMinhashPairsWithRelease(
+              batch.toDF(), universe, indexTable, idCol, textCol,
+              n, numHashes, bands, threshold)
+          try onPairs(pairs, batchId) finally release()
           graft.dedup.Dedup.appendMinhashIndex(batch.toDF(), idCol, textCol,
             indexTable, n, numHashes, bands, numBuckets)
         }
