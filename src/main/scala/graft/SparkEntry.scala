@@ -1593,6 +1593,25 @@ object SparkEntry {
         step = 5)
       .select(col("media_id").as("doc_id"), col("frame").cast("long").as("frame"))
 
+  /** REAL-codec multimodal gate: deterministic solid-fill PNGs are
+    * encoded on the executors (`Multimodal.syntheticPng`, real
+    * `javax.imageio` PNG writer) and pushed back through
+    * `Multimodal.decode`'s image path — the gate passes only if the real
+    * decoder recovers the PLANTED pixel dimensions of every payload
+    * (encode->decode round trip, not byte-stat arithmetic). The oracle
+    * recomputes the planted dims from doc_id; the mean-RGB feature and
+    * the corrupt-payload null path are spec'd (MultimodalSpec), floats
+    * staying out of the hash per the gate-authoring rule. Non-vacuous at
+    * sf0.001: 72 rows. */
+  private def mmDecode(s: SparkSession, dir: String): DataFrame =
+    graft.mm.Multimodal.decode(
+        graft.mm.Multimodal.syntheticPng(
+          docs(s, dir).filter(col("doc_id") % 7 === 0), "doc_id"))
+      .select(col("media_id").as("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"))
+
   // ------------------------------------------------------- SQL extension
 
   /** Plain-SQL interval overlap planned through the Catalyst extension
@@ -1757,7 +1776,8 @@ object SparkEntry {
     "emb_semdedup" -> (embSemDedup _),
     "emb_lsh_cap" -> (embLshCap _),
     "mm_meta" -> (mmMeta _),
-    "mm_frames" -> (mmFrames _))
+    "mm_frames" -> (mmFrames _),
+    "mm_decode" -> (mmDecode _))
 
   /** Auxiliary relations dumped by Verify alongside the query results.
     * DuckDB cannot recompute xxhash64, so the hash-based operators'
@@ -3167,5 +3187,10 @@ object SparkEntry {
         |  CAST(strlen(text) AS BIGINT) % 640 + 1 AS fake_width,
         |  CAST(strlen(text) AS BIGINT) * 7 % 480 + 1 AS fake_height,
         |  CAST(strlen(text) AS BIGINT) % 24 + 1 AS n_frames
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "mm_decode" ->
+      """SELECT doc_id, CAST(4 + doc_id % 13 AS BIGINT) AS width,
+        |  CAST(3 + (doc_id * 5) % 11 AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS n_frames
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin)
 }

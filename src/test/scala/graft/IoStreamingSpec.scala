@@ -252,6 +252,49 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter($"media_id" === 1L).count() == 3) // frames 0,4,8 of 12
   }
 
+  test("real PNG decode: planted dims + fill color recovered; corrupt -> null") {
+    val ids = Seq(0L, 5L, 42L, 255L).toDF("id")
+    val media = Multimodal.syntheticPng(ids, "id")
+    val dec = Multimodal.decode(media).orderBy("media_id").collect()
+    Seq(0L, 5L, 42L, 255L).zip(dec).foreach { case (id, r) =>
+      val (w, h) = Multimodal.plantedDims(id)
+      assert(r.getInt(3) == w && r.getInt(4) == h, s"dims for id=$id")
+      assert(r.getInt(5) == 1) // still image: one frame
+      // solid fill: every grid cell's mean RGB is exactly the fill color
+      val rgb = Multimodal.plantedRgb(id)
+      val want = Seq((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+        .map(_ / 255.0f)
+      val feat = r.getSeq[Float](6)
+      assert(feat.size == 12)
+      (0 until 4).foreach { cell =>
+        (0 until 3).foreach { c =>
+          assert(math.abs(feat(cell * 3 + c) - want(c)) < 1e-6f,
+            s"cell $cell chan $c id=$id")
+        }
+      }
+    }
+    // corrupt payload with an image mime: null metadata, row survives
+    val bad = Seq((9L, Array[Byte](1, 2, 3), "image/png"),
+        (10L, null.asInstanceOf[Array[Byte]], "image/png"))
+      .toDF("media_id", "payload", "mime")
+    val badRows = Multimodal.decode(bad).orderBy("media_id").collect()
+    assert(badRows.length == 2)
+    badRows.foreach { r =>
+      assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+    }
+    assert(badRows(0).getAs[Long]("n_bytes") == 3L)
+    // truncated REAL png (header intact, data chopped) also nulls out
+    val full = media.limit(1).collect()(0).getAs[Array[Byte]]("payload")
+    val trunc = Seq((11L, full.take(20), "image/png"))
+      .toDF("media_id", "payload", "mime")
+    assert(Multimodal.decode(trunc).collect()(0).isNullAt(3))
+    // non-image mime still routes through the byte-stat stand-in
+    val txt = Multimodal.decode(
+      Multimodal.asMedia(Seq((1L, "abc")).toDF("id", "t"), "id", "t",
+        "text/plain")).collect()(0)
+    assert(!txt.isNullAt(3) && txt.getAs[Long]("n_bytes") == 3L)
+  }
+
   test("resizeMeta: aspect-preserving fit into the target box, floor 1px") {
     val dec = Seq((1L, 640, 480), (2L, 100, 400), (3L, 1, 10000))
       .toDF("media_id", "width", "height")
