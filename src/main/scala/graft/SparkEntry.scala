@@ -413,6 +413,16 @@ object SparkEntry {
         suffixes = ("_1", "_2"), binSize = B, bucketSize = SCAN_BUCKET)
       .select(col("id_1"), col("id_2"), col("distance"))
 
+  /** Arbitrary tie EXPRESSION (reference accepts a callable,
+    * ops.py:972-980): `-id` makes the HIGHEST df2 id win among
+    * equidistant neighbors — injective, so the internal-id fallback
+    * never decides and the oracle replicates with `id_2 DESC`. */
+  private def ivClosestTie(s: SparkSession, dir: String): DataFrame =
+    Closest.closest(iv3(s, dir), Some(iv2(s, dir)), k = 1,
+        tieBreakingExpr = Some(-col("id")), suffixes = ("_1", "_2"),
+        binSize = B, bucketSize = SCAN_BUCKET)
+      .select(col("id_1"), col("id_2"), col("distance"))
+
   private def ivSubtract(s: SparkSession, dir: String): DataFrame =
     Ops.subtract(iv2(s, dir), iv1(s, dir), binSize = B)
       .select(col("id"), col("chrom"), col("start"), col("end"))
@@ -1703,6 +1713,7 @@ object SparkEntry {
     "io_bam" -> (ioBam _),
     "io_pairix" -> (ioPairix _),
     "iv_closest" -> (ivClosest _),
+    "iv_closest_tie" -> (ivClosestTie _),
     "iv_closest_k3" -> (ivClosestK3 _),
     "iv_closest_upstream" -> (ivClosestUpstream _),
     "iv_closest_ignore" -> (ivClosestIgnore _),
@@ -2247,6 +2258,18 @@ object SparkEntry {
          |  FROM iv3 a JOIN iv2 b ON a.chrom = b.chrom),
          |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1
          |    ORDER BY sortdist, id_2) AS rn FROM cand)
+         |SELECT a.id AS id_1, r.id_2, r.dist AS distance
+         |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 1""".stripMargin,
+    "iv_closest_tie" ->
+      s"""WITH $iv2Sql, $iv3Sql,
+         |cand AS (
+         |  SELECT a.id AS id_1, b.id AS id_2,
+         |    GREATEST(a.start - b."end", b.start - a."end", 0) AS dist,
+         |    CASE WHEN ${ovl("a", "b")} THEN 0
+         |         ELSE GREATEST(a.start - b."end", b.start - a."end", 0) + 1 END AS sortdist
+         |  FROM iv3 a JOIN iv2 b ON a.chrom = b.chrom),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1
+         |    ORDER BY sortdist, id_2 DESC) AS rn FROM cand)
          |SELECT a.id AS id_1, r.id_2, r.dist AS distance
          |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 1""".stripMargin,
     "iv_closest_k3" ->

@@ -35,6 +35,17 @@ object Closest {
     * @param directionCol df1 column (e.g. strand); rows with value "-" have
     *                     upstream/downstream flipped (`ops.py:1009-1012`).
     * @param tieBreakingCol df2 column; lower wins (`arrops.py:737-740`).
+    * @param tieBreakingExpr arbitrary tie expression over df2's columns
+    *                        (UNSUFFIXED names — references are rewritten
+    *                        onto the suffixed right side); lower wins.
+    *                        The reference accepts a callable computing tie
+    *                        values from the df2 intervals
+    *                        (`ops.py:972-980`); e.g. `-col("score")` makes
+    *                        the highest score win. Mutually exclusive with
+    *                        `tieBreakingCol`. Ties WITHIN equal expression
+    *                        values fall back to an internal content id —
+    *                        make the expression injective where the choice
+    *                        matters.
     * @param returnInput include both sides' input columns (`ops.py:1110`).
     * @param returnDistance include `distance` (zero for overlaps,
     *                       `ops.py:1113-1115`).
@@ -47,6 +58,7 @@ object Closest {
               ignoreDownstream: Boolean = false,
               directionCol: Option[String] = None,
               tieBreakingCol: Option[String] = None,
+              tieBreakingExpr: Option[Column] = None,
               returnInput: Boolean = true,
               returnDistance: Boolean = true,
               returnOverlap: Boolean = false,
@@ -77,12 +89,27 @@ object Closest {
       if (selfJoin) RowId.withRowId(ColSpec.suffixAll(base2, sf2), "__id2")
       else RowId.withContentId(ColSpec.suffixAll(base2, sf2), "__id2")
 
-    val tie: Column = tieBreakingCol match {
-      case Some(t) => col(t + sf2)
-      case None    => lit(0L)
+    require(tieBreakingCol.isEmpty || tieBreakingExpr.isEmpty,
+      "tieBreakingCol and tieBreakingExpr are mutually exclusive")
+    val tie: Column = (tieBreakingCol, tieBreakingExpr) match {
+      case (Some(t), _) => col(t + sf2)
+      case (None, Some(e)) =>
+        // rewrite the user's unsuffixed df2 references onto the suffixed
+        // right relation — evaluated as a projection wherever `tie` is
+        // used, so the content/row ids (hashes over the ORIGINAL column
+        // set) are untouched and self-closest identity still aligns
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        import org.apache.spark.sql.graftbridge.Bridge
+        Bridge.column(Bridge.catalystExpression(e).transform {
+          case a: UnresolvedAttribute =>
+            UnresolvedAttribute(a.nameParts.init :+ (a.nameParts.last + sf2))
+        })
+      case _ => lit(0L)
     }
-    val tieType = tieBreakingCol
-      .map(t => r.schema(t + sf2).dataType).getOrElse(LongType)
+    val tieType =
+      if (tieBreakingCol.isDefined || tieBreakingExpr.isDefined)
+        r.select(tie.as("__t")).schema.head.dataType
+      else LongType
     val lCols = l.columns.toSeq
     val rCols = r.columns.toSeq
     val allCols = lCols ++ rCols

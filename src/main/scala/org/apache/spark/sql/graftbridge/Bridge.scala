@@ -15,4 +15,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly converted catalyst tree. [[expression]] returns a LAZY
+    * `ColumnNodeExpression` wrapper whose children are ColumnNodes —
+    * invisible to `Expression.transform`; this runs the session
+    * converter first so tree rewrites (e.g. Closest's tie-expression
+    * attribute suffixing) actually see the attributes. */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

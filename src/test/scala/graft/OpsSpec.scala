@@ -359,6 +359,29 @@ class OpsSpec extends SparkSpec {
       Seq(Seq("gright", 5L)), "name_2", "distance")
   }
 
+  test("closest tieBreakingExpr: arbitrary df2 expression, lower wins") {
+    val a = Seq(("chr1", 10L, 15L)).toDF("chrom", "start", "end")
+    // two equidistant upstream neighbors (both end at 8 -> distance 2)
+    val b = Seq(("chr1", 2L, 8L, "lo", 1L), ("chr1", 4L, 8L, "hi", 9L))
+      .toDF("chrom", "start", "end", "name", "score")
+    def pick(tie: org.apache.spark.sql.Column) =
+      Closest.closest(a, Some(b), k = 1, tieBreakingExpr = Some(tie),
+        suffixes = ("_1", "_2")).select($"name_2").collect()(0).getString(0)
+    assert(pick(col("score")) == "lo")        // lower score wins
+    assert(pick(-col("score")) == "hi")       // negate -> higher score wins
+    assert(pick(col("score") * -2 + 1) == "hi") // compound expression
+    // parity with tieBreakingCol on the same column
+    val byCol = Closest.closest(a, Some(b), k = 1,
+      tieBreakingCol = Some("score"), suffixes = ("_1", "_2"))
+      .select($"name_2").collect()(0).getString(0)
+    assert(byCol == pick(col("score")))
+    // mutual exclusion
+    intercept[IllegalArgumentException] {
+      Closest.closest(a, Some(b), k = 1, tieBreakingCol = Some("score"),
+        tieBreakingExpr = Some(col("score")), suffixes = ("_1", "_2"))
+    }
+  }
+
   test("closest self-join excludes identical rows") {
     val a = Seq(("chr1", 0L, 5L, "x"), ("chr1", 7L, 9L, "y"),
       ("chr1", 20L, 22L, "z")).toDF("chrom", "start", "end", "name")
