@@ -1476,6 +1476,21 @@ object SparkEntry {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Corpus-scale hard negatives: IVF probe lists supply the candidates
+    * (same quantizer config and query set as [[embIvfTopk]], reusing its
+    * ivf_assign/ivf_probes aux dumps), and only other-label candidates
+    * are ranked. The oracle re-ranks exactly the admitted candidates
+    * under the label-mismatch predicate — verifying that the corpus is
+    * mined list-locally, never cross-joined. */
+  private def embHardNegIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Ann.hardNegativesIvf(emb, emb.filter(col("vec_id") % 100 === 0), k = 5,
+        kCentroids = 8, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"),
+        col("neighbor_label").cast("long").as("neighbor_label"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** PQ geometry shared by the gate and its aux dumps: 8 subspaces of 8
     * dims, 16 centroids each (nibble codes). `pqCodebooks` is
     * deterministic, so gate and dumps recompute identical books. */
@@ -1780,6 +1795,7 @@ object SparkEntry {
     "emb_cov" -> (embCov _),
     "emb_cosine_topk" -> (embCosineTopk _),
     "emb_hard_neg" -> (embHardNeg _),
+    "emb_hard_neg_ivf" -> (embHardNegIvf _),
     "emb_ann_lsh" -> (embAnnLsh _),
     "emb_ivf_topk" -> (embIvfTopk _),
     "emb_pq_topk" -> (embPqTopk _),
@@ -3044,6 +3060,26 @@ object SparkEntry {
         |  JOIN e ce ON ce.vec_id = a.vec_id
         |  WHERE a.vec_id <> p.query_id)
         |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, neighbor_id) AS rn FROM cand) z
+        |WHERE rn <= 5""".stripMargin,
+    "emb_hard_neg_ivf" ->
+      """WITH asg AS (SELECT vec_id, centroid_id
+        |  FROM read_parquet('{AUX_DIR}/ivf_assign/*.parquet')),
+        |pr AS (SELECT query_id, centroid_id
+        |  FROM read_parquet('{AUX_DIR}/ivf_probes/*.parquet')),
+        |e AS (SELECT vec_id, label,
+        |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    CAST(ce.label AS BIGINT) AS neighbor_label,
+        |    list_cosine_similarity(qe.v, ce.v) AS c
+        |  FROM pr p JOIN asg a ON p.centroid_id = a.centroid_id
+        |  JOIN e qe ON qe.vec_id = p.query_id
+        |  JOIN e ce ON ce.vec_id = a.vec_id
+        |  WHERE ce.label <> qe.label)
+        |SELECT query_id, neighbor_id, neighbor_label,
+        |  CAST(rn AS BIGINT) AS rank FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY c DESC, neighbor_id) AS rn FROM cand) z
         |WHERE rn <= 5""".stripMargin,

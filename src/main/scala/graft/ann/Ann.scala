@@ -76,6 +76,45 @@ object Ann {
         col("rank"))
   }
 
+  /** CORPUS-SCALE hard-negative mining: [[hardNegatives]] semantics with
+    * [[ivfTopK]]'s candidate generation — the query set probes the
+    * `nProbe` nearest inverted lists and only same-list corpus vectors
+    * with a DIFFERENT label are scored, so the corpus is never
+    * cross-joined against the queries (candidates per query ~
+    * nProbe * N / kCentroids instead of N). Recall-complete whenever the
+    * probed lists cover the true top-k other-label neighbors (size
+    * `kCentroids`/`nProbe` as for [[ivfTopK]]); same shuffle shape too —
+    * broadcast probes + one query_id-keyed ranking window. Pass trained
+    * `cents` ([[loadCentroids]]) to skip Lloyd in production. Returns
+    * (query_id, neighbor_id, neighbor_label, rank). */
+  def hardNegativesIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+                       kCentroids: Int = 64, nProbe: Int = 4, iters: Int = 2,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       labelCol: String = "label",
+                       cents: Option[Array[(Int, Array[Double])]] = None)
+      : DataFrame = {
+    val cs = cents.getOrElse(
+      ivfCentroids(corpus, kCentroids, iters, idCol, vecCol))
+    val assign = ivfAssign(corpus, cs, idCol, vecCol)
+    val probes = ivfProbes(queries, cs, nProbe, idCol, vecCol)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        col(labelCol).as("neighbor_label"))
+      .join(assign.select(col("vec_id").as("neighbor_id"),
+        col("centroid_id")), Seq("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      col(labelCol).as("__ql"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(probes), Seq("centroid_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .filter(col("neighbor_label") =!= col("__ql"))
+      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        col("rank"))
+  }
+
   /** Sign-bucket signature of `numPlanes` hyperplane bits packed to a long.
     * Hyperplanes are deterministic pseudo-random: component h[p][d] derived
     * from a hash of (p, d), mapped to [-1, 1) — no RNG state, so plans are

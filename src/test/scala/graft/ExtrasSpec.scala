@@ -430,6 +430,24 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("hardNegativesIvf with full probing equals brute-force hardNegatives") {
+    // nProbe = kCentroids -> every inverted list probed -> recall-complete,
+    // so the IVF composition must reproduce the broadcast-contract miner
+    val labeled = vecs.withColumn("label", (col("vec_id") % 3).cast("int"))
+    val bf = Ann.hardNegatives(labeled, labeled.filter($"vec_id" < 5), k = 3)
+    val ivf = Ann.hardNegativesIvf(labeled, labeled.filter($"vec_id" < 5),
+      k = 3, kCentroids = 4, nProbe = 4)
+    assert(ivf.exceptAll(bf).count() == 0)
+    assert(bf.exceptAll(ivf).count() == 0)
+    // restricted probing only narrows the candidate set: never a
+    // same-label pair, never a better-than-brute-force rank-1
+    val narrow = Ann.hardNegativesIvf(labeled, labeled.filter($"vec_id" < 5),
+      k = 3, kCentroids = 4, nProbe = 1).collect()
+    narrow.foreach { r =>
+      assert((r.getLong(0) % 3).toInt != r.getInt(2))
+    }
+  }
+
   test("semDedup: scaled clones co-cluster with their originals and are " +
     "dropped; every input row appears exactly once") {
     // 0.5-scaled copies are direction-identical -> same spherical cluster,
