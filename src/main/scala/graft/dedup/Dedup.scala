@@ -267,6 +267,51 @@ object Dedup {
       .saveAsTable(table)
   }
 
+  /** Compact a minhash index grown by repeated [[appendMinhashIndex]]:
+    * every append adds one file per (task, bucket), so a long-running
+    * ingest stream accumulates unbounded small files per bucket and the
+    * probe's hash-clustered scan degrades to many tiny reads. This
+    * rewrites the table once — repartitioned onto the bucket columns
+    * with `numBuckets` partitions, whose `pmod(hash, n)` routing is
+    * exactly the bucket-id function, so the rewrite lands ONE file per
+    * bucket — at `newPath` (must differ from the current location; the
+    * live files cannot be overwritten while being read), then swaps the
+    * catalog entry atomically via rename and best-effort deletes the old
+    * location. Probe results are unchanged (same rows, same bucket
+    * spec); run it from the ingest maintenance cadence, not per batch. */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String, newPath: String,
+                          numBuckets: Int = 32): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val oldLoc = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table)).location
+    require(new java.net.URI(newPath).getPath != oldLoc.getPath,
+      s"newPath must differ from the current index location $oldLoc")
+    val tmpTable = table + "__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    // read the FILES, not the table: a bucketed scan advertises the
+    // bucket HashPartitioning, which elides the repartition below while
+    // the actual multi-file read partitions are NOT bucket-aligned —
+    // each write task would then emit one file per bucket it happens to
+    // hold (observed 15 files for 4 buckets). A plain parquet scan makes
+    // the bucket-id-aligned shuffle real.
+    spark.read.parquet(oldLoc.toString)
+      .repartition(numBuckets, col("__band"), col("__bh"))
+      .write.mode("overwrite").option("path", newPath)
+      .bucketBy(numBuckets, "__band", "__bh")
+      .sortBy("__band", "__bh")
+      .format("parquet")
+      .saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(oldLoc,
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(oldLoc), true)
+      ()
+    } catch { case _: Exception => () } // storage lifecycle can reap it
+  }
+
   /** Near-dup pairs of an ingest BATCH against an indexed corpus, plus
     * within-batch pairs — the incremental form of [[minhashLshPairs]]:
     * dedup a new delivery against 100 TB already ingested WITHOUT

@@ -502,4 +502,49 @@ class StreamingSpec extends SparkSpec {
     // the doc store accumulated everything (batch-addressed dirs)
     assert(spark.read.parquet(s"$dir/store/batch=*").count() == 5)
   }
+
+  test("compactMinhashIndex: file count returns to one per bucket, " +
+    "probe results unchanged") {
+    import graft.dedup.Dedup
+    val mk = (salt: Int, changed: Int) => (0 until 60)
+      .map(i => if (i == changed) s"CH$salt" else s"tok${salt}_$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cidx").toString
+    spark.sql("DROP TABLE IF EXISTS cidx_spec")
+    val seed = Seq((1L, mk(0, -1))).toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(seed, "doc_id", "text", "cidx_spec",
+      s"$dir/idx", numBuckets = 4)
+    // simulate a long-running ingest: many appends -> many files/bucket
+    var all = seed
+    (0 until 5).foreach { b =>
+      val batch = Seq((10L + b, mk(b, -1)), (20L + b, mk(b, 25)))
+        .toDF("doc_id", "text")
+      Dedup.appendMinhashIndex(batch, "doc_id", "text", "cidx_spec",
+        numBuckets = 4)
+      all = all.unionByName(batch)
+    }
+    def files() = new java.io.File(s"$dir/idx").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    def filesAt(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files() > 4, s"appends should fragment: ${files()}")
+    val probe = Seq((99L, mk(3, 40))).toDF("doc_id", "text")
+    val universe = all.unionByName(probe)
+    val before = Dedup.incrementalMinhashPairs(probe, universe, "cidx_spec",
+        "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(before.nonEmpty) // non-vacuous: the probe has planted near-dups
+    Dedup.compactMinhashIndex(spark, "cidx_spec", s"$dir/idx2",
+      numBuckets = 4)
+    assert(filesAt(s"$dir/idx2") <= 4,
+      s"compaction should leave <=1 file/bucket: ${filesAt(s"$dir/idx2")}")
+    assert(!new java.io.File(s"$dir/idx").exists(), "old location reaped")
+    val after = Dedup.incrementalMinhashPairs(probe, universe, "cidx_spec",
+        "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(after == before, s"probe drift: $before vs $after")
+    // appends keep working against the swapped table
+    Dedup.appendMinhashIndex(probe, "doc_id", "text", "cidx_spec",
+      numBuckets = 4)
+    assert(spark.table("cidx_spec").select("__id").distinct().count() == 12)
+  }
 }
