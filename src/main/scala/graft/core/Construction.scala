@@ -11,6 +11,51 @@ import org.apache.spark.sql.functions._
   */
 object Construction {
 
+  /** Sum type over every region-input shape the reference's `from_any`
+    * coerces (`construction.py:119-171`): an existing bedframe, a
+    * chromsizes map, (chrom,start,end[,name]) tuples, UCSC strings
+    * (one or many). Implicit conversions make call sites read like the
+    * reference's duck typing — `Construction.fromAny(spark, "chr1:0-100")`
+    * — while staying a closed, exhaustively-matched ADT. */
+  sealed trait RegionsLike
+  object RegionsLike {
+    final case class Frame(df: DataFrame) extends RegionsLike
+    final case class Chromsizes(sizes: Map[String, Long]) extends RegionsLike
+    final case class Tuples(regions: Seq[(String, Long, Long)])
+      extends RegionsLike
+    final case class NamedTuples(regions: Seq[(String, Long, Long, String)])
+      extends RegionsLike
+    final case class Ucsc(str: String) extends RegionsLike
+    final case class UcscStrings(strs: Seq[String]) extends RegionsLike
+
+    import scala.language.implicitConversions
+    implicit def ofFrame(df: DataFrame): RegionsLike = Frame(df)
+    implicit def ofChromsizes(m: Map[String, Long]): RegionsLike =
+      Chromsizes(m)
+    implicit def ofTuples(s: Seq[(String, Long, Long)]): RegionsLike =
+      Tuples(s)
+    implicit def ofNamedTuples(
+        s: Seq[(String, Long, Long, String)]): RegionsLike = NamedTuples(s)
+    implicit def ofUcsc(s: String): RegionsLike = Ucsc(s)
+    implicit def ofUcscStrings(s: Seq[String]): RegionsLike = UcscStrings(s)
+  }
+
+  /** Route any [[RegionsLike]] to its builder (reference `from_any`,
+    * `construction.py:119-171`). `chromsizes` resolves open-ended UCSC
+    * strings, as in the reference; an existing frame passes through
+    * untouched (the reference copies — immutable DataFrames need not). */
+  def fromAny(spark: SparkSession, regions: RegionsLike,
+              chromsizes: Map[String, Long] = Map.empty,
+              nameCol: String = "name",
+              cols: ColSpec = ColSpec.default): DataFrame = regions match {
+    case RegionsLike.Frame(df) => df
+    case RegionsLike.Chromsizes(m) => fromChromsizes(spark, m, cols)
+    case RegionsLike.Tuples(t) => fromTuples(spark, t, cols)
+    case RegionsLike.NamedTuples(t) => fromNamedTuples(spark, t, nameCol, cols)
+    case RegionsLike.Ucsc(s) => fromUcscStrings(spark, Seq(s), chromsizes, cols)
+    case RegionsLike.UcscStrings(s) => fromUcscStrings(spark, s, chromsizes, cols)
+  }
+
   /** `{chrom -> length}` means `[0, length)` per chrom (reference
     * `construction.py:20-61`). */
   def fromChromsizes(spark: SparkSession, sizes: Map[String, Long],

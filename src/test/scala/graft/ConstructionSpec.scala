@@ -109,6 +109,40 @@ class ConstructionSpec extends SparkSpec {
     assert(!Checks.isCovering(gappy, view))
   }
 
+  test("fromAny routes every RegionsLike shape to its builder " +
+    "(reference construction.py:119-171)") {
+    import Construction.RegionsLike._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("chrom", "start").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Seq(("chr1", 0L, 100L), ("chr2", 5L, 50L))
+    // explicit constructors
+    assert(rows(Construction.fromAny(spark,
+      Tuples(Seq(("chr1", 0L, 100L), ("chr2", 5L, 50L))))) == want)
+    assert(rows(Construction.fromAny(spark,
+      UcscStrings(Seq("chr1:0-100", "chr2:5-50")))) == want)
+    assert(rows(Construction.fromAny(spark,
+      Chromsizes(Map("chr1" -> 100L, "chr2" -> 200L)))) ==
+      Seq(("chr1", 0L, 100L), ("chr2", 0L, 200L)))
+    // single UCSC string; open end resolved from chromsizes
+    assert(rows(Construction.fromAny(spark, Ucsc("chr1:10-"),
+      chromsizes = Map("chr1" -> 90L))) == Seq(("chr1", 10L, 90L)))
+    // named tuples carry the fourth column
+    val named = Construction.fromAny(spark,
+      NamedTuples(Seq(("chr1", 0L, 10L, "a"))))
+    assert(named.columns.toSeq == Seq("chrom", "start", "end", "name"))
+    // a frame passes through untouched (same plan, not a copy)
+    val df = Seq(("chr1", 1L, 2L)).toDF("chrom", "start", "end")
+    assert(Construction.fromAny(spark, Frame(df)) eq df)
+    // implicit conversions: call sites read like the reference's
+    // duck-typed from_any
+    assert(rows(Construction.fromAny(spark, "chr2:5-50")) ==
+      Seq(("chr2", 5L, 50L)))
+    assert(rows(Construction.fromAny(spark,
+      Map("chrX" -> 10L))) == Seq(("chrX", 0L, 10L)))
+    assert(Construction.fromAny(spark, df) eq df)
+  }
+
   test("fluent syntax delegates to Ops") {
     val a = Seq(("chr1", 0L, 5L), ("chr1", 20L, 30L)).toDF("chrom", "start", "end")
     val b = Seq(("chr1", 3L, 8L)).toDF("chrom", "start", "end")
