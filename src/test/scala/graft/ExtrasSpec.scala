@@ -603,6 +603,28 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("distributed label propagation handles a bench-scale pair graph " +
+    "(200k edges over 100k nodes) and matches the driver union-find") {
+    // 10k ring communities of 10 nodes each (node = c*10+j, ring edge to
+    // c*10+(j+1)%10) plus a chord per ring — 2x the default 1M threshold
+    // would be slow in a unit test, but 200k edges is the same regime the
+    // sf0.1 bench pair graphs live in and well above toy sizes
+    val ring = spark.range(100000L).select(
+      col("id").as("id_1"),
+      ((col("id") - col("id") % 10) + (col("id") + 1) % 10).as("id_2"))
+    val chords = spark.range(10000L).select(
+      (col("id") * 10).as("id_1"), (col("id") * 10 + 5).as("id_2"))
+    val pairs = ring.unionByName(chords)
+    val dist = Dedup.resolveComponents(pairs, smallGraphThreshold = 0L)
+    // every node labelled by its ring's minimum (c*10), none missing
+    assert(dist.count() == 100000L)
+    assert(dist.filter(col("component_id") =!=
+      (col("id") - col("id") % 10)).count() == 0)
+    // spot-parity with the driver union-find on the same graph
+    val drv = Dedup.resolveComponents(pairs, smallGraphThreshold = Long.MaxValue)
+    assert(dist.exceptAll(drv).count() == 0 && drv.exceptAll(dist).count() == 0)
+  }
+
   test("resolveComponents converges on a long chain within the iteration " +
     "cap (pointer jumping: 20-node path in O(log n) rounds)") {
     val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("id_1", "id_2")
