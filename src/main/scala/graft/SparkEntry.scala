@@ -550,6 +550,26 @@ object SparkEntry {
       .select(col("color"), Vis.toUcscColorstring(col("color")).as("item_rgb"))
   }
 
+  /** plot_intervals geometry gate (reference vis.py:60-237): the
+    * distributed rectangle relation `Vis.plotGeometry` emits for iv3,
+    * checked per chromosome. `n_levels = max stacking depth` is the same
+    * optimal-first-fit identity the iv_stack oracle uses (greedy first-fit
+    * by left endpoint is optimal on interval graphs); `sum_w` gates the
+    * width arithmetic, `min_y` the `level - height/2` anchor (level 0
+    * exists on every chromosome), and the color columns the default
+    * skyblue/dimgray resolution. The SVG/PNG serializers over this same
+    * geometry are spec'd (VisSpec: parsed rect counts, planted-color
+    * pixel probes on the rasterized image). */
+  private def visPlot(s: SparkSession, dir: String): DataFrame =
+    Vis.plotGeometry(TestTables.iv3(s, dir))
+      .groupBy(col("chrom"))
+      .agg(count(lit(1)).as("n_rects"),
+        (max(col("level")) + 1).cast("long").as("n_levels"),
+        sum(col("rect_w")).cast("long").as("sum_w"),
+        min(col("rect_y")).as("min_y"),
+        max(col("face_rgb")).as("face_rgb"),
+        max(col("edge_rgb")).as("edge_rgb"))
+
   /** Batch-equivalence oracle for the streaming merge: iv1 fed through a
     * MemoryStream in ~8 micro-batches whose arrival order is scrambled
     * WITHIN 128-coordinate buckets (bounded disorder, the operator's
@@ -1637,6 +1657,26 @@ object SparkEntry {
         col("height").cast("long").as("height"),
         col("n_frames").cast("long").as("n_frames"))
 
+  /** REAL-codec audio gate: deterministic PCM16 sines are RIFF-encoded on
+    * the executors (`Multimodal.syntheticWav`, from-scratch container
+    * builder) and pushed back through `Multimodal.decodeAudio`'s WAV
+    * parser — the gate passes only if the real parser recovers the
+    * PLANTED format words and sample counts of every payload
+    * (encode -> decode round trip). The oracle recomputes the planted
+    * arithmetic from doc_id; the RMS feature and the corrupt-payload
+    * null path stay in the spec (MultimodalSpec), floats out of the hash
+    * per the gate-authoring rule. */
+  private def mmAudio(s: SparkSession, dir: String): DataFrame =
+    graft.mm.Multimodal.decodeAudio(
+        graft.mm.Multimodal.syntheticWav(
+          docs(s, dir).filter(col("doc_id") % 11 === 0), "doc_id"))
+      .select(col("media_id").as("doc_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("bits").cast("long").as("bits"),
+        col("n_samples"),
+        col("duration_ms"))
+
   // ------------------------------------------------------- SQL extension
 
   /** Plain-SQL interval overlap planned through the Catalyst extension
@@ -1804,7 +1844,9 @@ object SparkEntry {
     "emb_lsh_cap" -> (embLshCap _),
     "mm_meta" -> (mmMeta _),
     "mm_frames" -> (mmFrames _),
-    "mm_decode" -> (mmDecode _))
+    "mm_decode" -> (mmDecode _),
+    "mm_audio" -> (mmAudio _),
+    "vis_plot" -> (visPlot _))
 
   /** Auxiliary relations dumped by Verify alongside the query results.
     * DuckDB cannot recompute xxhash64, so the hash-based operators'
@@ -3251,5 +3293,30 @@ object SparkEntry {
       """SELECT doc_id, CAST(4 + doc_id % 13 AS BIGINT) AS width,
         |  CAST(3 + (doc_id * 5) % 11 AS BIGINT) AS height,
         |  CAST(1 AS BIGINT) AS n_frames
-        |FROM documents WHERE doc_id % 7 = 0""".stripMargin)
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+    "mm_audio" ->
+      """SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+        |  CAST(800 + (doc_id % 5) * 160 AS BIGINT) AS n_samples,
+        |  CAST((800 + (doc_id % 5) * 160) * 1000 // 8000 AS BIGINT)
+        |    AS duration_ms
+        |FROM documents WHERE doc_id % 11 = 0""".stripMargin,
+    "vis_plot" ->
+      s"""WITH $iv3Sql,
+         |ev AS (SELECT chrom, start AS pos, 1 AS d FROM iv3
+         |  UNION ALL SELECT chrom, "end", -1 FROM iv3),
+         |agg AS (SELECT chrom, pos, SUM(d) AS delta FROM ev
+         |  GROUP BY chrom, pos),
+         |dep AS (SELECT chrom, CAST(SUM(delta) OVER (PARTITION BY chrom
+         |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT) AS depth
+         |  FROM agg),
+         |md AS (SELECT chrom, MAX(depth) AS max_depth FROM dep
+         |  GROUP BY chrom),
+         |c AS (SELECT chrom, COUNT(*) AS n_rects,
+         |  CAST(SUM("end" - start) AS BIGINT) AS sum_w FROM iv3
+         |  GROUP BY chrom)
+         |SELECT c.chrom, c.n_rects, md.max_depth AS n_levels, c.sum_w,
+         |  -0.3 AS min_y, '135,206,235' AS face_rgb,
+         |  '105,105,105' AS edge_rgb
+         |FROM c JOIN md ON c.chrom = md.chrom""".stripMargin)
 }

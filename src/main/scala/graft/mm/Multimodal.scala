@@ -203,4 +203,168 @@ object Multimodal {
               mime: String): DataFrame =
     df.select(col(idCol).cast("long").as("media_id"),
       col(payloadCol).cast("binary").as("payload"), lit(mime).as("mime"))
+
+  // ---------------------------------------------------------------- audio
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("mime", StringType),
+    StructField("n_bytes", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("duration_ms", LongType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** Decoded WAV header + audio feature. `feature` is the RMS amplitude
+    * (normalized to [0,1]) over 4 equal sample windows — the deterministic
+    * audio analogue of [[imageDecode]]'s grid-mean feature. */
+  final case class WavMeta(sampleRate: Int, channels: Int, bits: Int,
+                           nSamples: Long, feature: Array[Float])
+
+  /** REAL audio decode for RIFF/WAVE PCM payloads — a pure-JVM parser of
+    * the (public) RIFF container: chunk walk from offset 12, `fmt ` for
+    * the format words, `data` for the sample payload. Supports PCM
+    * (format tag 1) at 8 or 16 bits, any channel count; anything else —
+    * or a truncated/corrupt container — yields `None`, so a poisoned row
+    * surfaces as null metadata rather than failing the task (same
+    * contract as [[imageDecode]]). */
+  def wavDecode(bytes: Array[Byte]): Option[WavMeta] = {
+    if (bytes == null || bytes.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    try {
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var off = 12
+      var fmtTag = -1; var channels = 0; var rate = 0; var bits = 0
+      var dataOff = -1; var dataLen = 0
+      while (off + 8 <= bytes.length) {
+        val id = tag(off)
+        val sz = bb.getInt(off + 4)
+        if (sz < 0 || off + 8 + sz > bytes.length) return None
+        id match {
+          case "fmt " =>
+            if (sz < 16) return None
+            fmtTag = bb.getShort(off + 8) & 0xffff
+            channels = bb.getShort(off + 10) & 0xffff
+            rate = bb.getInt(off + 12)
+            bits = bb.getShort(off + 22) & 0xffff
+          case "data" =>
+            dataOff = off + 8; dataLen = sz
+          case _ => // skip unknown chunks (LIST, fact, ...)
+        }
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      if (fmtTag != 1 || dataOff < 0 || channels <= 0 || rate <= 0 ||
+        (bits != 8 && bits != 16)) return None
+      val bytesPerSample = channels * bits / 8
+      val n = dataLen / bytesPerSample
+      val feat = new Array[Float](4)
+      if (n > 0) {
+        val sumSq = new Array[Double](4)
+        val cnt = new Array[Long](4)
+        var i = 0
+        while (i < n) {
+          val win = math.min(3, (i * 4) / n)
+          var c = 0
+          var acc = 0.0
+          while (c < channels) {
+            val v =
+              if (bits == 16)
+                bb.getShort(dataOff + i * bytesPerSample + c * 2) / 32768.0
+              else
+                ((bytes(dataOff + i * bytesPerSample + c) & 0xff) - 128) / 128.0
+            acc += v * v
+            c += 1
+          }
+          sumSq(win) += acc / channels
+          cnt(win) += 1
+          i += 1
+        }
+        var w = 0
+        while (w < 4) {
+          feat(w) =
+            if (cnt(w) == 0) 0f else math.sqrt(sumSq(w) / cnt(w)).toFloat
+          w += 1
+        }
+      }
+      Some(WavMeta(rate, channels, bits, n.toLong, feat))
+    } catch { case _: Exception => None }
+  }
+
+  /** Audio decode boundary — same partition-sizing and per-partition
+    * batch shape as [[decode]], emitting [[audioSchema]]. WAV payloads
+    * decode for real through [[wavDecode]]; corrupt/unsupported payloads
+    * yield null metadata. */
+  def decodeAudio(media: DataFrame,
+                  targetBytesPerPartition: Long = 256L << 20,
+                  numPartitions: Option[Int] = None): DataFrame = {
+    val df = media.select("media_id", "payload", "mime")
+    val parts = numPartitions.getOrElse {
+      val defaultPar = df.sparkSession.sparkContext.defaultParallelism
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est <= 0 || est >= BigInt(Long.MaxValue) / 4) defaultPar
+      else {
+        val byBytes = ((est + targetBytesPerPartition - 1) /
+          targetBytesPerPartition).toInt
+        math.min(math.max(defaultPar, byBytes), 1 << 18)
+      }
+    }
+    df.repartition(parts).mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("payload")
+        val mime = r.getString(2)
+        val nb = if (bytes == null) 0L else bytes.length.toLong
+        wavDecode(bytes) match {
+          case Some(m) =>
+            val durMs =
+              if (m.sampleRate > 0) m.nSamples * 1000L / m.sampleRate else 0L
+            Row(r.getLong(0), mime, nb, m.sampleRate, m.channels, m.bits,
+              m.nSamples, durMs, m.feature.toSeq)
+          case None =>
+            Row(r.getLong(0), mime, nb, null, null, null, null, null, null)
+        }
+      }
+    }(Encoders.row(audioSchema))
+  }
+
+  /** Deterministic WAV test fixture, generated ON THE EXECUTORS: one
+    * PCM16 mono sine per input row — 8 kHz, `800 + (id%5)*160` samples,
+    * `200 + (id%7)*50` Hz, amplitude 0.5 — written through a from-scratch
+    * RIFF builder. Exists so [[decodeAudio]]'s WAV path is gated
+    * end-to-end (encode -> decode recovers the planted rate/width/length
+    * arithmetic; the RMS of a 0.5-amplitude sine pins the feature near
+    * 0.5/sqrt(2) in the spec). */
+  def syntheticWav(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = plantedSamples(id)
+          val freq = 200.0 + (id % 7) * 50.0
+          val rate = 8000
+          val dataLen = n * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+            .putShort(2).putShort(16)
+            .put("data".getBytes("US-ASCII")).putInt(dataLen)
+          var i = 0
+          while (i < n) {
+            val v = 0.5 * math.sin(2.0 * math.Pi * freq * i / rate)
+            bb.putShort(math.round(v * 32767.0).toShort)
+            i += 1
+          }
+          Row(id, bb.array(), "audio/wav")
+        }
+      }(Encoders.row(mediaSchema))
+
+  /** The WAV fixture's planted sample count, shared with oracle math. */
+  def plantedSamples(id: Long): Int = 800 + ((id % 5) * 160).toInt
 }

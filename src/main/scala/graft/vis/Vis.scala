@@ -1,13 +1,26 @@
 package graft.vis
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Plotting-adjacent scalar utilities (reference `vis.py`). The actual
-  * matplotlib rendering of `plot_intervals` (vis.py:60-237) is declared out
-  * of scope (no plotting stack in a Spark engine); its data-preparation
-  * kernel is [[graft.ops.Extras.stackIntervals]]. */
+import graft.core.ColSpec
+import graft.ops.Extras
+
+/** `plot_intervals` (reference `vis.py`), Spark-first: the rendering is
+  * split into a distributed GEOMETRY kernel ([[plotGeometry]] — every
+  * rectangle/label the reference's matplotlib path would draw, as a
+  * relation; codegen'd Column arithmetic over the greedy stacking), and
+  * two render-scale serializers that consume it per chromosome: an SVG
+  * document builder ([[plotSvg]]) and a real raster via `java.awt`
+  * ([[plotPng]] — actual pixels, PNG-encoded on the executors). One output
+  * row per chromosome mirrors the reference's plot-per-chromosome loop
+  * (vis.py:203-237). */
 object Vis {
+
+  /** Reference defaults, vis.py:12-13. */
+  val DefaultFacecolor = "skyblue"
+  val DefaultEdgecolor = "dimgray"
 
   /** Color-name table: the matplotlib single-letter codes (classic
     * palette), the tab: palette, and the CSS/X11 names (subset — the
@@ -87,5 +100,186 @@ object Vis {
       .when(s.rlike("^#[0-9a-f]{3,4}$"),
         concat_ws(",", hx1(2), hx1(3), hx1(4)))
       .otherwise(element_at(named, s))
+  }
+
+  // ------------------------------------------------------------ plotting
+
+  /** Distributed geometry kernel of `plot_intervals` (vis.py:60-237).
+    *
+    * Emits one row per interval carrying exactly the matplotlib
+    * `Rectangle` the reference's `_plot_interval` (vis.py:63-78) would
+    * add: anchor `(start, level - height/2)`, width `end - start`, height
+    * 0.6 by default — plus the resolved UCSC "r,g,b" face/edge colors
+    * (defaults skyblue/dimgray, vis.py:12-13) and the optional centered
+    * label (vis.py:139-147). Levels come from `levelCol` when the caller
+    * supplies them (vis.py's `levels=`) or from the greedy first-fit
+    * stacking ([[Extras.stackIntervals]], arrops.py:773-798) otherwise.
+    *
+    * Pure Column arithmetic over the stacked relation — codegen'd and
+    * fully distributed; nothing here is bounded by figure size. The
+    * per-chromosome document builders below are where rendering-scale
+    * (dimension-sized output) begins. */
+  def plotGeometry(df: DataFrame,
+                   levelCol: Option[String] = None,
+                   labelCol: Option[String] = None,
+                   colorCol: Option[String] = None,
+                   facecolor: String = DefaultFacecolor,
+                   edgecolor: String = DefaultEdgecolor,
+                   height: Double = 0.6,
+                   cols: ColSpec = ColSpec.default): DataFrame = {
+    val leveled = levelCol match {
+      case Some(lc) => df.withColumn("level", col(lc).cast("int"))
+      case None     => Extras.stackIntervals(df, "level", cols)
+    }
+    val face = colorCol match {
+      case Some(cc) => coalesce(col(cc), lit(facecolor))
+      case None     => lit(facecolor)
+    }
+    leveled.select(
+      cols.chromCol.as("chrom"),
+      cols.startCol.cast("long").as("start"),
+      cols.endCol.cast("long").as("end"),
+      col("level"),
+      cols.startCol.cast("double").as("rect_x"),
+      (col("level") - lit(height / 2)).as("rect_y"),
+      (cols.endCol - cols.startCol).cast("double").as("rect_w"),
+      lit(height).as("rect_h"),
+      toUcscColorstring(face).as("face_rgb"),
+      toUcscColorstring(lit(edgecolor)).as("edge_rgb"),
+      (labelCol match {
+        case Some(l) => col(l).cast("string")
+        case None    => lit(null).cast("string")
+      }).as("label"))
+  }
+
+  private def fmt(c: Column): Column = round(c, 3).cast("string")
+
+  private def xmlEscape(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+
+  /** Per-chromosome SVG documents from [[plotGeometry]] output: one row
+    * `(chrom, n_rects, svg)` per chromosome (the reference draws one
+    * figure per chromosome, vis.py:203-237). Axis conventions follow
+    * `plot_intervals_arr` (vis.py:148-155): x spans `xlim` or
+    * `[-0.5, max(end)+0.5]`, y spans `[-0.5, max(level)+0.5]` — flipped
+    * into SVG's y-down space. Labels render centered at the interval
+    * midpoint. The per-chromosome `collect_list` is the document
+    * boundary: a figure is inherently one object, and its size is bounded
+    * by what a figure can show — chromosomes stay parallel. */
+  def plotSvg(geom: DataFrame,
+              xlim: Option[(Double, Double)] = None): DataFrame = {
+    val agg = geom.groupBy(col("chrom")).agg(
+      max(col("end")).cast("double").as("__maxe"),
+      max(col("level")).cast("double").as("__maxl"),
+      count(lit(1)).as("n_rects"),
+      sort_array(collect_list(struct(
+        col("level"), col("rect_x"), col("rect_y"), col("rect_w"),
+        col("rect_h"), col("face_rgb"), col("edge_rgb"),
+        col("label")))).as("__rs"))
+    val xmin = lit(xlim.map(_._1).getOrElse(-0.5d))
+    val xmax = xlim.map(l => lit(l._2)).getOrElse(col("__maxe") + 0.5d)
+    val ymax = col("__maxl") + 0.5d // data-space top; svg y = ymax - y_data
+    val rects = transform(col("__rs"), r => {
+      val rect = concat(
+        lit("<rect x=\""), fmt(r.getField("rect_x")),
+        lit("\" y=\""), fmt(ymax - r.getField("rect_y") - r.getField("rect_h")),
+        lit("\" width=\""), fmt(r.getField("rect_w")),
+        lit("\" height=\""), fmt(r.getField("rect_h")),
+        lit("\" fill=\"rgb("), coalesce(r.getField("face_rgb"), lit("0,0,0")),
+        lit(")\" stroke=\"rgb("), coalesce(r.getField("edge_rgb"), lit("0,0,0")),
+        lit(")\" stroke-width=\"0.05\"/>"))
+      val label = when(r.getField("label").isNotNull, concat(
+        lit("<text x=\""),
+        fmt(r.getField("rect_x") + r.getField("rect_w") / 2),
+        lit("\" y=\""),
+        fmt(ymax - r.getField("rect_y") - r.getField("rect_h") / 2),
+        lit("\" text-anchor=\"middle\" dominant-baseline=\"middle\"" +
+          " font-size=\"0.5\">"),
+        xmlEscape(r.getField("label")), lit("</text>")))
+        .otherwise(lit(""))
+      concat(rect, label)
+    })
+    agg.select(col("chrom"), col("n_rects"),
+      concat(
+        lit("<svg xmlns=\"http://www.w3.org/2000/svg\" viewBox=\""),
+        fmt(xmin), lit(" 0 "), fmt(xmax - xmin), lit(" "), fmt(ymax + 0.5d),
+        lit("\">"), array_join(rects, ""), lit("</svg>")).as("svg"))
+  }
+
+  private val pngSchema = StructType(Seq(
+    StructField("chrom", StringType),
+    StructField("width_px", IntegerType),
+    StructField("height_px", IntegerType),
+    StructField("png", BinaryType)))
+
+  /** Real rasterization of [[plotGeometry]] output: per chromosome, the
+    * rectangles are painted onto a `java.awt.image.BufferedImage`
+    * (white background, filled face + stroked edge, y flipped to match
+    * matplotlib's y-up axes) and PNG-encoded through the pure-JVM
+    * `javax.imageio` writer ON THE EXECUTORS. `pxPerUnit` is the
+    * data-unit -> pixel scale in x; y uses a fixed 20 px/level so level
+    * tracks remain visible at genomic x spans. Output: one
+    * `(chrom, width_px, height_px, png)` row per chromosome. */
+  def plotPng(geom: DataFrame,
+              xlim: Option[(Double, Double)] = None,
+              pxPerUnit: Double = 4.0,
+              maxWidthPx: Int = 1 << 14): DataFrame = {
+    val agg = geom.groupBy(col("chrom")).agg(
+      max(col("end")).cast("double").as("__maxe"),
+      max(col("level")).cast("double").as("__maxl"),
+      sort_array(collect_list(struct(
+        col("rect_x"), col("rect_y"), col("rect_w"), col("rect_h"),
+        col("face_rgb"), col("edge_rgb")))).as("__rs"))
+    val xminV = xlim.map(_._1).getOrElse(-0.5d)
+    val xmaxE = xlim.map(l => lit(l._2)).getOrElse(col("__maxe") + 0.5d)
+    val rows = agg.select(col("chrom"), lit(xminV).as("__xmin"),
+      xmaxE.as("__xmax"), col("__maxl"), col("__rs"))
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val chrom = r.getString(0)
+        val xmin = r.getDouble(1)
+        val xmax = r.getDouble(2)
+        val maxl = r.getDouble(3)
+        val yPx = 20.0 // px per level unit
+        val w = math.max(1, math.min(maxWidthPx,
+          math.ceil((xmax - xmin) * pxPerUnit).toInt))
+        val sx = w / (xmax - xmin) // actual px/unit after the width cap
+        val hUnits = maxl + 1.0 // [-0.5, maxl + 0.5]
+        val h = math.max(1, math.ceil(hUnits * yPx).toInt)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = img.createGraphics()
+        try {
+          g2.setColor(java.awt.Color.WHITE)
+          g2.fillRect(0, 0, w, h)
+          def color(s: String): java.awt.Color =
+            if (s == null) java.awt.Color.BLACK
+            else {
+              val p = s.split(',')
+              if (p.length == 3) new java.awt.Color(p(0).toInt, p(1).toInt,
+                p(2).toInt)
+              else java.awt.Color.BLACK
+            }
+          val rs = r.getSeq[Row](4)
+          rs.foreach { rr =>
+            val rx = rr.getDouble(0); val ry = rr.getDouble(1)
+            val rw = rr.getDouble(2); val rh = rr.getDouble(3)
+            val px = ((rx - xmin) * sx).round.toInt
+            // data y-up -> image y-down: top of rect = maxl+0.5-(ry+rh)
+            val py = ((maxl + 0.5 - ry - rh) * yPx).round.toInt
+            val pw = math.max(1, (rw * sx).round.toInt)
+            val ph = math.max(1, (rh * yPx).round.toInt)
+            g2.setColor(color(rr.getString(4)))
+            g2.fillRect(px, py, pw, ph)
+            g2.setColor(color(rr.getString(5)))
+            g2.drawRect(px, py, pw - 1, ph - 1)
+          }
+        } finally g2.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(chrom, w, h, bos.toByteArray)
+      }
+    }(Encoders.row(pngSchema))
   }
 }

@@ -295,6 +295,46 @@ class MultimodalSpec extends SparkSpec {
     assert(!txt.isNullAt(3) && txt.getAs[Long]("n_bytes") == 3L)
   }
 
+  test("real WAV decode: planted format recovered; sine RMS; corrupt -> null") {
+    val ids = Seq(0L, 3L, 7L, 13L).toDF("id")
+    val media = Multimodal.syntheticWav(ids, "id")
+    val dec = Multimodal.decodeAudio(media).orderBy("media_id").collect()
+    Seq(0L, 3L, 7L, 13L).zip(dec).foreach { case (id, r) =>
+      assert(r.getInt(3) == 8000 && r.getInt(4) == 1 && r.getInt(5) == 16,
+        s"format words for id=$id")
+      val n = Multimodal.plantedSamples(id).toLong
+      assert(r.getLong(6) == n)
+      assert(r.getLong(7) == n * 1000L / 8000L)
+      // 0.5-amplitude sine: per-window RMS ~ 0.5/sqrt(2)
+      val feat = r.getSeq[Float](8)
+      assert(feat.size == 4)
+      feat.foreach(f => assert(math.abs(f - 0.35355f) < 0.02f, s"rms id=$id"))
+    }
+    // corrupt / truncated / non-RIFF payloads: null metadata, rows survive
+    val full = media.limit(1).collect()(0).getAs[Array[Byte]]("payload")
+    val bad = Seq(
+        (20L, Array[Byte](1, 2, 3), "audio/wav"),
+        (21L, null.asInstanceOf[Array[Byte]], "audio/wav"),
+        (22L, full.take(50), "audio/wav")) // header intact, data chopped
+      .toDF("media_id", "payload", "mime")
+    val badRows = Multimodal.decodeAudio(bad).orderBy("media_id").collect()
+    assert(badRows.length == 3)
+    badRows.foreach(r => assert(r.isNullAt(3) && r.isNullAt(6)))
+    // 8-bit PCM path: hand-built 4-sample mono file, full-scale square
+    val bb = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(40)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(100).putInt(100)
+      .putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(4)
+      .put(Array[Byte](0, -1, 0, -1)) // 0x00,0xff -> -1.0,+0.992
+    val m8 = Multimodal.wavDecode(bb.array()).get
+    assert(m8.bits == 8 && m8.sampleRate == 100 && m8.nSamples == 4L)
+    assert(math.abs(m8.feature(0) - 1.0f) < 0.01f)
+  }
+
   test("resizeMeta: aspect-preserving fit into the target box, floor 1px") {
     val dec = Seq((1L, 640, 480), (2L, 100, 400), (3L, 1, 10000))
       .toDF("media_id", "width", "height")
