@@ -1413,6 +1413,66 @@ object SparkEntry {
     Dedup.exact(docs(s, dir), "doc_id", "text")
       .select(col("doc_id"), col("canonical_id"), col("is_dup"))
 
+  /** Bloom-prefiltered exact ingest dedup gate: even-doc_id documents
+    * are the persisted corpus; the arriving batch is the odd documents
+    * plus PLANTED exact copies of every 10th corpus text (shifted ids) —
+    * so both probe outcomes are exercised: the copies must be caught by
+    * the bloom AND killed by the verify join, while novel rows flow
+    * through the definitely-new path. The oracle is the plain value-level
+    * anti-join; the bloom only decides who pays for verification, so any
+    * fpp is invisible here by construction. */
+  private def dedupBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+    val batch = d.filter(col("doc_id") % 2 === 1)
+      .unionByName(d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val index = graft.dedup.Bloom.buildIndex(corpus, col("text"),
+      numBuckets = 16, expectedItems = 100000L)
+    graft.dedup.Bloom.probeNew(index, corpus.select(col("text")), batch,
+        col("text"), numBuckets = 16)
+      .select(col("doc_id"))
+  }
+
+  /** RefinedWeb line-wise dedup gate: newlines are planted with the same
+    * word->newline rewrite as txt_paragraph_dedup, then lines whose
+    * trimmed form occurs more than twice corpus-wide are removed and
+    * every document REBUILT from its survivors; the gate hashes the md5
+    * of each reconstructed text, so the count -> threshold -> reorder ->
+    * join-back chain must be exact, not just the removal counts. */
+  private def txtLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).withColumn("text",
+      regexp_replace(col("text"), " (the|a|value|table|row) ", "\n"))
+    Corpus.dedupLines(planted, "doc_id", "text", maxOccurrences = 2L)
+      .select(col("doc_id"), col("n_lines"), col("n_removed"),
+        md5(col("text").cast("binary")).as("clean_md5"))
+  }
+
+  /** URL canonicalization fixtures — each exercises a distinct rewrite:
+    * case folding, www/default-port stripping, tracking-param removal
+    * with every separator-tidy case, multi-part TLDs, non-URL
+    * passthrough, null. */
+  private val urlFixtures: Seq[String] = Seq(
+    "HTTPS://WWW.Example.COM:443/Path/Page/?utm_source=x&id=7&gclid=9#frag",
+    "http://example.com:80/",
+    "http://news.example.co.uk/a/b?x=1&utm_campaign=c&y=2",
+    "https://sub.shop.example.com/products?ref=feed",
+    "http://example.com/a/?utm_a=1&utm_b=2",
+    "not a url",
+    null)
+
+  /** URL canonicalization gate (CCNet/RefinedWeb-style normalization
+    * before URL-keyed dedup): canonical form, host, registered domain
+    * over the planted fixture table, matched against hand-derived
+    * expected values in the oracle (the util_colorstring pattern). */
+  private def txtUrlCanon(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    urlFixtures.toDF("url").select(col("url"),
+      TextOps.canonicalizeUrl(col("url")).as("canon"),
+      TextOps.urlHost(col("url")).as("host"),
+      TextOps.registeredDomain(col("url")).as("domain"))
+  }
+
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3,
         threshold = 0.6)
@@ -1827,6 +1887,9 @@ object SparkEntry {
     "txt_chunk" -> (txtChunk _),
     "txt_normalize" -> (txtNormalize _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_bloom" -> (dedupBloom _),
+    "txt_line_dedup" -> (txtLineDedup _),
+    "txt_url_canon" -> (txtUrlCanon _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhash _),
     "dedup_minhash_incr" -> (dedupMinhashIncr _),
@@ -3301,6 +3364,49 @@ object SparkEntry {
         |  CAST((800 + (doc_id % 5) * 160) * 1000 // 8000 AS BIGINT)
         |    AS duration_ms
         |FROM documents WHERE doc_id % 11 = 0""".stripMargin,
+    "dedup_bloom" ->
+      """WITH corpus AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT b.doc_id FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)"""
+        .stripMargin,
+    "txt_line_dedup" ->
+      """WITH d2 AS (SELECT doc_id,
+        |    regexp_replace(text, ' (the|a|value|table|row) ', chr(10), 'g') AS text
+        |  FROM documents),
+        |parts AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM d2),
+        |lines AS (SELECT doc_id, i - 1 AS pos, ps[i] AS line,
+        |    trim(ps[i], ' ') AS tl
+        |  FROM parts, UNNEST(generate_series(1, len(ps))) AS u(i)),
+        |cnt AS (SELECT tl, COUNT(*) AS c FROM lines WHERE len(tl) > 0
+        |  GROUP BY 1),
+        |k AS (SELECT l.doc_id, l.pos, l.line,
+        |    (len(l.tl) = 0 OR COALESCE(c.c, 0) <= 2) AS keep
+        |  FROM lines l LEFT JOIN cnt c ON l.tl = c.tl)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+        |  md5(COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+        |    ORDER BY pos), '')) AS clean_md5
+        |FROM k GROUP BY doc_id""".stripMargin,
+    "txt_url_canon" ->
+      """SELECT * FROM (VALUES
+        |  ('HTTPS://WWW.Example.COM:443/Path/Page/?utm_source=x&id=7&gclid=9#frag',
+        |   'https://example.com/Path/Page/?id=7',
+        |   'www.example.com', 'example.com'),
+        |  ('http://example.com:80/',
+        |   'http://example.com', 'example.com', 'example.com'),
+        |  ('http://news.example.co.uk/a/b?x=1&utm_campaign=c&y=2',
+        |   'http://news.example.co.uk/a/b?x=1&y=2',
+        |   'news.example.co.uk', 'example.co.uk'),
+        |  ('https://sub.shop.example.com/products?ref=feed',
+        |   'https://sub.shop.example.com/products',
+        |   'sub.shop.example.com', 'example.com'),
+        |  ('http://example.com/a/?utm_a=1&utm_b=2',
+        |   'http://example.com/a', 'example.com', 'example.com'),
+        |  ('not a url', 'not a url', '', ''),
+        |  (NULL, NULL, NULL, NULL)) t(url, canon, host, domain)""".stripMargin,
     "vis_plot" ->
       s"""WITH $iv3Sql,
          |ev AS (SELECT chrom, start AS pos, 1 AS d FROM iv3

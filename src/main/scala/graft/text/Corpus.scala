@@ -168,6 +168,52 @@ object Corpus {
         (col("__k") === col("__first")).as("keep"))
   }
 
+  /** Corpus-WIDE line-level dedup in the style of RefinedWeb's line-wise
+    * filtering (Penedo et al. 2023): any line whose space-trimmed form
+    * occurs MORE than `maxOccurrences` times across the whole corpus is
+    * removed from every document that carries it (frequency-threshold
+    * semantics — unlike [[dedupParagraphs]]' keep-first). Whitespace-only
+    * lines are document structure, never counted or removed.
+    *
+    * Returns `(id, text, n_lines, n_removed)` with `text` REBUILT from
+    * the surviving original (untrimmed) lines in original order — the
+    * reconstructive variant a production pipeline actually ships, not
+    * just a keep mask. A document losing every line keeps its row with
+    * empty text.
+    *
+    * Scale shape: the corpus-wide frequency count exchanges a 32-char
+    * md5 of the trimmed line, never the text (map-side combinable hash
+    * agg on a high-cardinality key); the instance<->count join reuses
+    * that key co-partitioned. Reconstruction is a per-document
+    * `collect_list` bounded by document size — the one exchange that
+    * carries text, which the output must carry anyway. No windows, no
+    * driver collection. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 maxOccurrences: Long = 1L): DataFrame = {
+    val id = col(idCol)
+    val lines = df
+      .select(id, posexplode(split(col(textCol), "\n")).as(Seq("pos", "__l")))
+      .withColumn("__t", trim(col("__l")))
+      .withColumn("__blank", length(col("__t")) === 0)
+      .withColumn("__k", md5(col("__t").cast("binary")))
+    val counts = lines.filter(!col("__blank"))
+      .groupBy(col("__k")).agg(count(lit(1)).as("__c"))
+    val kept = lines.join(counts, Seq("__k"), "left")
+      .withColumn("keep",
+        col("__blank") || coalesce(col("__c"), lit(0L)) <= maxOccurrences)
+    val rebuilt = kept.groupBy(id)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        array_join(transform(
+          sort_array(collect_list(when(col("keep"),
+            struct(col("pos").as("p"), col("__l").as("l"))))),
+          x => x.getField("l")), "\n").as(textCol))
+    df.select(id).join(rebuilt, Seq(idCol), "left")
+      .select(id, coalesce(col(textCol), lit("")).as(textCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** Training-sequence packing, concat-and-chunk style: documents are
     * laid end-to-end in ascending-`idCol` order into one global token
     * stream, which is then cut into fixed `seqLen`-token training

@@ -121,4 +121,75 @@ object TextOps {
     * [[shinglesFromTokens]]). */
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
+
+  // ------------------------------------------------------------- URLs
+
+  /** Tracking query parameters stripped by [[canonicalizeUrl]] — the
+    * standard web-corpus set (analytics campaign tags and click ids). */
+  val TrackingParams = "utm_[^&=#]*|gclid|fbclid|msclkid|ref"
+
+  /** Canonical URL for exact URL-level dedup (the CCNet/RefinedWeb-style
+    * normalization step before URL-keyed dedup). Deterministic,
+    * regexp-only — a chain of codegen'd `regexp_replace`, no
+    * higher-order lambdas, so it runs inside whole-stage codegen over
+    * corpus-scale URL columns. Steps, in order:
+    *
+    *  1. trim; drop the `#fragment`;
+    *  2. lowercase the scheme://host prefix (path/query keep their case);
+    *  3. strip a `www.` host prefix;
+    *  4. strip default ports (`:80` for http, `:443` for https);
+    *  5. remove tracking parameters ([[TrackingParams]]) and tidy the
+    *     separators they leave behind (`?&` -> `?`, `&&` -> `&`,
+    *     trailing `?`/`&`);
+    *  6. strip a single trailing `/`.
+    *
+    * Non-URL strings pass through the same rewrites unharmed (no rule
+    * fires without its anchor); null -> null. */
+  def canonicalizeUrl(url: Column): Column = {
+    val t0 = trim(url)
+    val noFrag = regexp_replace(t0, "#.*$", "")
+    // lowercase "scheme://host[:port]" only
+    val pre = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
+    val lowered = when(pre === "", noFrag).otherwise(concat(pre, rest))
+    val noWww = regexp_replace(lowered, "^(https?://)www\\.", "$1")
+    val noPort = regexp_replace(
+      regexp_replace(noWww, "^(http://[^/:?]+):80(?=[/?]|$)", "$1"),
+      "^(https://[^/:?]+):443(?=[/?]|$)", "$1")
+    val noTrack = regexp_replace(noPort, s"([?&])($TrackingParams)=[^&#]*", "$1")
+    val tidy = regexp_replace(regexp_replace(regexp_replace(noTrack,
+      "\\?&+", "?"), "&&+", "&"), "[?&]+$", "")
+    regexp_replace(tidy, "/$", "")
+  }
+
+  /** Lowercased host of a URL (empty string for non-URLs). */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(trim(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1))
+
+  /** Multi-part public suffixes the [[registeredDomain]] heuristic
+    * recognizes (the common ccTLD second levels; a full public-suffix
+    * list is data, not code — load one into a broadcast join for exact
+    * parity with a production pipeline). */
+  val MultiPartTlds: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "com.br", "com.cn", "com.mx",
+    "co.in", "co.nz", "co.za", "com.sg", "com.tr", "com.ar")
+
+  /** Registered (pay-level) domain of a URL's host — last two labels,
+    * or three when the last two are a recognized multi-part suffix
+    * ([[MultiPartTlds]]). The domain-cap / stratified-mixing operators
+    * key on this. Hosts with fewer labels pass through unchanged. */
+  def registeredDomain(url: Column): Column = {
+    val host = urlHost(url)
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    val last3 = concat_ws(".", element_at(parts, -3), element_at(parts, -2),
+      element_at(parts, -1))
+    // concat_ws never yields null, so a null host must short-circuit first
+    when(host.isNull, lit(null).cast("string"))
+      .when(n <= 2, host)
+      .when(last2.isin(MultiPartTlds: _*), last3)
+      .otherwise(last2)
+  }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Bloom
+
+/** Bloom-filter membership index: exactness of the prefilter+verify
+  * composition, prefilter effectiveness, and the codegen'd constant-bloom
+  * probe. */
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("probeNew is EXACT: dups killed, novel rows kept, across buckets") {
+    val corpus = (0 until 1000).map(i => (i.toLong, s"doc-$i")).toDF("id", "k")
+    // batch: 500 true dups (ids shifted) + 500 novel keys
+    val batch = ((0 until 500).map(i => (10000L + i, s"doc-$i")) ++
+      (0 until 500).map(i => (20000L + i, s"new-$i"))).toDF("id", "k")
+    val index = Bloom.buildIndex(corpus, col("k"), numBuckets = 8,
+      expectedItems = 10000L)
+    assert(index.count() <= 8)
+    val out = Bloom.probeNew(index, corpus.select(col("k")), batch, col("k"),
+      numBuckets = 8)
+    val got = out.select("id").as[Long].collect().sorted
+    assert(got.toSeq == (0 until 500).map(20000L + _))
+    // schema passthrough: the batch's own columns, nothing else
+    assert(out.columns.toSeq == Seq("id", "k"))
+  }
+
+  test("bloom prefilter actually prunes: a disjoint batch mostly skips " +
+    "the verify join (fpp-bounded maybe rate)") {
+    val corpus = (0 until 5000).map(i => s"c-$i").toDF("k")
+    val batch = (0 until 5000).map(i => s"b-$i").toDF("k")
+    val index = Bloom.buildIndex(corpus, col("k"), numBuckets = 4,
+      expectedItems = 5000L, fpp = 0.01)
+    // count the might-contain rows directly through the literal probe
+    val blooms = index.collect().map(r =>
+      r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val maybes = blooms.map { case (b, blob) =>
+      batch.withColumn("__h", xxhash64(col("k")))
+        .filter(pmod(col("__h"), lit(4L)) === b)
+        .filter(Bloom.mightContain(blob, col("__h")))
+        .count()
+    }.sum
+    assert(maybes < 500, s"fpp blowout: $maybes of 5000 flagged maybe")
+    // and the composition still returns every batch row
+    assert(Bloom.probeNew(index, corpus, batch, col("k"), 4).count() == 5000)
+  }
+
+  test("mightContain literal probe: members always hit, plan stays " +
+    "whole-stage-codegen") {
+    // spark.range, not a LocalRelation: Spark folds filters over local
+    // data eagerly, which would hide the codegen span this asserts on
+    val df = spark.range(100).toDF("v")
+      .withColumn("__h", xxhash64(col("v")))
+    val bloom = df.agg(Bloom.bloomAgg(col("__h"), 100L, 0.01))
+      .collect()(0).getAs[Array[Byte]](0)
+    val probed = df.filter(Bloom.mightContain(bloom, col("__h")))
+    assert(probed.count() == 100) // no false negatives, ever
+    // "*(1) Filter might_contain..." — the * prefix is the
+    // whole-stage-codegen marker in the plan string
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Filter might_contain"), plan.take(500))
+  }
+
+  test("empty corpus: every batch row is new; missing buckets probe false") {
+    val corpus = Seq.empty[String].toDF("k")
+    val batch = Seq("a", "b").toDF("k")
+    val index = Bloom.buildIndex(corpus, col("k"), numBuckets = 4)
+    assert(index.count() == 0)
+    assert(Bloom.probeNew(index, corpus, batch, col("k"), 4).count() == 2)
+  }
+}

@@ -48,6 +48,59 @@ class CorpusSpec extends SparkSpec {
     assert(out(1).getString(2) == out(3).getString(2))
   }
 
+  test("dedupLines: frequency threshold removes from EVERY doc; blanks " +
+    "are structure; docs rebuild in order; total-loss doc keeps its row") {
+    // "common" appears 3x corpus-wide (> maxOccurrences=2) -> removed
+    // everywhere; "rare" appears 2x -> kept; blank line kept as structure
+    val df = Seq(
+      (1L, "keep me\ncommon\nrare"),
+      (2L, "common\n\nrare\ntail"),
+      (3L, "  common  ")).toDF("id", "text")
+    val out = Corpus.dedupLines(df, "id", "text", maxOccurrences = 2L)
+      .orderBy($"id").collect()
+    assert(out.map(_.getString(1)).toSeq ==
+      Seq("keep me\nrare", "\nrare\ntail", ""))
+    assert(out.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((3L, 1L), (4L, 1L), (1L, 1L))) // (n_lines, n_removed)
+    // trimmed-form counting: "  common  " counted with "common"
+    // (asserted by doc 3 losing its only line above)
+    // threshold is strictly greater-than: occurrences == max keep
+    val keepAll = Corpus.dedupLines(df, "id", "text", maxOccurrences = 3L)
+      .orderBy($"id").collect()
+    assert(keepAll.forall(_.getLong(3) == 0L))
+  }
+
+  test("url ops: canonicalize strips tracking/ports/www/fragments; host " +
+    "and registered domain; nulls and non-URLs pass through") {
+    import graft.text.TextOps
+    val rows = Seq(
+        "HTTPS://WWW.Ex.COM:443/P/?utm_source=x&id=7#f",
+        "http://a.com:80/",
+        "http://news.bbc.co.uk/a?x=1",
+        "plain text",
+        null)
+      .toDF("url")
+      .select(TextOps.canonicalizeUrl($"url").as("c"),
+        TextOps.urlHost($"url").as("h"),
+        TextOps.registeredDomain($"url").as("d"))
+      .collect()
+    assert(rows(0).getString(0) == "https://ex.com/P/?id=7")
+    assert(rows(0).getString(1) == "www.ex.com" &&
+      rows(0).getString(2) == "ex.com")
+    assert(rows(1).getString(0) == "http://a.com")
+    assert(rows(2).getString(0) == "http://news.bbc.co.uk/a?x=1" &&
+      rows(2).getString(2) == "bbc.co.uk")
+    assert(rows(3).getString(0) == "plain text" &&
+      rows(3).getString(1) == "" && rows(3).getString(2) == "")
+    assert(rows(4).isNullAt(0) && rows(4).isNullAt(1) && rows(4).isNullAt(2))
+    // canonical equality is the dedup key: tracking-only variants collide
+    val canon = Seq("http://a.com/x?utm_a=1", "http://WWW.A.com/x",
+        "http://a.com/x/")
+      .toDF("url").select(TextOps.canonicalizeUrl($"url").as("c"))
+      .distinct().collect()
+    assert(canon.length == 1 && canon(0).getString(0) == "http://a.com/x")
+  }
+
   test("packSequences: concat-and-chunk offsets and sequence spans; " +
     "zero-token docs omitted") {
     val df = Seq((1L, 4L), (2L, 9L), (3L, 3L), (4L, 10L), (5L, 0L))
