@@ -82,11 +82,22 @@ object Bloom {
     * the hash. */
   def probeNew(index: DataFrame, corpusKeys: DataFrame, batch: DataFrame,
                keyCol: Column, numBuckets: Int = 64): DataFrame = {
+    // a bucket may carry several rows (appended ingest batches,
+    // [[appendIndex]]) — merge them here, so append stays a pure
+    // parquet append and compaction is an optimization, not a
+    // correctness step
     val blooms: Map[Long, Array[Byte]] = index
       .select(col("bucket").cast("long"), col("bloom"))
       .collect()
-      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
-      .toMap
+      .groupBy(_.getLong(0))
+      .map { case (b, rows) =>
+        val merged = BloomFilter.readFrom(rows.head.getAs[Array[Byte]](1))
+        rows.tail.foreach(r =>
+          merged.mergeInPlace(BloomFilter.readFrom(r.getAs[Array[Byte]](1))))
+        val bos = new java.io.ByteArrayOutputStream()
+        merged.writeTo(bos)
+        b -> bos.toByteArray
+      }
     val spark = batch.sparkSession
     val bBlooms = spark.sparkContext.broadcast(blooms)
     val keyedBatch = keyed(batch, keyCol, numBuckets, "__h", "__b")
@@ -114,5 +125,52 @@ object Bloom {
         keyCol === col("__ck"), "left_anti")
       .select(out.head, out.tail: _*)
     definitelyNew.unionByName(verifiedNew)
+  }
+
+  // -------------------------------------------- persisted ingest index
+
+  /** Write [[buildIndex]]'s output as the persisted index at `path`. */
+  def writeIndex(corpus: DataFrame, keyCol: Column, path: String,
+                 numBuckets: Int = 64, expectedItems: Long = 10000000L,
+                 fpp: Double = 0.01): Unit =
+    buildIndex(corpus, keyCol, numBuckets, expectedItems, fpp)
+      .write.mode("overwrite").parquet(path)
+
+  /** Fold an ingest batch's keys into the persisted index — a pure
+    * parquet APPEND (new `(bucket, bloom)` rows; [[probeNew]] merges
+    * multi-row buckets at load). `expectedItems`/`fpp`/`numBuckets` MUST
+    * match the original [[writeIndex]] call: Spark's sketch only merges
+    * filters of identical bit width, which these parameters determine.
+    * Each appended row costs one blob; run [[compactIndex]] on the same
+    * cadence as the minhash index compaction to re-bound the file count
+    * under long-running ingest. */
+  def appendIndex(batch: DataFrame, keyCol: Column, path: String,
+                  numBuckets: Int = 64, expectedItems: Long = 10000000L,
+                  fpp: Double = 0.01): Unit =
+    buildIndex(batch, keyCol, numBuckets, expectedItems, fpp)
+      .write.mode("append").parquet(path)
+
+  /** Rewrite the persisted index with one merged blob per bucket.
+    * Bucket blobs are dimension-sized by construction, so the merge runs
+    * where [[probeNew]] already does that work — on the driver — and the
+    * rewrite is atomic-enough for the batch cadence (overwrite of a
+    * bounded relation). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Unit = {
+    val merged = spark.read.parquet(path)
+      .select(col("bucket").cast("long"), col("bloom"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (b, rows) =>
+        val m = BloomFilter.readFrom(rows.head.getAs[Array[Byte]](1))
+        rows.tail.foreach(r =>
+          m.mergeInPlace(BloomFilter.readFrom(r.getAs[Array[Byte]](1))))
+        val bos = new java.io.ByteArrayOutputStream()
+        m.writeTo(bos)
+        (b, bos.toByteArray)
+      }.toSeq
+    import spark.implicits._
+    merged.toDF("bucket", "bloom")
+      .write.mode("overwrite").parquet(path)
   }
 }

@@ -197,6 +197,54 @@ object Multimodal {
         greatest(lit(1L), floor(col("height") * col("__scale"))).cast("int"))
       .drop("__scale")
 
+  /** REAL image resize at the decode boundary: payloads whose mime
+    * routes through the image codec are decoded, aspect-fit into a
+    * `tw x th` box with EXACTLY [[resizeMeta]]'s arithmetic
+    * (`floor(dim * min(tw/w, th/h))`, floor 1 px), redrawn through
+    * `java.awt.Graphics2D` and re-encoded as PNG on the executors.
+    * Non-image mimes and corrupt/undecodable images pass through
+    * byte-identical (poison stays visible downstream, never fails the
+    * task). Output keeps [[mediaSchema]] — resized rows become
+    * `image/png` — so a resized corpus feeds the same decode/probe
+    * pipeline as the original. */
+  def resizeImages(media: DataFrame, tw: Int, th: Int,
+                   numPartitions: Option[Int] = None): DataFrame = {
+    require(tw > 0 && th > 0)
+    val df = media.select("media_id", "payload", "mime")
+    val base = numPartitions.map(df.repartition(_)).getOrElse(df)
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        // positional access: chained mapPartitions can elide the
+        // serialization boundary and hand over schema-less rows
+        val bytes = r.getAs[Array[Byte]](1)
+        val mime = r.getString(2)
+        val passthrough = Row(r.getLong(0), bytes, mime)
+        if (!ImageMimes.contains(mime) || bytes == null || bytes.isEmpty)
+          passthrough
+        else
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) passthrough
+            else {
+              val scale = math.min(tw.toDouble / img.getWidth,
+                th.toDouble / img.getHeight)
+              val ow = math.max(1, math.floor(img.getWidth * scale).toInt)
+              val oh = math.max(1, math.floor(img.getHeight * scale).toInt)
+              val out = new java.awt.image.BufferedImage(ow, oh,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g2 = out.createGraphics()
+              try g2.drawImage(img, 0, 0, ow, oh, null)
+              finally g2.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              Row(r.getLong(0), bos.toByteArray, "image/png")
+            }
+          } catch { case _: Exception => passthrough }
+      }
+    }(Encoders.row(mediaSchema))
+  }
+
   /** Wrap a text/binary-ish table into the media schema (for tests and
     * for treating raw docs as payloads). */
   def asMedia(df: DataFrame, idCol: String, payloadCol: String,

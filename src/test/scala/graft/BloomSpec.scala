@@ -62,6 +62,37 @@ class BloomSpec extends SparkSpec {
     assert(plan.contains("*(1) Filter might_contain"), plan.take(500))
   }
 
+  test("persisted ingest index: append stays correct uncompacted, " +
+    "compaction bounds rows per bucket and changes no answers") {
+    val dir = java.nio.file.Files.createTempDirectory("bloomidx").toString
+    val path = s"$dir/idx"
+    val c0 = (0 until 300).map(i => s"c-$i").toDF("k")
+    Bloom.writeIndex(c0, col("k"), path, numBuckets = 4,
+      expectedItems = 10000L)
+    // three ingest batches append (same sizing — merge requires it)
+    (1 to 3).foreach { g =>
+      val batch = (0 until 100).map(i => s"g$g-$i").toDF("k")
+      Bloom.appendIndex(batch, col("k"), path, numBuckets = 4,
+        expectedItems = 10000L)
+    }
+    val idx = spark.read.parquet(path)
+    assert(idx.count() > 4) // multi-row buckets exist pre-compaction
+    val corpus = (c0.as[String].collect() ++
+      (1 to 3).flatMap(g => (0 until 100).map(i => s"g$g-$i"))).toSeq.toDF("k")
+    val probe = ((0 until 50).map(i => s"c-$i") ++ // dup of base
+      Seq("g2-7", "g3-99") ++ // dups of appended batches
+      (0 until 50).map(i => s"x-$i")).toDF("k") // novel
+    val before = Bloom.probeNew(idx, corpus, probe, col("k"), 4)
+      .as[String].collect().sorted.toSeq
+    assert(before == (0 until 50).map(i => s"x-$i").sorted)
+    Bloom.compactIndex(spark, path)
+    val compacted = spark.read.parquet(path)
+    assert(compacted.count() <= 4) // one row per bucket
+    val after = Bloom.probeNew(compacted, corpus, probe, col("k"), 4)
+      .as[String].collect().sorted.toSeq
+    assert(after == before)
+  }
+
   test("empty corpus: every batch row is new; missing buckets probe false") {
     val corpus = Seq.empty[String].toDF("k")
     val batch = Seq("a", "b").toDF("k")

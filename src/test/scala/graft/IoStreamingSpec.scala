@@ -335,6 +335,74 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(m8.feature(0) - 1.0f) < 0.01f)
   }
 
+  test("resizeImages: REAL pixel resize matches resizeMeta arithmetic, " +
+    "preserves solid fill, passes poison through byte-identical") {
+    val ids = Seq(0L, 5L, 42L).toDF("id")
+    val media = Multimodal.syntheticPng(ids, "id")
+    val resized = Multimodal.resizeImages(media, 8, 6)
+    val dec = Multimodal.decode(resized).orderBy("media_id").collect()
+    Seq(0L, 5L, 42L).zip(dec).foreach { case (id, r) =>
+      val (w, h) = Multimodal.plantedDims(id)
+      val scale = math.min(8.0 / w, 6.0 / h)
+      assert(r.getInt(3) == math.max(1, math.floor(w * scale).toInt))
+      assert(r.getInt(4) == math.max(1, math.floor(h * scale).toInt))
+      // solid fill survives scaling exactly: every grid cell = fill color
+      val rgb = Multimodal.plantedRgb(id)
+      val want = Seq((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+        .map(_ / 255.0f)
+      val feat = r.getSeq[Float](6)
+      (0 until 4).foreach(cell => (0 until 3).foreach(c =>
+        assert(math.abs(feat(cell * 3 + c) - want(c)) < 1e-6f)))
+    }
+    // corrupt image + non-image mime: byte-identical passthrough
+    val poison = Seq(
+        (9L, Array[Byte](1, 2, 3), "image/png"),
+        (10L, Array[Byte](4, 5), "text/plain"))
+      .toDF("media_id", "payload", "mime")
+    val through = Multimodal.resizeImages(poison, 8, 6)
+      .orderBy("media_id").collect()
+    assert(through(0).getAs[Array[Byte]](1).toSeq == Seq[Byte](1, 2, 3))
+    assert(through(0).getString(2) == "image/png")
+    assert(through(1).getAs[Array[Byte]](1).toSeq == Seq[Byte](4, 5))
+  }
+
+  test("wavDecode never throws on fuzzed containers; canonicalizeUrl is " +
+    "idempotent") {
+    // byte-level fuzz around the RIFF grammar: prefixes of a real file,
+    // flipped chunk sizes, random tails — None or Some, never a throw
+    val real = Multimodal.syntheticWav(Seq(3L).toDF("id"), "id")
+      .collect()(0).getAs[Array[Byte]]("payload")
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { i =>
+      val b = real.clone()
+      i % 4 match {
+        case 0 => // truncate anywhere
+          Multimodal.wavDecode(b.take(rnd.nextInt(b.length)))
+        case 1 => // corrupt a random byte (header or data)
+          b(rnd.nextInt(b.length)) = rnd.nextInt().toByte
+          Multimodal.wavDecode(b)
+        case 2 => // nonsense chunk size
+          b(4 + rnd.nextInt(4)) = 0xff.toByte
+          Multimodal.wavDecode(b)
+        case _ => // pure noise
+          val n = new Array[Byte](44 + rnd.nextInt(100))
+          rnd.nextBytes(n)
+          Multimodal.wavDecode(n)
+      }
+    }
+    // idempotence: a canonical URL canonicalizes to itself
+    import graft.text.TextOps
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/Path/Page/?utm_source=x&id=7&gclid=9#f",
+      "http://example.com:80/", "http://news.example.co.uk/a/b?x=1&y=2",
+      "https://sub.example.com/products?ref=feed", "not a url")
+    val once = urls.toDF("u")
+      .select(TextOps.canonicalizeUrl(col("u")).as("c")).as[String].collect()
+    val twice = once.toSeq.toDF("u")
+      .select(TextOps.canonicalizeUrl(col("u")).as("c")).as[String].collect()
+    assert(once.toSeq == twice.toSeq)
+  }
+
   test("resizeMeta: aspect-preserving fit into the target box, floor 1px") {
     val dec = Seq((1L, 640, 480), (2L, 100, 400), (3L, 1, 10000))
       .toDF("media_id", "width", "height")
