@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
@@ -17,27 +17,51 @@ import org.apache.spark.util.sketch.BloomFilter
   * Bloom filters with Spark's native `bloom_filter_agg` (a map-side
   * combinable TypedImperativeAggregate; the shuffle carries B partially
   * built filters, never rows). The index is B rows of
-  * `(bucket, bloom binary)` — bounded by construction
-  * (`B * optimalNumOfBits(expected/B, fpp) / 8` bytes; ~180 MB for 1e10
-  * keys at 1% fpp over 64 buckets) — so the PROBE side broadcasts it and
-  * splits a batch per-partition into definitely-new rows (bloom says no:
-  * no join, no shuffle — the common case for mostly-novel batches) and
-  * might-be-dup rows, and only the latter (true dups + ~fpp of the new
-  * rows) reach the exact verify join. The result is exact; the bloom only
-  * decides who pays for verification.
+  * `(bucket, bloom binary)` and its TOTAL size is set by the corpus key
+  * count and fpp alone (~1.2 bytes/key at 1% fpp: ~120 MB at 1e8 keys,
+  * ~1.2 GB at 1e9 — bucketing shards the build/merge, it does not shrink
+  * the total). The PROBE embeds the driver-merged blobs as LITERALS in a
+  * single codegen'd `CASE bucket WHEN b THEN might_contain(blob_b, h)`
+  * cascade — the whole batch stays inside whole-stage codegen, and only
+  * the might-contain rows (true dups + ~fpp of the novel rows) reach the
+  * exact verify join. The result is exact; the bloom only decides who
+  * pays for verification.
   *
-  * The single-filter fast path [[mightContain]] embeds the bloom blob as
-  * a LITERAL in `BloomFilterMightContain`, which stays inside whole-stage
-  * codegen (the expression requires a constant filter — the reason the
-  * bucketed path probes via broadcast map + mapPartitions instead). */
+  * Scale boundary, stated honestly: the literal cascade ships the full
+  * index once per stage (torrent-broadcast with the task binary), so it
+  * is the right probe up to index sizes a plan can carry (~hundreds of
+  * MB ≈ corpora of ~1e8–1e9 keys at 1% fpp). Past that, shard ingest by
+  * key range so each shard's index stays plan-sized, or raise fpp —
+  * undersizing degrades the prune rate, never correctness. */
 object Bloom {
 
   import org.apache.spark.sql.graftbridge.Bridge.{column => colOf, catalystExpression => exprOf}
 
+  /** Raise Spark's runtime-bloom-filter session caps to `items`/`bits` if
+    * they are below them: `BloomFilterAggregate` silently clamps its
+    * `estimatedNumItems`/`numBits` to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`.maxNumBits`
+    * (defaults 4M items / 67,108,864 bits = 8 MB) at evaluation time, so
+    * without this a large `expectedItems` produces an undersized filter
+    * whose real fpp degrades toward 1.0 — every probe row would silently
+    * fall through to the exact verify join. */
+  private def ensureAggCaps(spark: SparkSession, items: Long,
+                            bits: Long): Unit = {
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (spark.conf.get(itemsKey).toLong < items)
+      spark.conf.set(itemsKey, items.toString)
+    if (spark.conf.get(bitsKey).toLong < bits)
+      spark.conf.set(bitsKey, bits.toString)
+  }
+
   /** Aggregate Column folding `hash` (must be BIGINT, e.g. `xxhash64`)
-    * into one Bloom filter blob sized for `expectedItems` at `fpp`. */
+    * into one Bloom filter blob sized for `expectedItems` at `fpp`.
+    * Raises the session's runtime-bloom-filter caps when the requested
+    * sizing exceeds them (see [[ensureAggCaps]]). */
   def bloomAgg(hash: Column, expectedItems: Long, fpp: Double): Column = {
     val bits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    ensureAggCaps(SparkSession.active, expectedItems, bits)
     colOf(new BloomFilterAggregate(exprOf(hash), Literal(expectedItems),
       Literal(bits)).toAggregateExpression())
   }
@@ -52,6 +76,12 @@ object Bloom {
                     hashName: String, bucketName: String): DataFrame =
     df.withColumn(hashName, xxhash64(keyCol))
       .withColumn(bucketName, pmod(col(hashName), lit(numBuckets.toLong)))
+
+  /** A column name not present in `taken` — probe/verify temp columns
+    * must never collide with (and silently replace) a caller column. */
+  private def freshName(base: String, taken: Set[String]): String =
+    Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+      .find(!taken(_)).get
 
   /** Build the `(bucket, bloom)` index over `keyCol` of `corpus` — one
     * aggregation job, one bounded result. `expectedItems` is the TOTAL
@@ -69,24 +99,12 @@ object Bloom {
       .agg(bloomAgg(col("__h"), perBucket, fpp).as("bloom"))
   }
 
-  /** Exact "which batch rows are NEW vs the corpus", bloom-prefiltered.
-    *
-    * `index` is [[buildIndex]]'s output (collected and broadcast here —
-    * bounded by construction); `corpusKeys` is a single-column relation
-    * of the corpus's key values, consulted ONLY for the might-contain
-    * rows (persist it bucketed/pre-hashed for repeated batches — the
-    * same posture as the minhash incremental index). Returns the batch
-    * rows whose `keyCol` value does not occur in `corpusKeys`, exactly:
-    * hash collisions inside the bloom cost a verify-join row, never a
-    * wrong answer, because the verify join compares the KEY VALUE, not
-    * the hash. */
-  def probeNew(index: DataFrame, corpusKeys: DataFrame, batch: DataFrame,
-               keyCol: Column, numBuckets: Int = 64): DataFrame = {
-    // a bucket may carry several rows (appended ingest batches,
-    // [[appendIndex]]) — merge them here, so append stays a pure
-    // parquet append and compaction is an optimization, not a
-    // correctness step
-    val blooms: Map[Long, Array[Byte]] = index
+  /** Collect the index and merge multi-row buckets (appended ingest
+    * batches, [[appendIndex]]) on the driver — so append stays a pure
+    * parquet append and compaction is an optimization, not a
+    * correctness step. Bounded by construction (B merged blobs). */
+  private def mergedBlobs(index: DataFrame): Seq[(Long, Array[Byte])] =
+    index
       .select(col("bucket").cast("long"), col("bloom"))
       .collect()
       .groupBy(_.getLong(0))
@@ -97,33 +115,53 @@ object Bloom {
         val bos = new java.io.ByteArrayOutputStream()
         merged.writeTo(bos)
         b -> bos.toByteArray
-      }
-    val spark = batch.sparkSession
-    val bBlooms = spark.sparkContext.broadcast(blooms)
-    val keyedBatch = keyed(batch, keyCol, numBuckets, "__h", "__b")
-    val flagged = keyedBatch.mapPartitions { rows =>
-      // decode each bucket's blob once per (partition, bucket)
-      val cache = scala.collection.mutable.HashMap.empty[Long, BloomFilter]
-      rows.map { r =>
-        val h = r.getLong(r.length - 2)
-        val b = r.getLong(r.length - 1)
-        val hit = bBlooms.value.get(b) match {
-          case Some(blob) =>
-            cache.getOrElseUpdate(b, BloomFilter.readFrom(blob))
-              .mightContainLong(h)
-          case None => false // bucket absent from index: corpus had no keys there
-        }
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ hit)
-      }
-    }(org.apache.spark.sql.Encoders.row(
-      keyedBatch.schema.add("__maybe", BooleanType, nullable = false)))
+      }.toSeq.sortBy(_._1)
+
+  /** The codegen'd probe: one flat `CASE` over the (≤numBuckets) merged
+    * blobs, each branch a constant-filter `might_contain`. A bucket
+    * absent from the index means the corpus had no keys there → false. */
+  private def maybeExpr(blooms: Seq[(Long, Array[Byte])], bucket: Column,
+                        hash: Column): Column =
+    blooms match {
+      case Seq() => lit(false)
+      case (b0, blob0) +: rest =>
+        rest.foldLeft(when(bucket === lit(b0), mightContain(blob0, hash))) {
+          case (acc, (bk, blob)) =>
+            acc.when(bucket === lit(bk), mightContain(blob, hash))
+        }.otherwise(lit(false))
+    }
+
+  /** Exact "which batch rows are NEW vs the corpus", bloom-prefiltered.
+    *
+    * `index` is [[buildIndex]]'s output (collected, bucket-merged, and
+    * embedded as plan literals here — bounded by construction);
+    * `corpusKeys` is a single-column relation of the corpus's key
+    * values, consulted ONLY for the might-contain rows (persist it
+    * bucketed/pre-hashed for repeated batches — the same posture as the
+    * minhash incremental index). Returns the batch rows whose `keyCol`
+    * value does not occur in `corpusKeys`, exactly: hash collisions
+    * inside the bloom cost a verify-join row, never a wrong answer,
+    * because the verify join compares the KEY VALUE, not the hash.
+    *
+    * The probe is expression-only — no mapPartitions, no Row encoder —
+    * so the mostly-novel common case never leaves whole-stage codegen
+    * (plan-asserted in BloomSpec: zero SerializeFromObject). */
+  def probeNew(index: DataFrame, corpusKeys: DataFrame, batch: DataFrame,
+               keyCol: Column, numBuckets: Int = 64): DataFrame = {
+    val blooms = mergedBlobs(index)
+    val taken = batch.columns.toSet
+    val hName = freshName("__h", taken)
+    val bName = freshName("__b", taken)
+    val keyedBatch = keyed(batch, keyCol, numBuckets, hName, bName)
+    val maybe = maybeExpr(blooms, col(bName), col(hName))
     val out = batch.columns
-    val definitelyNew = flagged.filter(!col("__maybe"))
+    val definitelyNew = keyedBatch.filter(!maybe)
       .select(out.head, out.tail: _*)
-    val verifiedNew = flagged.filter(col("__maybe"))
-      .join(corpusKeys.select(corpusKeys.columns.head).toDF("__ck"),
-        keyCol === col("__ck"), "left_anti")
+    val ckName = freshName("__ck", taken)
+    val verifiedNew = keyedBatch.filter(maybe)
       .select(out.head, out.tail: _*)
+      .join(corpusKeys.select(corpusKeys.columns.head).toDF(ckName),
+        keyCol === col(ckName), "left_anti")
     definitelyNew.unionByName(verifiedNew)
   }
 
@@ -150,27 +188,34 @@ object Bloom {
     buildIndex(batch, keyCol, numBuckets, expectedItems, fpp)
       .write.mode("append").parquet(path)
 
-  /** Rewrite the persisted index with one merged blob per bucket.
-    * Bucket blobs are dimension-sized by construction, so the merge runs
-    * where [[probeNew]] already does that work — on the driver — and the
-    * rewrite is atomic-enough for the batch cadence (overwrite of a
-    * bounded relation). */
-  def compactIndex(spark: org.apache.spark.sql.SparkSession,
-                   path: String): Unit = {
-    val merged = spark.read.parquet(path)
-      .select(col("bucket").cast("long"), col("bloom"))
-      .collect()
-      .groupBy(_.getLong(0))
-      .map { case (b, rows) =>
-        val m = BloomFilter.readFrom(rows.head.getAs[Array[Byte]](1))
-        rows.tail.foreach(r =>
-          m.mergeInPlace(BloomFilter.readFrom(r.getAs[Array[Byte]](1))))
-        val bos = new java.io.ByteArrayOutputStream()
-        m.writeTo(bos)
-        (b, bos.toByteArray)
-      }.toSeq
+  /** Rewrite the persisted index with one merged blob per bucket,
+    * CRASH-SAFELY: the merged index is written to a fresh sibling
+    * directory first, then swapped in via two renames — the live index
+    * stays intact and readable until the swap, and a failure at any
+    * point leaves either the old or the new index at `path` (plus at
+    * worst a leftover sibling that the next run reaps). Mirrors
+    * [[Dedup.compactMinhashIndex]]'s fresh-path + rename-swap +
+    * best-effort-delete shape. Bucket blobs are dimension-sized by
+    * construction, so the merge runs where [[probeNew]] already does
+    * that work — on the driver. */
+  def compactIndex(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = new Path(path + "__compacting")
+    val retired = new Path(path + "__old")
+    // reap leftovers of a previously crashed compaction
+    if (fs.exists(fresh)) fs.delete(fresh, true)
+    if (fs.exists(retired)) fs.delete(retired, true)
+    val merged = mergedBlobs(spark.read.parquet(path))
     import spark.implicits._
     merged.toDF("bucket", "bloom")
-      .write.mode("overwrite").parquet(path)
+      .coalesce(1) // bounded relation: one file, one footer per probe load
+      .write.mode("overwrite").parquet(fresh.toString)
+    // the swap: old index readable until here
+    require(fs.rename(live, retired), s"compactIndex: rename $live failed")
+    require(fs.rename(fresh, live), s"compactIndex: rename $fresh failed")
+    try { fs.delete(retired, true); () }
+    catch { case _: Exception => () } // storage lifecycle can reap it
   }
 }

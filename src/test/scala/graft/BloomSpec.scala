@@ -93,6 +93,96 @@ class BloomSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("probeNew is expression-only: the probe stage stays in codegen " +
+    "(no SerializeFromObject / MapPartitions), cascade visible in plan") {
+    val corpus = (0 until 200).map(i => s"doc-$i").toDF("k")
+    // spark.range, not a LocalRelation: Spark folds filters over local
+    // data eagerly, which would hide the probe plan this asserts on
+    val batch = spark.range(200).select(concat(lit("probe-"), col("id"))
+      .as("k"))
+    val index = Bloom.buildIndex(corpus, col("k"), numBuckets = 4,
+      expectedItems = 1000L)
+    val out = Bloom.probeNew(index, corpus, batch, col("k"), numBuckets = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject"), plan.take(800))
+    assert(!plan.contains("MapPartitions"), plan.take(800))
+    assert(plan.contains("might_contain"), plan.take(800))
+    assert(out.count() == 200)
+  }
+
+  test("probeNew tolerates caller columns named __h/__b/__ck " +
+    "(temp names are collision-free, caller data passes through intact)") {
+    val corpus = Seq("a", "b", "c").toDF("k")
+    val batch = Seq(("a", 10L, 20L, "x"), ("z", 11L, 21L, "y"))
+      .toDF("k", "__h", "__b", "__ck")
+    val index = Bloom.buildIndex(corpus, col("k"), numBuckets = 4,
+      expectedItems = 100L)
+    val out = Bloom.probeNew(index, corpus, batch, col("k"), numBuckets = 4)
+    val rows = out.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "z" && rows(0).getLong(1) == 11L &&
+      rows(0).getLong(2) == 21L && rows(0).getString(3) == "y")
+    assert(out.columns.toSeq == Seq("k", "__h", "__b", "__ck"))
+  }
+
+  test("compactIndex is crash-safe: stale __compacting/__old leftovers " +
+    "are reaped, the swap preserves answers, siblings are cleaned up") {
+    val dir = java.nio.file.Files.createTempDirectory("bloomcrash").toString
+    val path = s"$dir/idx"
+    Bloom.writeIndex((0 until 100).map(i => s"c-$i").toDF("k"), col("k"),
+      path, numBuckets = 4, expectedItems = 1000L)
+    Bloom.appendIndex(Seq("extra-1", "extra-2").toDF("k"), col("k"), path,
+      numBuckets = 4, expectedItems = 1000L)
+    // plant leftovers of a hypothetical crashed prior compaction
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path + "__compacting"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path + "__compacting", "junk"),
+      Array[Byte](1, 2, 3))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path + "__old"))
+    val corpus = ((0 until 100).map(i => s"c-$i") ++
+      Seq("extra-1", "extra-2")).toDF("k")
+    val probe = Seq("c-5", "extra-2", "nope").toDF("k")
+    val before = Bloom.probeNew(spark.read.parquet(path), corpus, probe,
+      col("k"), 4).as[String].collect().sorted.toSeq
+    assert(before == Seq("nope"))
+    Bloom.compactIndex(spark, path)
+    val after = Bloom.probeNew(spark.read.parquet(path), corpus, probe,
+      col("k"), 4).as[String].collect().sorted.toSeq
+    assert(after == before)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path + "__compacting")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path + "__old")))
+  }
+
+  test("bloomAgg raises the session runtime-bloom-filter caps so large " +
+    "filters are not silently clamped") {
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bits0 = spark.conf.get(bitsKey).toLong
+    val items0 = spark.conf.get(itemsKey).toLong
+    try {
+      // ask for a filter bigger than the 8 MB default cap
+      val want = 20000000L // ~191.7M bits at 1% fpp > 67,108,864 default
+      val df = spark.range(1000).toDF("v")
+        .withColumn("__h", xxhash64(col("v")))
+      val blob = df.agg(Bloom.bloomAgg(col("__h"), want, 0.01))
+        .collect()(0).getAs[Array[Byte]](0)
+      val expectBits =
+        org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(want, 0.01)
+      assert(spark.conf.get(bitsKey).toLong >= expectBits)
+      assert(spark.conf.get(itemsKey).toLong >= want)
+      // the blob is actually full-size (~bits/8), not clamped to 8 MB
+      assert(blob.length.toLong * 8 >= expectBits,
+        s"blob ${blob.length}B vs expected >= ${expectBits / 8}B")
+    } finally {
+      spark.conf.set(bitsKey, bits0.toString)
+      spark.conf.set(itemsKey, items0.toString)
+    }
+  }
+
   test("empty corpus: every batch row is new; missing buckets probe false") {
     val corpus = Seq.empty[String].toDF("k")
     val batch = Seq("a", "b").toDF("k")
