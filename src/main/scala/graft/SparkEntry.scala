@@ -1737,6 +1737,25 @@ object SparkEntry {
         col("n_samples"),
         col("duration_ms"))
 
+  /** REAL-container video gate: deterministic metadata-only ISO-BMFF
+    * movies are built on the executors (`Multimodal.syntheticMp4`,
+    * from-scratch box builder) and pushed back through
+    * `Multimodal.decodeVideo`'s MP4 box walk — the gate passes only if
+    * the real parser recovers the PLANTED tkhd dimensions, stsz frame
+    * count, and mvhd duration of every payload (build -> parse round
+    * trip). The oracle recomputes the planted box arithmetic from
+    * doc_id; corrupt-payload and no-video-track null paths stay in the
+    * spec (MultimodalSpec). Non-vacuous at sf0.001 (doc_id % 9). */
+  private def mmVideo(s: SparkSession, dir: String): DataFrame =
+    graft.mm.Multimodal.decodeVideo(
+        graft.mm.Multimodal.syntheticMp4(
+          docs(s, dir).filter(col("doc_id") % 9 === 0), "doc_id"))
+      .select(col("media_id").as("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"),
+        col("duration_ms"))
+
   // ------------------------------------------------------- SQL extension
 
   /** Plain-SQL interval overlap planned through the Catalyst extension
@@ -1909,6 +1928,7 @@ object SparkEntry {
     "mm_frames" -> (mmFrames _),
     "mm_decode" -> (mmDecode _),
     "mm_audio" -> (mmAudio _),
+    "mm_video" -> (mmVideo _),
     "vis_plot" -> (visPlot _))
 
   /** Auxiliary relations dumped by Verify alongside the query results.
@@ -3364,6 +3384,12 @@ object SparkEntry {
         |  CAST((800 + (doc_id % 5) * 160) * 1000 // 8000 AS BIGINT)
         |    AS duration_ms
         |FROM documents WHERE doc_id % 11 = 0""".stripMargin,
+    "mm_video" ->
+      """SELECT doc_id, CAST(16 * (1 + doc_id % 8) AS BIGINT) AS width,
+        |  CAST(16 * (1 + doc_id % 5) AS BIGINT) AS height,
+        |  CAST(10 + doc_id % 20 AS BIGINT) AS n_frames,
+        |  CAST((10 + doc_id % 20) * 40 AS BIGINT) AS duration_ms
+        |FROM documents WHERE doc_id % 9 = 0""".stripMargin,
     "dedup_bloom" ->
       """WITH corpus AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
         |b AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1

@@ -12,10 +12,13 @@ import org.apache.spark.sql.types._
   * decode for REAL through the pure-JVM `javax.imageio` codec
   * ([[imageDecode]]: true dimensions + a deterministic 2x2-grid mean-RGB
   * feature; corrupt payloads yield null metadata instead of failing the
-  * task). Audio/video codecs are NOT available in this environment, so
-  * other mimes fall back to [[fakeDecode]]'s deterministic byte-stat
-  * stand-in; a real deployment swaps that one function for a JNI/c-lib
-  * decoder with the same signature (the plan shape is unchanged).
+  * task); RIFF/WAVE audio parses for real ([[wavDecode]]) and MP4 video
+  * CONTAINERS parse for real ([[mp4Decode]]: ISO-BMFF box walk for
+  * dimensions/frame-count/duration — pixel codecs are not available in
+  * this environment, so the video feature stays null). Remaining mimes
+  * fall back to [[fakeDecode]]'s deterministic byte-stat stand-in; a
+  * real deployment swaps that one function for a JNI/c-lib decoder with
+  * the same signature (the plan shape is unchanged).
   */
 object Multimodal {
 
@@ -95,24 +98,25 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  /** Decode boundary: per-partition batch iteration (one decoder init per
-    * partition, the pattern a JNI codec needs), preserving columnar
-    * upstream/downstream plans.
+  /** Partition-sizing shared by the decode boundaries: ensure at least
+    * the bytes-derived partition count, WITHOUT shuffling the payload
+    * relation when its incoming partitioning already satisfies it — a
+    * well-split file scan (`files.maxPartitionBytes`) arrives correctly
+    * sized, and an unconditional `repartition` there is a full network
+    * copy of the payload bytes (at 100 TB of media, a 100 TB shuffle for
+    * nothing). `numPartitions` is a parallelism FLOOR: the relation is
+    * only reshuffled when it has fewer partitions than requested.
     *
-    * Partition sizing is derived from the optimizer's size estimate (exact
+    * The target count derives from the optimizer's size estimate (exact
     * file bytes for scans, propagated estimates for derived plans) — NO
-    * extra pass over the payload relation (an earlier `df.count()` here
-    * was a full second scan whenever the input wasn't a bare file read).
-    * Since payload bytes dominate row width, bytes-per-task is also the
-    * right unit for bounding decoder memory. When the estimate is
-    * unusable (unknown-stats plans default to Long.MaxValue-ish), fall
-    * back to the cluster's default parallelism; pass `numPartitions` to
-    * pin it explicitly. */
-  def decode(media: DataFrame,
-             targetBytesPerPartition: Long = 256L << 20,
-             numPartitions: Option[Int] = None): DataFrame = {
-    val df = media.select("media_id", "payload", "mime")
-    val parts = numPartitions.getOrElse {
+    * extra pass over the payload relation. Since payload bytes dominate
+    * row width, bytes-per-task is also the right unit for bounding
+    * decoder memory. When the estimate is unusable (unknown-stats plans
+    * default to Long.MaxValue-ish), fall back to the cluster's default
+    * parallelism. */
+  private def sizedForDecode(df: DataFrame, targetBytesPerPartition: Long,
+                             numPartitions: Option[Int]): DataFrame = {
+    val want = numPartitions.getOrElse {
       val defaultPar = df.sparkSession.sparkContext.defaultParallelism
       val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
       if (est <= 0 || est >= BigInt(Long.MaxValue) / 4) defaultPar
@@ -122,15 +126,37 @@ object Multimodal {
         math.min(math.max(defaultPar, byBytes), 1 << 18)
       }
     }
-    df.repartition(parts).mapPartitions { rows =>
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
+
+  /** Decode boundary: per-partition batch iteration (one decoder init per
+    * partition, the pattern a JNI codec needs), preserving columnar
+    * upstream/downstream plans; partition sizing via [[sizedForDecode]]. */
+  def decode(media: DataFrame,
+             targetBytesPerPartition: Long = 256L << 20,
+             numPartitions: Option[Int] = None): DataFrame = {
+    val df = media.select("media_id", "payload", "mime")
+    sizedForDecode(df, targetBytesPerPartition, numPartitions)
+      .mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]]("payload")
+        // positional access: with the repartition elided, chained
+        // mapPartitions can hand over schema-less rows (same contract
+        // as resizeImages)
+        val bytes = r.getAs[Array[Byte]](1)
         val mime = r.getString(2)
         val nb = if (bytes == null) 0L else bytes.length.toLong
         if (ImageMimes.contains(mime)) imageDecode(bytes) match {
           case Some((w, h, feat)) =>
             Row(r.getLong(0), mime, nb, w, h, 1, feat.toSeq)
           case None => // corrupt/undecodable: null metadata, row survives
+            Row(r.getLong(0), mime, nb, null, null, null, null)
+        } else if (Mp4Mimes.contains(mime)) mp4Decode(bytes) match {
+          // container metadata is real; pixel features need codecs this
+          // environment lacks -> feature null, n_frames REAL (sampleFrames
+          // consumes it)
+          case Some(m) =>
+            Row(r.getLong(0), mime, nb, m.width, m.height, m.nFrames, null)
+          case None =>
             Row(r.getLong(0), mime, nb, null, null, null, null)
         } else {
           val (w, h, fr, feat) = fakeDecode(bytes)
@@ -211,7 +237,11 @@ object Multimodal {
                    numPartitions: Option[Int] = None): DataFrame = {
     require(tw > 0 && th > 0)
     val df = media.select("media_id", "payload", "mime")
-    val base = numPartitions.map(df.repartition(_)).getOrElse(df)
+    // same floor semantic as [[sizedForDecode]]: never shuffle payload
+    // bytes that already have the requested parallelism
+    val base = numPartitions
+      .filter(df.rdd.getNumPartitions < _)
+      .map(df.repartition(_)).getOrElse(df)
     base.mapPartitions { rows =>
       rows.map { r =>
         // positional access: chained mapPartitions can elide the
@@ -243,6 +273,230 @@ object Multimodal {
           } catch { case _: Exception => passthrough }
       }
     }(Encoders.row(mediaSchema))
+  }
+
+  // ---------------------------------------------------------------- video
+
+  val videoSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("mime", StringType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Decoded MP4/ISO-BMFF container metadata: presentation dimensions of
+    * the first video track, its sample (frame) count, and the movie
+    * duration. */
+  final case class Mp4Meta(width: Int, height: Int, nFrames: Int,
+                           durationMs: Long)
+
+  /** Mimes routed through the real [[mp4Decode]] container parser. */
+  private val Mp4Mimes = Set("video/mp4", "video/quicktime", "video/m4v")
+
+  /** REAL video-container metadata decode — a pure-JVM walk of the
+    * (public) ISO-BMFF box structure: top-level scan for `moov`, then
+    * `mvhd` for timescale/duration, and per `trak` the `tkhd`
+    * width/height (16.16 fixed point), `mdia/hdlr` handler type, and
+    * `mdia/minf/stbl/stsz` sample count (`stts` entry sum as fallback).
+    * The first track whose handler is `vide` wins. Handles 64-bit box
+    * sizes and version-1 full boxes; a truncated/corrupt container —
+    * or one with no video track — yields `None`, so a poisoned row
+    * surfaces as null metadata rather than failing the task (same
+    * contract as [[imageDecode]]/[[wavDecode]]). Pixel decode is out of
+    * scope in this environment (no codecs); the container walk is what
+    * makes `n_frames` REAL for [[sampleFrames]]. */
+  def mp4Decode(bytes: Array[Byte]): Option[Mp4Meta] = {
+    if (bytes == null || bytes.length < 16) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+
+    // (type, bodyStart, bodyEnd) of each box in [from, to)
+    def boxes(from: Int, to: Int): Seq[(String, Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      var off = from
+      while (off + 8 <= to) {
+        val size32 = bb.getInt(off).toLong & 0xffffffffL
+        val tpe = new String(bytes, off + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val (hdr, size) =
+          if (size32 == 1L) {
+            if (off + 16 > to) return out.toSeq
+            (16, bb.getLong(off + 8))
+          } else if (size32 == 0L) (8, (to - off).toLong) // box runs to end
+          else (8, size32)
+        if (size < hdr || off + size > to) return out.toSeq
+        out += ((tpe, off + hdr, off + size.toInt))
+        off += size.toInt
+      }
+      out.toSeq
+    }
+    def find(bs: Seq[(String, Int, Int)], t: String): Option[(Int, Int)] =
+      bs.collectFirst { case (`t`, a, b) => (a, b) }
+
+    try {
+      val top = boxes(0, bytes.length)
+      val (moovA, moovB) = find(top, "moov").getOrElse(return None)
+      val moov = boxes(moovA, moovB)
+      // mvhd: movie timescale + duration (version 1 widens the times)
+      val durMs = find(moov, "mvhd").flatMap { case (a, _) =>
+        val v = bytes(a) & 0xff
+        val (scale, dur) =
+          if (v == 1) (bb.getInt(a + 20), bb.getLong(a + 24))
+          else (bb.getInt(a + 12), bb.getInt(a + 16).toLong & 0xffffffffL)
+        if (scale > 0) Some(dur * 1000L / scale) else None
+      }.getOrElse(0L)
+      // first trak whose mdia/hdlr handler is 'vide'
+      moov.collect { case ("trak", a, b) => boxes(a, b) }
+        .flatMap { trak =>
+          for {
+            (ta, _) <- find(trak, "tkhd")
+            (ma, mb) <- find(trak, "mdia")
+            mdia = boxes(ma, mb)
+            (ha, _) <- find(mdia, "hdlr")
+            if new String(bytes, ha + 8, 4,
+              java.nio.charset.StandardCharsets.US_ASCII) == "vide"
+          } yield {
+            val v = bytes(ta) & 0xff
+            val whOff = ta + (if (v == 1) 88 else 76)
+            val w = bb.getInt(whOff) >>> 16 // 16.16 fixed -> integer part
+            val h = bb.getInt(whOff + 4) >>> 16
+            val frames = (for {
+              (na, nb2) <- find(mdia, "minf")
+              (sa, sb) <- find(boxes(na, nb2), "stbl")
+              stbl = boxes(sa, sb)
+              n <- find(stbl, "stsz").map { case (za, _) => bb.getInt(za + 8) }
+                .orElse(find(stbl, "stts").map { case (za, _) =>
+                  // sum of per-entry sample counts
+                  val entries = bb.getInt(za + 4)
+                  (0 until entries).map(i => bb.getInt(za + 8 + i * 8)).sum
+                })
+            } yield n).getOrElse(0)
+            Mp4Meta(w, h, frames, durMs)
+          }
+        }.headOption
+    } catch { case _: Exception => None }
+  }
+
+  /** Video decode boundary — same partition-sizing and per-partition
+    * batch shape as [[decode]], emitting [[videoSchema]]. MP4/ISO-BMFF
+    * payloads parse for real through [[mp4Decode]]; corrupt/unsupported
+    * payloads yield null metadata. */
+  def decodeVideo(media: DataFrame,
+                  targetBytesPerPartition: Long = 256L << 20,
+                  numPartitions: Option[Int] = None): DataFrame = {
+    val df = media.select("media_id", "payload", "mime")
+    sizedForDecode(df, targetBytesPerPartition, numPartitions)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          // positional: see decode (schema-less rows after elided exchange)
+          val bytes = r.getAs[Array[Byte]](1)
+          val mime = r.getString(2)
+          val nb = if (bytes == null) 0L else bytes.length.toLong
+          mp4Decode(bytes) match {
+            case Some(m) =>
+              Row(r.getLong(0), mime, nb, m.width, m.height, m.nFrames,
+                m.durationMs)
+            case None =>
+              Row(r.getLong(0), mime, nb, null, null, null, null)
+          }
+        }
+      }(Encoders.row(videoSchema))
+  }
+
+  /** Deterministic MP4 test fixture, generated ON THE EXECUTORS: one
+    * metadata-only ISO-BMFF container per input row — `ftyp` +
+    * `moov{mvhd, trak{tkhd, mdia{mdhd, hdlr(vide), minf{stbl{stsd,
+    * stts, stsz}}}}}` — with planted arithmetic ([[plantedVideo]]):
+    * `16*(1+id%8) x 16*(1+id%5)` at `10+(id%20)` frames, 25 fps
+    * (movie timescale 1000, duration `frames*40`). Exists so
+    * [[decodeVideo]]/[[decode]]'s MP4 path is gated end-to-end
+    * (build -> parse recovers the planted box arithmetic) without video
+    * files in the testdata — the exact pattern of [[syntheticWav]]. */
+  def syntheticMp4(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (w, h, frames) = plantedVideo(id)
+          Row(id, buildMp4(w, h, frames), "video/mp4")
+        }
+      }(Encoders.row(mediaSchema))
+
+  /** The MP4 fixture's planted `(width, height, n_frames)`, shared with
+    * oracle arithmetic; duration is `n_frames * 40` ms (25 fps). */
+  def plantedVideo(id: Long): (Int, Int, Int) =
+    (16 * (1 + (id % 8)).toInt, 16 * (1 + (id % 5)).toInt,
+      10 + (id % 20).toInt)
+
+  /** From-scratch ISO-BMFF builder for the fixture (public box layout;
+    * big-endian sizes, 16.16 fixed-point tkhd dims). */
+  private[graft] def buildMp4(w: Int, h: Int, frames: Int): Array[Byte] = {
+    def box(tpe: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      bb.putInt(8 + body.length)
+        .put(tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        .put(body)
+      bb.array()
+    }
+    def body(n: Int)(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(n)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      f(bb); bb.array()
+    }
+    val identity = body(36) { m =>
+      m.putInt(0x00010000).putInt(0).putInt(0)
+      m.putInt(0).putInt(0x00010000).putInt(0)
+      m.putInt(0).putInt(0).putInt(0x40000000); ()
+    }
+    val ftyp = box("ftyp", body(16) { b =>
+      b.put("isom".getBytes("US-ASCII")).putInt(0x200)
+        .put("isom".getBytes("US-ASCII")).put("mp42".getBytes("US-ASCII")); ()
+    })
+    val duration = frames * 40 // timescale 1000 -> ms at 25 fps
+    val mvhd = box("mvhd", body(100) { b =>
+      b.putInt(0) // version 0 + flags
+        .putInt(0).putInt(0) // creation/modification
+        .putInt(1000).putInt(duration) // timescale, duration
+        .putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+        .putLong(0).put(identity)
+      (0 until 6).foreach(_ => b.putInt(0)) // pre_defined
+      b.putInt(2); () // next_track_ID
+    })
+    val tkhd = box("tkhd", body(84) { b =>
+      b.putInt(0x000007) // version 0, flags: enabled|in-movie|in-preview
+        .putInt(0).putInt(0) // creation/modification
+        .putInt(1).putInt(0) // track_ID, reserved
+        .putInt(duration).putLong(0)
+        .putShort(0).putShort(0).putShort(0).putShort(0)
+        .put(identity)
+        .putInt(w << 16).putInt(h << 16); () // 16.16 fixed
+    })
+    val mdhd = box("mdhd", body(24) { b =>
+      b.putInt(0).putInt(0).putInt(0)
+        .putInt(1000).putInt(duration)
+        .putShort(0x55c4.toShort).putShort(0); () // language 'und'
+    })
+    val hdlr = box("hdlr", body(25) { b =>
+      b.putInt(0).putInt(0).put("vide".getBytes("US-ASCII"))
+        .putInt(0).putInt(0).putInt(0).put(0.toByte); ()
+    })
+    val stsd = box("stsd", body(8) { b => b.putInt(0).putInt(0); () })
+    val stts = box("stts", body(16) { b =>
+      b.putInt(0).putInt(1).putInt(frames).putInt(40); ()
+    })
+    val stsz = box("stsz", body(12) { b =>
+      // constant sample size: no per-sample table in a metadata fixture
+      b.putInt(0).putInt(100).putInt(frames); ()
+    })
+    val stbl = box("stbl", stsd ++ stts ++ stsz)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ moov
   }
 
   /** Wrap a text/binary-ish table into the media schema (for tests and
@@ -351,19 +605,11 @@ object Multimodal {
                   targetBytesPerPartition: Long = 256L << 20,
                   numPartitions: Option[Int] = None): DataFrame = {
     val df = media.select("media_id", "payload", "mime")
-    val parts = numPartitions.getOrElse {
-      val defaultPar = df.sparkSession.sparkContext.defaultParallelism
-      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (est <= 0 || est >= BigInt(Long.MaxValue) / 4) defaultPar
-      else {
-        val byBytes = ((est + targetBytesPerPartition - 1) /
-          targetBytesPerPartition).toInt
-        math.min(math.max(defaultPar, byBytes), 1 << 18)
-      }
-    }
-    df.repartition(parts).mapPartitions { rows =>
+    sizedForDecode(df, targetBytesPerPartition, numPartitions)
+      .mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]]("payload")
+        // positional: see decode (schema-less rows after elided exchange)
+        val bytes = r.getAs[Array[Byte]](1)
         val mime = r.getString(2)
         val nb = if (bytes == null) 0L else bytes.length.toLong
         wavDecode(bytes) match {

@@ -252,6 +252,26 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter($"media_id" === 1L).count() == 3) // frames 0,4,8 of 12
   }
 
+  test("decode never shuffles payload bytes an adequately-partitioned " +
+    "scan already delivers (numPartitions is a floor, not an exact count)") {
+    val dir = java.nio.file.Files.createTempDirectory("mmscan").toString
+    Multimodal.syntheticPng(Seq(1L, 2L, 3L, 4L).toDF("id"), "id")
+      .write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    val have = scan.rdd.getNumPartitions
+    val dec = Multimodal.decode(scan, numPartitions = Some(1))
+    val plan = dec.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+    val aud = Multimodal.decodeAudio(scan, numPartitions = Some(1))
+    assert(!aud.queryExecution.executedPlan.toString.contains("Exchange"))
+    // the floor still binds: asking for MORE than the scan has shuffles
+    val dec2 = Multimodal.decode(scan, numPartitions = Some(have + 4))
+    assert(dec2.queryExecution.executedPlan.toString.contains("Exchange"))
+    // and elision changes no answers
+    assert(dec.orderBy("media_id").collect().toSeq ==
+      dec2.orderBy("media_id").collect().toSeq)
+  }
+
   test("real PNG decode: planted dims + fill color recovered; corrupt -> null") {
     val ids = Seq(0L, 5L, 42L, 255L).toDF("id")
     val media = Multimodal.syntheticPng(ids, "id")
@@ -333,6 +353,64 @@ class MultimodalSpec extends SparkSpec {
     val m8 = Multimodal.wavDecode(bb.array()).get
     assert(m8.bits == 8 && m8.sampleRate == 100 && m8.nSamples == 4L)
     assert(math.abs(m8.feature(0) - 1.0f) < 0.01f)
+  }
+
+  test("real MP4 container decode: planted box arithmetic recovered; " +
+    "generic decode routes mp4 so sampleFrames sees real n_frames") {
+    val ids = Seq(0L, 3L, 7L, 19L, 42L).toDF("id")
+    val media = Multimodal.syntheticMp4(ids, "id")
+    val dec = Multimodal.decodeVideo(media).orderBy("media_id").collect()
+    Seq(0L, 3L, 7L, 19L, 42L).zip(dec).foreach { case (id, row) =>
+      val (w, h, frames) = Multimodal.plantedVideo(id)
+      assert(row.getInt(3) == w, s"width of $id")
+      assert(row.getInt(4) == h, s"height of $id")
+      assert(row.getInt(5) == frames, s"n_frames of $id")
+      assert(row.getLong(6) == frames * 40L, s"duration_ms of $id")
+    }
+    // generic decode path: same dims/frames, feature stays null
+    val gen = Multimodal.decode(media).orderBy("media_id").collect()
+    Seq(0L, 3L, 7L, 19L, 42L).zip(gen).foreach { case (id, row) =>
+      val (w, h, frames) = Multimodal.plantedVideo(id)
+      assert(row.getInt(3) == w && row.getInt(4) == h &&
+        row.getInt(5) == frames)
+      assert(row.isNullAt(6), "video feature must be null (no pixel codec)")
+    }
+    // sampleFrames consumes the REAL frame count
+    val f7 = Multimodal.sampleFrames(
+      Multimodal.decode(Multimodal.syntheticMp4(Seq(7L).toDF("id"), "id")),
+      step = 4)
+    val (_, _, frames7) = Multimodal.plantedVideo(7L)
+    assert(f7.count() == (0 until frames7 by 4).length)
+  }
+
+  test("mp4Decode never throws on corrupt/foreign containers; " +
+    "no-video-track and truncated payloads yield None") {
+    val good = Multimodal.buildMp4(64, 48, 12)
+    assert(Multimodal.mp4Decode(good).contains(
+      Multimodal.Mp4Meta(64, 48, 12, 480L)))
+    // every truncation parses to None or a value, never throws
+    (0 until good.length by 7).foreach { n =>
+      Multimodal.mp4Decode(good.take(n))
+    }
+    assert(Multimodal.mp4Decode(good.take(40)).isEmpty)
+    assert(Multimodal.mp4Decode(null).isEmpty)
+    assert(Multimodal.mp4Decode("not a movie".getBytes).isEmpty)
+    // bit flips in the size fields must not throw either
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Multimodal.mp4Decode(b)
+    }
+    // a container whose only track is not 'vide' has no video metadata
+    val soun = good.clone()
+    val idx = {
+      // find the 'vide' handler tag and rewrite it
+      val s = new String(soun.map(_.toChar))
+      s.indexOf("vide")
+    }
+    "soun".getBytes.copyToArray(soun, idx)
+    assert(Multimodal.mp4Decode(soun).isEmpty)
   }
 
   test("resizeImages: REAL pixel resize matches resizeMeta arithmetic, " +
