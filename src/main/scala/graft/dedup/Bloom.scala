@@ -148,6 +148,27 @@ object Bloom {
     * (plan-asserted in BloomSpec: zero SerializeFromObject). */
   def probeNew(index: DataFrame, corpusKeys: DataFrame, batch: DataFrame,
                keyCol: Column, numBuckets: Int = 64): DataFrame = {
+    val (definitelyNew, maybeDup) = maybeSplit(index, batch, keyCol,
+      numBuckets)
+    val ckName = freshName("__ck", batch.columns.toSet)
+    val verifiedNew = maybeDup
+      .join(corpusKeys.select(corpusKeys.columns.head).toDF(ckName),
+        keyCol === col(ckName), "left_anti")
+    definitelyNew.unionByName(verifiedNew)
+  }
+
+  /** The batch rows the bloom flags MIGHT-contain — exactly the relation
+    * that pays [[probeNew]]'s verify join (true dups + ~fpp of the novel
+    * rows). Public so callers/specs can measure the prefilter's prune
+    * rate directly. */
+  def probeMaybe(index: DataFrame, batch: DataFrame, keyCol: Column,
+                 numBuckets: Int = 64): DataFrame =
+    maybeSplit(index, batch, keyCol, numBuckets)._2
+
+  /** `(definitely-new, might-contain)` split of `batch` through the
+    * codegen'd cascade. */
+  private def maybeSplit(index: DataFrame, batch: DataFrame, keyCol: Column,
+                         numBuckets: Int): (DataFrame, DataFrame) = {
     val blooms = mergedBlobs(index)
     val taken = batch.columns.toSet
     val hName = freshName("__h", taken)
@@ -155,14 +176,8 @@ object Bloom {
     val keyedBatch = keyed(batch, keyCol, numBuckets, hName, bName)
     val maybe = maybeExpr(blooms, col(bName), col(hName))
     val out = batch.columns
-    val definitelyNew = keyedBatch.filter(!maybe)
-      .select(out.head, out.tail: _*)
-    val ckName = freshName("__ck", taken)
-    val verifiedNew = keyedBatch.filter(maybe)
-      .select(out.head, out.tail: _*)
-      .join(corpusKeys.select(corpusKeys.columns.head).toDF(ckName),
-        keyCol === col(ckName), "left_anti")
-    definitelyNew.unionByName(verifiedNew)
+    (keyedBatch.filter(!maybe).select(out.head, out.tail: _*),
+      keyedBatch.filter(maybe).select(out.head, out.tail: _*))
   }
 
   // -------------------------------------------- persisted ingest index

@@ -191,27 +191,64 @@ object StreamOps {
     * bucketed scan, and verification re-shingles candidate members only.
     * State lives entirely in the index table + doc store — the streaming
     * query itself is stateless (`foreachBatch`), so a restart resumes
-    * from the checkpoint with no state-store migration concerns. */
+    * from the checkpoint with no state-store migration concerns.
+    *
+    * Optional EXACT-dup prefilter: pass `bloomIndexPath` (a
+    * [[graft.dedup.Bloom.writeIndex]] location over the corpus's exact
+    * `textCol`) and byte-identical re-deliveries are dropped at the door
+    * via the codegen'd bloom cascade — handed to `onExactDups`, excluded
+    * from the store / minhash probe / index appends — so only
+    * bloom-positive rows (true dups + ~fpp of the batch) pay the exact
+    * verify join, and the minhash machinery never re-shingles a document
+    * the corpus already holds verbatim. */
   def streamingIngestDedup(docs: DataFrame, indexTable: String,
       docStorePath: String,
       onPairs: (DataFrame, Long) => Unit,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, numHashes: Int = 48, bands: Int = 16,
-      threshold: Double = 0.5, numBuckets: Int = 32)
+      threshold: Double = 0.5, numBuckets: Int = 32,
+      bloomIndexPath: String = null,
+      onExactDups: (DataFrame, Long) => Unit = (_, _) => (),
+      bloomExpectedItems: Long = 10000000L, bloomFpp: Double = 0.01,
+      bloomBuckets: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         batch.persist()
         if (!batch.isEmpty) {
+          // Exact-dup prefilter (opt-in via bloomIndexPath): the batch is
+          // probed against the persisted bloom index over the corpus's
+          // exact text, so rows that are byte-identical to an
+          // already-ingested doc are dropped AT THE DOOR — handed to
+          // `onExactDups`, excluded from the store, the minhash probe,
+          // and both index appends — and only the bloom-positive rows
+          // (true exact dups + ~fpp of the novel rows) ever pay the
+          // exact verify join inside Bloom.probeNew. Within-batch exact
+          // dups are NOT caught here by design: they surface as
+          // jaccard-1.0 pairs through the minhash probe's batch
+          // self-join, same as before.
+          val fresh: Dataset[org.apache.spark.sql.Row] =
+            if (bloomIndexPath == null) batch
+            else {
+              val bloomIdx = s.read.parquet(bloomIndexPath)
+              val corpusKeys = s.read.parquet(s"$docStorePath/batch=*")
+                .select(textCol)
+              val f = graft.dedup.Bloom.probeNew(bloomIdx, corpusKeys,
+                batch.toDF(), col(textCol), bloomBuckets).persist()
+              val dups = batch.join(f.select(idCol), Seq(idCol), "left_anti")
+              onExactDups(dups, batchId)
+              f
+            }
           // replay-idempotent store write: foreachBatch re-delivers a
           // batch after a failure with the SAME batchId, and a plain
           // append would duplicate its rows — overwrite of a
           // batch-addressed subdirectory makes the replay a no-op.
           // (Index replay is also safe: duplicated band keys only create
           // duplicate candidates, and the probe's distinct() absorbs
-          // them — exact-once output, at-least-once key rows.)
-          batch.select(idCol, textCol).write.mode("overwrite")
+          // them — exact-once output, at-least-once key rows. A replayed
+          // bloom append only re-sets bits that are already set.)
+          fresh.select(idCol, textCol).write.mode("overwrite")
             .parquet(s"$docStorePath/batch=$batchId")
           val universe = s.read.parquet(s"$docStorePath/batch=*")
           // onPairs consumes the pairs synchronously, so the probe's two
@@ -220,11 +257,17 @@ object StreamOps {
           // CacheManager entries into a long-running ingest stream.
           val (pairs, release) = graft.dedup.Dedup
             .incrementalMinhashPairsWithRelease(
-              batch.toDF(), universe, indexTable, idCol, textCol,
+              fresh.toDF(), universe, indexTable, idCol, textCol,
               n, numHashes, bands, threshold)
           try onPairs(pairs, batchId) finally release()
-          graft.dedup.Dedup.appendMinhashIndex(batch.toDF(), idCol, textCol,
+          graft.dedup.Dedup.appendMinhashIndex(fresh.toDF(), idCol, textCol,
             indexTable, n, numHashes, bands, numBuckets)
+          if (bloomIndexPath != null) {
+            graft.dedup.Bloom.appendIndex(fresh.toDF(), col(textCol),
+              bloomIndexPath, bloomBuckets, bloomExpectedItems, bloomFpp)
+            fresh.unpersist()
+            ()
+          }
         }
         batch.unpersist()
         ()

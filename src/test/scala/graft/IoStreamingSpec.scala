@@ -689,6 +689,66 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/store/batch=*").count() == 5)
   }
 
+  test("streaming ingest with bloom prefilter: exact dups dropped at the " +
+    "door, near-dups still found, verify-join input is fpp-bounded") {
+    import graft.dedup.{Bloom, Dedup}
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mk = (salt: Int, changed: Int) => (0 until 60)
+      .map(i => if (i == changed) s"CH$salt" else s"tok${salt}_$i").mkString(" ")
+    val corpus = Seq((1L, mk(0, -1)), (2L, mk(5, -1))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bidx").toString
+    spark.sql("DROP TABLE IF EXISTS bidx_spec")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", "bidx_spec",
+      s"$dir/idx", numBuckets = 4)
+    Bloom.writeIndex(corpus, col("text"), s"$dir/bloom", numBuckets = 4,
+      expectedItems = 100000L)
+    corpus.write.mode("overwrite").parquet(s"$dir/store/batch=seed")
+    // A: 3 = EXACT dup of 1; 4 = near-dup of 2; 5 = novel.
+    // B: 6 = EXACT dup of 5 (ingested in A — proves the bloom append
+    // made batch A visible); 7 = novel.
+    val batchA = Seq((3L, mk(0, -1)), (4L, mk(5, 30)), (5L, mk(9, -1)))
+    val batchB = Seq((6L, mk(9, -1)),
+      (7L, (0 until 60).map(i => s"w$i").mkString(" ")))
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val exact = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingIngestDedup(
+        input.toDF().toDF("doc_id", "text"), "bidx_spec", s"$dir/store",
+        (p, b) => pairs ++= p.collect().map(r =>
+          (b, r.getLong(0), r.getLong(1))),
+        threshold = 0.5, numBuckets = 4,
+        bloomIndexPath = s"$dir/bloom",
+        onExactDups = (d, b) => exact ++= d.select("doc_id").collect()
+          .map(r => (b, r.getLong(0))),
+        bloomExpectedItems = 100000L, bloomBuckets = 4)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData(batchA); q.processAllAvailable()
+      input.addData(batchB); q.processAllAvailable()
+    } finally q.stop()
+    assert(exact.sorted.toList == List((0L, 3L), (1L, 6L)), exact.toList)
+    // near-dup pair (2,4) still found; the exact dups produce NO pairs
+    assert(pairs.map(t => (t._2, t._3)).sorted.toList == List((2L, 4L)),
+      pairs.toList)
+    // the store holds only fresh docs: seed 1,2 + A's 4,5 + B's 7
+    assert(spark.read.parquet(s"$dir/store/batch=*")
+      .select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L, 5L, 7L))
+    // "verify join only for bloom-positive rows": a 2000-row disjoint
+    // batch sends only ~fpp of itself into probeNew's verify join
+    val idx = spark.read.parquet(s"$dir/bloom")
+    val disjoint = (0 until 2000).map(i => s"novel text $i").toDF("text")
+    val maybes = Bloom.probeMaybe(idx, disjoint, col("text"), 4).count()
+    assert(maybes < 200, s"fpp blowout: $maybes of 2000")
+    // and a batch with k planted dups pays the join for ~k rows
+    val planted = (Seq(mk(0, -1), mk(9, -1)) ++
+      (0 until 500).map(i => s"fresh doc $i")).toDF("text")
+    val m2 = Bloom.probeMaybe(idx, planted, col("text"), 4).count()
+    assert(m2 >= 2 && m2 < 2 + 100, s"maybe count $m2 for 2 planted dups")
+  }
+
   test("compactMinhashIndex: file count returns to one per bucket, " +
     "probe results unchanged") {
     import graft.dedup.Dedup
