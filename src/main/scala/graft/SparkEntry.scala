@@ -1169,8 +1169,30 @@ object SparkEntry {
       TextOps.upperCount(col("text")).cast("long").as("n_upper"),
       TextOps.qualityScore(col("text")).as("quality"))
 
-  private def txtLangid(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+  /** One planted sentence per marker language (doc_id >= 1e6, clear of
+    * the fixture id space) — each must win its own language by score, so
+    * the gate proves every row of `TextOps.LangMarkers` is live, not
+    * just the ones the English-ish documents fixture happens to hit. */
+  private val langFixtures: Seq[(Long, String)] = Seq(
+    1000001L -> "the cat and the dog of the house is that with food for",
+    1000002L -> "der hund und die katze ist nicht mit ein haus",
+    1000003L -> "le chat et la maison est une dans pour les jardins",
+    1000004L -> "el perro los gatos las casas es una para con del",
+    1000005L -> "il cane di che per sono una con della casa",
+    1000006L -> "uma casa das flores dos meninos como mais quando isso ela",
+    1000007L -> "het huis een van niet zijn maar voor ook vandaag",
+    1000008L -> "nie jest tak ale jak czy tylko przez dom",
+    1000009L -> "eto chto kak potomu ochen tolko seychas horosho",
+    1000010L -> "och att det som inte jag han hon huset",
+    1000011L -> "yang dan ini itu dengan untuk tidak ada rumah",
+    1000012L -> "bir ve bu ile ama gibi daha olarak ev")
+
+  private def txtLangid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(langFixtures.toDF("doc_id", "text"))
+      .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+  }
 
   private def txtFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
@@ -1456,8 +1478,13 @@ object SparkEntry {
     "HTTPS://WWW.Example.COM:443/Path/Page/?utm_source=x&id=7&gclid=9#frag",
     "http://example.com:80/",
     "http://news.example.co.uk/a/b?x=1&utm_campaign=c&y=2",
-    "https://sub.shop.example.com/products?ref=feed",
+    // ref_src (referral-shaped) strips; functional bare ref survives
+    "https://sub.shop.example.com/products?ref=feed&ref_src=twitter",
+    "http://repo.example.com.au/tree?ref=main",
     "http://example.com/a/?utm_a=1&utm_b=2",
+    // private-section suffixes: the registered domain is the SUBdomain
+    "https://user.github.io/Project/",
+    "http://files.bucket.s3.amazonaws.com/key",
     "not a url",
     null)
 
@@ -3099,9 +3126,14 @@ object SparkEntry {
       val cases = markers.map { case (lang, _) =>
         s"WHEN s_$lang = m AND m > 0 THEN '$lang'"
       }.mkString(" ")
-      s"""WITH sc AS (SELECT doc_id,
+      val planted = langFixtures.map { case (id, t) => s"($id, '$t')" }
+        .mkString(",\n    ")
+      s"""WITH t AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES
+         |    $planted) v(doc_id, text)),
+         |sc AS (SELECT doc_id,
          |  $scoreExprs
-         |FROM documents),
+         |FROM t),
          |mm AS (SELECT *, $best AS m FROM sc)
          |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM mm""".stripMargin
     },
@@ -3410,12 +3442,17 @@ object SparkEntry {
         |  GROUP BY 1),
         |k AS (SELECT l.doc_id, l.pos, l.line,
         |    (len(l.tl) = 0 OR COALESCE(c.c, 0) <= 2) AS keep
-        |  FROM lines l LEFT JOIN cnt c ON l.tl = c.tl)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  FROM lines l LEFT JOIN cnt c ON l.tl = c.tl),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
         |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
         |  md5(COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
         |    ORDER BY pos), '')) AS clean_md5
-        |FROM k GROUP BY doc_id""".stripMargin,
+        |FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_lines, 0) AS n_lines,
+        |  COALESCE(a.n_removed, 0) AS n_removed,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |    ELSE COALESCE(a.clean_md5, md5('')) END AS clean_md5
+        |FROM d2 d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "txt_url_canon" ->
       """SELECT * FROM (VALUES
         |  ('HTTPS://WWW.Example.COM:443/Path/Page/?utm_source=x&id=7&gclid=9#frag',
@@ -3426,11 +3463,20 @@ object SparkEntry {
         |  ('http://news.example.co.uk/a/b?x=1&utm_campaign=c&y=2',
         |   'http://news.example.co.uk/a/b?x=1&y=2',
         |   'news.example.co.uk', 'example.co.uk'),
-        |  ('https://sub.shop.example.com/products?ref=feed',
-        |   'https://sub.shop.example.com/products',
+        |  ('https://sub.shop.example.com/products?ref=feed&ref_src=twitter',
+        |   'https://sub.shop.example.com/products?ref=feed',
         |   'sub.shop.example.com', 'example.com'),
+        |  ('http://repo.example.com.au/tree?ref=main',
+        |   'http://repo.example.com.au/tree?ref=main',
+        |   'repo.example.com.au', 'example.com.au'),
         |  ('http://example.com/a/?utm_a=1&utm_b=2',
         |   'http://example.com/a', 'example.com', 'example.com'),
+        |  ('https://user.github.io/Project/',
+        |   'https://user.github.io/Project',
+        |   'user.github.io', 'user.github.io'),
+        |  ('http://files.bucket.s3.amazonaws.com/key',
+        |   'http://files.bucket.s3.amazonaws.com/key',
+        |   'files.bucket.s3.amazonaws.com', 'bucket.s3.amazonaws.com'),
         |  ('not a url', 'not a url', '', ''),
         |  (NULL, NULL, NULL, NULL)) t(url, canon, host, domain)""".stripMargin,
     "vis_plot" ->

@@ -20,12 +20,28 @@ object Checks {
     case _ => false
   }
 
+  /** `is_chrom_dtype` (reference `core/specs.py:142-152`): is `dt` an
+    * allowed chrom dtype? The reference admits string / object /
+    * categorical pandas dtypes; the Spark analogues are `StringType`
+    * (including collated variants, Spark's closest categorical-ish
+    * string form) and `CharType`/`VarcharType`. Largely moot under this
+    * engine's typed schemas — `hasBedSchema` already pins chrom to
+    * string — but exported for API completeness. */
+  def isChromDtype(dt: DataType): Boolean = dt match {
+    case _: StringType | _: CharType | _: VarcharType => true
+    case _ => false
+  }
+
+  /** [[isChromDtype]] over a named column of `df` (false when absent). */
+  def isChromDtype(df: DataFrame, colName: String): Boolean =
+    df.schema.fields.find(_.name == colName).exists(f => isChromDtype(f.dataType))
+
   /** Schema part of `is_bedframe` (reference `core/checks.py:20-87`):
     * coordinate columns present, chrom stringy, start/end integral. */
   def hasBedSchema(df: DataFrame, cols: ColSpec = ColSpec.default): Boolean = {
     val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
     cols.names.forall(fields.contains) &&
-    (fields(cols.chrom) == StringType) &&
+    isChromDtype(fields(cols.chrom)) &&
     isIntegral(fields(cols.start)) && isIntegral(fields(cols.end))
   }
 

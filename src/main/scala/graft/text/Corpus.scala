@@ -179,7 +179,8 @@ object Corpus {
     * the surviving original (untrimmed) lines in original order — the
     * reconstructive variant a production pipeline actually ships, not
     * just a keep mask. A document losing every line keeps its row with
-    * empty text.
+    * empty text; a null-text document keeps its row with NULL text and
+    * zero counts (null in, null out — never silently "").
     *
     * Scale shape: the corpus-wide frequency count exchanges a 32-char
     * md5 of the trimmed line, never the text (map-side combinable hash
@@ -208,8 +209,13 @@ object Corpus {
           sort_array(collect_list(when(col("keep"),
             struct(col("pos").as("p"), col("__l").as("l"))))),
           x => x.getField("l")), "\n").as(textCol))
-    df.select(id).join(rebuilt, Seq(idCol), "left")
-      .select(id, coalesce(col(textCol), lit("")).as(textCol),
+    // null text passes through as null (with zero counts) — a null doc
+    // must stay visibly null downstream, not silently become ""
+    df.select(id, col(textCol).isNull.as("__was_null"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(id,
+        when(col("__was_null"), lit(null).cast("string"))
+          .otherwise(coalesce(col(textCol), lit(""))).as(textCol),
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }

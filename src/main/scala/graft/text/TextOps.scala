@@ -51,13 +51,28 @@ object TextOps {
       (lit(1.0) - upperPenalty) * lit(0.15))
   }
 
-  /** Marker-word languages for the n-gram/stopword language-ID heuristic. */
+  /** Marker-word languages for the n-gram/stopword language-ID
+    * heuristic. Markers are ASCII-only on purpose: both engines' `\b`
+    * is an ASCII word boundary, so a non-ASCII-lettered marker (`é`,
+    * `ä`, Cyrillic) would silently never match — Russian is therefore
+    * keyed on its standard transliterations. Shared tokens across
+    * languages (de/pt `das`, es/it `una con`) are resolved by score,
+    * then declaration order. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "that", "with", "for"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
     "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "pour"),
     "es" -> Seq("el", "los", "las", "es", "una", "para", "con", "del"),
-    "it" -> Seq("il", "di", "che", "per", "sono", "una", "con", "della"))
+    "it" -> Seq("il", "di", "che", "per", "sono", "una", "con", "della"),
+    "pt" -> Seq("uma", "das", "dos", "como", "mais", "quando", "isso", "ela"),
+    "nl" -> Seq("het", "een", "van", "niet", "zijn", "maar", "voor", "ook"),
+    "pl" -> Seq("nie", "jest", "tak", "ale", "jak", "czy", "tylko", "przez"),
+    "ru" -> Seq("eto", "chto", "kak", "potomu", "ochen", "tolko",
+      "seychas", "horosho"),
+    "sv" -> Seq("och", "att", "det", "som", "inte", "jag", "han", "hon"),
+    "id" -> Seq("yang", "dan", "ini", "itu", "dengan", "untuk", "tidak",
+      "ada"),
+    "tr" -> Seq("bir", "ve", "bu", "ile", "ama", "gibi", "daha", "olarak"))
 
   def langScore(text: Column, markers: Seq[String]): Column =
     regexp_count(lower(text), lit("\\b(" + markers.mkString("|") + ")\\b"))
@@ -125,8 +140,12 @@ object TextOps {
   // ------------------------------------------------------------- URLs
 
   /** Tracking query parameters stripped by [[canonicalizeUrl]] — the
-    * standard web-corpus set (analytics campaign tags and click ids). */
-  val TrackingParams = "utm_[^&=#]*|gclid|fbclid|msclkid|ref"
+    * standard web-corpus set (analytics campaign tags and click ids).
+    * Deliberately NOT the bare name `ref`: unlike `utm_*`/`gclid`, `ref`
+    * is widely functional (git hosting `?ref=branch`, docs `?ref=v2`),
+    * so stripping it would collapse semantically distinct URLs onto one
+    * dedup key; only the referral-shaped `ref_src`/`ref_url` forms go. */
+  val TrackingParams = "utm_[^&=#]*|gclid|fbclid|msclkid|ref_src|ref_url"
 
   /** Canonical URL for exact URL-level dedup (the CCNet/RefinedWeb-style
     * normalization step before URL-keyed dedup). Deterministic,
@@ -144,8 +163,12 @@ object TextOps {
     *  6. strip a single trailing `/`.
     *
     * Non-URL strings pass through the same rewrites unharmed (no rule
-    * fires without its anchor); null -> null. */
-  def canonicalizeUrl(url: Column): Column = {
+    * fires without its anchor); null -> null. `trackingParams` is the
+    * alternation of parameter-name patterns to strip (default
+    * [[TrackingParams]]) — pass a site-specific set when the corpus
+    * needs one. */
+  def canonicalizeUrl(url: Column,
+                      trackingParams: String = TrackingParams): Column = {
     val t0 = trim(url)
     val noFrag = regexp_replace(t0, "#.*$", "")
     // lowercase "scheme://host[:port]" only
@@ -156,7 +179,7 @@ object TextOps {
     val noPort = regexp_replace(
       regexp_replace(noWww, "^(http://[^/:?]+):80(?=[/?]|$)", "$1"),
       "^(https://[^/:?]+):443(?=[/?]|$)", "$1")
-    val noTrack = regexp_replace(noPort, s"([?&])($TrackingParams)=[^&#]*", "$1")
+    val noTrack = regexp_replace(noPort, s"([?&])($trackingParams)=[^&#]*", "$1")
     val tidy = regexp_replace(regexp_replace(regexp_replace(noTrack,
       "\\?&+", "?"), "&&+", "&"), "[?&]+$", "")
     regexp_replace(tidy, "/$", "")
@@ -166,30 +189,46 @@ object TextOps {
   def urlHost(url: Column): Column =
     lower(regexp_extract(trim(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1))
 
-  /** Multi-part public suffixes the [[registeredDomain]] heuristic
-    * recognizes (the common ccTLD second levels; a full public-suffix
-    * list is data, not code — load one into a broadcast join for exact
-    * parity with a production pipeline). */
-  val MultiPartTlds: Seq[String] = Seq(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
-    "co.jp", "or.jp", "ne.jp", "ac.jp", "com.br", "com.cn", "com.mx",
-    "co.in", "co.nz", "co.za", "com.sg", "com.tr", "com.ar")
+  /** Multi-label public suffixes [[registeredDomain]] recognizes —
+    * loaded from the packaged `graft/public_suffixes.txt`, a curated
+    * subset of the Public Suffix List (publicsuffix.org, public data;
+    * the assembly-TSV packaging precedent). One suffix per line, `//`
+    * comments; swapping in the complete upstream file is a data update,
+    * not a code change. */
+  lazy val PublicSuffixes: Set[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffixes.txt")
+    require(in != null, "packaged public_suffixes.txt missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("//")).toSet
+    finally src.close()
+  }
 
-  /** Registered (pay-level) domain of a URL's host — last two labels,
-    * or three when the last two are a recognized multi-part suffix
-    * ([[MultiPartTlds]]). The domain-cap / stratified-mixing operators
-    * key on this. Hosts with fewer labels pass through unchanged. */
+  /** Registered (eTLD+1 / pay-level) domain of a URL's host: the last
+    * `k+1` labels where the last `k` are the longest matching packaged
+    * public suffix ([[PublicSuffixes]]; 2- and 3-label suffixes, plain
+    * 2-label fallback). The domain-cap / stratified-mixing operators key
+    * on this — merging `a.co.uk` with `b.co.uk` under "co.uk" is exactly
+    * the over-merge the suffix list exists to prevent. Hosts with fewer
+    * labels pass through unchanged. Pure `Column` expressions: the
+    * suffix sets compile to codegen'd `InSet` probes, no UDF, no join. */
   def registeredDomain(url: Column): Column = {
+    val twoLabel = PublicSuffixes.filter(_.count(_ == '.') == 1).toSeq.sorted
+    val threeLabel = PublicSuffixes.filter(_.count(_ == '.') == 2).toSeq.sorted
     val host = urlHost(url)
     val parts = split(host, "\\.")
     val n = size(parts)
     val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
     val last3 = concat_ws(".", element_at(parts, -3), element_at(parts, -2),
       element_at(parts, -1))
-    // concat_ws never yields null, so a null host must short-circuit first
+    val last4 = concat_ws(".", element_at(parts, -4), element_at(parts, -3),
+      element_at(parts, -2), element_at(parts, -1))
+    // concat_ws never yields null, so a null host must short-circuit
+    // first; longest suffix wins (s3.amazonaws.com before amazonaws.com)
     when(host.isNull, lit(null).cast("string"))
       .when(n <= 2, host)
-      .when(last2.isin(MultiPartTlds: _*), last3)
+      .when(n >= 4 && last3.isin(threeLabel: _*), last4)
+      .when(last2.isin(twoLabel: _*), last3)
       .otherwise(last2)
   }
 }

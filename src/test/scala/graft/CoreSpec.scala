@@ -89,6 +89,22 @@ class ChecksSpec extends SparkSpec {
     assert(!Checks.isViewframe(dup))
   }
 
+  test("is_chrom_dtype: string-ish dtypes pass, numerics fail " +
+    "(reference core/specs.py:142-152)") {
+    import org.apache.spark.sql.types._
+    import graft.core.Checks
+    assert(Checks.isChromDtype(StringType))
+    assert(Checks.isChromDtype(VarcharType(10)))
+    assert(Checks.isChromDtype(CharType(5)))
+    assert(!Checks.isChromDtype(IntegerType))
+    assert(!Checks.isChromDtype(LongType))
+    assert(!Checks.isChromDtype(BinaryType))
+    val df = spark.range(1).selectExpr("'chr1' AS chrom", "id AS start")
+    assert(Checks.isChromDtype(df, "chrom"))
+    assert(!Checks.isChromDtype(df, "start"))
+    assert(!Checks.isChromDtype(df, "missing"))
+  }
+
   test("natural sort orders chr2 before chr10, letters last") {
     val names = Seq("chr10", "chr2", "chrX", "chr1").toDF("name")
     val sorted = names.orderBy(NatOrder.sortKeys(col("name")): _*)

@@ -101,6 +101,47 @@ class CorpusSpec extends SparkSpec {
     assert(canon.length == 1 && canon(0).getString(0) == "http://a.com/x")
   }
 
+  test("dedupLines: null text passes through as NULL with zero counts") {
+    import graft.text.Corpus
+    val df = Seq((1L, "a\nb"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("id", "text")
+    val out = Corpus.dedupLines(df, "id", "text").orderBy($"id").collect()
+    assert(out.length == 3)
+    assert(out(0).getString(1) == "a\nb")
+    assert(out(1).isNullAt(1) && out(1).getLong(2) == 0L &&
+      out(1).getLong(3) == 0L)
+    assert(out(2).getString(1) == "" && out(2).getLong(2) == 1L)
+  }
+
+  test("registeredDomain resolves packaged public suffixes: ccTLD second " +
+    "levels, 3-label private suffixes, bare ref preserved by canonicalize") {
+    import graft.text.TextOps
+    val rows = Seq(
+        "http://a.example.com.au/x",
+        "https://shop.example.co.uk/y",
+        "http://b.example.gob.mx/z",
+        "https://user.github.io/p",
+        "http://files.bucket.s3.amazonaws.com/key",
+        "http://plain.example.org/q",
+        "http://repo.example.com/t?ref=main&ref_src=tw&utm_s=1")
+      .toDF("url")
+      .select(TextOps.registeredDomain($"url").as("d"),
+        TextOps.canonicalizeUrl($"url").as("c"))
+      .collect()
+    assert(rows(0).getString(0) == "example.com.au")
+    assert(rows(1).getString(0) == "example.co.uk")
+    assert(rows(2).getString(0) == "example.gob.mx")
+    assert(rows(3).getString(0) == "user.github.io")
+    assert(rows(4).getString(0) == "bucket.s3.amazonaws.com")
+    assert(rows(5).getString(0) == "example.org")
+    // functional ?ref= survives; referral ref_src and utm_* are stripped
+    assert(rows(6).getString(1) == "http://repo.example.com/t?ref=main")
+    // the custom-set parameter strips what the caller names
+    val custom = Seq("http://a.com/x?sid=9&id=1").toDF("url")
+      .select(TextOps.canonicalizeUrl($"url", "sid").as("c")).collect()
+    assert(custom(0).getString(0) == "http://a.com/x?id=1")
+  }
+
   test("packSequences: concat-and-chunk offsets and sequence spans; " +
     "zero-token docs omitted") {
     val df = Seq((1L, 4L), (2L, 9L), (3L, 3L), (4L, 10L), (5L, 0L))
