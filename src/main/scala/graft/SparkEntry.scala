@@ -5,7 +5,7 @@ import graft.ann.Ann
 import graft.dedup.Dedup
 import graft.ops.{BucketedJoin, Closest, Extras, IntervalJoin, Ops}
 import graft.streaming.StreamOps
-import graft.text.{Corpus, TextOps}
+import graft.text.{Corpus, ProfileIndex, TextOps}
 import graft.vis.Vis
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1470,6 +1470,25 @@ object SparkEntry {
         md5(col("text").cast("binary")).as("clean_md5"))
   }
 
+  /** Incremental corpus-profile index gate: build the index from the
+    * even-id half of `documents`, append the odd-id half, read the
+    * merged per-source profile. The count/moment columns are recomputed
+    * exactly by the DuckDB oracle; the two HLL-sketch estimates are held
+    * to the one-shot full-corpus profile (aux `profile_oneshot`) — HLL
+    * union is register-wise max, so the two-batch merge must equal the
+    * single-scan sketch exactly, estimates included. */
+  private def txtProfileIncr(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir)
+    val base = graft.core.Scratch.dir
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val path = s"$base/profidx-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    ProfileIndex.writeProfileIndex(
+      all.filter(col("doc_id") % 2 === 0), "source", "text", path)
+    ProfileIndex.appendProfileIndex(
+      all.filter(col("doc_id") % 2 =!= 0), "source", "text", path)
+    ProfileIndex.readProfile(s, path)
+  }
+
   /** URL canonicalization fixtures — each exercises a distinct rewrite:
     * case folding, www/default-port stripping, tracking-param removal
     * with every separator-tidy case, multi-part TLDs, non-URL
@@ -1936,6 +1955,7 @@ object SparkEntry {
     "dedup_bloom" -> (dedupBloom _),
     "txt_line_dedup" -> (txtLineDedup _),
     "txt_url_canon" -> (txtUrlCanon _),
+    "txt_profile_incr" -> (txtProfileIncr _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhash _),
     "dedup_minhash_incr" -> (dedupMinhashIncr _),
@@ -2000,7 +2020,11 @@ object SparkEntry {
       pqBooks(s, dir).toSeq.toDF("sub", "cid", "cv")
     }),
     "pq_codes" -> ((s, dir) =>
-      Ann.pqEncode(table(s, dir, "embeddings"), pqBooks(s, dir))))
+      Ann.pqEncode(table(s, dir, "embeddings"), pqBooks(s, dir))),
+    // one-shot full-corpus profile: the fixed point the incremental
+    // index must merge to (txt_profile_incr's sketch-column oracle)
+    "profile_oneshot" -> ((s, dir) =>
+      ProfileIndex.profileOneShot(docs(s, dir), "source", "text")))
 
   // ------------------------------------------------------------- oracles
 
@@ -3479,6 +3503,24 @@ object SparkEntry {
         |   'files.bucket.s3.amazonaws.com', 'bucket.s3.amazonaws.com'),
         |  ('not a url', 'not a url', '', ''),
         |  (NULL, NULL, NULL, NULL)) t(url, canon, host, domain)""".stripMargin,
+    // count/moment columns recomputed exactly; the two HLL estimates are
+    // read from the one-shot full-corpus aux dump — the gate's claim is
+    // that a 2-batch incremental index merges to the single-scan sketch
+    "txt_profile_incr" ->
+      """WITH ex AS (
+        |  SELECT source AS stratum, COUNT(*) AS n_docs,
+        |         SUM(CAST(strlen(COALESCE(text, '')) AS BIGINT)) AS n_chars,
+        |         SUM(nt) AS n_tokens, MIN(nt) AS tok_min, MAX(nt) AS tok_max
+        |  FROM (SELECT source, text,
+        |          CAST(len(list_filter(string_split_regex(lower(COALESCE(text, '')),
+        |            '[^a-z0-9]+'), x -> len(x) > 0)) AS BIGINT) AS nt
+        |        FROM documents)
+        |  GROUP BY source),
+        |aux AS (SELECT stratum, vocab_est, docs_est
+        |        FROM '{AUX_DIR}/profile_oneshot/*.parquet')
+        |SELECT ex.stratum, ex.n_docs, ex.n_chars, ex.n_tokens,
+        |       ex.tok_min, ex.tok_max, aux.vocab_est, aux.docs_est
+        |FROM ex JOIN aux USING (stratum)""".stripMargin,
     "vis_plot" ->
       s"""WITH $iv3Sql,
          |ev AS (SELECT chrom, start AS pos, 1 AS d FROM iv3

@@ -7,11 +7,24 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: comma-separated query names — run just those
-    // (local iteration on one gate without paying the full 74-query dump)
-    val only: Option[Set[String]] =
-      args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    def keep(name: String): Boolean = only.forall(_.contains(name))
+    // (local iteration on one gate without paying the full 74-query dump).
+    // A leading '-' inverts the set: "-a,b" runs everything EXCEPT a and b
+    // (the sf1 gate dumps the bulk suite in one JVM, then the heavy
+    // pair-family queries one at a time with deletion in between).
+    val rawOnly = args.lift(2)
+    val invert = rawOnly.exists(_.startsWith("-"))
+    val only: Option[Set[String]] = rawOnly.map(s =>
+      s.stripPrefix("-").split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def keep(name: String): Boolean =
+      if (invert) !only.exists(_.contains(name))
+      else only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Output file count per query. 1 (the default, what the driver's gate
+    // expects) serializes only the final write; >1 parallelizes the dump
+    // for sf1-scale outputs where a single writer thread on a ~1e9-row
+    // pair relation becomes the wall-clock (the DuckDB compare reads the
+    // output via glob, so multi-file dirs gate identically).
+    val outParts = sys.env.getOrElse("SPARK_GRAFT_OUT_PARTS", "1").toInt
     val spark = graft.core.Scratch.tune(SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -35,7 +48,7 @@ object Verify {
         // collapses onto one thread; repartition keeps the query parallel
         // and only serializes the file write (measured 53s -> 2s on
         // iv_subtract_index at sf0.01)
-        fn(spark, sfDir).repartition(1).write.mode("overwrite")
+        fn(spark, sfDir).repartition(outParts).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         System.err.println(
           f"[verify] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
@@ -66,7 +79,7 @@ object Verify {
     // full runs dump every aux; a subset run dumps an aux only if its
     // name is listed too (e.g. `Verify sf out emb_semdedup,semdedup_assign`)
     SparkEntry.auxDumps.foreach { case (name, fn) =>
-      if (only.isEmpty || only.exists(_.contains(name)))
+      if (keep(name))
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$auxDir/$name")
       catch { case e: Throwable =>
@@ -74,7 +87,7 @@ object Verify {
       }
     }
     // measured LSH quality: recall of the bucketed ANN vs exact top-k
-    if (only.isEmpty) try {
+    if (rawOnly.isEmpty || invert) try {
       import org.apache.spark.sql.functions.col
       val emb = TestTables.table(spark, sfDir, "embeddings")
       val q = emb.filter(col("vec_id") % 100 === 0)

@@ -1,0 +1,186 @@
+#!/usr/bin/env python3
+"""Full-suite correctness gate at sf1 scale (VERDICT r8 task #1).
+
+Same decision semantics as tools/check.py — columns sorted by name,
+exact row-multiset compare — but the compare runs entirely inside DuckDB
+as a streaming count + sum-of-row-hash aggregate, so the ~1e9-row
+pair-family relations gate without ever materializing in pandas.
+
+Execution plan (disk-bounded):
+  1. one JVM runs graft.Verify over every query EXCEPT the heavy
+     pair-emitting family (Verify's '-a,b' exclusion syntax), writing
+     multi-part parquet (SPARK_GRAFT_OUT_PARTS);
+  2. each heavy query then runs in its own JVM, is compared, and its
+     output is deleted before the next starts — peak extra disk is one
+     pair relation (~10-15 GB at sf1), not eleven.
+
+Per-query Spark wall seconds come from Verify's own [verify] lines;
+oracle seconds are measured around the DuckDB aggregate. The artifact
+(arg 3) is CORRECTNESS-shaped JSON extended with timing, for the
+sf0.1 -> sf1 ratio table in COVERAGE.md.
+
+Usage: python3 tools/check_sf1.py [sfdir] [outdir] [artifact.json]
+"""
+import json, os, re, shutil, subprocess, sys, time
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_sf1"
+artifact = sys.argv[3] if len(sys.argv) > 3 else "/tmp/CORRECTNESS_SF1.json"
+repo = "/root/repo"
+
+# The pair-family queries whose outputs are ~(rows_iv1 x density) — at
+# sf1 each is ~1e9 rows / ~10 GB parquet. Everything else's output is
+# bounded by one input relation (<= ~6M rows) and stays on disk.
+HEAVY = [
+    "iv_overlap_inner", "iv_overlap_left", "iv_overlap_right",
+    "iv_overlap_outer", "iv_overlap_on", "iv_overlap_keep_order",
+    "iv_overlap_left_pts", "iv_overlap_inner_2l", "iv_overlap_auto_2l",
+    "iv_overlap_bucketed", "ext_sql_overlap",
+]
+
+SPARK_JARS = "/opt/spark/jars/*"
+CLASSES = f"{repo}/target/scala-2.13/classes"
+ADD_OPENS = [x for p in [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+] for x in ("--add-opens", f"{p}=ALL-UNNAMED")]
+
+
+def run_verify(only, timings):
+    """Run graft.Verify (plain java — no sbt startup tax) and harvest
+    per-query wall seconds from its [verify] lines."""
+    cmd = ["java", *ADD_OPENS,
+           "-Xmx48g", "-Xms48g",
+           "-XX:ReservedCodeCacheSize=1g", "-XX:+UseCodeCacheFlushing",
+           "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+           "-cp", f"{CLASSES}:{SPARK_JARS}",
+           "graft.Verify", sf, out] + ([only] if only else [])
+    env = dict(os.environ, SPARK_GRAFT_CPUS="32", SPARK_GRAFT_OUT_PARTS="32")
+    r = subprocess.run(cmd, cwd=repo, capture_output=True, text=True,
+                       timeout=7200, env=env)
+    for line in r.stderr.splitlines():
+        m = re.match(r"\[verify\] (\S+)\s+([0-9.]+)s", line)
+        if m:
+            timings[m.group(1)] = float(m.group(2))
+        elif "[verify]" in line or "FAILED" in line:
+            print(line, flush=True)
+    if r.returncode != 0:
+        print("verify exit", r.returncode, r.stderr[-2000:], flush=True)
+    return r.returncode
+
+
+def rel_agg(con, rel):
+    """(sorted cols, rowcount, order-independent content hash) of a
+    relation, computed streaming in DuckDB."""
+    cols = [r[0] for r in con.execute(f"DESCRIBE {rel}").fetchall()]
+    sc = sorted(cols)
+    expr = "concat_ws(chr(31), " + ", ".join(
+        f'COALESCE(CAST("{c}" AS VARCHAR), chr(1))' for c in sc) + ")"
+    n, h = con.execute(
+        f"SELECT count(*), COALESCE(sum(hash({expr})), 0) FROM {rel}"
+    ).fetchone()
+    return sc, int(n), int(h)
+
+
+def compare(con, name, oracles, results):
+    d = os.path.join(out, name)
+    spark_rel = f"(SELECT * FROM '{d}/*.parquet')"
+    entry = {"rows_match": False, "schema_match": False,
+             "hash_match": False, "spark_rows": None, "oracle_rows": None,
+             "spark_sec": None, "oracle_sec": None, "err": None}
+    results[name] = entry
+    try:
+        gc, gn, gh = rel_agg(con, spark_rel)
+    except Exception as e:
+        entry["err"] = f"READ-FAIL {str(e)[:300]}"
+        return
+    entry["spark_rows"] = gn
+    if name not in oracles:
+        entry["err"] = "rows-only"
+        entry["rows_match"] = entry["schema_match"] = entry["hash_match"] = \
+            gn > 0
+        return
+    t0 = time.time()
+    try:
+        ec, en, eh = rel_agg(con, f"({oracles[name]})")
+    except Exception as e:
+        entry["err"] = f"ORACLE-FAIL {str(e)[:300]}"
+        return
+    entry["oracle_sec"] = round(time.time() - t0, 2)
+    entry["oracle_rows"] = en
+    entry["schema_match"] = gc == ec
+    entry["rows_match"] = gn == en
+    entry["hash_match"] = gh == eh and gc == ec
+    if not entry["schema_match"]:
+        entry["err"] = f"SCHEMA got={gc} exp={ec}"
+    elif not entry["rows_match"]:
+        entry["err"] = f"ROWCOUNT got={gn} exp={en}"
+    elif not entry["hash_match"]:
+        entry["err"] = "HASH-MISMATCH"
+
+
+def main():
+    import duckdb
+    shutil.rmtree(out, ignore_errors=True)
+    timings, results = {}, {}
+
+    t0 = time.time()
+    print(f"== phase 1: bulk suite (all except {len(HEAVY)} heavy)",
+          flush=True)
+    run_verify("-" + ",".join(HEAVY), timings)
+    print(f"== bulk verify done in {time.time()-t0:.0f}s", flush=True)
+
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    con.execute("SET memory_limit='48GB'")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracles = json.load(open(f"{out}/oracle_sql.json"))
+
+    for name in sorted(os.listdir(out)):
+        if os.path.isdir(os.path.join(out, name)):
+            compare(con, name, oracles, results)
+            e = results[name]
+            ok = e["hash_match"] or e["err"] == "rows-only"
+            print(f"{' ' if ok else 'X'} {name:24s} "
+                  f"rows={e['spark_rows']} {e['err'] or 'OK'}", flush=True)
+
+    for name in HEAVY:
+        t0 = time.time()
+        print(f"== heavy: {name}", flush=True)
+        run_verify(name, timings)
+        compare(con, name, oracles, results)
+        e = results[name]
+        ok = e["hash_match"] or e["err"] == "rows-only"
+        print(f"{' ' if ok else 'X'} {name:24s} rows={e['spark_rows']} "
+              f"oracle={e['oracle_sec']}s {e['err'] or 'OK'}", flush=True)
+        shutil.rmtree(os.path.join(out, name), ignore_errors=True)
+
+    # wired-but-erroring queries must stay visible (check.py contract)
+    try:
+        em = json.load(open(out + "__aux/verify_errors.json"))
+        for k, msg in em.get("errors", {}).items():
+            results.setdefault(k, {})["err"] = f"QUERY-ERRORED {msg[:200]}"
+    except FileNotFoundError:
+        pass
+
+    for k, v in results.items():
+        if k in timings:
+            v["spark_sec"] = timings[k]
+    with open(artifact, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    fails = [k for k, v in sorted(results.items())
+             if not (v.get("hash_match") or v.get("err") == "rows-only")]
+    print(f"\n{len(results)} gated, {len(results)-len(fails)} green, "
+          f"{len(fails)} failing: {fails}")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

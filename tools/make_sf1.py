@@ -67,12 +67,51 @@ COPY (
   FROM '{src}/documents.parquet' CROSS JOIN range(10) t(i)
 ) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
 
-# warmup-only tables: copied through unscaled
-for t in ("embeddings", "region", "nation", "supplier", "part", "events"):
+# events: 10 replicas, each shifted past the previous replica's time span
+# and onto a fresh user-id range, so the session/window structure
+# replicates (10x sessions, same per-session shape) instead of densifying
+# one timeline.
+E, U = con.execute(f"""
+    SELECT max(event_id) + 1, max(user_id) + 1
+    FROM '{src}/events.parquet'""").fetchone()
+span_days = con.execute(f"""
+    SELECT CAST(ceil(date_diff('day', min(ts), max(ts))) AS BIGINT) + 1
+    FROM '{src}/events.parquet'""").fetchone()[0]
+con.execute(f"""
+COPY (
+  SELECT event_id + i * {E} AS event_id,
+         ts + to_days(CAST(i * {span_days} AS INT)) AS ts,
+         user_id + i * {U} AS user_id,
+         event_type, value, props
+  FROM '{src}/events.parquet' CROSS JOIN range(10) t(i)
+) TO '{out}/events.parquet' (FORMAT PARQUET)""")
+
+# embeddings: 10 replicas with the vector dimensions cyclically rotated
+# by the replica index — a rotation is an isometry, so every replica's
+# intra-replica cosine/L2 structure (near-dup pairs, kNN graph, cluster
+# shape) is EXACTLY the base set's, while cross-replica pairs decorrelate.
+# ANN/dedup answer sets therefore replicate 10x rather than explode.
+ndim = con.execute(f"""
+    SELECT len(embedding) FROM '{src}/embeddings.parquet' LIMIT 1""").fetchone()[0]
+V = con.execute(f"""
+    SELECT max(vec_id) + 1 FROM '{src}/embeddings.parquet'""").fetchone()[0]
+con.execute(f"""
+COPY (
+  SELECT vec_id + i * {V} AS vec_id,
+         CAST(list_concat(embedding[i + 1:{ndim}], embedding[1:i])
+              AS FLOAT[]) AS embedding,
+         label
+  FROM '{src}/embeddings.parquet' CROSS JOIN range(10) t(i)
+) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+
+# dimension tables: copied through unscaled (TPC-H scales these sub-linearly;
+# every consumer treats them as broadcast-sized)
+for t in ("region", "nation", "supplier", "part"):
     p = f"{src}/{t}.parquet"
     if os.path.exists(p):
         shutil.copy(p, f"{out}/{t}.parquet")
 
-for t in ("lineitem", "orders", "customer", "documents"):
+for t in ("lineitem", "orders", "customer", "documents", "events",
+          "embeddings"):
     n = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
     print(t, n)
