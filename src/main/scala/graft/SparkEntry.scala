@@ -1570,6 +1570,29 @@ object SparkEntry {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** Int8-quantized top-k gate: ranking by reconstructed integer dot
+    * (`int_dot * scale_a * scale_b`). The oracle re-derives the
+    * quantized vectors from scratch in DuckDB — same round-half-away
+    * rule, same clamp, exact integer dot — so this gates the whole
+    * quantization arithmetic, not just the ranking. */
+  private def embQuantTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Ann.quantizedTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Quantized-scan + exact-rerank gate (the production two-stage shape:
+    * int8 first pass over the whole corpus, float cosine only for the
+    * top-`rerankDepth` candidates per query). */
+  private def embQuantRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Ann.quantizedTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5,
+        rerankWith = Some(emb), rerankDepth = 20)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Contrastive hard-negative gate: top-5 most-similar OTHER-label
     * vectors per query — exercises the embeddings table's label column;
     * oracle re-ranks with the identical label-mismatch predicate. */
@@ -1963,6 +1986,8 @@ object SparkEntry {
     "dedup_components" -> (dedupComponents _),
     "emb_cov" -> (embCov _),
     "emb_cosine_topk" -> (embCosineTopk _),
+    "emb_quant_topk" -> (embQuantTopk _),
+    "emb_quant_rerank" -> (embQuantRerank _),
     "emb_hard_neg" -> (embHardNeg _),
     "emb_hard_neg_ivf" -> (embHardNegIvf _),
     "emb_ann_lsh" -> (embAnnLsh _),
@@ -3403,6 +3428,67 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY c DESC, neighbor_id) AS rn FROM scored) z
+        |WHERE rn <= 5""".stripMargin,
+    // the quantized CTEs replicate the kernel arithmetic exactly:
+    // scale = max|x|/127 (float abs is exact, one double division),
+    // q = sign(x) * floor(|x|/scale + 0.5) clamped (round half away from
+    // zero — DuckDB ROUND's rule and the kernel's), integer dot (exact in
+    // doubles at |q|<=127, d=64), then score = dot * qs * cs left-assoc
+    "emb_quant_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |s AS (SELECT vec_id,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127
+        |      AS sc FROM e),
+        |qz AS (SELECT e.vec_id, s.sc,
+        |    CASE WHEN s.sc > 0 THEN list_transform(e.embedding, x ->
+        |        CAST(CASE WHEN x < 0
+        |          THEN -LEAST(127, FLOOR(abs(CAST(x AS DOUBLE)) / s.sc + 0.5))
+        |          ELSE  LEAST(127, FLOOR(abs(CAST(x AS DOUBLE)) / s.sc + 0.5))
+        |        END AS BIGINT))
+        |      ELSE list_transform(e.embedding, x -> CAST(0 AS BIGINT))
+        |    END AS qv
+        |  FROM e JOIN s USING (vec_id)),
+        |q AS (SELECT vec_id AS query_id, qv AS qq, sc AS qs
+        |  FROM qz WHERE vec_id % 100 = 0),
+        |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.qq, c.qv) * q.qs * c.sc AS sc2
+        |  FROM q CROSS JOIN qz c WHERE c.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY sc2 DESC, neighbor_id) AS rn FROM scored) z
+        |WHERE rn <= 5""".stripMargin,
+    "emb_quant_rerank" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |s AS (SELECT vec_id,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127
+        |      AS sc FROM e),
+        |qz AS (SELECT e.vec_id, s.sc,
+        |    CASE WHEN s.sc > 0 THEN list_transform(e.embedding, x ->
+        |        CAST(CASE WHEN x < 0
+        |          THEN -LEAST(127, FLOOR(abs(CAST(x AS DOUBLE)) / s.sc + 0.5))
+        |          ELSE  LEAST(127, FLOOR(abs(CAST(x AS DOUBLE)) / s.sc + 0.5))
+        |        END AS BIGINT))
+        |      ELSE list_transform(e.embedding, x -> CAST(0 AS BIGINT))
+        |    END AS qv
+        |  FROM e JOIN s USING (vec_id)),
+        |q AS (SELECT vec_id AS query_id, qv AS qq, sc AS qs
+        |  FROM qz WHERE vec_id % 100 = 0),
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_dot_product(q.qq, c.qv) * q.qs * c.sc DESC,
+        |                 c.vec_id) AS rn
+        |    FROM q CROSS JOIN qz c WHERE c.vec_id <> q.query_id) z
+        |  WHERE rn <= 20),
+        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM e),
+        |rr AS (SELECT cand.query_id, cand.neighbor_id,
+        |    list_cosine_similarity(qv.v, cv.v) AS c
+        |  FROM cand
+        |  JOIN ev cv ON cv.vec_id = cand.neighbor_id
+        |  JOIN ev qv ON qv.vec_id = cand.query_id)
+        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, neighbor_id) AS rn FROM rr) z
         |WHERE rn <= 5""".stripMargin,
     "emb_hard_neg" ->
       """WITH e AS (SELECT vec_id, label,

@@ -369,6 +369,84 @@ object Ann {
     * codegen'd kernel). Zero vectors pass through unscaled. */
   def l2Normalize(vec: Column): Column = colOf(VecL2Normalize(exprOf(vec)))
 
+  /** max(|x_i|) of a vector (codegen'd kernel) — the symmetric-int8
+    * quantization range. */
+  def absMax(vec: Column): Column = colOf(VecAbsMax(exprOf(vec)))
+
+  /** Per-vector symmetric int8 quantization: adds `qvecCol`
+    * (array<tinyint>, `round_half_away(x / qscale)` clamped to ±127) and
+    * `scaleCol` (double, `max|x| / 127`) next to the original columns.
+    *
+    * The 100 TB motivation is I/O: an int8 corpus is 4x smaller than
+    * float32 on disk and in shuffle, and a quantized scan does ONE
+    * float multiply per pair (the two scales) instead of one per
+    * dimension — the standard recall-cheap first pass in front of an
+    * exact re-rank ([[quantizedTopK]]'s `rerankWith`). Both kernel and
+    * rounding rule are chosen to be bit-reproducible against SQL
+    * `ROUND` (see [[VecKernels.quantI8F]]), so quantized rankings gate
+    * exactly. */
+  def quantizeInt8(df: DataFrame, vecCol: String = "embedding",
+                   qvecCol: String = "qvec",
+                   scaleCol: String = "qscale"): DataFrame =
+    df.withColumn(scaleCol, absMax(col(vecCol)) / lit(127.0))
+      .withColumn(qvecCol,
+        colOf(VecQuantI8(exprOf(col(vecCol)), exprOf(col(scaleCol)))))
+
+  /** Exact integer dot of two int8 vectors (long; codegen'd kernel). */
+  def dotI8(a: Column, b: Column): Column = colOf(VecDotI8(exprOf(a), exprOf(b)))
+
+  /** Reconstructed dot product of two quantized vectors:
+    * `(int_dot) * scale_a * scale_b`, one long-to-double conversion and
+    * two multiplies — deterministic (the int dot is exact). */
+  def qdot(qa: Column, sa: Column, qb: Column, sb: Column): Column =
+    dotI8(qa, qb).cast("double") * sa * sb
+
+  /** Brute-force top-k over int8-quantized vectors — [[bruteForceTopK]]
+    * semantics on the 4x-smaller representation, ranking by
+    * reconstructed dot ([[qdot]]; quantize L2-normalized vectors to make
+    * that a cosine approximation). `rerankWith = Some(origCorpus)` adds
+    * the production second stage: take `rerankDepth` quantized
+    * candidates, join back the float vectors FOR CANDIDATES ONLY (
+    * queries × depth rows, never the corpus), and re-rank the survivors
+    * by exact cosine. Returns (query_id, neighbor_id, rank). */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    excludeSelf: Boolean = true,
+                    rerankWith: Option[DataFrame] = None,
+                    rerankDepth: Int = 20): DataFrame = {
+    val qc = quantizeInt8(corpus, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("qvec").as("__cq"),
+        col("qscale").as("__cs"))
+    val qq = quantizeInt8(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("qvec").as("__qq"),
+        col("qscale").as("__qs"))
+    var scored = qc.crossJoin(broadcast(qq))
+    if (excludeSelf) scored = scored.filter(col("query_id") =!= col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__score").desc, col("neighbor_id").asc)
+    val firstPass = scored
+      .withColumn("__score", qdot(col("__qq"), col("__qs"), col("__cq"), col("__cs")))
+      .withColumn("rank", row_number().over(w))
+    rerankWith match {
+      case None =>
+        firstPass.filter(col("rank") <= k)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+      case Some(orig) =>
+        val cand = firstPass.filter(col("rank") <= math.max(k, rerankDepth))
+          .select(col("query_id"), col("neighbor_id"))
+        val cv = orig.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+        val qv = orig.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+        val w2 = Window.partitionBy(col("query_id"))
+          .orderBy(col("__cos").desc, col("neighbor_id").asc)
+        cand.join(cv, Seq("neighbor_id"))
+          .join(broadcast(qv), Seq("query_id"))
+          .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+          .withColumn("rank", row_number().over(w2))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication", arXiv:2303.09540): cluster L2-normalized embeddings

@@ -235,6 +235,93 @@ object VecKernels {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(out)
   }
+
+  /** max(|x_i|) in index order — the symmetric-int8 quantization range.
+    * Empty array or null element -> null (mirrors SQL `list_max`). */
+  def absMaxF(a: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n == 0) return null
+    var m = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = math.abs(a.getFloat(i).toDouble)
+      if (x > m) m = x
+      i += 1
+    }
+    java.lang.Double.valueOf(m)
+  }
+
+  def absMaxD(a: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n == 0) return null
+    var m = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = math.abs(a.getDouble(i))
+      if (x > m) m = x
+      i += 1
+    }
+    java.lang.Double.valueOf(m)
+  }
+
+  /** Symmetric int8 quantization: `sign(x) * floor(|x|/scale + 0.5)`
+    * clamped to [-127, 127] — round-half-AWAY-from-zero, the exact
+    * semantic of SQL `ROUND(x/scale)` on both engines (`Math.round`
+    * would round -2.5 toward +inf and silently diverge from the
+    * oracle). `scale <= 0` (all-zero vector) -> all zeros; a null
+    * element nulls the whole result. NaN saturates via the clamp. */
+  def quantI8F(a: ArrayData, scale: Double): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      if (scale > 0.0) {
+        val v = a.getFloat(i).toDouble
+        val q = math.floor(math.abs(v) / scale + 0.5)
+        val c = if (q > 127.0) 127.0 else q
+        out(i) = (if (v < 0) -c else c).toByte
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  def quantI8D(a: ArrayData, scale: Double): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      if (scale > 0.0) {
+        val v = a.getDouble(i)
+        val q = math.floor(math.abs(v) / scale + 0.5)
+        val c = if (q > 127.0) 127.0 else q
+        out(i) = (if (v < 0) -c else c).toByte
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** Exact integer dot of two int8 vectors. Every term is |q| <= 127^2,
+    * so the long accumulator is exact at any realistic dimension; the
+    * float work of a quantized scan is deferred to ONE multiply by the
+    * two scales at the call site. Length mismatch or null element ->
+    * null. */
+  def dotI8(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
 }
 
 /** Base for the binary vector kernels: dispatches on the two array
@@ -393,4 +480,122 @@ case class VecL2Normalize(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** max(|x_i|) — the per-vector symmetric quantization range. */
+case class VecAbsMax(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_abs_max"
+
+  @transient private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    if (isFloat) VecKernels.absMaxF(v.asInstanceOf[ArrayData])
+    else VecKernels.absMaxD(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isFloat) "absMaxF" else "absMaxD"
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("vecAbsMax")
+      s"""
+         |java.lang.Double $res = graft.ann.VecKernels.$m($c);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res.doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Symmetric int8 quantization of a float/double vector by a
+  * per-vector scale (see [[VecKernels.quantI8F]] for the exact rounding
+  * contract). */
+case class VecQuantI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_quant_i8"
+
+  @transient private lazy val isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float|double>, double), got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any, s: Any): Any =
+    if (isFloat)
+      VecKernels.quantI8F(v.asInstanceOf[ArrayData], s.asInstanceOf[Double])
+    else
+      VecKernels.quantI8D(v.asInstanceOf[ArrayData], s.asInstanceOf[Double])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isFloat) "quantI8F" else "quantI8D"
+    nullSafeCodeGen(ctx, ev, (v, s) => {
+      val res = ctx.freshName("vecQuant")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  graft.ann.VecKernels.$m($v, $s);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact integer dot product of two int8 vectors (LongType). */
+case class VecDotI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot_i8"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<tinyint> inputs, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VecKernels.dotI8(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val res = ctx.freshName("vecDotI8")
+      s"""
+         |java.lang.Long $res = graft.ann.VecKernels.dotI8($l, $r);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
