@@ -1593,6 +1593,31 @@ object SparkEntry {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Incremental quantized-IVF-index gate: freeze centroids, build the
+    * bucketed int8 index from two thirds of the corpus, append the rest,
+    * probe with nProbe=2 + exact rerank. The oracle rebuilds the
+    * candidate universe from the ONE-SHOT assignment aux (`ivf_assign`)
+    * plus the quantization arithmetic — so this gates both the
+    * incremental build (2-batch index == one-shot lists) and the
+    * shuffle-free `assignCentroid` argmin (must equal `ivfAssign`'s
+    * min_by tie rule). */
+  private def embIvfIncr(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val cents = Ann.ivfCentroids(emb, 8)
+    val base = graft.core.Scratch.dir
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    Ann.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 0), cents,
+      "graft_ivfidx", s"$base/ivfidx-${dir.replaceAll("[^a-zA-Z0-9]", "_")}",
+      numBuckets = 8)
+    Ann.appendIvfIndex(emb.filter(col("vec_id") % 3 === 0), cents,
+      "graft_ivfidx", numBuckets = 8)
+    Ann.ivfTopKIndexed(s, emb.filter(col("vec_id") % 100 === 0), cents,
+        "graft_ivfidx", k = 5, nProbe = 2,
+        rerankWith = Some(emb), rerankDepth = 20)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Contrastive hard-negative gate: top-5 most-similar OTHER-label
     * vectors per query — exercises the embeddings table's label column;
     * oracle re-ranks with the identical label-mismatch predicate. */
@@ -1988,6 +2013,7 @@ object SparkEntry {
     "emb_cosine_topk" -> (embCosineTopk _),
     "emb_quant_topk" -> (embQuantTopk _),
     "emb_quant_rerank" -> (embQuantRerank _),
+    "emb_ivf_incr" -> (embIvfIncr _),
     "emb_hard_neg" -> (embHardNeg _),
     "emb_hard_neg_ivf" -> (embHardNegIvf _),
     "emb_ann_lsh" -> (embAnnLsh _),
@@ -3456,6 +3482,44 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY sc2 DESC, neighbor_id) AS rn FROM scored) z
+        |WHERE rn <= 5""".stripMargin,
+    "emb_ivf_incr" ->
+      """WITH asg AS (SELECT vec_id, centroid_id
+        |  FROM read_parquet('{AUX_DIR}/ivf_assign/*.parquet')),
+        |pr AS (SELECT query_id, centroid_id
+        |  FROM read_parquet('{AUX_DIR}/ivf_probes/*.parquet')),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |s AS (SELECT vec_id,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127
+        |      AS sc FROM e),
+        |qz AS (SELECT e.vec_id, s.sc,
+        |    CASE WHEN s.sc > 0 THEN list_transform(e.embedding, x ->
+        |        CAST(CASE WHEN x < 0
+        |          THEN -LEAST(127, FLOOR(abs(CAST(x AS DOUBLE)) / s.sc + 0.5))
+        |          ELSE  LEAST(127, FLOOR(abs(CAST(x AS DOUBLE)) / s.sc + 0.5))
+        |        END AS BIGINT))
+        |      ELSE list_transform(e.embedding, x -> CAST(0 AS BIGINT))
+        |    END AS qv
+        |  FROM e JOIN s USING (vec_id)),
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+        |        ORDER BY list_dot_product(qq.qv, cz.qv) * qq.sc * cz.sc DESC,
+        |                 a.vec_id) AS rn
+        |    FROM pr p JOIN asg a ON p.centroid_id = a.centroid_id
+        |    JOIN qz qq ON qq.vec_id = p.query_id
+        |    JOIN qz cz ON cz.vec_id = a.vec_id
+        |    WHERE a.vec_id <> p.query_id) z
+        |  WHERE rn <= 20),
+        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM e),
+        |rr AS (SELECT cand.query_id, cand.neighbor_id,
+        |    list_cosine_similarity(qv.v, cv.v) AS c
+        |  FROM cand
+        |  JOIN ev cv ON cv.vec_id = cand.neighbor_id
+        |  JOIN ev qv ON qv.vec_id = cand.query_id)
+        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, neighbor_id) AS rn FROM rr) z
         |WHERE rn <= 5""".stripMargin,
     "emb_quant_rerank" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

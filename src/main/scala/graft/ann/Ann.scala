@@ -343,6 +343,149 @@ object Ann {
         col("__cos").as("cosine"))
   }
 
+  /** Shuffle-free inverted-list assignment: argmin over the k broadcast
+    * centroids computed INSIDE one projection (an array of (dist, cid)
+    * structs reduced with `array_min`, whose lexicographic struct order
+    * is exactly [[ivfAssign]]'s `min_by(cid, struct(d, cid))` tie rule).
+    * [[ivfAssign]]'s groupBy form shuffles (id, cid) once; this form
+    * shuffles NOTHING, which is what an index-building scan over 100 TB
+    * wants — assignment, quantization, and the bucketed write all fuse
+    * into the single corpus pass. */
+  def assignCentroid(cents: Array[(Int, Array[Double])],
+                     vec: Column): Column = {
+    val entries = cents.map { case (cid, cv) =>
+      struct(sqDist(vec, typedLit(cv)).as("d"), lit(cid).as("c"))
+    }
+    array_min(array(entries.toIndexedSeq: _*)).getField("c")
+  }
+
+  /** One increment of the quantized IVF index: every vector assigned to
+    * its inverted list and stored int8-quantized —
+    * `(centroid_id, vec_id, qvec, qscale)`. One pass, no shuffle before
+    * the bucketed write. */
+  private def ivfIndexRel(df: DataFrame, cents: Array[(Int, Array[Double])],
+                          idCol: String, vecCol: String): DataFrame =
+    quantizeInt8(df, vecCol).select(
+      assignCentroid(cents, col(vecCol)).as("centroid_id"),
+      col(idCol).as("vec_id"), col("qvec"), col("qscale"))
+
+  /** Create a persisted quantized IVF index: inverted lists bucketed by
+    * `centroid_id` so probes scan hash-clustered list files without ever
+    * reshuffling the corpus. The int8 payload makes the index ~4x
+    * smaller than the float corpus; exact scores come from a
+    * candidates-only rerank against the original vectors
+    * ([[ivfTopKIndexed]]). Centroids must be FROZEN for the index's
+    * lifetime (persist via [[saveCentroids]]); retrain = rebuild.
+    *
+    * The ANN member of the persisted-ingest-state family
+    * (minhash/bloom/profile indexes): streaming ingest appends each
+    * batch ([[appendIvfIndex]]) and similarity search stays available
+    * over everything ingested so far, with per-append cost O(batch). */
+  def writeIvfIndex(df: DataFrame, cents: Array[(Int, Array[Double])],
+                    table: String, path: String, numBuckets: Int = 32,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    ivfIndexRel(df, cents, idCol, vecCol)
+      .write.mode("overwrite").option("path", path)
+      .bucketBy(numBuckets, "centroid_id").sortBy("centroid_id")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Append an ingest batch to a quantized IVF index (same centroids and
+    * bucket spec as the create call). Cost is one pass over the BATCH;
+    * the existing lists are untouched. */
+  def appendIvfIndex(df: DataFrame, cents: Array[(Int, Array[Double])],
+                     table: String, numBuckets: Int = 32,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit =
+    ivfIndexRel(df, cents, idCol, vecCol)
+      .write.mode("append")
+      .bucketBy(numBuckets, "centroid_id").sortBy("centroid_id")
+      .format("parquet").saveAsTable(table)
+
+  /** Compact an append-grown IVF index to one file per bucket — same
+    * crash-safe shape as `Dedup.compactMinhashIndex`: write to a fresh
+    * path, swap the catalog entry by rename, best-effort delete the old
+    * location (the live index stays readable until the swap). */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      table: String, newPath: String,
+                      numBuckets: Int = 32): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val oldLoc = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table)).location
+    require(new java.net.URI(newPath).getPath != oldLoc.getPath,
+      s"newPath must differ from the current index location $oldLoc")
+    val tmpTable = table + "__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    // plain file read, not the bucketed table: see compactMinhashIndex —
+    // the advertised bucket partitioning would elide the repartition
+    // while the actual read partitions are not bucket-aligned
+    spark.read.parquet(oldLoc.toString)
+      .repartition(numBuckets, col("centroid_id"))
+      .write.mode("overwrite").option("path", newPath)
+      .bucketBy(numBuckets, "centroid_id").sortBy("centroid_id")
+      .format("parquet").saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(oldLoc,
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(oldLoc), true)
+      ()
+    } catch { case _: Exception => () }
+  }
+
+  /** Top-k against a persisted quantized IVF index: broadcast the
+    * queries' probe lists and quantized forms, scan only the probed
+    * inverted lists (hash-clustered off the bucketed index — the
+    * corpus-sized relation never shuffles), rank by reconstructed int8
+    * dot, and optionally rerank the top `rerankDepth` by exact cosine
+    * with float vectors fetched FOR CANDIDATES ONLY from `rerankWith`.
+    * Returns (query_id, neighbor_id, rank). */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                     queries: DataFrame, cents: Array[(Int, Array[Double])],
+                     table: String, k: Int, nProbe: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     rerankWith: Option[DataFrame] = None,
+                     rerankDepth: Int = 20): DataFrame = {
+    val probes = ivfProbes(queries, cents, nProbe, idCol, vecCol)
+    val qq = quantizeInt8(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("qvec").as("__qq"),
+        col("qscale").as("__qs"))
+    val idx = spark.table(table)
+      .select(col("centroid_id"), col("vec_id").as("neighbor_id"),
+        col("qvec").as("__cq"), col("qscale").as("__cs"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__score").desc, col("neighbor_id").asc)
+    val firstPass = idx
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(qq), Seq("query_id"))
+      .withColumn("__score",
+        qdot(col("__qq"), col("__qs"), col("__cq"), col("__cs")))
+      .withColumn("rank", row_number().over(w))
+    rerankWith match {
+      case None =>
+        firstPass.filter(col("rank") <= k)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+      case Some(orig) =>
+        val cand = firstPass.filter(col("rank") <= math.max(k, rerankDepth))
+          .select(col("query_id"), col("neighbor_id"))
+        val cv = orig.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+        val qv = orig.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+        val w2 = Window.partitionBy(col("query_id"))
+          .orderBy(col("__cos").desc, col("neighbor_id").asc)
+        cand.join(cv, Seq("neighbor_id"))
+          .join(broadcast(qv), Seq("query_id"))
+          .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+          .withColumn("rank", row_number().over(w2))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket candidates verified
     * with exact cosine >= threshold. The same-bucket self-join is the only
     * quadratic-risk step, so the occupancy cap is ON by default — a bucket
