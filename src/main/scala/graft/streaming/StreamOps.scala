@@ -200,7 +200,14 @@ object StreamOps {
     * from the store / minhash probe / index appends — so only
     * bloom-positive rows (true dups + ~fpp of the batch) pay the exact
     * verify join, and the minhash machinery never re-shingles a document
-    * the corpus already holds verbatim. */
+    * the corpus already holds verbatim.
+    *
+    * Optional live statistics: pass `profileIndexPath` and each batch's
+    * NOVEL rows (post-bloom) are also rolled into a
+    * [[graft.text.ProfileIndex]] — per-stratum counts, size moments, and
+    * HLL vocabulary/distinct-doc estimates stay queryable over
+    * everything ingested so far (`ProfileIndex.readProfile`) at
+    * index-scan cost, one stratum-sized append per batch. */
   def streamingIngestDedup(docs: DataFrame, indexTable: String,
       docStorePath: String,
       onPairs: (DataFrame, Long) => Unit,
@@ -210,7 +217,8 @@ object StreamOps {
       bloomIndexPath: String = null,
       onExactDups: (DataFrame, Long) => Unit = (_, _) => (),
       bloomExpectedItems: Long = 10000000L, bloomFpp: Double = 0.01,
-      bloomBuckets: Int = 64)
+      bloomBuckets: Int = 64,
+      profileIndexPath: String = null, profileStrataCol: String = "source")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -262,6 +270,14 @@ object StreamOps {
           try onPairs(pairs, batchId) finally release()
           graft.dedup.Dedup.appendMinhashIndex(fresh.toDF(), idCol, textCol,
             indexTable, n, numHashes, bands, numBuckets)
+          // live corpus statistics over the novel rows; a replayed batch
+          // re-appends its stratum rows, but the store overwrite above is
+          // the durability anchor — rebuild the profile from the store if
+          // a replay is suspected (counts are the only non-idempotent
+          // part; the HLL sketches are replay-proof by construction)
+          if (profileIndexPath != null)
+            graft.text.ProfileIndex.appendProfileIndex(fresh.toDF(),
+              profileStrataCol, textCol, profileIndexPath)
           if (bloomIndexPath != null) {
             graft.dedup.Bloom.appendIndex(fresh.toDF(), col(textCol),
               bloomIndexPath, bloomBuckets, bloomExpectedItems, bloomFpp)
@@ -270,6 +286,38 @@ object StreamOps {
           }
         }
         batch.unpersist()
+        ()
+    }
+
+  /** Streaming embedding ingest into a persisted quantized IVF index
+    * ([[graft.ann.Ann.writeIvfIndex]] created it; centroids are FROZEN
+    * for the index's lifetime): each micro-batch is assigned, int8-
+    * quantized, and appended in one pass over the batch — similarity
+    * search ([[graft.ann.Ann.ivfTopKIndexed]]) stays available over
+    * everything ingested so far, and the corpus never reshuffles.
+    *
+    * `compactEvery > 0` folds maintenance into the stream: after every
+    * N batches the index is compacted to one file per bucket
+    * (crash-safe fresh-path + rename swap, [[graft.ann.Ann
+    * .compactIvfIndex]]), bounding the small-file growth a long-running
+    * append stream otherwise accumulates. The streaming query itself is
+    * stateless (`foreachBatch`) — restart resumes from the checkpoint. */
+  def streamingIngestAnn(embs: DataFrame,
+      cents: Array[(Int, Array[Double])], indexTable: String,
+      compactPathFor: Long => String = null, compactEvery: Int = 0,
+      numBuckets: Int = 32, idCol: String = "vec_id",
+      vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    embs.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ann.Ann.appendIvfIndex(batch.toDF(), cents, indexTable,
+            numBuckets, idCol, vecCol)
+          if (compactEvery > 0 && compactPathFor != null &&
+              batchId > 0 && batchId % compactEvery == 0)
+            graft.ann.Ann.compactIvfIndex(batch.sparkSession, indexTable,
+              compactPathFor(batchId), numBuckets)
+        }
         ()
     }
 }

@@ -793,4 +793,87 @@ class StreamingSpec extends SparkSpec {
       numBuckets = 4)
     assert(spark.table("cidx_spec").select("__id").distinct().count() == 12)
   }
+
+  test("streaming ingest maintains the profile index: per-batch appends " +
+    "merge to the one-shot profile of the novel rows") {
+    import graft.dedup.Dedup
+    import graft.streaming.StreamOps
+    import graft.text.ProfileIndex
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mk = (salt: Int) => (0 until 40).map(i => s"w${salt}_$i").mkString(" ")
+    val corpus = Seq((1L, "web", mk(0))).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pidx").toString
+    spark.sql("DROP TABLE IF EXISTS pidx_spec")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", "pidx_spec",
+      s"$dir/idx", numBuckets = 4)
+    corpus.write.mode("overwrite").parquet(s"$dir/store/batch=seed")
+    val batchA = Seq((2L, "web", mk(1)), (3L, "book", mk(2)))
+    val batchB = Seq((4L, "book", mk(3)))
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamOps.streamingIngestDedup(
+        input.toDF().toDF("doc_id", "source", "text"), "pidx_spec",
+        s"$dir/store", (_, _) => (), threshold = 0.5, numBuckets = 4,
+        profileIndexPath = s"$dir/prof")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData(batchA); q.processAllAvailable()
+      input.addData(batchB); q.processAllAvailable()
+    } finally q.stop()
+    val got = ProfileIndex.readProfile(spark, s"$dir/prof")
+    val all = (batchA ++ batchB).toDF("doc_id", "source", "text")
+    val oneShot = ProfileIndex.profileOneShot(all, "source", "text")
+    assert(got.exceptAll(oneShot).isEmpty && oneShot.exceptAll(got).isEmpty)
+  }
+
+  test("streaming ANN ingest: per-batch appends equal a one-shot index; " +
+    "compaction cadence bounds the file count") {
+    import graft.ann.Ann
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mkv = (i: Int) => Array.tabulate(8)(d =>
+      (((i * 31 + d * 7) % 23) - 11) / 11.0f)
+    val seed = (0 until 40).map(i => (i.toLong, mkv(i)))
+      .toDF("vec_id", "embedding")
+    val cents = Ann.ivfCentroids(seed, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sivf").toString
+    spark.sql("DROP TABLE IF EXISTS sivf_spec")
+    Ann.writeIvfIndex(seed, cents, "sivf_spec", s"$dir/idx", numBuckets = 4)
+    val batches = (1 to 3).map(b =>
+      (0 until 20).map(i => (100L * b + i, mkv(b * 100 + i))))
+    val input = MemoryStream[(Long, Array[Float])]
+    var nextPath = 0
+    val q = StreamOps.streamingIngestAnn(
+        input.toDF().toDF("vec_id", "embedding"), cents, "sivf_spec",
+        compactPathFor = bid => s"$dir/compact_$bid", compactEvery = 2,
+        numBuckets = 4)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // index content == one-shot over seed + all batches
+    val everything = seed.unionByName(
+      batches.flatten.toDF("vec_id", "embedding"))
+    Ann.writeIvfIndex(everything, cents, "sivf_ref", s"$dir/ref",
+      numBuckets = 4)
+    val got = spark.table("sivf_spec")
+    val ref = spark.table("sivf_ref")
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+    // the batch-2 compaction rewrote to one file per bucket; batch 3
+    // appended after it, so file count is bounded by buckets + one append
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("sivf_spec")).location
+    val files = new java.io.File(loc.getPath)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files <= 8, s"compaction should bound files, got $files")
+    // probes over the streamed index match brute force at full depth
+    val queries = everything.filter(org.apache.spark.sql.functions
+      .col("vec_id") % 50 === 0)
+    val probed = Ann.ivfTopKIndexed(spark, queries, cents, "sivf_spec",
+      k = 3, nProbe = 4, rerankWith = Some(everything), rerankDepth = 1000)
+    val exact = Ann.bruteForceTopK(everything, queries, k = 3)
+      .select("query_id", "neighbor_id", "rank")
+    assert(probed.exceptAll(exact).isEmpty && exact.exceptAll(probed).isEmpty)
+  }
 }
