@@ -474,7 +474,13 @@ object Ann {
         val cand = firstPass.filter(col("rank") <= math.max(k, rerankDepth))
           .select(col("query_id"), col("neighbor_id"))
         val cv = orig.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-        val qv = orig.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+        // query-side float vectors come from the QUERY relation (bounded
+        // by contract): `orig` is corpus-sized, and broadcasting it
+        // keyed as query_id would ship the whole corpus's floats to
+        // every executor. Values are identical — query ids originate
+        // from `queries`.
+        val qv = queries.select(col(idCol).as("query_id"),
+          col(vecCol).as("__qv"))
         val w2 = Window.partitionBy(col("query_id"))
           .orderBy(col("__cos").desc, col("neighbor_id").asc)
         cand.join(cv, Seq("neighbor_id"))
@@ -578,7 +584,13 @@ object Ann {
         val cand = firstPass.filter(col("rank") <= math.max(k, rerankDepth))
           .select(col("query_id"), col("neighbor_id"))
         val cv = orig.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-        val qv = orig.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+        // query-side float vectors come from the QUERY relation (bounded
+        // by contract): `orig` is corpus-sized, and broadcasting it
+        // keyed as query_id would ship the whole corpus's floats to
+        // every executor. Values are identical — query ids originate
+        // from `queries`.
+        val qv = queries.select(col(idCol).as("query_id"),
+          col(vecCol).as("__qv"))
         val w2 = Window.partitionBy(col("query_id"))
           .orderBy(col("__cos").desc, col("neighbor_id").asc)
         cand.join(cv, Seq("neighbor_id"))
