@@ -1404,6 +1404,15 @@ object SparkEntry {
       .select(col("doc_id"), col("source"),
         Corpus.hashBucket(col("doc_id"), "graft").as("bucket"))
 
+  /** Shard-shuffle gate: the full deterministic permutation relation —
+    * md5-derived shard plus 1-based in-shard position — over the
+    * documents table at 16 shards, so the oracle re-derives the whole
+    * export order (key arithmetic AND the per-shard ROW_NUMBER) from
+    * scratch. */
+  private def docShardShuffle(s: SparkSession, dir: String): DataFrame =
+    Corpus.shuffleShards(docs(s, dir), "doc_id", nShards = 16)
+      .select(col("doc_id"), col("source"), col("shard"), col("shard_pos"))
+
   /** Mixture weights with exact binary fractions so the Spark-side
     * `(w - floor(w)) * 2^32` threshold and the oracle's hardcoded
     * integer constants are the same number — no float boundary risk. */
@@ -1995,6 +2004,7 @@ object SparkEntry {
     "txt_c4_filter" -> (txtC4 _),
     "txt_quality_score" -> (txtQuality _),
     "doc_sample_strat" -> (docSampleStrat _),
+    "doc_shard_shuffle" -> (docShardShuffle _),
     "doc_domain_cap" -> (docDomainCap _),
     "doc_mix" -> (docMix _),
     "txt_chunk" -> (txtChunk _),
@@ -3164,6 +3174,14 @@ object SparkEntry {
         |  WHEN 'src0' THEN 4294967296 WHEN 'src1' THEN 2147483648
         |  WHEN 'src2' THEN 1073741824 WHEN 'src3' THEN 536870912
         |  WHEN 'src4' THEN 268435456 ELSE 0 END""".stripMargin,
+    "doc_shard_shuffle" ->
+      """WITH k AS (SELECT doc_id, source,
+        |    CAST(('0x' || substring(md5('graft|' || doc_id), 1, 15)) AS BIGINT) AS key
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(key % 16 AS INT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY key % 16
+        |    ORDER BY key, doc_id) AS BIGINT) AS shard_pos
+        |FROM k""".stripMargin,
     "doc_mix" ->
       """WITH w AS (SELECT * FROM (VALUES
         |    ('src0', CAST(2 AS BIGINT), CAST(1073741824 AS BIGINT)),

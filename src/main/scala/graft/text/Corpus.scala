@@ -459,6 +459,53 @@ object Corpus {
     conv(substring(md5(concat_ws("|", lit(salt), key)), 1, 8), 16, 10)
       .cast(LongType)
 
+  /** Deterministic global shuffle-and-shard — the training-export last
+    * mile. Every row gets a 60-bit md5 permutation key from
+    * `salt|idCol` ([[hashBucket]]'s engine-independent idiom, widened to
+    * 15 hex chars so ordering collisions are ~impossible at corpus
+    * scale), a `shard` in `[0, nShards)` from the key, and a 1-based
+    * `shard_pos` giving its position in the shard's shuffled read
+    * order. Properties a training loader needs, none of which
+    * `df.sample`/`rand()` give:
+    *
+    *   - reproducible across runs, engines, partitionings, and task
+    *     retries (no RNG state — the permutation is content-addressed);
+    *   - different `salt` = independent epoch orders from the same data;
+    *   - any shard subset is itself an unbiased sample of the corpus.
+    *
+    * Scale shape: one hash exchange on `shard` and a per-shard sort —
+    * exactly the shuffle a global permutation inherently costs, and no
+    * global window: parallelism is `nShards`, so size shards to your
+    * target file size (e.g. 100 TB / 10k shards = 10 GB sorts, each
+    * spillable independently). Ordering ties broken by `idCol`.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+                    salt: String = "graft"): DataFrame = {
+    require(nShards > 0, s"nShards=$nShards")
+    val key = conv(substring(
+        md5(concat_ws("|", lit(salt), col(idCol))), 1, 15), 16, 10)
+      .cast(LongType)
+    df.withColumn("__shuffle_key", key)
+      .withColumn("shard", pmod(col("__shuffle_key"), lit(nShards.toLong))
+        .cast("int"))
+      .withColumn("shard_pos",
+        row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("__shuffle_key"), col(idCol))).cast(LongType))
+      .drop("__shuffle_key")
+  }
+
+  /** Materialize [[shuffleShards]] as a shard-partitioned parquet layout:
+    * `path/shard=N/...`, rows inside each shard file in shuffled
+    * (`shard_pos`) order, so a training loader streams each shard
+    * sequentially and reads the corpus in the permuted order with zero
+    * seek/sort work at load time. */
+  def writeShards(df: DataFrame, idCol: String, nShards: Int, path: String,
+                  salt: String = "graft"): Unit =
+    shuffleShards(df, idCol, nShards, salt)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
   /** Deterministic content-addressed sample: keeps rows where the md5
     * bucket of `salt|key` falls under `fraction` of the 2^32 bucket
     * space. Unlike `df.sample()` this is reproducible across runs,

@@ -464,4 +464,50 @@ class CorpusSpec extends SparkSpec {
       .filter($"epoch" === 2L).select("doc_id").as[Long].collect().toSet
     assert(frac.subsetOf(larger))
   }
+
+  test("shuffleShards: a deterministic permutation — every row exactly " +
+      "once, contiguous 1-based positions per shard, salt-independent " +
+      "orders, stable across repartitionings") {
+    val df = (1L to 500L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val out = Corpus.shuffleShards(df, "id", nShards = 8, salt = "s1")
+    val rows = out.select($"id", $"shard", $"shard_pos")
+      .as[(Long, Int, Long)].collect()
+    assert(rows.length == 500 && rows.map(_._1).distinct.length == 500)
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 8))
+    // per-shard positions are exactly 1..|shard|
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.sameElements(1L to g.length.toLong)) }
+    // content-addressed: identical under a different physical layout
+    val again = Corpus.shuffleShards(df.repartition(7), "id", 8, "s1")
+      .select($"id", $"shard", $"shard_pos").as[(Long, Int, Long)]
+      .collect().sortBy(_._1)
+    assert(again.sameElements(rows.sortBy(_._1)))
+    // a different salt is a genuinely different permutation
+    val other = Corpus.shuffleShards(df, "id", 8, "s2")
+      .select($"id", $"shard", $"shard_pos").as[(Long, Int, Long)]
+      .collect().sortBy(_._1)
+    assert(!other.sameElements(rows.sortBy(_._1)))
+  }
+
+  test("writeShards: shard-partitioned layout, rows inside a shard file " +
+      "in shuffled read order") {
+    val df = (1L to 300L).map(i => (i, s"d$i")).toDF("id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-shards")
+      .resolve("out").toString
+    Corpus.writeShards(df, "id", nShards = 4, path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 300)
+    assert(back.select("shard").distinct().count() == 4)
+    // within one shard partition the file order IS shard_pos order
+    val one = spark.read.parquet(s"$path/shard=2")
+      .select($"shard_pos").as[Long].collect()
+    assert(one.sameElements(one.sorted))
+    // and the relation matches shuffleShards exactly
+    val expect = Corpus.shuffleShards(df, "id", 4)
+      .select($"id", $"shard", $"shard_pos").as[(Long, Int, Long)]
+      .collect().toSet
+    val got = back.select($"id", $"shard".cast("int"), $"shard_pos")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == expect)
+  }
 }
