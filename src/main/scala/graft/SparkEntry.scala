@@ -1849,6 +1849,22 @@ object SparkEntry {
     * trip). The oracle recomputes the planted box arithmetic from
     * doc_id; corrupt-payload and no-video-track null paths stay in the
     * spec (MultimodalSpec). Non-vacuous at sf0.001 (doc_id % 9). */
+  /** Real frame extraction gate: the fixture's two-chunk stsc/stco/stsz
+    * layout is walked for real and every 4th frame's bytes come back
+    * out of the mdat; the oracle recomputes each sampled frame's md5
+    * and length from [[graft.mm.Multimodal.plantedFrame]]'s ASCII
+    * arithmetic — so a wrong offset, size, or chunk split changes the
+    * hash. */
+  private def mmFrameExtract(s: SparkSession, dir: String): DataFrame =
+    graft.mm.Multimodal.extractFrames(
+        graft.mm.Multimodal.syntheticMp4(
+          docs(s, dir).filter(col("doc_id") % 9 === 0), "doc_id"),
+        step = 4)
+      .select(col("media_id").as("doc_id"),
+        col("frame").cast("long").as("frame"),
+        md5(col("frame_bytes")).as("frame_md5"),
+        length(col("frame_bytes")).cast("long").as("frame_len"))
+
   private def mmVideo(s: SparkSession, dir: String): DataFrame =
     graft.mm.Multimodal.decodeVideo(
         graft.mm.Multimodal.syntheticMp4(
@@ -2037,6 +2053,7 @@ object SparkEntry {
     "mm_decode" -> (mmDecode _),
     "mm_audio" -> (mmAudio _),
     "mm_video" -> (mmVideo _),
+    "mm_frame_extract" -> (mmFrameExtract _),
     "vis_plot" -> (visPlot _))
 
   /** Auxiliary relations dumped by Verify alongside the query results.
@@ -3614,6 +3631,15 @@ object SparkEntry {
         |  CAST(10 + doc_id % 20 AS BIGINT) AS n_frames,
         |  CAST((10 + doc_id % 20) * 40 AS BIGINT) AS duration_ms
         |FROM documents WHERE doc_id % 9 = 0""".stripMargin,
+    "mm_frame_extract" ->
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame,
+        |  md5('frame|' || doc_id || '|' || f || '|' ||
+        |      repeat('x', CAST(1 + (doc_id + f) % 7 AS INT))) AS frame_md5,
+        |  CAST(strlen('frame|' || doc_id || '|' || f || '|')
+        |       + 1 + (doc_id + f) % 7 AS BIGINT) AS frame_len
+        |FROM documents,
+        |  UNNEST(generate_series(0, CAST(9 + doc_id % 20 AS BIGINT), 4)) t(f)
+        |WHERE doc_id % 9 = 0""".stripMargin,
     "dedup_bloom" ->
       """WITH corpus AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
         |b AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1

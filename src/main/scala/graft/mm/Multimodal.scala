@@ -307,33 +307,40 @@ object Multimodal {
     * contract as [[imageDecode]]/[[wavDecode]]). Pixel decode is out of
     * scope in this environment (no codecs); the container walk is what
     * makes `n_frames` REAL for [[sampleFrames]]. */
+  /** (type, bodyStart, bodyEnd) of each ISO-BMFF box in `[from, to)` —
+    * shared walker for [[mp4Decode]] and [[mp4FrameRanges]]. Handles
+    * 64-bit sizes and to-end boxes; stops cleanly at truncation. */
+  private def mp4Boxes(bytes: Array[Byte], bb: java.nio.ByteBuffer)(
+      from: Int, to: Int): Seq[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var off = from
+    while (off + 8 <= to) {
+      val size32 = bb.getInt(off).toLong & 0xffffffffL
+      val tpe = new String(bytes, off + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val (hdr, size) =
+        if (size32 == 1L) {
+          if (off + 16 > to) return out.toSeq
+          (16, bb.getLong(off + 8))
+        } else if (size32 == 0L) (8, (to - off).toLong) // box runs to end
+        else (8, size32)
+      if (size < hdr || off + size > to) return out.toSeq
+      out += ((tpe, off + hdr, off + size.toInt))
+      off += size.toInt
+    }
+    out.toSeq
+  }
+
+  private def mp4Find(bs: Seq[(String, Int, Int)],
+                      t: String): Option[(Int, Int)] =
+    bs.collectFirst { case (`t`, a, b) => (a, b) }
+
   def mp4Decode(bytes: Array[Byte]): Option[Mp4Meta] = {
     if (bytes == null || bytes.length < 16) return None
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.BIG_ENDIAN)
-
-    // (type, bodyStart, bodyEnd) of each box in [from, to)
-    def boxes(from: Int, to: Int): Seq[(String, Int, Int)] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
-      var off = from
-      while (off + 8 <= to) {
-        val size32 = bb.getInt(off).toLong & 0xffffffffL
-        val tpe = new String(bytes, off + 4, 4,
-          java.nio.charset.StandardCharsets.US_ASCII)
-        val (hdr, size) =
-          if (size32 == 1L) {
-            if (off + 16 > to) return out.toSeq
-            (16, bb.getLong(off + 8))
-          } else if (size32 == 0L) (8, (to - off).toLong) // box runs to end
-          else (8, size32)
-        if (size < hdr || off + size > to) return out.toSeq
-        out += ((tpe, off + hdr, off + size.toInt))
-        off += size.toInt
-      }
-      out.toSeq
-    }
-    def find(bs: Seq[(String, Int, Int)], t: String): Option[(Int, Int)] =
-      bs.collectFirst { case (`t`, a, b) => (a, b) }
+    val boxes = mp4Boxes(bytes, bb) _
+    val find = mp4Find _
 
     try {
       val top = boxes(0, bytes.length)
@@ -379,6 +386,125 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Absolute `(offset, size)` byte range of every video sample (frame)
+    * in an ISO-BMFF container, in sample order — the real sample-table
+    * walk: `stsz` per-sample sizes (or the uniform-size shortcut),
+    * `stsc` sample-to-chunk runs, `stco`/`co64` chunk offsets. This is
+    * container-level frame access, NOT pixel decode: each range holds
+    * one compressed sample (e.g. an H.264 access unit), which is
+    * exactly what a frame-sampling pipeline ships to a decode service.
+    * Corrupt / truncated / no-video-track containers yield `None`;
+    * ranges pointing past a truncated `mdat` are caught at extraction
+    * ([[extractFrames]] skips them), never thrown. */
+  def mp4FrameRanges(bytes: Array[Byte]): Option[Array[(Long, Int)]] = {
+    if (bytes == null || bytes.length < 16) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    val boxes = mp4Boxes(bytes, bb) _
+    try {
+      val top = boxes(0, bytes.length)
+      val (moovA, moovB) = mp4Find(top, "moov").getOrElse(return None)
+      val moov = boxes(moovA, moovB)
+      moov.collect { case ("trak", a, b) => boxes(a, b) }
+        .flatMap { trak =>
+          for {
+            (ma, mb) <- mp4Find(trak, "mdia")
+            mdia = boxes(ma, mb)
+            (ha, _) <- mp4Find(mdia, "hdlr")
+            if new String(bytes, ha + 8, 4,
+              java.nio.charset.StandardCharsets.US_ASCII) == "vide"
+            (na, nb2) <- mp4Find(mdia, "minf")
+            (sa, sb) <- mp4Find(boxes(na, nb2), "stbl")
+            stbl = boxes(sa, sb)
+            (za, _) <- mp4Find(stbl, "stsz")
+            (ca, _) <- mp4Find(stbl, "stsc")
+            chunkOffs <- mp4Find(stbl, "stco").map { case (oa, _) =>
+                val n = bb.getInt(oa + 4)
+                Array.tabulate(n)(i =>
+                  bb.getInt(oa + 8 + 4 * i).toLong & 0xffffffffL)
+              }.orElse(mp4Find(stbl, "co64").map { case (oa, _) =>
+                val n = bb.getInt(oa + 4)
+                Array.tabulate(n)(i => bb.getLong(oa + 8 + 8 * i))
+              })
+          } yield {
+            val uniform = bb.getInt(za + 4)
+            val count = bb.getInt(za + 8)
+            val sizes =
+              if (uniform != 0) Array.fill(count)(uniform)
+              else Array.tabulate(count)(i => bb.getInt(za + 12 + 4 * i))
+            val nE = bb.getInt(ca + 4)
+            val runs = Array.tabulate(nE)(i =>
+              (bb.getInt(ca + 8 + 12 * i), bb.getInt(ca + 12 + 12 * i)))
+            val out = Array.newBuilder[(Long, Int)]
+            var sample = 0
+            var run = 0
+            while (run < runs.length && sample < count) {
+              val (firstChunk, perChunk) = runs(run)
+              val lastChunk =
+                if (run + 1 < runs.length) runs(run + 1)._1 - 1
+                else chunkOffs.length
+              var c = firstChunk
+              while (c <= lastChunk && c <= chunkOffs.length &&
+                     sample < count) {
+                var off = chunkOffs(c - 1) // chunk numbers are 1-based
+                var k = 0
+                while (k < perChunk && sample < count) {
+                  out += ((off, sizes(sample)))
+                  off += sizes(sample)
+                  sample += 1; k += 1
+                }
+                c += 1
+              }
+              run += 1
+            }
+            out.result()
+          }
+        }.headOption
+    } catch { case _: Exception => None }
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame", IntegerType),
+    StructField("frame_bytes", BinaryType)))
+
+  /** REAL frame sampling over video payloads: every `step`-th sample's
+    * compressed bytes sliced straight out of the container via
+    * [[mp4FrameRanges]] — `(media_id, frame, frame_bytes)`, one row per
+    * sampled frame. Non-video mimes, corrupt containers, and ranges
+    * pointing past a truncated `mdat` contribute no rows (poison never
+    * fails the task). Same partition-sizing contract as [[decode]]:
+    * payload bytes stay where the scan put them unless the incoming
+    * partitioning is materially coarser than the byte target. */
+  def extractFrames(media: DataFrame, step: Int,
+                    targetBytesPerPartition: Long = 256L << 20,
+                    numPartitions: Option[Int] = None): DataFrame = {
+    require(step >= 1, s"step=$step")
+    val df = media.select("media_id", "payload", "mime")
+    sizedForDecode(df, targetBytesPerPartition, numPartitions)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val mime = r.getString(2)
+          if (!Mp4Mimes.contains(mime)) Iterator.empty
+          else {
+            val bytes = r.getAs[Array[Byte]](1)
+            mp4FrameRanges(bytes) match {
+              case Some(ranges) =>
+                Iterator.range(0, ranges.length, step).flatMap { i =>
+                  val (off, len) = ranges(i)
+                  if (off >= 0 && len >= 0 && off + len <= bytes.length)
+                    Iterator.single(Row(r.getLong(0), i,
+                      java.util.Arrays.copyOfRange(bytes, off.toInt,
+                        off.toInt + len)))
+                  else Iterator.empty
+                }
+              case None => Iterator.empty
+            }
+          }
+        }
+      }(Encoders.row(frameSchema))
+  }
+
   /** Video decode boundary — same partition-sizing and per-partition
     * batch shape as [[decode]], emitting [[videoSchema]]. MP4/ISO-BMFF
     * payloads parse for real through [[mp4Decode]]; corrupt/unsupported
@@ -420,7 +546,7 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val (w, h, frames) = plantedVideo(id)
-          Row(id, buildMp4(w, h, frames), "video/mp4")
+          Row(id, buildMp4(id, w, h, frames), "video/mp4")
         }
       }(Encoders.row(mediaSchema))
 
@@ -430,9 +556,23 @@ object Multimodal {
     (16 * (1 + (id % 8)).toInt, 16 * (1 + (id % 5)).toInt,
       10 + (id % 20).toInt)
 
+  /** The fixture's planted per-frame payload — ASCII on purpose, so the
+    * DuckDB oracle reproduces `md5(frame_bytes)` with plain string
+    * arithmetic. Variable length (`1 + (id+i) % 7` trailing pad)
+    * exercises the non-uniform stsz table path. */
+  def plantedFrame(id: Long, i: Int): Array[Byte] =
+    (s"frame|$id|$i|" + "x" * (1 + ((id + i) % 7)).toInt)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
   /** From-scratch ISO-BMFF builder for the fixture (public box layout;
-    * big-endian sizes, 16.16 fixed-point tkhd dims). */
-  private[graft] def buildMp4(w: Int, h: Int, frames: Int): Array[Byte] = {
+    * big-endian sizes, 16.16 fixed-point tkhd dims). Since r9 the
+    * container carries a REAL sample layout: a non-uniform `stsz` size
+    * table, a two-run `stsc` sample-to-chunk map, `stco` chunk offsets,
+    * and an `mdat` holding every [[plantedFrame]] payload split across
+    * two chunks — so [[extractFrames]] walks the same tables a camera
+    * MP4 ships. */
+  private[graft] def buildMp4(id: Long, w: Int, h: Int,
+                              frames: Int): Array[Byte] = {
     def box(tpe: String, body: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(8 + body.length)
         .order(java.nio.ByteOrder.BIG_ENDIAN)
@@ -487,16 +627,45 @@ object Multimodal {
     val stts = box("stts", body(16) { b =>
       b.putInt(0).putInt(1).putInt(frames).putInt(40); ()
     })
-    val stsz = box("stsz", body(12) { b =>
-      // constant sample size: no per-sample table in a metadata fixture
-      b.putInt(0).putInt(100).putInt(frames); ()
+    val payloads = (0 until frames).map(i => plantedFrame(id, i))
+    val stsz = box("stsz", body(12 + 4 * frames) { b =>
+      b.putInt(0).putInt(0).putInt(frames) // sample_size 0 -> per-sample table
+      payloads.foreach(p => b.putInt(p.length)); ()
     })
-    val stbl = box("stbl", stsd ++ stts ++ stsz)
+    // two chunks: first ceil(frames/2) samples, then the rest
+    val spc1 = math.max(1, (frames + 1) / 2)
+    val spc2 = frames - spc1
+    val stscEntries =
+      if (spc2 > 0) Seq((1, spc1), (2, spc2)) else Seq((1, spc1))
+    val stsc = box("stsc", body(8 + 12 * stscEntries.length) { b =>
+      b.putInt(0).putInt(stscEntries.length)
+      stscEntries.foreach { case (fc, n) => b.putInt(fc).putInt(n).putInt(1) }
+      ()
+    })
+    // stco offsets are absolute file offsets into mdat's body; moov's
+    // size is known once stco's own (fixed) size is accounted for
+    val nChunks = stscEntries.length
+    val stcoSize = 8 + (8 + 4 * nChunks)
+    val stblPre = stsd ++ stts ++ stsz ++ stsc
+    // sizes of the fixed wrappers: each box adds an 8-byte header
+    val stblSize = 8 + stblPre.length + stcoSize
+    val minfSize = 8 + stblSize
+    val mdiaSize = 8 + mdhd.length + hdlr.length + minfSize
+    val trakSize = 8 + tkhd.length + mdiaSize
+    val moovSize = 8 + mvhd.length + trakSize
+    val mdatBody = ftyp.length + moovSize + 8
+    val chunk1Len = payloads.take(spc1).map(_.length).sum
+    val stco = box("stco", body(8 + 4 * nChunks) { b =>
+      b.putInt(0).putInt(nChunks).putInt(mdatBody)
+      if (nChunks > 1) b.putInt(mdatBody + chunk1Len); ()
+    })
+    val stbl = box("stbl", stblPre ++ stco)
     val minf = box("minf", stbl)
     val mdia = box("mdia", mdhd ++ hdlr ++ minf)
     val trak = box("trak", tkhd ++ mdia)
     val moov = box("moov", mvhd ++ trak)
-    ftyp ++ moov
+    val mdat = box("mdat", payloads.flatten.toArray)
+    ftyp ++ moov ++ mdat
   }
 
   /** Wrap a text/binary-ish table into the media schema (for tests and

@@ -383,9 +383,50 @@ class MultimodalSpec extends SparkSpec {
     assert(f7.count() == (0 until frames7 by 4).length)
   }
 
+  test("extractFrames: real sample-table walk recovers every planted " +
+    "frame payload; step sampling, truncated mdat, and non-video rows") {
+    val ids = Seq(0L, 3L, 7L, 19L)
+    val media = Multimodal.syntheticMp4(ids.toDF("id"), "id")
+    // full extraction (step 1) reproduces plantedFrame bytes exactly
+    val all = Multimodal.extractFrames(media, step = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2)))
+    ids.foreach { id =>
+      val (_, _, frames) = Multimodal.plantedVideo(id)
+      val mine = all.filter(_._1 == id).sortBy(_._2)
+      assert(mine.map(_._2).sameElements(0 until frames), s"frames of $id")
+      mine.foreach { case (_, i, bytes) =>
+        assert(java.util.Arrays.equals(bytes, Multimodal.plantedFrame(id, i)),
+          s"payload of ($id, $i)") }
+    }
+    // step sampling keeps exactly indices 0, step, 2*step, ...
+    val s4 = Multimodal.extractFrames(media, step = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    ids.foreach { id =>
+      val (_, _, frames) = Multimodal.plantedVideo(id)
+      assert(s4.filter(_._1 == id).map(_._2).sorted
+        .sameElements(0 until frames by 4)) }
+    // mp4FrameRanges on the raw fixture agrees with the planted layout
+    val good = Multimodal.buildMp4(3L, 16, 16, 13)
+    val ranges = Multimodal.mp4FrameRanges(good).get
+    assert(ranges.length == 13)
+    assert(ranges.map(_._2).sameElements(
+      (0 until 13).map(Multimodal.plantedFrame(3L, _).length)))
+    // a truncated mdat drops the out-of-range tail, keeps the head
+    val cut = good.take(good.length - 10)
+    val headFrames = Multimodal.extractFrames(
+      Seq((3L, cut, "video/mp4")).toDF("media_id", "payload", "mime"),
+      step = 1).count()
+    assert(headFrames > 0 && headFrames < 13)
+    // non-video mime and corrupt payloads contribute no rows, no throw
+    val junk = Seq((1L, "not a movie".getBytes, "video/mp4"),
+        (2L, good, "text/plain"))
+      .toDF("media_id", "payload", "mime")
+    assert(Multimodal.extractFrames(junk, step = 1).count() == 0)
+  }
+
   test("mp4Decode never throws on corrupt/foreign containers; " +
     "no-video-track and truncated payloads yield None") {
-    val good = Multimodal.buildMp4(64, 48, 12)
+    val good = Multimodal.buildMp4(5L, 64, 48, 12)
     assert(Multimodal.mp4Decode(good).contains(
       Multimodal.Mp4Meta(64, 48, 12, 480L)))
     // every truncation parses to None or a value, never throws
