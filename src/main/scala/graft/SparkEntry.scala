@@ -1384,6 +1384,16 @@ object SparkEntry {
     Corpus.scoreLinear(d, "doc_id", "text", Corpus.hashWeights(vocab))
   }
 
+  /** Hashed-feature gate for the trainable classifier
+    * ([[graft.text.Classifier]]): the md5 hashing-trick featurization —
+    * bucket index AND collision-summed counts — re-derived from scratch
+    * by the oracle. Training itself is float-order-nondeterministic by
+    * nature and is spec-gated (ClassifierSpec signal recovery); the
+    * featurization is the engine-portable contract a model rides on. */
+  private def txtFeatHash(s: SparkSession, dir: String): DataFrame =
+    graft.text.Classifier.featurizeHashed(docs(s, dir), "doc_id", "text",
+      numFeatures = 512)
+
   /** Per-source length profile with exact histogram-derived discrete
     * quantiles (integer-valued, engine-portable); mean is one IEEE
     * division of two exact longs, identical in DuckDB. */
@@ -2014,6 +2024,7 @@ object SparkEntry {
     "txt_decontaminate" -> (txtDecontaminate _),
     "txt_top_terms" -> (txtTopTerms _),
     "txt_vocab" -> (txtVocab _),
+    "txt_feat_hash" -> (txtFeatHash _),
     "txt_profile" -> (txtProfile _),
     "txt_novelty" -> (txtNovelty _),
     "txt_dup_spans" -> (txtDupSpans _),
@@ -3113,6 +3124,17 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(n_terms, 0) AS n_terms,
         |  COALESCE(margin, 0) AS margin, COALESCE(margin, 0) > 0 AS keep
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "txt_feat_hash" ->
+      """WITH tok AS (SELECT doc_id, u.t AS term
+        |  FROM (SELECT doc_id,
+        |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        x -> len(x) > 0) AS l
+        |    FROM documents), UNNEST(l) AS u(t))
+        |SELECT doc_id,
+        |  CAST(('0x' || substring(md5('graft-feat|' || term), 1, 8)) AS BIGINT)
+        |    % 512 AS feature,
+        |  COUNT(*) AS tf
+        |FROM tok GROUP BY doc_id, feature""".stripMargin,
     "txt_dup_spans" ->
       s"""WITH pl AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN text || ' ' || text ELSE text END AS text

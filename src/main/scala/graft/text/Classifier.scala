@@ -1,0 +1,178 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Trainable document-quality classifier: hashed bag-of-words logistic
+  * regression, trained by driver-coordinated distributed gradient
+  * descent and scored by pure relational arithmetic.
+  *
+  * The standard pretraining-corpus recipe (a fastText/CCNet-style linear
+  * model over token features, used to rank crawl documents against a
+  * high-quality seed set) re-expressed Spark-first:
+  *
+  *   - FEATURES ([[featurizeHashed]]): tokens hashed into `[0, D)` with
+  *     the engine-portable md5 bucket ([[Corpus.hashBucket]]) — NOT a
+  *     JVM-private hash — so the featurization itself is reproducible by
+  *     any engine (the `txt_feat_hash` gate re-derives it in DuckDB) and
+  *     a model survives being scored outside Spark.
+  *   - TRAINING ([[trainLogReg]]): full-batch gradient descent where the
+  *     MODEL lives on the driver (a `D`-sized double array — dimension-
+  *     sized by construction) and the DATA never moves: the feature
+  *     relation is hash-partitioned by document once and cached; each
+  *     iteration computes per-document margins with a broadcast of the
+  *     current weights (exchange-free aggregation on the cached
+  *     partitioning) and reduces the `D`-sized gradient with a map-side-
+  *     combined aggregation whose shuffle carries at most
+  *     `partitions x D` partial sums — per-iteration network cost is
+  *     independent of corpus size.
+  *   - SCORING ([[scoreTrained]]): broadcast-join the weights, sum, and
+  *     sigmoid — codegen'd column arithmetic, no model object and no UDF
+  *     at inference, so scoring 100 TB is an ordinary aggregation query.
+  *
+  * Float caveat, stated plainly: gradient sums reduce in shuffle order,
+  * so trained coefficients are deterministic only up to float summation
+  * order — specs assert planted-signal recovery and margin separation,
+  * not bitwise weights, and the driver gate covers the (exactly
+  * reproducible) featurization instead.
+  */
+object Classifier {
+
+  /** `(idCol, feature, tf)` — md5-hashed token counts in `[0, D)`.
+    * Multiple terms colliding into one bucket sum their counts (the
+    * standard hashing-trick semantic). */
+  def featurizeHashed(df: DataFrame, idCol: String, textCol: String,
+                      numFeatures: Int = 512,
+                      salt: String = "graft-feat"): DataFrame = {
+    require(numFeatures > 0, s"numFeatures=$numFeatures")
+    df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__term"))
+      .select(col(idCol),
+        pmod(Corpus.hashBucket(col("__term"), salt),
+          lit(numFeatures.toLong)).as("feature"))
+      .groupBy(col(idCol), col("feature"))
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+  }
+
+  /** A trained linear model: `weights(d)` for feature `d`, plus the
+    * intercept and the per-iteration mean log-loss trace (driver-side
+    * diagnostics — length `iters`). */
+  final case class LinearModel(weights: Array[Double], intercept: Double,
+                               loss: Array[Double])
+
+  /** Full-batch logistic-regression GD over a hashed feature relation.
+    *
+    * `feats` is [[featurizeHashed]] output (or any `(id, feature, tf)`
+    * relation with `feature` in `[0, numFeatures)`); `labels` is
+    * `(id, label)` with label in {0, 1}. Documents without features
+    * still train the intercept (they enter through the label join with
+    * an empty dot product). `l2` regularizes weights, not the
+    * intercept; `lr` is the step size.
+    *
+    * Scale shape per iteration: one job — margins from the CACHED
+    * doc-partitioned relation (no exchange: the cache partitioning
+    * satisfies the groupBy), residuals joined back on the same
+    * partitioning, then a `D`-bounded gradient reduce. The driver holds
+    * and updates only the `D+1` model floats. For stochastic variants,
+    * pre-sample with [[Corpus.sampleByHash]] per epoch salt — the
+    * estimator stays deterministic-by-content rather than RNG-stateful. */
+  def trainLogReg(feats: DataFrame, labels: DataFrame, idCol: String,
+                  numFeatures: Int, iters: Int = 30, lr: Double = 0.5,
+                  l2: Double = 0.0): LinearModel = {
+    require(iters >= 1 && numFeatures > 0)
+    val spark = feats.sparkSession
+    val id = col(idCol)
+    // one materialization, hash-partitioned by document: every
+    // per-iteration doc-keyed aggregation and the residual join-back
+    // reuse this single exchange for the whole training run
+    val tfl = feats.select(id, col("feature").cast(LongType),
+        col("tf").cast("double").as("tf"))
+      .join(labels.select(id, col("label").cast("double").as("label")),
+        Seq(idCol))
+      .repartition(graft.core.Par.width(feats), id)
+      .persist()
+    // bounded label statistics, computed once: docs with NO feature rows
+    // (empty text) never enter tfl but still train the intercept
+    val la = labels.agg(count(lit(1)).cast("double"),
+      coalesce(sum(col("label").cast("double")), lit(0.0))).head()
+    val (nAll, sumY) = (la.getDouble(0), la.getDouble(1))
+    val fa = tfl.groupBy(id).agg(first(col("label")).as("y"))
+      .agg(count(lit(1)).cast("double"),
+        coalesce(sum(col("y")), lit(0.0))).head()
+    val nNoFeat = nAll - fa.getDouble(0)
+    val sumYNoFeat = sumY - fa.getDouble(1)
+
+    val w = new Array[Double](numFeatures)
+    var b = 0.0
+    val lossTrace = new Array[Double](iters)
+    try {
+      var it = 0
+      while (it < iters) {
+        val p0 = 1.0 / (1.0 + math.exp(-b))
+        // per-doc probability + residual over the cached partitioning
+        // (no exchange: groupBy key == cache partitioning key)
+        val dots = tfl
+          .withColumn("__wx", col("tf") * weightExpr(w, col("feature")))
+          .groupBy(id)
+          .agg(sum(col("__wx")).as("__dot"), first(col("label")).as("__y"))
+          .withColumn("__p",
+            lit(1.0) / (lit(1.0) + exp(-(col("__dot") + lit(b)))))
+          .withColumn("__r", col("__p") - col("__y"))
+          .persist()
+        // D-bounded gradient reduce: the shuffle carries at most
+        // partitions x D partial sums — independent of corpus size
+        val gRows = tfl.join(dots.select(id, col("__r")), Seq(idCol))
+          .groupBy(col("feature"))
+          .agg(sum(col("tf") * col("__r")).as("g"))
+          .collect()
+        val sRow = dots.agg(
+          coalesce(sum(
+            when(col("__y") > 0.5, -log(greatest(col("__p"), lit(1e-12))))
+              .otherwise(-log(greatest(lit(1.0) - col("__p"), lit(1e-12))))),
+            lit(0.0)),
+          coalesce(sum(col("__r")), lit(0.0))).head()
+        dots.unpersist(false)
+        val lossNoFeat =
+          if (nNoFeat > 0)
+            -(sumYNoFeat * math.log(math.max(p0, 1e-12)) +
+              (nNoFeat - sumYNoFeat) * math.log(math.max(1.0 - p0, 1e-12)))
+          else 0.0
+        lossTrace(it) = (sRow.getDouble(0) + lossNoFeat) / math.max(nAll, 1.0)
+        val gb = sRow.getDouble(1) + nNoFeat * p0 - sumYNoFeat
+        gRows.foreach { r =>
+          val d = r.getLong(0).toInt
+          w(d) -= lr * (r.getDouble(1) / nAll + l2 * w(d))
+        }
+        b -= lr * gb / math.max(nAll, 1.0)
+        it += 1
+      }
+    } finally { tfl.unpersist(false); () }
+    LinearModel(w, b, lossTrace)
+  }
+
+  /** The broadcast-weights lookup as a pure Column: `element_at` over a
+    * literal array (constant-folded into the plan, shipped with the
+    * task binary — the same plan-literal posture as the Bloom probe).
+    * 1-based element_at; feature is 0-based. */
+  private def weightExpr(w: Array[Double],
+                         feature: org.apache.spark.sql.Column) =
+    element_at(typedlit(w.toSeq), (feature + 1).cast("int"))
+
+  /** Relational inference: `(id, margin, prob, keep)` from a trained
+    * model — broadcast-literal weights, codegen'd arithmetic, no UDF.
+    * Documents with no features score `sigmoid(intercept)`. */
+  def scoreTrained(feats: DataFrame, allIds: DataFrame, idCol: String,
+                   model: LinearModel, threshold: Double = 0.5): DataFrame = {
+    val id = col(idCol)
+    val dots = feats
+      .withColumn("__wx",
+        col("tf").cast("double") * weightExpr(model.weights, col("feature")))
+      .groupBy(id).agg(sum(col("__wx")).as("__dot"))
+    allIds.select(id).join(dots, Seq(idCol), "left")
+      .select(id,
+        (coalesce(col("__dot"), lit(0.0)) + lit(model.intercept))
+          .as("margin"))
+      .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("margin"))))
+      .withColumn("keep", col("prob") >= lit(threshold))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.text.{Classifier, Corpus}
+import org.apache.spark.sql.functions._
+
+/** Trainable hashed-bag-of-words logistic regression: engine-portable
+  * featurization, driver-coordinated GD where only the D-sized model
+  * moves, relational inference. Float sums reduce in shuffle order, so
+  * assertions are signal-recovery and separation, never bitwise
+  * weights; the exactly-reproducible featurization is driver-gated
+  * (txt_feat_hash). */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("featurizeHashed: md5 buckets in range, collision counts sum, " +
+      "layout-independent") {
+    val df = Seq((1L, "aa bb aa cc"), (2L, "bb bb"), (3L, ""))
+      .toDF("id", "text")
+    val f = Classifier.featurizeHashed(df, "id", "text", numFeatures = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(f.forall(r => r._2 >= 0 && r._2 < 8))
+    // doc 1 has 3 distinct terms over 4 occurrences; total tf conserved
+    assert(f.filter(_._1 == 1L).map(_._3).sum == 4L)
+    assert(f.filter(_._1 == 2L).map(_._3).sum == 2L)
+    assert(!f.exists(_._1 == 3L)) // empty text -> no feature rows
+    val again = Classifier
+      .featurizeHashed(df.repartition(5), "id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sortBy(t => (t._1, t._2)).sameElements(
+      f.sortBy(t => (t._1, t._2))))
+  }
+
+  test("trainLogReg: recovers a planted quality signal; loss decreases; " +
+      "scoreTrained separates the classes") {
+    // 200 docs: odd ids carry the junk marker and label 0
+    val docs = (1L to 200L).map { i =>
+      val good = i % 2 == 0
+      val text =
+        if (good) s"clean prose sample number$i informative words"
+        else s"zzjunk zzspam repeated zzjunk filler number$i"
+      (i, text, if (good) 1.0 else 0.0)
+    }.toDF("id", "text", "label")
+    val D = 64
+    val feats = Classifier.featurizeHashed(docs, "id", "text", D)
+    val model = Classifier.trainLogReg(feats,
+      docs.select($"id", $"label"), "id", D, iters = 40, lr = 2.0)
+    assert(model.loss.head > model.loss.last,
+      s"loss did not decrease: ${model.loss.head} -> ${model.loss.last}")
+    val scored = Classifier.scoreTrained(feats, docs.select($"id"), "id",
+        model)
+      .join(docs.select($"id", $"label"), Seq("id"))
+      .select($"label", $"prob").as[(Double, Double)].collect()
+    val good = scored.filter(_._1 == 1.0).map(_._2)
+    val bad = scored.filter(_._1 == 0.0).map(_._2)
+    // full separation on a linearly separable fixture
+    assert(good.min > bad.max,
+      s"no separation: good.min=${good.min} bad.max=${bad.max}")
+    assert(good.min > 0.5 && bad.max < 0.5)
+  }
+
+  test("trainLogReg: featureless docs train the intercept; " +
+      "scoreTrained scores them at sigmoid(intercept)") {
+    // all docs empty -> model must learn the base rate through b alone
+    val docs = (1L to 100L).map(i => (i, "", if (i <= 80) 1.0 else 0.0))
+      .toDF("id", "text", "label")
+    val feats = Classifier.featurizeHashed(docs, "id", "text", 16)
+    assert(feats.count() == 0)
+    val m = Classifier.trainLogReg(feats, docs.select($"id", $"label"),
+      "id", 16, iters = 60, lr = 2.0)
+    val p0 = 1.0 / (1.0 + math.exp(-m.intercept))
+    assert(math.abs(p0 - 0.8) < 0.05, s"base rate not learned: $p0")
+    assert(m.weights.forall(_ == 0.0))
+    val s = Classifier.scoreTrained(feats, docs.select($"id"), "id", m)
+      .select($"prob").as[Double].collect()
+    assert(s.forall(p => math.abs(p - p0) < 1e-12))
+  }
+
+  test("scoreTrained agrees with a hand-computed margin") {
+    val df = Seq((1L, "aa aa bb"), (2L, "cc")).toDF("id", "text")
+    val D = 16
+    val f = Classifier.featurizeHashed(df, "id", "text", D)
+    val w = new Array[Double](D)
+    val fm = f.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    fm.foreach { case (_, d, _) => w(d.toInt) = 0.25 * (d + 1) }
+    val m = Classifier.LinearModel(w, -0.5, Array())
+    val got = Classifier.scoreTrained(f, df.select($"id"), "id", m)
+      .select($"id", $"margin").as[(Long, Double)].collect().toMap
+    val want = fm.groupBy(_._1).map { case (id, rs) =>
+      id -> (rs.map { case (_, d, tf) => tf * w(d.toInt) }.sum - 0.5) }
+    want.foreach { case (id, mgn) => assert(math.abs(got(id) - mgn) < 1e-12) }
+  }
+}
