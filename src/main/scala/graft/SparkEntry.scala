@@ -1384,6 +1384,21 @@ object SparkEntry {
     Corpus.scoreLinear(d, "doc_id", "text", Corpus.hashWeights(vocab))
   }
 
+  /** Exact-AUC gate: scoreLinear margins (integer, engine-portable) as
+    * the score, `doc_id % 3 = 0` as the planted label; the oracle
+    * re-derives the full Mann-Whitney tie-averaged rank statistic in
+    * exact integer half-ranks with one final IEEE division. */
+  private def txtAuc(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val vocab = d.select(explode(TextOps.tokens(col("text"))).as("term"))
+      .distinct()
+    graft.text.Classifier.evalAuc(
+      Corpus.scoreLinear(d, "doc_id", "text", Corpus.hashWeights(vocab))
+        .withColumn("label",
+          when(col("doc_id") % 3 === 0, 1.0).otherwise(0.0)),
+      "label", "margin")
+  }
+
   /** Hashed-feature gate for the trainable classifier
     * ([[graft.text.Classifier]]): the md5 hashing-trick featurization —
     * bucket index AND collision-summed counts — re-derived from scratch
@@ -2025,6 +2040,7 @@ object SparkEntry {
     "txt_top_terms" -> (txtTopTerms _),
     "txt_vocab" -> (txtVocab _),
     "txt_feat_hash" -> (txtFeatHash _),
+    "txt_auc" -> (txtAuc _),
     "txt_profile" -> (txtProfile _),
     "txt_novelty" -> (txtNovelty _),
     "txt_dup_spans" -> (txtDupSpans _),
@@ -3124,6 +3140,33 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(n_terms, 0) AS n_terms,
         |  COALESCE(margin, 0) AS margin, COALESCE(margin, 0) > 0 AS keep
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "txt_auc" ->
+      """WITH tok AS (SELECT doc_id, u.t AS term
+        |  FROM (SELECT doc_id,
+        |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        x -> len(x) > 0) AS l
+        |    FROM documents), UNNEST(l) AS u(t)),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |ww AS (SELECT DISTINCT term,
+        |    CAST(('0x' || substring(md5('graft-w1|' || term), 1, 8)) AS BIGINT)
+        |      % 2001 - 1000 AS weight
+        |  FROM tok),
+        |agg AS (SELECT doc_id, CAST(SUM(tf * weight) AS BIGINT) AS margin
+        |  FROM tf JOIN ww USING (term) GROUP BY doc_id),
+        |sc AS (SELECT d.doc_id, COALESCE(margin, 0) AS margin,
+        |    CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM documents d LEFT JOIN agg USING (doc_id)),
+        |g AS (SELECT margin, COUNT(*) AS n, SUM(y) AS np
+        |  FROM sc GROUP BY margin),
+        |r AS (SELECT *, COALESCE(SUM(n) OVER (ORDER BY margin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM g),
+        |f AS (SELECT CAST(SUM(np) AS BIGINT) AS P,
+        |    CAST(SUM(n - np) AS BIGINT) AS N,
+        |    CAST(SUM(np * (2 * bef + n + 1)) AS BIGINT) AS sum2 FROM r)
+        |SELECT P AS n_pos, N AS n_neg,
+        |  CAST(sum2 - P * (P + 1) AS DOUBLE) / (2.0 * P * N) AS auc
+        |FROM f""".stripMargin,
     "txt_feat_hash" ->
       """WITH tok AS (SELECT doc_id, u.t AS term
         |  FROM (SELECT doc_id,

@@ -158,6 +158,42 @@ object Classifier {
                          feature: org.apache.spark.sql.Column) =
     element_at(typedlit(w.toSeq), (feature + 1).cast("int"))
 
+  /** Exact AUC (Mann-Whitney with tie-averaged ranks) of a score column
+    * against a {0,1} label — the classifier-eval primitive, shaped for
+    * scale: the corpus reduces FIRST to one row per distinct score
+    * value (count + positive count), and only that bounded relation
+    * flows through the ordered cumulative window. Callers with
+    * continuous scores quantize first (e.g. `round(prob * 1e6)`) —
+    * which bounds the window AND makes the statistic engine-exact;
+    * integer margins ([[Corpus.scoreLinear]]) need nothing.
+    *
+    * All rank arithmetic stays in exact longs (half-rank trick:
+    * `2*rank` is always integral under tie averaging); the single IEEE
+    * division at the end is reproducible bit-for-bit by the DuckDB
+    * oracle (txt_auc gate). Returns one row:
+    * `(n_pos, n_neg, auc)` — `auc` null when either class is absent. */
+  def evalAuc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val byScore = df.groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(labelCol) > lit(0.5), 1L).otherwise(0L)).as("__np"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val ranked = byScore
+      .withColumn("__before", coalesce(sum(col("__n")).over(w), lit(0L)))
+      // 2 * (average rank of this score's tie group), exactly integral
+      .withColumn("__r2", lit(2L) * col("__before") + col("__n") + lit(1L))
+    ranked.agg(
+        sum(col("__np")).as("__P"),
+        sum(col("__n") - col("__np")).as("__N"),
+        sum(col("__np") * col("__r2")).as("__sum2"))
+      .select(col("__P").as("n_pos"), col("__N").as("n_neg"),
+        when(col("__P") > 0 && col("__N") > 0,
+          (col("__sum2") - col("__P") * (col("__P") + 1))
+            .cast("double") / (lit(2.0) * col("__P") * col("__N")))
+          .as("auc"))
+  }
+
   /** Relational inference: `(id, margin, prob, keep)` from a trained
     * model — broadcast-literal weights, codegen'd arithmetic, no UDF.
     * Documents with no features score `sigmoid(intercept)`. */

@@ -75,6 +75,32 @@ class ClassifierSpec extends SparkSpec {
     assert(s.forall(p => math.abs(p - p0) < 1e-12))
   }
 
+  test("evalAuc: hand-checked tie-averaged Mann-Whitney; perfect " +
+      "separation = 1; label flip complements; degenerate classes null") {
+    // scores: pos {3, 2}, neg {2, 1} -> ranks 1,(2.5,2.5),4
+    // AUC = ((2.5 + 4) - 2*3/2) / (2*2) = 3.5/4 = 0.875
+    val df = Seq((3, 1.0), (2, 1.0), (2, 0.0), (1, 0.0))
+      .toDF("score", "label")
+    val r = Classifier.evalAuc(df, "label", "score").head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(math.abs(r.getDouble(2) - 0.875) < 1e-15)
+    // flipped labels: AUC complements
+    val fl = Classifier.evalAuc(
+      df.withColumn("label", lit(1.0) - col("label")), "label", "score")
+      .head()
+    assert(math.abs(fl.getDouble(2) - 0.125) < 1e-15)
+    // perfect separation
+    val sep = Seq((10, 1.0), (9, 1.0), (2, 0.0), (1, 0.0))
+      .toDF("score", "label")
+    assert(Classifier.evalAuc(sep, "label", "score").head().getDouble(2)
+      == 1.0)
+    // one-class input: auc null, counts still reported
+    val one = Classifier.evalAuc(
+      Seq((5, 1.0), (4, 1.0)).toDF("score", "label"), "label", "score")
+      .head()
+    assert(one.getLong(0) == 2 && one.getLong(1) == 0 && one.isNullAt(2))
+  }
+
   test("scoreTrained agrees with a hand-computed margin") {
     val df = Seq((1L, "aa aa bb"), (2L, "cc")).toDF("id", "text")
     val D = 16
