@@ -12,6 +12,21 @@ import org.apache.spark.sql.functions._
 class ClassifierSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Every operator in an executed AQE plan, unwrapping the wrapper
+    * nodes whose `children` are empty (AdaptiveSparkPlanExec, query
+    * stages) and STOPPING at InMemoryTableScan — the cached relation's
+    * own build plan ran once at cache time, not per iteration. */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      allNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: allNodes(q.plan)
+    case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      Seq(p)
+    case _ => p +: p.children.flatMap(allNodes)
+  }
+
   test("featurizeHashed: md5 buckets in range, collision counts sum, " +
       "layout-independent") {
     val df = Seq((1L, "aa bb aa cc"), (2L, "bb bb"), (3L, ""))
@@ -99,6 +114,41 @@ class ClassifierSpec extends SparkSpec {
       Seq((5, 1.0), (4, 1.0)).toDF("score", "label"), "label", "score")
       .head()
     assert(one.getLong(0) == 2 && one.getLong(1) == 0 && one.isNullAt(2))
+  }
+
+  test("plan contract: one training iteration reuses the cached doc " +
+      "partitioning — no exchange between the cache and the doc-keyed " +
+      "aggregation or the residual join-back") {
+    val docs = (1L to 500L).map(i => (i, s"w$i common tok${i % 7}", i % 2.0))
+      .toDF("id", "text", "label")
+    val feats = Classifier.featurizeHashed(docs, "id", "text", 64)
+    val tfl = feats.join(docs.select($"id", $"label"), Seq("id"))
+      .repartition(4, $"id").persist()
+    try {
+      tfl.count()
+      val w = new Array[Double](64)
+      val dots = tfl
+        .withColumn("__wx", $"tf" *
+          element_at(typedlit(w.toSeq), ($"feature" + 1).cast("int")))
+        .groupBy($"id")
+        .agg(sum($"__wx").as("__dot"), first($"label").as("__y"))
+      val grad = tfl.join(dots.select($"id", $"__dot"), Seq("id"))
+        .groupBy($"feature").agg(sum($"tf" * $"__dot").as("g"))
+      grad.collect()
+      // structural count: InMemoryTableScan is a LEAF, so a tree walk
+      // sees only exchanges ABOVE the cache — the string rendering
+      // would also count the cached relation's own build plan
+      val shuffles = allNodes(grad.queryExecution.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+          => e }
+      // exactly ONE shuffle: the D-bounded gradient reduce by feature.
+      // Zero shuffles touch the corpus-sized cached relation.
+      assert(shuffles.length == 1, s"plan had ${shuffles.length} " +
+        s"shuffles (want 1: the feature-keyed reduce):\n" +
+        grad.queryExecution.executedPlan)
+      assert(shuffles.head.toString.contains("feature"),
+        shuffles.head.toString)
+    } finally { tfl.unpersist(true); () }
   }
 
   test("scoreTrained agrees with a hand-computed margin") {
