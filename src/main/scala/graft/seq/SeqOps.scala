@@ -112,12 +112,17 @@ object SeqOps {
       case IntervalJoin.BroadcastRight =>
         val cond = (cols.chromCol === col("__sc")) &&
           IntervalJoin.overlapPredicate(cols, chunkSpec)
+        // On a join miss the chunk columns are null, and Spark's
+        // least/greatest SKIP nulls (unlike two-arg SQL comparison), so
+        // `oe - os` would silently degenerate to `end - start` for an
+        // interval entirely off the sequence store — guard on a matched
+        // chunk so unmatched intervals aggregate to null coverage.
         l.join(broadcast(ch), cond, "left")
           .groupBy(col("__sid"))
           .agg(first(struct(df.columns.map(col): _*)).as("__row"),
             sum(gcCount(slice)).as("__gc"),
             sum(nCount(slice)).as("__n"),
-            sum(oe - os).as("__covered"))
+            sum(when(col("__sc").isNotNull, oe - os)).as("__covered"))
           .select(df.columns.map(c => col(s"__row.$c")) ++
             Seq(col("__sid"), col("__gc"), col("__n"), col("__covered")): _*)
       case strat =>

@@ -55,6 +55,29 @@ class SeqOpsSpec extends SparkSpec {
       .select($"frac_gc").head.isNullAt(0))
   }
 
+  test("intervals entirely off the sequence store cover nothing: " +
+    "frac_mapped 0.0, frac_gc null (sf1 regression: broadcast-branch " +
+    "left-join miss must not count end-start as covered)") {
+    val chunks = SeqOps.readFasta(spark, fastaFile, chunkSize = 8)
+    // beyond chr1's 20 bp, plus a chrom absent from the store; both the
+    // broadcast path (tiny store => Auto resolves BroadcastRight) and an
+    // on-genome control in one relation
+    val iv = Seq(("chr1", 100L, 140L), ("chr9", 0L, 10L), ("chr1", 4L, 12L))
+      .toDF("chrom", "start", "end")
+    val fm = SeqOps.fracMapped(iv, chunks, binSize = 4)
+      .select($"chrom", $"start", $"frac_mapped").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    assert(fm(("chr1", 100L)) == Some(0.0))
+    assert(fm(("chr9", 0L)) == Some(0.0))
+    assert(fm(("chr1", 4L)).exists(v =>
+      math.abs(v.asInstanceOf[Double] - 6.0 / 8.0) < 1e-12))
+    val fg = SeqOps.fracGc(iv, chunks, binSize = 4)
+      .select($"chrom", $"start", $"frac_gc").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    assert(fg(("chr1", 100L)).isEmpty)
+    assert(fg(("chr9", 0L)).isEmpty)
+  }
+
   // the reference suite's own two-record genome (tests/test_data/test.fa
   // + test.chrom.sizes): chrTESTX "AtGcN" (5 bp), chrTEST2 "NGATCNN" (7 bp)
   private def refFastaFile: String = {
