@@ -1326,6 +1326,19 @@ object SparkEntry {
     Corpus.ngramNovelty(docs(s, dir), "doc_id", "text", n = 3)
       .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novelty"))
 
+  /** Stupid Backoff trigram LM gate: train on the deterministic 80%
+    * content-addressed split (salt "lm"), score the held-out 20%. The
+    * gate hashes the EXACT integer surface — per-doc token count and
+    * longest-matched-order histogram (n_l3/n_l2/n_l1/n_oov) — while the
+    * log-score/ppl doubles (sums of ln, not IEEE-reproducible across
+    * engines) are spec-covered in NgramLmSpec instead. Non-vacuous at
+    * sf0.001: ~100 of 500 docs land in the scored split. */
+  private def txtLmBackoff(s: SparkSession, dir: String): DataFrame =
+    graft.text.NgramLm.trainScoreSplit(docs(s, dir), "doc_id", "text",
+        n = 3, minCount = 2L, trainFraction = 0.8, salt = "lm")
+      .select(col("doc_id"), col("n_tok"), col("n_l1"), col("n_l2"),
+        col("n_l3"), col("n_oov"))
+
   /** Duplicated-span gate: every 3rd document self-concatenates, so its
     * second half is an exact within-doc repeat whose 8-token windows are
     * all removable (non-first) and merge into one long span — plus
@@ -2043,6 +2056,7 @@ object SparkEntry {
     "txt_auc" -> (txtAuc _),
     "txt_profile" -> (txtProfile _),
     "txt_novelty" -> (txtNovelty _),
+    "txt_lm_backoff" -> (txtLmBackoff _),
     "txt_dup_spans" -> (txtDupSpans _),
     "txt_c4_filter" -> (txtC4 _),
     "txt_quality_score" -> (txtQuality _),
@@ -3123,6 +3137,42 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS novelty
         |FROM sh JOIN f USING (s) GROUP BY sh.doc_id""".stripMargin,
+    "txt_lm_backoff" ->
+      """WITH tdoc AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |  WHERE CAST(('0x' || substring(md5('lm|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < 3435973836),
+        |sdoc AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |  WHERE CAST(('0x' || substring(md5('lm|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) >= 3435973836),
+        |tp AS (SELECT t[i] AS w,
+        |    CASE WHEN i >= 2 THEN t[i-1] END AS w1,
+        |    CASE WHEN i >= 3 THEN t[i-2] END AS w2
+        |  FROM tdoc, UNNEST(generate_series(1, len(t))) u(i)),
+        |uni AS (SELECT w AS g FROM tp GROUP BY 1),
+        |bi AS (SELECT w1 || ' ' || w AS g FROM tp WHERE w1 IS NOT NULL
+        |  GROUP BY 1 HAVING COUNT(*) >= 2),
+        |tri AS (SELECT w2 || ' ' || w1 || ' ' || w AS g FROM tp
+        |  WHERE w2 IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 2),
+        |sp AS (SELECT doc_id, i, t[i] AS w,
+        |    CASE WHEN i >= 2 THEN t[i-1] END AS w1,
+        |    CASE WHEN i >= 3 THEN t[i-2] END AS w2
+        |  FROM sdoc, UNNEST(generate_series(1, len(t))) u(i)),
+        |lv AS (SELECT s.doc_id,
+        |    CASE WHEN t3.g IS NOT NULL THEN 3
+        |         WHEN b2.g IS NOT NULL THEN 2
+        |         WHEN u1.g IS NOT NULL THEN 1 ELSE 0 END AS lvl
+        |  FROM sp s
+        |  LEFT JOIN tri t3 ON s.w2 IS NOT NULL AND t3.g = s.w2 || ' ' || s.w1 || ' ' || s.w
+        |  LEFT JOIN bi b2 ON s.w1 IS NOT NULL AND b2.g = s.w1 || ' ' || s.w
+        |  LEFT JOIN uni u1 ON u1.g = s.w)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |  CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1,
+        |  CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_l2,
+        |  CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_l3,
+        |  CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |FROM lv GROUP BY doc_id""".stripMargin,
     "txt_quality_score" ->
       """WITH tok AS (SELECT doc_id, u.t AS term
         |  FROM (SELECT doc_id,
