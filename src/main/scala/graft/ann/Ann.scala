@@ -679,32 +679,50 @@ object Ann {
     * `0 <= i <= j < dim` carrying `sum(q_i * q_j)`, `(i, -1, sum(q_i))`
     * first moments, and `(-1, -1, n)`.
     *
-    * Shape: one posexplode to (row, dim, q), a self equi-join on row id
-    * emitting the upper triangle (d(d+1)/2 products per row — the
-    * unavoidable cost of a Gram matrix), and a (i, j)-keyed hash
-    * aggregation that combines map-side. No window, no driver loop; the
-    * d^2-aggregate-expressions alternative stops codegenning near
-    * d ~ 30, this shape is d-independent. */
+    * Shape (r9): one codegen'd [[VecCovTerms]] projection emits every
+    * row's `d(d+1)/2` upper-triangle products plus its `d` first-moment
+    * terms as one flat array — the Gram fan-out with NO self-join, so
+    * the scan, projection, posexplode and partial aggregation sit in a
+    * single whole-stage-codegen span and the only exchange is the
+    * dimension-sized final aggregate over `T + d` positions. (The r3-r8
+    * form self-joined the exploded (row, i, q) relation on row id:
+    * correct, but it shuffled n*d rows twice and probed n*d^2/2 join
+    * pairs; measured 6.5x at the sf0.1->sf1 step, the suite's worst
+    * ratio.) Position -> (i, j) decode happens AFTER the aggregate via
+    * a broadcast of the T+d-row mapping, built with a driver loop over
+    * the dimension — taken from the first non-empty vector; ragged
+    * inputs fail loudly inside the kernel. A null vector contributes
+    * only to n (as before); a null ELEMENT now drops the whole row's
+    * product/first terms where the join form dropped just that
+    * element's (fixtures and any sane embedding column have neither). */
   def covarianceMoments(df: DataFrame, idCol: String = "vec_id",
                         vecCol: String = "embedding",
                         scale: Double = 1024.0): DataFrame = {
-    val q = df.select(col(idCol).as("__id"),
-        posexplode(col(vecCol).cast("array<double>")).as(Seq("__i", "__x")))
-      .select(col("__id"), col("__i").cast("long").as("__i"),
-        round(col("__x") * scale).cast("long").as("__q"))
-    val b = q.select(col("__id").as("__id2"), col("__i").as("__j"),
-      col("__q").as("__q2"))
-    val prods = q.join(b,
-        col("__id") === col("__id2") && col("__j") >= col("__i"))
-      .groupBy(col("__i"), col("__j"))
-      .agg(sum(col("__q") * col("__q2")).as("s"))
-      .select(col("__i").as("i"), col("__j").as("j"), col("s"))
-    val firsts = q.groupBy(col("__i"))
-      .agg(sum(col("__q")).as("s"))
-      .select(col("__i").as("i"), lit(-1L).as("j"), col("s"))
     val cnt = df.agg(count(lit(1)).as("s"))
       .select(lit(-1L).as("i"), lit(-1L).as("j"), col("s"))
-    prods.unionByName(firsts).unionByName(cnt)
+    val dimRow = df.select(size(col(vecCol)).as("__d"))
+      .filter(col("__d") > 0).limit(1).collect()
+    if (dimRow.isEmpty) return cnt
+    val dim = dimRow(0).getInt(0)
+    val t = dim * (dim + 1) / 2
+    val posPairs: Seq[(Long, Long, Long)] =
+      (for { i <- 0 until dim; j <- i until dim }
+        yield ((i * (2 * dim - i + 1) / 2 + (j - i)).toLong, i.toLong, j.toLong)) ++
+      (0 until dim).map(i => ((t + i).toLong, i.toLong, -1L))
+    val posMap = df.sparkSession.createDataFrame(posPairs)
+      .toDF("__p", "i", "j")
+    // posexplode_OUTER on purpose: the non-outer form makes Catalyst
+    // infer `size(terms) > 0 AND isnotnull(terms)` below the Generate,
+    // re-evaluating the kernel twice more per row; outer infers nothing,
+    // and its null/empty marker row (null __p) falls out of the inner
+    // broadcast join on __p.
+    val sums = df
+      .select(colOf(VecCovTerms(exprOf(col(vecCol)), dim, scale)).as("__terms"))
+      .select(posexplode_outer(col("__terms")).as(Seq("__p", "__v")))
+      .groupBy(col("__p")).agg(sum(col("__v")).as("s"))
+    sums.join(broadcast(posMap), "__p")
+      .select(col("i"), col("j"), col("s"))
+      .unionByName(cnt)
   }
 
   /** Covariance matrix + PCA basis from [[covarianceMoments]]: the

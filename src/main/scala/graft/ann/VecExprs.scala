@@ -322,6 +322,65 @@ object VecKernels {
     }
     java.lang.Long.valueOf(acc)
   }
+
+  /** All second+first-moment covariance terms of one quantized vector in
+    * a single pass: positions `[0, d(d+1)/2)` hold the upper-triangle
+    * products `q_i*q_j` (i outer 0..d-1, j inner i..d-1), positions
+    * `[T, T+d)` hold the first moments `q_i` themselves. Quantization is
+    * bit-compatible with `round(x * scale).cast("long")` — the exact
+    * Spark `Round(HALF_UP over BigDecimal.valueOf)` + non-ANSI
+    * double->long cast chain (NaN -> 0, Inf saturates) that
+    * [[graft.ann.Ann.covarianceMoments]]'s join form used, so the
+    * summed moments are engine-reproducible. A vector whose length
+    * differs from `dim` fails loudly (the pos->(i,j) decode is
+    * dim-global); a null ELEMENT nulls the whole row's terms (the join
+    * form dropped only that element's terms — acceptable divergence,
+    * documented at the caller). */
+  private def roundQ(v: Double): Long =
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v.toLong
+    else java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  def covTermsF(a: ArrayData, dim: Int, scale: Double): ArrayData = {
+    val n = a.numElements()
+    if (n != dim) throw new IllegalArgumentException(
+      s"vec_cov_terms: vector length $n != dim $dim (ragged input)")
+    val q = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      if (a.isNullAt(i)) return null
+      q(i) = roundQ(a.getFloat(i).toDouble * scale); i += 1
+    }
+    covFromQ(q)
+  }
+
+  def covTermsD(a: ArrayData, dim: Int, scale: Double): ArrayData = {
+    val n = a.numElements()
+    if (n != dim) throw new IllegalArgumentException(
+      s"vec_cov_terms: vector length $n != dim $dim (ragged input)")
+    val q = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      if (a.isNullAt(i)) return null
+      q(i) = roundQ(a.getDouble(i) * scale); i += 1
+    }
+    covFromQ(q)
+  }
+
+  private def covFromQ(q: Array[Long]): ArrayData = {
+    val d = q.length
+    val t = d * (d + 1) / 2
+    val out = new Array[Long](t + d)
+    var p = 0; var i = 0
+    while (i < d) {
+      val qi = q(i); var j = i
+      while (j < d) { out(p) = qi * q(j); p += 1; j += 1 }
+      i += 1
+    }
+    System.arraycopy(q, 0, out, t, d)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
 }
 
 /** Base for the binary vector kernels: dispatches on the two array
@@ -598,4 +657,53 @@ case class VecDotI8(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** One row's complete covariance-moment terms as `array<long>` — the
+  * join-free form of the Gram-matrix fan-out (see
+  * [[VecKernels.covTermsF]] for layout and the exact quantization
+  * contract). Emitting all `d(d+1)/2 + d` terms from one codegen'd call
+  * replaces the (id-keyed self equi-join over an exploded n*d relation)
+  * plan: no exchange of the exploded relation, no join probe of
+  * n*d^2/2 row pairs — the scan, this projection, the posexplode and
+  * the partial aggregation all sit in one whole-stage-codegen span, and
+  * the only shuffle left is the dimension-sized final aggregate. */
+case class VecCovTerms(child: Expression, dim: Int, scale: Double)
+    extends UnaryExpression {
+  require(dim >= 1 && dim <= 4096, "dim in [1, 4096]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_cov_terms"
+
+  @transient private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    if (isFloat) VecKernels.covTermsF(v.asInstanceOf[ArrayData], dim, scale)
+    else VecKernels.covTermsD(v.asInstanceOf[ArrayData], dim, scale)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isFloat) "covTermsF" else "covTermsD"
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("covTerms")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  graft.ann.VecKernels.$m($c, $dim, $scale);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

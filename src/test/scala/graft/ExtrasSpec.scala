@@ -545,6 +545,67 @@ class AnnSpec extends SparkSpec {
     assert(row.length == 3)
   }
 
+  test("covarianceMoments matches brute-force quantized moments exactly " +
+    "(r9 join-free VecCovTerms path)") {
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 20).map(i =>
+      (i.toLong, Array.fill(5)((rnd.nextGaussian() * 1.7).toFloat)))
+    val df = data.toDF("vec_id", "embedding")
+    val scale = 1024.0
+    // expected: the exact Spark round(x*scale) chain — HALF_UP over
+    // BigDecimal.valueOf of the float->double product
+    def q(x: Float): Long = java.math.BigDecimal
+      .valueOf(x.toDouble * scale)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    val qs = data.map { case (_, v) => v.map(q) }
+    val expected = scala.collection.mutable.Map[(Long, Long), Long]()
+    for (v <- qs; i <- 0 until 5) {
+      for (j <- i until 5)
+        expected((i.toLong, j.toLong)) =
+          expected.getOrElse((i.toLong, j.toLong), 0L) + v(i) * v(j)
+      expected((i.toLong, -1L)) = expected.getOrElse((i.toLong, -1L), 0L) + v(i)
+    }
+    expected((-1L, -1L)) = 20L
+    val got = Ann.covarianceMoments(df, scale = scale).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected.toMap,
+      s"moment mismatch: ${(got.toSet diff expected.toSet).take(5)}")
+  }
+
+  test("covarianceMoments contracts: empty input -> count row only; " +
+    "null vector counts in n but contributes no terms; ragged fails loudly") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    import org.apache.spark.sql.Row
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    val em = Ann.covarianceMoments(empty).collect()
+    assert(em.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      == Seq((-1L, -1L, 0L)))
+
+    val withNull = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, Seq(1.0f, 2.0f)), Row(2L, null))), schema)
+    val m = Ann.covarianceMoments(withNull).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m((-1L, -1L)) == 2L, "null vector must still count in n")
+    assert(m((0L, 0L)) == 1024L * 1024L && m((1L, -1L)) == 2048L)
+
+    val ragged = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, Seq(1.0f, 2.0f)), Row(2L, Seq(1.0f)))), schema)
+    val ex = intercept[Throwable] {
+      Ann.covarianceMoments(ragged).collect()
+    }
+    def causes(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("vec_cov_terms"))),
+      s"ragged input must fail with the kernel's message, got: $ex")
+  }
+
   test("pq: codebooks cover every subspace, identical vectors share " +
     "codes, and ADC ranks an exact clone first") {
     // four well-separated cluster prototypes in 8 dims; vectors 0..39 are

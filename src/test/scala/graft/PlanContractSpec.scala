@@ -154,6 +154,25 @@ class PlanContractSpec extends SparkSpec {
       s"interpreted higher-order expression in the hot path:\n$p")
   }
 
+  test("covarianceMoments data path is join-free and evaluates the " +
+    "cov-terms kernel exactly once (no generator-inferred re-eval)") {
+    // parquet-backed, not a local Seq: ConvertToLocalRelation would
+    // otherwise fold the projection at plan time and hide the kernel
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_covplan").toString
+    (0 until 10).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i + d).toFloat)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    val p = plan(graft.ann.Ann.covarianceMoments(spark.read.parquet(dir)))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"moment fan-out must not self-join the exploded relation:\n$p")
+    val kernelEvals = "vec_cov_terms\\(".r.findAllIn(p).size
+    assert(kernelEvals == 1,
+      s"kernel must be evaluated once per row, found $kernelEvals sites:\n$p")
+    assert(!p.toLowerCase.contains("lambdafunction"),
+      s"interpreted higher-order expression in the moment path:\n$p")
+  }
+
   test("sampleByHash is one scan-adjacent filter: no shuffle, no join, " +
     "and column pruning reaches the parquet read") {
     val dir = java.nio.file.Files
