@@ -1520,10 +1520,17 @@ object SparkEntry {
   /** Incremental corpus-profile index gate: build the index from the
     * even-id half of `documents`, append the odd-id half, read the
     * merged per-source profile. The count/moment columns are recomputed
-    * exactly by the DuckDB oracle; the two HLL-sketch estimates are held
-    * to the one-shot full-corpus profile (aux `profile_oneshot`) — HLL
-    * union is register-wise max, so the two-batch merge must equal the
-    * single-scan sketch exactly, estimates included. */
+    * exactly by the DuckDB oracle. The two HLL-sketch estimates are NOT
+    * hash-gated as exact (DataSketches HLL does not guarantee a union
+    * of partials equals a directly-built sketch — r9's red gate):
+    * instead the query emits `vocab_ok`/`docs_ok`, true iff the
+    * INCREMENTAL estimate is within 5% (or ±5 absolute) of the one-shot
+    * full-corpus estimate, while the oracle independently requires the
+    * one-shot estimate (aux `profile_oneshot`) within the same envelope
+    * of DuckDB's exact COUNT(DISTINCT) — both sides must emit `true`,
+    * so the chain exact-truth ≈ one-shot ≈ incremental is gated with a
+    * stated tolerance at every link, deterministically (no RNG: same
+    * data → same sketches → same booleans). */
   private def txtProfileIncr(s: SparkSession, dir: String): DataFrame = {
     val all = docs(s, dir)
     val base = graft.core.Scratch.dir
@@ -1533,7 +1540,18 @@ object SparkEntry {
       all.filter(col("doc_id") % 2 === 0), "source", "text", path)
     ProfileIndex.appendProfileIndex(
       all.filter(col("doc_id") % 2 =!= 0), "source", "text", path)
-    ProfileIndex.readProfile(s, path)
+    val incr = ProfileIndex.readProfile(s, path)
+    val once = ProfileIndex.profileOneShot(all, "source", "text")
+      .select(col("stratum"), col("vocab_est").as("__v1"),
+        col("docs_est").as("__d1"))
+    def within(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      abs(a.cast("double") - b.cast("double")) <=
+        greatest(lit(5.0), lit(0.05) * b.cast("double"))
+    incr.join(broadcast(once), Seq("stratum"))
+      .select(col("stratum"), col("n_docs"), col("n_chars"),
+        col("n_tokens"), col("tok_min"), col("tok_max"),
+        within(col("vocab_est"), col("__v1")).as("vocab_ok"),
+        within(col("docs_est"), col("__d1")).as("docs_ok"))
   }
 
   /** URL canonicalization fixtures — each exercises a distinct rewrite:
@@ -3812,9 +3830,13 @@ object SparkEntry {
         |   'files.bucket.s3.amazonaws.com', 'bucket.s3.amazonaws.com'),
         |  ('not a url', 'not a url', '', ''),
         |  (NULL, NULL, NULL, NULL)) t(url, canon, host, domain)""".stripMargin,
-    // count/moment columns recomputed exactly; the two HLL estimates are
-    // read from the one-shot full-corpus aux dump — the gate's claim is
-    // that a 2-batch incremental index merges to the single-scan sketch
+    // count/moment columns recomputed exactly. The HLL estimates are
+    // tolerance-gated, not hash-gated (a union of partial sketches need
+    // not equal a directly-built sketch): the engine emits vocab_ok/
+    // docs_ok = incremental-vs-one-shot within 5% (or +-5), and the
+    // oracle requires the one-shot aux estimate within the same envelope
+    // of DuckDB's EXACT distinct counts — both must come out true, so
+    // exact-truth ~ one-shot ~ incremental is held at every link
     "txt_profile_incr" ->
       """WITH ex AS (
         |  SELECT source AS stratum, COUNT(*) AS n_docs,
@@ -3825,11 +3847,27 @@ object SparkEntry {
         |            '[^a-z0-9]+'), x -> len(x) > 0)) AS BIGINT) AS nt
         |        FROM documents)
         |  GROUP BY source),
+        |tru AS (
+        |  SELECT source AS stratum,
+        |         COUNT(DISTINCT t.tok) AS vx
+        |  FROM (SELECT source,
+        |          UNNEST(list_filter(string_split_regex(lower(COALESCE(text, '')),
+        |            '[^a-z0-9]+'), x -> len(x) > 0)) AS tok
+        |        FROM documents WHERE text IS NOT NULL) t
+        |  GROUP BY source),
+        |trd AS (
+        |  SELECT source AS stratum, COUNT(DISTINCT text) AS dx
+        |  FROM documents WHERE text IS NOT NULL GROUP BY source),
         |aux AS (SELECT stratum, vocab_est, docs_est
         |        FROM '{AUX_DIR}/profile_oneshot/*.parquet')
         |SELECT ex.stratum, ex.n_docs, ex.n_chars, ex.n_tokens,
-        |       ex.tok_min, ex.tok_max, aux.vocab_est, aux.docs_est
-        |FROM ex JOIN aux USING (stratum)""".stripMargin,
+        |       ex.tok_min, ex.tok_max,
+        |       abs(CAST(aux.vocab_est AS DOUBLE) - tru.vx)
+        |         <= GREATEST(5.0, 0.05 * tru.vx) AS vocab_ok,
+        |       abs(CAST(aux.docs_est AS DOUBLE) - trd.dx)
+        |         <= GREATEST(5.0, 0.05 * trd.dx) AS docs_ok
+        |FROM ex JOIN aux USING (stratum) JOIN tru USING (stratum)
+        |JOIN trd USING (stratum)""".stripMargin,
     "vis_plot" ->
       s"""WITH $iv3Sql,
          |ev AS (SELECT chrom, start AS pos, 1 AS d FROM iv3

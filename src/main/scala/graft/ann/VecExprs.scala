@@ -269,7 +269,11 @@ object VecKernels {
     * semantic of SQL `ROUND(x/scale)` on both engines (`Math.round`
     * would round -2.5 toward +inf and silently diverge from the
     * oracle). `scale <= 0` (all-zero vector) -> all zeros; a null
-    * element nulls the whole result. NaN saturates via the clamp. */
+    * element nulls the whole result. A NaN element quantizes to 0
+    * (explicit below; previously implicit via `NaN.toByte == 0` —
+    * note DuckDB's `LEAST(127, 'NaN')` would yield 127, so a corpus
+    * with NaN embeddings must be cleaned before an oracle compare;
+    * current fixtures contain none). */
   def quantI8F(a: ArrayData, scale: Double): ArrayData = {
     val n = a.numElements()
     val out = new Array[Byte](n)
@@ -279,7 +283,7 @@ object VecKernels {
       if (scale > 0.0) {
         val v = a.getFloat(i).toDouble
         val q = math.floor(math.abs(v) / scale + 0.5)
-        val c = if (q > 127.0) 127.0 else q
+        val c = if (q.isNaN) 0.0 else if (q > 127.0) 127.0 else q
         out(i) = (if (v < 0) -c else c).toByte
       }
       i += 1
@@ -297,7 +301,7 @@ object VecKernels {
       if (scale > 0.0) {
         val v = a.getDouble(i)
         val q = math.floor(math.abs(v) / scale + 0.5)
-        val c = if (q > 127.0) 127.0 else q
+        val c = if (q.isNaN) 0.0 else if (q > 127.0) 127.0 else q
         out(i) = (if (v < 0) -c else c).toByte
       }
       i += 1

@@ -492,7 +492,11 @@ object Multimodal {
               case Some(ranges) =>
                 Iterator.range(0, ranges.length, step).flatMap { i =>
                   val (off, len) = ranges(i)
-                  if (off >= 0 && len >= 0 && off + len <= bytes.length)
+                  // overflow-safe bounds check: `off + len` could wrap for
+                  // a hostile co64 offset near Long.MaxValue and admit a
+                  // garbage slice into copyOfRange (poison must skip, not
+                  // throw)
+                  if (off >= 0 && len >= 0 && off <= bytes.length.toLong - len)
                     Iterator.single(Row(r.getLong(0), i,
                       java.util.Arrays.copyOfRange(bytes, off.toInt,
                         off.toInt + len)))

@@ -12,11 +12,18 @@ import org.apache.spark.sql.functions._
   * rescanning the corpus. Counts and extrema are trivially mergeable;
   * the distinct counts are the hard part, solved with HyperLogLog
   * sketches (Spark's native datasketches `hll_sketch_agg` /
-  * `hll_union_agg` aggregates): an HLL register array is a commutative
-  * monoid under element-wise max, so per-batch sketches persisted to
-  * parquet merge into exactly the sketch of the union — the estimate
-  * after N appends is bit-identical to a one-shot scan of everything
-  * (verified by the `txt_profile_incr` gate and ProfileIndexSpec).
+  * `hll_union_agg` aggregates): per-batch sketches persisted to
+  * parquet merge into a sketch of the union whose estimate tracks the
+  * one-shot scan within the sketch's error envelope. NOT bit-identical
+  * — DataSketches HLL does not guarantee that a union of partial
+  * sketches and a directly-built sketch agree on the estimate (sparse/
+  * dense mode transitions, and union switches the estimator from HIP
+  * to the composite estimate), and at some corpus scales they visibly
+  * diverge by a fraction of a percent. The contract is therefore:
+  * exact columns (counts/sums/extrema) merge EXACTLY; the two
+  * estimates land within a stated relative tolerance of the one-shot
+  * profile (verified by the `txt_profile_incr` gate and
+  * ProfileIndexSpec).
   *
   * Scale shape: each append aggregates only the batch (two hash
   * aggregations, both map-side combinable: one per-doc for counts and
@@ -100,8 +107,10 @@ object ProfileIndex {
   /** Merge a relation of [[profileState]] rows (any number of
     * increments) into the final per-stratum profile. Runs over
     * index-sized data only. Estimates are rounded to BIGINT (the
-    * integer part of the HLL estimator — deterministic, so it gates
-    * exactly). */
+    * integer part of the HLL estimator). Deterministic for a FIXED
+    * batching of the data, but different batchings may round-trip the
+    * sketch through different estimator modes — compare estimates
+    * across batchings with a tolerance, never for equality. */
   def mergeStates(states: DataFrame): DataFrame =
     states.groupBy(col("stratum")).agg(
       sum(col("n_docs")).as("n_docs"),
@@ -118,8 +127,9 @@ object ProfileIndex {
   def readProfile(spark: SparkSession, path: String): DataFrame =
     mergeStates(spark.read.parquet(path))
 
-  /** One-shot profile of a corpus (no persistence) — definitionally
-    * what an index built from ANY batching of the same rows merges to.
+  /** One-shot profile of a corpus (no persistence) — what an index
+    * built from ANY batching of the same rows merges to: exact columns
+    * equal, estimates within the sketch tolerance (see the class doc).
     * The `txt_profile_incr` gate holds the incremental path to this. */
   def profileOneShot(df: DataFrame, strataCol: String, textCol: String,
                      lgK: Int = 12): DataFrame =

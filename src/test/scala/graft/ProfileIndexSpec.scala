@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.text.ProfileIndex
 
 /** Incremental corpus-profile index: exact count/moment merging, HLL
-  * estimate fixed-point (incremental == one-shot), and batching
-  * invariance (any split of the corpus merges to the same profile). */
+  * estimates tracking the one-shot profile within the sketch tolerance
+  * (NOT bitwise — DataSketches HLL union of partials need not equal a
+  * directly-built sketch), and batching invariance of the exact
+  * columns under any split of the corpus. */
 class ProfileIndexSpec extends SparkSpec {
   import spark.implicits._
 
@@ -52,7 +54,7 @@ class ProfileIndexSpec extends SparkSpec {
     }
   }
 
-  test("HLL fixed point: incremental merge == one-shot, estimates sane") {
+  test("HLL tolerance: incremental merge tracks one-shot, estimates sane") {
     val p = freshPath("hll")
     ProfileIndex.writeProfileIndex(
       corpus.filter($"doc_id" % 2 === 0), "source", "text", p)
@@ -60,8 +62,9 @@ class ProfileIndexSpec extends SparkSpec {
       corpus.filter($"doc_id" % 2 =!= 0), "source", "text", p)
     val incr = ProfileIndex.readProfile(spark, p)
     val once = ProfileIndex.profileOneShot(corpus, "source", "text")
-    // register-max monoid: identical rows, estimates included
-    assert(incr.exceptAll(once).isEmpty && once.exceptAll(incr).isEmpty)
+    // exact columns identical; estimates within the sketch envelope of
+    // one-shot (union-of-partials vs direct sketch may diverge slightly)
+    assertProfilesAgree(incr, once)
 
     // estimates near truth: below the ~2^lgK coupon-promotion threshold
     // the sketch is a coupon set, but the estimator is bias-corrected,
@@ -82,7 +85,7 @@ class ProfileIndexSpec extends SparkSpec {
       .foreach { case (s, est) => near(est, dtruth(s), s"docs of $s") }
   }
 
-  test("batching invariance: 1-batch, 2-batch, 5-batch all merge equal") {
+  test("batching invariance: 2-batch and 5-batch splits agree with one-shot") {
     val one = ProfileIndex.profileOneShot(corpus, "source", "text")
     Seq(2, 5).foreach { nb =>
       val p = freshPath(s"b$nb")
@@ -91,8 +94,34 @@ class ProfileIndexSpec extends SparkSpec {
       (1 until nb).foreach(i => ProfileIndex.appendProfileIndex(
         corpus.filter($"doc_id" % nb === i), "source", "text", p))
       val merged = ProfileIndex.readProfile(spark, p)
-      assert(merged.exceptAll(one).isEmpty && one.exceptAll(merged).isEmpty,
-        s"$nb-batch split diverged")
+      assertProfilesAgree(merged, one, s"$nb-batch split")
+    }
+  }
+
+  /** Exact columns bitwise equal; estimate columns within the sketch
+    * envelope (5% relative, floor of 2 absolute) — the txt_profile_incr
+    * gate's contract. */
+  private def assertProfilesAgree(got: org.apache.spark.sql.DataFrame,
+                                  exp: org.apache.spark.sql.DataFrame,
+                                  tag: String = ""): Unit = {
+    val exactCols = Seq("stratum", "n_docs", "n_chars", "n_tokens",
+      "tok_min", "tok_max").map(col)
+    val ge = got.select(exactCols: _*)
+    val ee = exp.select(exactCols: _*)
+    assert(ge.exceptAll(ee).isEmpty && ee.exceptAll(ge).isEmpty,
+      s"$tag exact columns diverged")
+    val g = got.select($"stratum", $"vocab_est", $"docs_est")
+      .as[(String, Long, Long)].collect()
+      .map { case (s, v, d) => s -> (v, d) }.toMap
+    val e = exp.select($"stratum", $"vocab_est", $"docs_est")
+      .as[(String, Long, Long)].collect()
+      .map { case (s, v, d) => s -> (v, d) }.toMap
+    assert(g.keySet == e.keySet, s"$tag strata diverged")
+    def near(a: Long, b: Long, what: String): Unit =
+      assert(math.abs(a - b) <= math.max(2L, (b * 0.05).toLong),
+        s"$tag $what: got=$a expected~$b")
+    g.foreach { case (s, (v, d)) =>
+      near(v, e(s)._1, s"vocab of $s"); near(d, e(s)._2, s"docs of $s")
     }
   }
 

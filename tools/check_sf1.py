@@ -185,8 +185,12 @@ def main():
     oracles = json.load(open(f"{out}/oracle_sql.json"))
 
     def is_ok(e):
-        return e.get("hash_match") or str(e.get("err") or "").startswith(
-            "rows-only")
+        # rows-only entries must still show output (rows_match is set to
+        # spark_rows > 0 for them in compare()) — an unoracled query that
+        # regresses to 0 rows must NOT read as green
+        return e.get("hash_match") or (
+            str(e.get("err") or "").startswith("rows-only")
+            and e.get("rows_match"))
 
     def save():
         with open(artifact, "w") as f:
