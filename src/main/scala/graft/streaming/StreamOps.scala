@@ -222,72 +222,119 @@ object StreamOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val s = batch.sparkSession
-        batch.persist()
-        if (!batch.isEmpty) {
-          // Exact-dup prefilter (opt-in via bloomIndexPath): the batch is
-          // probed against the persisted bloom index over the corpus's
-          // exact text, so rows that are byte-identical to an
-          // already-ingested doc are dropped AT THE DOOR — handed to
-          // `onExactDups`, excluded from the store, the minhash probe,
-          // and both index appends — and only the bloom-positive rows
-          // (true exact dups + ~fpp of the novel rows) ever pay the
-          // exact verify join inside Bloom.probeNew. Within-batch exact
-          // dups are NOT caught here by design: they surface as
-          // jaccard-1.0 pairs through the minhash probe's batch
-          // self-join, same as before.
-          val fresh: Dataset[org.apache.spark.sql.Row] =
-            if (bloomIndexPath == null) batch
-            else {
-              val bloomIdx = s.read.parquet(bloomIndexPath)
-              val corpusKeys = s.read.parquet(s"$docStorePath/batch=*")
-                .select(textCol)
-              val f = graft.dedup.Bloom.probeNew(bloomIdx, corpusKeys,
-                batch.toDF(), col(textCol), bloomBuckets).persist()
-              val dups = batch.join(f.select(idCol), Seq(idCol), "left_anti")
-              onExactDups(dups, batchId)
-              f
-            }
-          // replay-idempotent store write: foreachBatch re-delivers a
-          // batch after a failure with the SAME batchId, and a plain
-          // append would duplicate its rows — overwrite of a
-          // batch-addressed subdirectory makes the replay a no-op.
-          // (Index replay is also safe: duplicated band keys only create
-          // duplicate candidates, and the probe's distinct() absorbs
-          // them — exact-once output, at-least-once key rows. A replayed
-          // bloom append only re-sets bits that are already set.)
-          fresh.select(idCol, textCol).write.mode("overwrite")
-            .parquet(s"$docStorePath/batch=$batchId")
-          val universe = s.read.parquet(s"$docStorePath/batch=*")
-          // onPairs consumes the pairs synchronously, so the probe's two
-          // internal cache barriers can be released before the batch
-          // ends — without this every micro-batch leaked two permanent
-          // CacheManager entries into a long-running ingest stream.
-          val (pairs, release) = graft.dedup.Dedup
-            .incrementalMinhashPairsWithRelease(
-              fresh.toDF(), universe, indexTable, idCol, textCol,
-              n, numHashes, bands, threshold)
-          try onPairs(pairs, batchId) finally release()
-          graft.dedup.Dedup.appendMinhashIndex(fresh.toDF(), idCol, textCol,
-            indexTable, n, numHashes, bands, numBuckets)
-          // live corpus statistics over the novel rows; a replayed batch
-          // re-appends its stratum rows, but the store overwrite above is
-          // the durability anchor — rebuild the profile from the store if
-          // a replay is suspected (counts are the only non-idempotent
-          // part; the HLL sketches are replay-proof by construction)
-          if (profileIndexPath != null)
-            graft.text.ProfileIndex.appendProfileIndex(fresh.toDF(),
-              profileStrataCol, textCol, profileIndexPath)
-          if (bloomIndexPath != null) {
-            graft.dedup.Bloom.appendIndex(fresh.toDF(), col(textCol),
-              bloomIndexPath, bloomBuckets, bloomExpectedItems, bloomFpp)
-            fresh.unpersist()
-            ()
-          }
-        }
-        batch.unpersist()
-        ()
+        ingestDedupBatch(batch.toDF(), batchId, indexTable, docStorePath,
+          onPairs, idCol, textCol, n, numHashes, bands, threshold,
+          numBuckets, bloomIndexPath, onExactDups, bloomExpectedItems,
+          bloomFpp, bloomBuckets, profileIndexPath, profileStrataCol)
     }
+
+  /** The store subdirectories a batch's bloom prefilter may verify
+    * against: every `batch=*` child EXCEPT the current batch's own. The
+    * exclusion is the replay-correctness linchpin — a foreachBatch
+    * re-delivery arrives AFTER its own store write may have completed,
+    * and probing against that directory would classify every row as an
+    * exact dup of itself, so the replay-idempotent overwrite below would
+    * then replace the batch's store dir with an EMPTY relation (silent
+    * data loss; r9 VERDICT item 2). */
+  private def priorStoreDirs(s: org.apache.spark.sql.SparkSession,
+                             docStorePath: String,
+                             batchId: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(docStorePath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filterNot(_.getPath.getName == s"batch=$batchId")
+      .map(_.getPath.toString)
+  }
+
+  /** One micro-batch of [[streamingIngestDedup]], exposed so the replay
+    * contract is directly testable (call it twice with the same
+    * `batchId` — the second call must be a no-op for the store and the
+    * profile, and re-emit the same pairs). See [[streamingIngestDedup]]
+    * for the semantics of each step. */
+  def ingestDedupBatch(batchDf: DataFrame, batchId: Long,
+      indexTable: String, docStorePath: String,
+      onPairs: (DataFrame, Long) => Unit,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, numHashes: Int = 48, bands: Int = 16,
+      threshold: Double = 0.5, numBuckets: Int = 32,
+      bloomIndexPath: String = null,
+      onExactDups: (DataFrame, Long) => Unit = (_, _) => (),
+      bloomExpectedItems: Long = 10000000L, bloomFpp: Double = 0.01,
+      bloomBuckets: Int = 64,
+      profileIndexPath: String = null,
+      profileStrataCol: String = "source"): Unit = {
+    val s = batchDf.sparkSession
+    val batch = batchDf.persist()
+    if (!batch.isEmpty) {
+      // Exact-dup prefilter (opt-in via bloomIndexPath): the batch is
+      // probed against the persisted bloom index over the corpus's
+      // exact text, so rows that are byte-identical to an
+      // already-ingested doc are dropped AT THE DOOR — handed to
+      // `onExactDups`, excluded from the store, the minhash probe,
+      // and both index appends — and only the bloom-positive rows
+      // (true exact dups + ~fpp of the novel rows) ever pay the
+      // exact verify join inside Bloom.probeNew. Within-batch exact
+      // dups are NOT caught here by design: they surface as
+      // jaccard-1.0 pairs through the minhash probe's batch
+      // self-join, same as before. The verify universe EXCLUDES this
+      // batch's own store directory (priorStoreDirs) — a replayed
+      // batch must not dedup against its own earlier write.
+      val fresh: DataFrame =
+        if (bloomIndexPath == null) batch
+        else {
+          val bloomIdx = s.read.parquet(bloomIndexPath)
+          val prior = priorStoreDirs(s, docStorePath, batchId)
+          val corpusKeys =
+            if (prior.isEmpty) batch.select(textCol).limit(0)
+            else s.read.parquet(prior: _*).select(textCol)
+          val f = graft.dedup.Bloom.probeNew(bloomIdx, corpusKeys,
+            batch, col(textCol), bloomBuckets).persist()
+          val dups = batch.join(f.select(idCol), Seq(idCol), "left_anti")
+          onExactDups(dups, batchId)
+          f
+        }
+      // replay-idempotent store write: foreachBatch re-delivers a
+      // batch after a failure with the SAME batchId, and a plain
+      // append would duplicate its rows — overwrite of a
+      // batch-addressed subdirectory makes the replay a no-op.
+      // (Minhash-index replay is at-least-once on KEY rows but
+      // exactly-once on OUTPUT: duplicated band keys only create
+      // duplicate candidates and the probe's distinct() absorbs them.
+      // A replayed bloom append only re-sets bits that are already
+      // set. The profile write below is batch-addressed overwrite,
+      // so replay replaces rather than doubles its stratum rows.)
+      fresh.select(idCol, textCol).write.mode("overwrite")
+        .parquet(s"$docStorePath/batch=$batchId")
+      val universe = s.read.parquet(s"$docStorePath/batch=*")
+      // onPairs consumes the pairs synchronously, so the probe's two
+      // internal cache barriers can be released before the batch
+      // ends — without this every micro-batch leaked two permanent
+      // CacheManager entries into a long-running ingest stream.
+      val (pairs, release) = graft.dedup.Dedup
+        .incrementalMinhashPairsWithRelease(
+          fresh, universe, indexTable, idCol, textCol,
+          n, numHashes, bands, threshold)
+      try onPairs(pairs, batchId) finally release()
+      graft.dedup.Dedup.appendMinhashIndex(fresh, idCol, textCol,
+        indexTable, n, numHashes, bands, numBuckets)
+      // live corpus statistics over the novel rows — batch-addressed
+      // overwrite, so a re-delivered batch replaces its own stratum
+      // rows instead of appending a second copy
+      if (profileIndexPath != null)
+        graft.text.ProfileIndex.writeProfileBatch(fresh,
+          profileStrataCol, textCol, profileIndexPath, batchId)
+      if (bloomIndexPath != null) {
+        graft.dedup.Bloom.appendIndex(fresh, col(textCol),
+          bloomIndexPath, bloomBuckets, bloomExpectedItems, bloomFpp)
+        fresh.unpersist()
+        ()
+      }
+    }
+    batch.unpersist()
+    ()
+  }
 
   /** Streaming embedding ingest into a persisted quantized IVF index
     * ([[graft.ann.Ann.writeIvfIndex]] created it; centroids are FROZEN
@@ -310,14 +357,37 @@ object StreamOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     embs.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          graft.ann.Ann.appendIvfIndex(batch.toDF(), cents, indexTable,
-            numBuckets, idCol, vecCol)
-          if (compactEvery > 0 && compactPathFor != null &&
-              batchId > 0 && batchId % compactEvery == 0)
-            graft.ann.Ann.compactIvfIndex(batch.sparkSession, indexTable,
-              compactPathFor(batchId), numBuckets)
-        }
-        ()
+        ingestAnnBatch(batch.toDF(), batchId, cents, indexTable,
+          compactPathFor, compactEvery, numBuckets, idCol, vecCol)
     }
+
+  /** One micro-batch of [[streamingIngestAnn]], exposed for direct
+    * invocation and replay testing. Compaction is replay-idempotent: if
+    * the batch's compaction target path is ALREADY the table's current
+    * location (the prior delivery committed the compaction but the
+    * checkpoint didn't advance), the compaction is skipped instead of
+    * tripping `compactIvfIndex`'s same-path guard and wedging the stream
+    * on every retry. */
+  def ingestAnnBatch(batchDf: DataFrame, batchId: Long,
+      cents: Array[(Int, Array[Double])], indexTable: String,
+      compactPathFor: Long => String = null, compactEvery: Int = 0,
+      numBuckets: Int = 32, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    if (!batchDf.isEmpty) {
+      graft.ann.Ann.appendIvfIndex(batchDf, cents, indexTable,
+        numBuckets, idCol, vecCol)
+      if (compactEvery > 0 && compactPathFor != null &&
+          batchId > 0 && batchId % compactEvery == 0) {
+        val s = batchDf.sparkSession
+        val target = compactPathFor(batchId)
+        val current = s.sessionState.catalog
+          .getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(indexTable))
+          .location
+        if (new java.net.URI(target).getPath != current.getPath)
+          graft.ann.Ann.compactIvfIndex(s, indexTable, target, numBuckets)
+      }
+    }
+    ()
+  }
 }

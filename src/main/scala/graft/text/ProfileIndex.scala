@@ -98,11 +98,25 @@ object ProfileIndex {
 
   /** Append one ingest batch's state to an existing index. Parquet
     * APPEND of stratum-count rows — the corpus itself is read once,
-    * here, and never again. */
+    * here, and never again. NOT replay-idempotent: a re-delivered batch
+    * re-appends its stratum rows. Streaming callers should use
+    * [[writeProfileBatch]] instead. */
   def appendProfileIndex(df: DataFrame, strataCol: String, textCol: String,
                          path: String, lgK: Int = 12): Unit =
     profileState(df, strataCol, textCol, lgK)
       .coalesce(1).write.mode("append").parquet(path)
+
+  /** Replay-idempotent batch append: the batch's stratum rows land in a
+    * batch-addressed subdirectory (`path/batch=<id>`) with OVERWRITE, so
+    * a foreachBatch re-delivery REPLACES the rows instead of doubling
+    * them — the same durability posture as the ingest doc store. Don't
+    * mix with the flat [[appendProfileIndex]] layout in one index
+    * (partition discovery rejects mixed flat/partitioned dirs);
+    * [[readProfile]] reads either layout. */
+  def writeProfileBatch(df: DataFrame, strataCol: String, textCol: String,
+                        path: String, batchId: Long, lgK: Int = 12): Unit =
+    profileState(df, strataCol, textCol, lgK)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/batch=$batchId")
 
   /** Merge a relation of [[profileState]] rows (any number of
     * increments) into the final per-stratum profile. Runs over
