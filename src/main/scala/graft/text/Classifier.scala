@@ -111,8 +111,8 @@ object Classifier {
         val p0 = 1.0 / (1.0 + math.exp(-b))
         // per-doc probability + residual over the cached partitioning
         // (no exchange: groupBy key == cache partitioning key)
-        val dots = tfl
-          .withColumn("__wx", col("tf") * weightExpr(w, col("feature")))
+        val dots = withWeight(tfl, w, "__w")
+          .withColumn("__wx", col("tf") * col("__w"))
           .groupBy(id)
           .agg(sum(col("__wx")).as("__dot"), first(col("label")).as("__y"))
           .withColumn("__p",
@@ -150,30 +150,72 @@ object Classifier {
     LinearModel(w, b, lossTrace)
   }
 
-  /** The broadcast-weights lookup as a pure Column: `element_at` over a
-    * literal array (constant-folded into the plan, shipped with the
-    * task binary — the same plan-literal posture as the Bloom probe).
-    * 1-based element_at; feature is 0-based. */
-  private def weightExpr(w: Array[Double],
-                         feature: org.apache.spark.sql.Column) =
-    element_at(typedlit(w.toSeq), (feature + 1).cast("int"))
+  /** Above this dimensionality the weight vector stops riding the plan
+    * as a literal array and becomes a broadcast join instead: a
+    * fastText-scale D (millions of buckets) embedded as a `typedlit`
+    * re-serializes megabytes of plan every iteration and bloats every
+    * task binary, while a broadcast dimension ships once per stage.
+    * 64k doubles = 512 KB of plan literal — the stated boundary, same
+    * posture as the Bloom probe cascade's blob-size threshold. */
+  val maxLiteralWeights: Int = 65536
+
+  /** Attach the model weight of each row's `feature` as column `out`.
+    * Small D: `element_at` over a literal array (constant-folded into
+    * the plan, whole-stage-codegen'd — 1-based element_at, 0-based
+    * feature). Large D (> [[maxLiteralWeights]]): broadcast-join a
+    * (feature, weight) dimension built from the NONZERO weights only
+    * (absent feature → 0.0 via the left join's coalesce), so the plan
+    * carries a broadcast reference, never the array. */
+  private def withWeight(df: DataFrame, w: Array[Double],
+                         out: String): DataFrame =
+    if (w.length <= maxLiteralWeights)
+      df.withColumn(out,
+        element_at(typedlit(w.toSeq), (col("feature") + 1).cast("int")))
+    else {
+      val s = df.sparkSession
+      import s.implicits._
+      val nz = w.iterator.zipWithIndex
+        .collect { case (v, i) if v != 0.0 => (i.toLong, v) }.toSeq
+      df.join(broadcast(nz.toDF("feature", "__nzw")), Seq("feature"), "left")
+        .withColumn(out, coalesce(col("__nzw"), lit(0.0)))
+        .drop("__nzw")
+    }
 
   /** Exact AUC (Mann-Whitney with tie-averaged ranks) of a score column
     * against a {0,1} label — the classifier-eval primitive, shaped for
     * scale: the corpus reduces FIRST to one row per distinct score
     * value (count + positive count), and only that bounded relation
-    * flows through the ordered cumulative window. Callers with
-    * continuous scores quantize first (e.g. `round(prob * 1e6)`) —
-    * which bounds the window AND makes the statistic engine-exact;
-    * integer margins ([[Corpus.scoreLinear]]) need nothing.
+    * flows through the ordered cumulative window.
+    *
+    * The window is GLOBAL and single-partition by construction, so its
+    * input cardinality (distinct scores) must be bounded — integer
+    * margins ([[Corpus.scoreLinear]]) are. A float/double score column
+    * at corpus scale has ~N distinct values and would funnel the corpus
+    * through one task, so it is REJECTED unless `quantize` supplies the
+    * bounding expression (e.g. `round(col("prob") * 1e6).cast("long")`)
+    * — enforced here in code, not prose: AUC over the quantized score
+    * is both bounded AND engine-exact.
     *
     * All rank arithmetic stays in exact longs (half-rank trick:
     * `2*rank` is always integral under tie averaging); the single IEEE
     * division at the end is reproducible bit-for-bit by the DuckDB
     * oracle (txt_auc gate). Returns one row:
     * `(n_pos, n_neg, auc)` — `auc` null when either class is absent. */
-  def evalAuc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
-    val byScore = df.groupBy(col(scoreCol).as("__s"))
+  def evalAuc(df: DataFrame, labelCol: String, scoreCol: String,
+              quantize: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
+    val scoreExpr = quantize.getOrElse {
+      val dt = df.schema(scoreCol).dataType
+      require(!dt.isInstanceOf[org.apache.spark.sql.types.FloatType] &&
+        !dt.isInstanceOf[org.apache.spark.sql.types.DoubleType],
+        s"evalAuc: score column '$scoreCol' is $dt — a continuous score " +
+        "has unbounded distinct values and the global rank window would " +
+        "funnel the corpus through one task. Pass quantize = " +
+        "Some(round(col(\"" + scoreCol + "\") * 1e6).cast(\"long\")) " +
+        "(or any bounding expression) to make the window input bounded.")
+      col(scoreCol)
+    }
+    val byScore = df.groupBy(scoreExpr.as("__s"))
       .agg(count(lit(1)).as("__n"),
         sum(when(col(labelCol) > lit(0.5), 1L).otherwise(0L)).as("__np"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
@@ -200,9 +242,8 @@ object Classifier {
   def scoreTrained(feats: DataFrame, allIds: DataFrame, idCol: String,
                    model: LinearModel, threshold: Double = 0.5): DataFrame = {
     val id = col(idCol)
-    val dots = feats
-      .withColumn("__wx",
-        col("tf").cast("double") * weightExpr(model.weights, col("feature")))
+    val dots = withWeight(feats, model.weights, "__w")
+      .withColumn("__wx", col("tf").cast("double") * col("__w"))
       .groupBy(id).agg(sum(col("__wx")).as("__dot"))
     allIds.select(id).join(dots, Seq(idCol), "left")
       .select(id,

@@ -151,6 +151,60 @@ class ClassifierSpec extends SparkSpec {
     } finally { tfl.unpersist(true); () }
   }
 
+  test("evalAuc: rejects continuous scores without quantize; quantized " +
+      "path bounds the window input and matches the pre-quantized AUC") {
+    val df = (1L to 400L)
+      .map(i => (i, 1.0 / (1.0 + math.exp(-(i % 37 - 18) / 5.0)),
+        if (i % 3 == 0) 1.0 else 0.0))
+      .toDF("id", "prob", "label")
+    // contract enforced in code: a raw double score is refused
+    val ex = intercept[IllegalArgumentException] {
+      Classifier.evalAuc(df, "label", "prob")
+    }
+    assert(ex.getMessage.contains("quantize"))
+    // quantized: identical statistic to scoring the pre-quantized column
+    val q = round($"prob" * 1e6).cast("long")
+    val got = Classifier.evalAuc(df, "label", "prob", Some(q)).head()
+    val want = Classifier.evalAuc(
+      df.withColumn("qs", q), "label", "qs").head()
+    assert(got.getLong(0) == want.getLong(0) &&
+      got.getLong(1) == want.getLong(1) &&
+      got.getDouble(2) == want.getDouble(2))
+    // window input is the distinct-quantized-score relation: bounded by
+    // construction (37 distinct margins here, never the 400 rows)
+    val nDistinct = df.select(q.as("qs")).distinct().count()
+    assert(nDistinct <= 37, s"fixture drifted: $nDistinct")
+  }
+
+  test("large-D weights ride a broadcast join, not a plan literal") {
+    val docs = Seq((1L, "aa bb cc"), (2L, "dd ee"), (3L, "aa ff"))
+      .toDF("id", "text")
+    val d = Classifier.maxLiteralWeights * 16 // 1M features
+    val feats = Classifier.featurizeHashed(docs, "id", "text", d)
+    val w = new Array[Double](d)
+    feats.select($"feature").as[Long].collect()
+      .foreach(f => w(f.toInt) = 0.5)
+    val m = Classifier.LinearModel(w, 0.1, Array())
+    val scored = Classifier.scoreTrained(feats, docs.select($"id"), "id", m)
+    val got = scored.select($"id", $"margin").as[(Long, Double)]
+      .collect().toMap
+    // margins correct through the join path: tf * 0.5 per feature row
+    assert(math.abs(got(1L) - (3 * 0.5 + 0.1)) < 1e-12)
+    assert(math.abs(got(2L) - (2 * 0.5 + 0.1)) < 1e-12)
+    scored.collect()
+    val plan = scored.queryExecution.executedPlan
+    assert(allNodes(plan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"no broadcast weights join in:\n$plan")
+    assert(!plan.toString.contains("element_at"),
+      "plan still embeds the literal-array lookup at large D")
+    // and training at large D goes through the same path without
+    // plan-literal blowup (one cheap iteration)
+    val labels = docs.select($"id", lit(1.0).as("label"))
+    val model = Classifier.trainLogReg(feats, labels, "id", d, iters = 1)
+    assert(model.weights.length == d)
+  }
+
   test("scoreTrained agrees with a hand-computed margin") {
     val df = Seq((1L, "aa aa bb"), (2L, "cc")).toDF("id", "text")
     val D = 16
