@@ -1749,6 +1749,26 @@ object SparkEntry {
         col("rank").cast("long").as("rank"), col("dist"))
   }
 
+  /** IVF-shortlisted ADC gate: PQ distances over ONLY the probed
+    * inverted lists' members — the composition that replaces the
+    * exhaustive ADC scan at corpus scale. Same books/codes as
+    * emb_pq_topk and the same coarse quantizer/probe lists as
+    * emb_ivf_topk (kCentroids=8, nProbe=2, reusing the ivf_assign/
+    * ivf_probes aux dumps), so the oracle replays candidate admission
+    * (probe ∘ assignment), the exact-long ADC arithmetic, and the
+    * ranking end to end — and any drift between the engine's fused
+    * assignCentroid projection and the dumped min_by assignment
+    * hash-fails. */
+  private def embPqIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val books = pqBooks(s, dir)
+    val cents = Ann.ivfCentroids(emb, 8)
+    Ann.pqIvfTopK(Ann.pqIvfEncode(emb, books, cents), books,
+      emb.filter(col("vec_id") % 100 === 0), cents, k = 5, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("dist"))
+  }
+
   /** Natural duplicate edges for the components gate: exact-duplicate
     * star edges (each doc in a same-md5 group linked to the group's min
     * id). One hash shuffle — deliberately NOT the minhash pipeline, which
@@ -2104,6 +2124,7 @@ object SparkEntry {
     "emb_ann_lsh" -> (embAnnLsh _),
     "emb_ivf_topk" -> (embIvfTopk _),
     "emb_pq_topk" -> (embPqTopk _),
+    "emb_pq_ivf" -> (embPqIvf _),
     "emb_cosine_dedup" -> (embCosineDedup _),
     "emb_semdedup" -> (embSemDedup _),
     "emb_lsh_cap" -> (embLshCap _),
@@ -3594,6 +3615,41 @@ object SparkEntry {
         |d AS (SELECT t.query_id, c.vec_id AS neighbor_id,
         |    CAST(SUM(t.pd) AS BIGINT) AS dist
         |  FROM cd c JOIN t ON t.sub = c.sub AND t.cid = c.code
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, dist FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY dist ASC, neighbor_id ASC) AS rn
+        |  FROM d WHERE query_id <> neighbor_id) z
+        |WHERE rn <= 5""".stripMargin,
+    // candidates admitted by probe-list ∘ assignment (the dumped IVF
+    // aux), distances replayed with the identical exact-long ADC
+    // arithmetic as emb_pq_topk — the shortlist composition end to end
+    "emb_pq_ivf" ->
+      """WITH bk AS (SELECT sub, cid, cv
+        |  FROM read_parquet('{AUX_DIR}/pq_books/*.parquet')),
+        |cd AS (SELECT vec_id, sub, code
+        |  FROM read_parquet('{AUX_DIR}/pq_codes/*.parquet')),
+        |asg AS (SELECT vec_id, centroid_id
+        |  FROM read_parquet('{AUX_DIR}/ivf_assign/*.parquet')),
+        |pr AS (SELECT query_id, centroid_id
+        |  FROM read_parquet('{AUX_DIR}/ivf_probes/*.parquet')),
+        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM pr p JOIN asg a USING (centroid_id)),
+        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |t AS (SELECT query_id, sub, cid,
+        |    CAST(SUM((CAST(round(qv[sub * 8 + u.i] * 1024) AS BIGINT)
+        |              - CAST(round(cv[u.i] * 1024) AS BIGINT))
+        |           * (CAST(round(qv[sub * 8 + u.i] * 1024) AS BIGINT)
+        |              - CAST(round(cv[u.i] * 1024) AS BIGINT))) AS BIGINT) AS pd
+        |  FROM q, bk, UNNEST(generate_series(1, 8)) AS u(i)
+        |  GROUP BY 1, 2, 3),
+        |d AS (SELECT t.query_id, c.vec_id AS neighbor_id,
+        |    CAST(SUM(t.pd) AS BIGINT) AS dist
+        |  FROM cd c
+        |  JOIN cand ON cand.neighbor_id = c.vec_id
+        |  JOIN t ON t.query_id = cand.query_id
+        |        AND t.sub = c.sub AND t.cid = c.code
         |  GROUP BY 1, 2)
         |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, dist FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

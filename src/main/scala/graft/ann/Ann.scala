@@ -894,17 +894,22 @@ object Ann {
     * each map task pre-prunes to k rows per query before the exchange,
     * so no query ever funnels the corpus through one partition. The
     * query set is small by contract (same as [[lshTopK]]). */
-  def pqAdcTopK(codes: DataFrame, books: Array[(Int, Int, Array[Double])],
-                queries: DataFrame, k: Int,
-                idCol: String = "vec_id", vecCol: String = "embedding",
-                scale: Double = 1024.0): DataFrame = {
-    val spark = codes.sparkSession
+  /** Per-query ADC lookup table: `(query_id, __tsub, __tcid, __pd)` —
+    * the quantized partial squared distance from each query's subvector
+    * to every codebook centroid, exact in longs (both coordinates
+    * rounded to `scale` units before the subtraction). m*k rows per
+    * query — broadcast-sized by the small-query-set contract. */
+  private def adcTable(queries: DataFrame,
+                       books: Array[(Int, Int, Array[Double])],
+                       idCol: String, vecCol: String,
+                       scale: Double): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
     val sd = books.head._3.length
     val b = books.toSeq.toDF("__tsub", "__tcid", "__cv")
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("__qv"))
-    val table = q.crossJoin(broadcast(b))
+    queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .crossJoin(broadcast(b))
       .withColumn("__qs", slice(col("__qv"), col("__tsub") * sd + 1, lit(sd)))
       .select(col("query_id"), col("__tsub"), col("__tcid"),
         posexplode(arrays_zip(col("__qs"), col("__cv")))
@@ -914,11 +919,87 @@ object Ann {
           round(col("__pair").getField("__cv") * scale).cast("long")).as("__dq"))
       .groupBy(col("query_id"), col("__tsub"), col("__tcid"))
       .agg(sum(col("__dq") * col("__dq")).as("__pd"))
+  }
+
+  def pqAdcTopK(codes: DataFrame, books: Array[(Int, Int, Array[Double])],
+                queries: DataFrame, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                scale: Double = 1024.0): DataFrame = {
+    val table = adcTable(queries, books, idCol, vecCol, scale)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id").asc)
     codes.select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
       .join(broadcast(table),
         col("sub") === col("__tsub") && col("code") === col("__tcid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__pd")).as("dist"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("dist"))
+  }
+
+  /** PQ codes WITH their inverted-list assignment:
+    * `(vec_id, centroid_id, sub, code)` — the relation
+    * [[pqIvfTopK]] scans. The coarse assignment rides the encode pass
+    * as a shuffle-free [[assignCentroid]] projection (same argmin tie
+    * rule as [[ivfAssign]], constant per vector so `first` under the
+    * encode's own (vector, subspace) aggregation), so indexing costs
+    * exactly the encode exchange — no second corpus pass or join. At
+    * rest, persist bucketed by `centroid_id` (the [[writeIvfIndex]]
+    * layout) and probes scan hash-clustered list files. */
+  def pqIvfEncode(corpus: DataFrame, books: Array[(Int, Int, Array[Double])],
+                  cents: Array[(Int, Array[Double])],
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sd = books.head._3.length
+    val b = broadcast(books.toSeq.toDF("sub", "__cid", "__cv"))
+    corpus.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__asg", assignCentroid(cents, col("__v")))
+      .crossJoin(b)
+      .withColumn("__d",
+        sqDist(slice(col("__v"), col("sub") * sd + 1, lit(sd)), col("__cv")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(first(col("__asg")).as("centroid_id"),
+        min_by(col("__cid"), struct(col("__d"), col("__cid"))).as("code"))
+      .select(col("vec_id"), col("centroid_id"), col("sub"), col("code"))
+  }
+
+  /** IVF-shortlisted ADC top-k — the composition that retires the
+    * exhaustive [[pqAdcTopK]] scan at corpus scale: candidates come
+    * from the query's `nProbe` probed inverted lists (coarse pruning,
+    * the [[ivfTopKIndexed]] half), distances from the m-lookup ADC
+    * tables (the PQ half), so the scan touches `nProbe/k_centroids` of
+    * the code relation instead of all of it and per-candidate cost
+    * stays m integer lookups.
+    *
+    * Plan shape: the indexed-code scan broadcast-joins the probe list
+    * (prunes to probed-list members — with a `centroid_id`-bucketed
+    * layout the files themselves prune), broadcast-joins the ADC
+    * table, and partially aggregates the m partial distances map-side;
+    * the only exchange carries candidate `(query, neighbor)` sums, and
+    * the `row_number <= k` ranking plans as a WindowGroupLimit that
+    * pre-prunes to k per query before it. Same exact-long distance as
+    * [[pqAdcTopK]]: identical ranks wherever the shortlist contains
+    * the exhaustive winner. */
+  def pqIvfTopK(indexedCodes: DataFrame,
+                books: Array[(Int, Int, Array[Double])],
+                queries: DataFrame, cents: Array[(Int, Array[Double])],
+                k: Int, nProbe: Int = 4,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                scale: Double = 1024.0): DataFrame = {
+    val probes = ivfProbes(queries, cents, nProbe, idCol, vecCol)
+    val table = adcTable(queries, books, idCol, vecCol, scale)
+      .withColumnRenamed("__tsub", "sub").withColumnRenamed("__tcid", "code")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    indexedCodes.select(col("vec_id").as("neighbor_id"),
+        col("centroid_id"), col("sub"), col("code"))
+      .join(broadcast(probes), Seq("centroid_id"))
+      .join(broadcast(table), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("__pd")).as("dist"))
       .filter(col("query_id") =!= col("neighbor_id"))

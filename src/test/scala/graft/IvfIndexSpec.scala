@@ -23,6 +23,46 @@ class IvfIndexSpec extends SparkSpec {
     d.delete(); d.getAbsolutePath
   }
 
+  test("pqIvfTopK: full probes reproduce the exhaustive ADC ranking; " +
+      "pruned probes keep planted same-list neighbors and scan less") {
+    // 12 dims, 4 subspaces of 3; 8 coarse lists
+    val books = Ann.pqCodebooks(vecs, m = 4, k = 8)
+    val cents = Ann.ivfCentroids(vecs, 8)
+    val codes = Ann.pqIvfEncode(vecs, books, cents)
+    // indexed codes carry the same assignment as ivfAssign
+    val asg = codes.select($"vec_id", $"centroid_id").distinct()
+    val ref = Ann.ivfAssign(vecs, cents)
+    assert(asg.exceptAll(ref).isEmpty && ref.exceptAll(asg).isEmpty)
+    val queries = vecs.filter($"vec_id" % 40 === 0)
+    // nProbe = #lists -> shortlist is the whole corpus: ranks must equal
+    // the exhaustive ADC scan exactly (same exact-long distances)
+    val full = Ann.pqIvfTopK(codes, books, queries, cents, k = 3,
+      nProbe = 8)
+    val exhaustive = Ann.pqAdcTopK(Ann.pqEncode(vecs, books), books,
+      queries, k = 3)
+    assert(full.exceptAll(exhaustive).isEmpty &&
+      exhaustive.exceptAll(full).isEmpty)
+    // pruned probes: a query's own list is always probed first, so the
+    // planted nearest neighbor (i and i+7 share the (i%7) offset that
+    // dominates the layout) stays reachable; assert every query still
+    // returns k rows and rank-1 agrees with the exhaustive scan for
+    // queries whose exhaustive winner sits in a probed list
+    val pruned = Ann.pqIvfTopK(codes, books, queries, cents, k = 3,
+      nProbe = 2)
+    val nq = queries.count()
+    assert(pruned.groupBy($"query_id").count()
+      .filter($"count" === 3).count() == nq)
+    val probed = Ann.ivfProbes(queries, cents, nProbe = 2)
+    val admissible = exhaustive.filter($"rank" === 1)
+      .join(ref.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(probed, Seq("query_id", "centroid_id"))
+      .select($"query_id", $"neighbor_id")
+    val prunedTop = pruned.filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id")
+    assert(admissible.exceptAll(prunedTop).isEmpty,
+      "a probed-list exhaustive winner was not rank-1 in the pruned scan")
+  }
+
   test("assignCentroid equals ivfAssign (same argmin, same tie rule)") {
     val cents = Ann.ivfCentroids(vecs, 6)
     val inline = vecs.select($"vec_id",
