@@ -2272,18 +2272,28 @@ object SparkEntry {
       s"""WITH $iv2Sql, $iv3Sql
          |SELECT a.id AS id_1, b.id AS id_2
          |FROM iv3 a RIGHT JOIN iv2 b ON a.chrom = b.chrom AND ${ovl("a", "b")}""".stripMargin,
+    // banded like the iv_closest family (see the comment there); the
+    // self-join band widths come from iv3's own density
     "iv_closest_self" ->
       s"""WITH $iv3Sql,
-         |cand AS (
+         |stx AS (SELECT chrom,
+         |    GREATEST(CAST(CEIL(2600.0 * 120 / COUNT(*)) AS BIGINT), 4) AS w
+         |  FROM iv3 GROUP BY chrom),
+         |cand AS MATERIALIZED (
          |  SELECT a.id AS id_1, b.id AS id_2,
          |    GREATEST(a.start - b."end", b.start - a."end", 0) AS dist,
          |    CASE WHEN ${ovl("a", "b")} THEN 0
          |         ELSE GREATEST(a.start - b."end", b.start - a."end", 0) + 1 END AS sortdist
-         |  FROM iv3 a JOIN iv3 b ON a.chrom = b.chrom AND a.id <> b.id),
+         |  FROM iv3 a JOIN stx s ON a.chrom = s.chrom
+         |  JOIN iv3 b ON a.chrom = b.chrom AND a.id <> b.id
+         |    AND b."end" >= a.start - s.w AND b.start <= a."end" + s.w),
          |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1
-         |    ORDER BY sortdist, id_2) AS rn FROM cand)
+         |    ORDER BY sortdist, id_2) AS rn FROM cand),
+         |cert AS (SELECT (SELECT COUNT(*) FROM iv3) = COUNT(*) AS ok FROM
+         |  (SELECT id_1 FROM cand GROUP BY id_1 HAVING COUNT(*) >= 1) z)
          |SELECT a.id AS id_1, r.id_2, r.dist AS distance
-         |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 1""".stripMargin,
+         |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 1
+         |WHERE (SELECT ok FROM cert)""".stripMargin,
     "iv_overlap_left_pts" ->
       s"""WITH $iv1Sql, $iv2Sql, $iv2pSql
          |SELECT a.id AS id_1, b.id AS id_2
@@ -2356,20 +2366,41 @@ object SparkEntry {
          |SELECT depth, n_bases,
          |  CAST(n_bases AS DOUBLE) / CAST(gb AS DOUBLE) AS fraction
          |FROM hz, g""".stripMargin,
+    // banded nearest-midpoint search (the closest-family treatment —
+    // see iv_closest's comment): a banded MIN equals the true MIN
+    // whenever >= 1 candidate lands in band, and the two cert counts
+    // prove exactly the rows that SHOULD have an up/down neighbor
+    // (a.m inside the chrom's [minm, maxm]) found one — else the
+    // result empties loudly. Retires the r9 sf1 oracle OOM.
     "iv_reldist" ->
       s"""WITH $iv1Sql, $iv2Sql,
          |am AS (SELECT id, chrom, (start + "end") // 2 AS m FROM iv2),
          |bm AS (SELECT chrom, (start + "end") // 2 AS m FROM iv1),
-         |up AS (SELECT a.id, MIN(a.m - b.m) AS dup FROM am a JOIN bm b
-         |  ON a.chrom = b.chrom AND b.m <= a.m GROUP BY a.id),
-         |down AS (SELECT a.id, MIN(b.m - a.m) AS ddown FROM am a JOIN bm b
-         |  ON a.chrom = b.chrom AND b.m >= a.m GROUP BY a.id)
+         |stx AS (SELECT chrom, MIN(m) AS minm, MAX(m) AS maxm,
+         |    GREATEST(CAST(CEIL(2600.0 * 120 / COUNT(*)) AS BIGINT), 4) AS w
+         |  FROM bm GROUP BY chrom),
+         |up AS (SELECT a.id, MIN(a.m - b.m) AS dup
+         |  FROM am a JOIN stx s ON a.chrom = s.chrom
+         |  JOIN bm b ON a.chrom = b.chrom
+         |    AND b.m <= a.m AND b.m >= a.m - s.w
+         |  GROUP BY a.id),
+         |down AS (SELECT a.id, MIN(b.m - a.m) AS ddown
+         |  FROM am a JOIN stx s ON a.chrom = s.chrom
+         |  JOIN bm b ON a.chrom = b.chrom
+         |    AND b.m >= a.m AND b.m <= a.m + s.w
+         |  GROUP BY a.id),
+         |cert AS (SELECT
+         |  (SELECT COUNT(*) FROM up) = (SELECT COUNT(*) FROM am a
+         |     JOIN stx s ON a.chrom = s.chrom AND a.m >= s.minm)
+         |  AND (SELECT COUNT(*) FROM down) = (SELECT COUNT(*) FROM am a
+         |     JOIN stx s ON a.chrom = s.chrom AND a.m <= s.maxm) AS ok)
          |SELECT up.id, CAST(dup AS BIGINT) AS d_upstream,
          |  CAST(ddown AS BIGINT) AS d_downstream,
          |  CASE WHEN dup + ddown = 0 THEN 0.0
          |       ELSE CAST(LEAST(dup, ddown) AS DOUBLE) /
          |            CAST(dup + ddown AS DOUBLE) END AS reldist
-         |FROM up JOIN down USING (id)""".stripMargin,
+         |FROM up JOIN down USING (id)
+         |WHERE (SELECT ok FROM cert)""".stripMargin,
     "iv_jaccard" ->
       s"""WITH $iv1Sql, $iv2Sql, $mergedIv1Sql,
          |${TestTables.mergedSql("iv2", "m2")},
@@ -2598,66 +2629,126 @@ object SparkEntry {
          |SELECT chrom, pos AS start,
          |  LEAD(pos) OVER (PARTITION BY chrom ORDER BY pos) AS "end"
          |FROM cuts QUALIFY "end" IS NOT NULL""".stripMargin,
+    // BANDED closest oracles (all six + iv_reldist): the naive form
+    // enumerates the full per-chrom cross product under a ROW_NUMBER
+    // window — ~2.8e10 pairs at sf1, >60 GB of DuckDB temp, infeasible.
+    // The band b.end >= a.start - w AND b.start <= a.end + w admits
+    // EXACTLY the candidates with distance <= w (and every promoted-
+    // point overlap), and every excluded candidate has distance > w, so
+    // banded top-k equals true top-k whenever a left row has >= k
+    // banded candidates. `w` adapts to the b-side density per chrom
+    // (~120 expected candidates per axis unit of band), and the `cert`
+    // CTE PROVES sufficiency per run: if any left row has fewer than k
+    // banded candidates the whole result is emptied — a loud rowcount
+    // failure, never a silently-wrong compare.
     "iv_closest" ->
       s"""WITH $iv2Sql, $iv3Sql,
-         |cand AS (
+         |stx AS (SELECT chrom,
+         |    GREATEST(CAST(CEIL(2600.0 * 120 / COUNT(*)) AS BIGINT), 4) AS w
+         |  FROM iv2 GROUP BY chrom),
+         |cand AS MATERIALIZED (
          |  SELECT a.id AS id_1, b.id AS id_2,
          |    GREATEST(a.start - b."end", b.start - a."end", 0) AS dist,
          |    CASE WHEN ${ovl("a", "b")} THEN 0
          |         ELSE GREATEST(a.start - b."end", b.start - a."end", 0) + 1 END AS sortdist
-         |  FROM iv3 a JOIN iv2 b ON a.chrom = b.chrom),
+         |  FROM iv3 a JOIN stx s ON a.chrom = s.chrom
+         |  JOIN iv2 b ON a.chrom = b.chrom
+         |    AND b."end" >= a.start - s.w AND b.start <= a."end" + s.w),
          |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1
-         |    ORDER BY sortdist, id_2) AS rn FROM cand)
+         |    ORDER BY sortdist, id_2) AS rn FROM cand),
+         |cert AS (SELECT (SELECT COUNT(*) FROM iv3) = COUNT(*) AS ok FROM
+         |  (SELECT id_1 FROM cand GROUP BY id_1 HAVING COUNT(*) >= 1) z)
          |SELECT a.id AS id_1, r.id_2, r.dist AS distance
-         |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 1""".stripMargin,
+         |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 1
+         |WHERE (SELECT ok FROM cert)""".stripMargin,
     "iv_closest_tie" ->
       s"""WITH $iv2Sql, $iv3Sql,
-         |cand AS (
+         |stx AS (SELECT chrom,
+         |    GREATEST(CAST(CEIL(2600.0 * 120 / COUNT(*)) AS BIGINT), 4) AS w
+         |  FROM iv2 GROUP BY chrom),
+         |cand AS MATERIALIZED (
          |  SELECT a.id AS id_1, b.id AS id_2,
          |    GREATEST(a.start - b."end", b.start - a."end", 0) AS dist,
          |    CASE WHEN ${ovl("a", "b")} THEN 0
          |         ELSE GREATEST(a.start - b."end", b.start - a."end", 0) + 1 END AS sortdist
-         |  FROM iv3 a JOIN iv2 b ON a.chrom = b.chrom),
+         |  FROM iv3 a JOIN stx s ON a.chrom = s.chrom
+         |  JOIN iv2 b ON a.chrom = b.chrom
+         |    AND b."end" >= a.start - s.w AND b.start <= a."end" + s.w),
          |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1
-         |    ORDER BY sortdist, id_2 DESC) AS rn FROM cand)
+         |    ORDER BY sortdist, id_2 DESC) AS rn FROM cand),
+         |cert AS (SELECT (SELECT COUNT(*) FROM iv3) = COUNT(*) AS ok FROM
+         |  (SELECT id_1 FROM cand GROUP BY id_1 HAVING COUNT(*) >= 1) z)
          |SELECT a.id AS id_1, r.id_2, r.dist AS distance
-         |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 1""".stripMargin,
+         |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 1
+         |WHERE (SELECT ok FROM cert)""".stripMargin,
     "iv_closest_k3" ->
       s"""WITH $iv2Sql, $iv3Sql,
-         |cand AS (
+         |stx AS (SELECT chrom,
+         |    GREATEST(CAST(CEIL(2600.0 * 120 / COUNT(*)) AS BIGINT), 4) AS w
+         |  FROM iv2 GROUP BY chrom),
+         |cand AS MATERIALIZED (
          |  SELECT a.id AS id_1, b.id AS id_2,
          |    GREATEST(a.start - b."end", b.start - a."end", 0) AS dist,
          |    CASE WHEN ${ovl("a", "b")} THEN 0
          |         ELSE GREATEST(a.start - b."end", b.start - a."end", 0) + 1 END AS sortdist
-         |  FROM iv3 a JOIN iv2 b ON a.chrom = b.chrom),
+         |  FROM iv3 a JOIN stx s ON a.chrom = s.chrom
+         |  JOIN iv2 b ON a.chrom = b.chrom
+         |    AND b."end" >= a.start - s.w AND b.start <= a."end" + s.w),
          |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1
-         |    ORDER BY sortdist, id_2) AS rn FROM cand)
+         |    ORDER BY sortdist, id_2) AS rn FROM cand),
+         |cert AS (SELECT (SELECT COUNT(*) FROM iv3) = COUNT(*) AS ok FROM
+         |  (SELECT id_1 FROM cand GROUP BY id_1 HAVING COUNT(*) >= 3) z)
          |SELECT a.id AS id_1, r.id_2, r.dist AS distance
-         |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 3""".stripMargin,
+         |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 3
+         |WHERE (SELECT ok FROM cert)""".stripMargin,
     "iv_closest_upstream" ->
       s"""WITH $iv2Sql, $iv3Sql,
-         |cand AS (
+         |stx AS (SELECT chrom,
+         |    GREATEST(CAST(CEIL(2600.0 * 120 / COUNT(*)) AS BIGINT), 4) AS w
+         |  FROM iv2 GROUP BY chrom),
+         |cand AS MATERIALIZED (
          |  SELECT a.id AS id_1, b.id AS id_2,
          |    GREATEST(a.start - b."end", b.start - a."end", 0) AS dist,
          |    CASE WHEN ${ovl("a", "b")} THEN 0
          |         ELSE GREATEST(a.start - b."end", b.start - a."end", 0) + 1 END AS sortdist
-         |  FROM iv3 a JOIN iv2 b ON a.chrom = b.chrom
+         |  FROM iv3 a JOIN stx s ON a.chrom = s.chrom
+         |  JOIN iv2 b ON a.chrom = b.chrom
+         |    AND b."end" >= a.start - s.w AND b.start <= a."end" + s.w
          |  WHERE (${ovl("a", "b")}) OR b."end" <= a.start),
          |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1
-         |    ORDER BY sortdist, id_2) AS rn FROM cand)
+         |    ORDER BY sortdist, id_2) AS rn FROM cand),
+         |cert AS (SELECT NOT EXISTS (
+         |  -- a left row absent from cand is legitimate ONLY when no
+         |  -- upstream candidate exists at all (chrom's min end beyond
+         |  -- its start; an overlap would have been admitted) — absent
+         |  -- with one beyond the band = under-coverage, fail loudly
+         |  SELECT 1 FROM iv3 a
+         |  JOIN (SELECT chrom, MIN("end") AS mine FROM iv2 GROUP BY chrom)
+         |    me ON a.chrom = me.chrom
+         |  WHERE me.mine <= a.start
+         |    AND a.id NOT IN (SELECT id_1 FROM cand)) AS ok)
          |SELECT a.id AS id_1, r.id_2, r.dist AS distance
-         |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 1""".stripMargin,
+         |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 1
+         |WHERE (SELECT ok FROM cert)""".stripMargin,
     "iv_closest_ignore" ->
       s"""WITH $iv2Sql, $iv3Sql,
-         |cand AS (
+         |stx AS (SELECT chrom,
+         |    GREATEST(CAST(CEIL(2600.0 * 120 / COUNT(*)) AS BIGINT), 4) AS w
+         |  FROM iv2 GROUP BY chrom),
+         |cand AS MATERIALIZED (
          |  SELECT a.id AS id_1, b.id AS id_2,
          |    GREATEST(a.start - b."end", b.start - a."end", 0) AS dist
-         |  FROM iv3 a JOIN iv2 b ON a.chrom = b.chrom
+         |  FROM iv3 a JOIN stx s ON a.chrom = s.chrom
+         |  JOIN iv2 b ON a.chrom = b.chrom
+         |    AND b."end" >= a.start - s.w AND b.start <= a."end" + s.w
          |  WHERE b."end" <= a.start OR b.start >= a."end"),
          |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1
-         |    ORDER BY dist, id_2) AS rn FROM cand)
+         |    ORDER BY dist, id_2) AS rn FROM cand),
+         |cert AS (SELECT (SELECT COUNT(*) FROM iv3) = COUNT(*) AS ok FROM
+         |  (SELECT id_1 FROM cand GROUP BY id_1 HAVING COUNT(*) >= 1) z)
          |SELECT a.id AS id_1, r.id_2, r.dist AS distance
-         |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 1""".stripMargin,
+         |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 1
+         |WHERE (SELECT ok FROM cert)""".stripMargin,
     "iv_subtract" ->
       s"""WITH $iv1Sql, $iv2Sql, $mergedIv1Sql,
          |mm AS (

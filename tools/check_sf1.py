@@ -30,17 +30,14 @@ out = args[1] if len(args) > 1 else "/tmp/verify_sf1"
 artifact = args[2] if len(args) > 2 else "/tmp/CORRECTNESS_SF1.json"
 repo = "/root/repo"
 
-# Oracles that cannot run at sf1: the closest-family SQL enumerates the
-# full per-chrom cross product (~2.8e10 pairs at sf1) under a ROW_NUMBER
-# window, which DuckDB must materialize (observed: >60 GB of temp before
-# disk exhaustion). These queries stay hash-gated at sf0.01/sf0.1 by the
-# driver gate; at sf1 they get an explicit rows-only record.
-INFEASIBLE = {
-    "iv_closest", "iv_closest_ignore", "iv_closest_k3", "iv_closest_tie",
-    "iv_closest_upstream", "iv_closest_self",
-}
-INFEASIBLE_NOTE = ("rows-only (oracle enumerates the per-chrom cross "
-                   "product under a window — infeasible at sf1; "
+# Oracles that cannot run at sf1 get an explicit rows-only record.
+# The closest family + iv_reldist left this set in r10: their oracles
+# are now BANDED (candidates within a density-adaptive distance
+# envelope, with an in-query certification that empties the result
+# loudly if the band ever under-covers) instead of enumerating the
+# ~2.8e10-pair per-chrom cross product under a window.
+INFEASIBLE = set()
+INFEASIBLE_NOTE = ("rows-only (oracle infeasible at sf1; "
                    "hash-gated at sf0.01 by the driver gate)")
 
 # The pair-family queries whose outputs are ~(rows_iv1 x density) — at
