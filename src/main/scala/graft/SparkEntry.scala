@@ -2277,7 +2277,7 @@ object SparkEntry {
     "iv_closest_self" ->
       s"""WITH $iv3Sql,
          |stx AS (SELECT chrom,
-         |    GREATEST(CAST(CEIL(2600.0 * 120 / COUNT(*)) AS BIGINT), 4) AS w
+         |    GREATEST(CAST(CEIL((MAX("end") - MIN(start)) * 120.0 / COUNT(*)) AS BIGINT), 4) AS w
          |  FROM iv3 GROUP BY chrom),
          |cand AS MATERIALIZED (
          |  SELECT a.id AS id_1, b.id AS id_2,
@@ -2377,7 +2377,7 @@ object SparkEntry {
          |am AS (SELECT id, chrom, (start + "end") // 2 AS m FROM iv2),
          |bm AS (SELECT chrom, (start + "end") // 2 AS m FROM iv1),
          |stx AS (SELECT chrom, MIN(m) AS minm, MAX(m) AS maxm,
-         |    GREATEST(CAST(CEIL(2600.0 * 120 / COUNT(*)) AS BIGINT), 4) AS w
+         |    GREATEST(CAST(CEIL((MAX(m) - MIN(m)) * 120.0 / COUNT(*)) AS BIGINT), 4) AS w
          |  FROM bm GROUP BY chrom),
          |up AS (SELECT a.id, MIN(a.m - b.m) AS dup
          |  FROM am a JOIN stx s ON a.chrom = s.chrom
@@ -2644,7 +2644,7 @@ object SparkEntry {
     "iv_closest" ->
       s"""WITH $iv2Sql, $iv3Sql,
          |stx AS (SELECT chrom,
-         |    GREATEST(CAST(CEIL(2600.0 * 120 / COUNT(*)) AS BIGINT), 4) AS w
+         |    GREATEST(CAST(CEIL((MAX("end") - MIN(start)) * 120.0 / COUNT(*)) AS BIGINT), 4) AS w
          |  FROM iv2 GROUP BY chrom),
          |cand AS MATERIALIZED (
          |  SELECT a.id AS id_1, b.id AS id_2,
@@ -2664,7 +2664,7 @@ object SparkEntry {
     "iv_closest_tie" ->
       s"""WITH $iv2Sql, $iv3Sql,
          |stx AS (SELECT chrom,
-         |    GREATEST(CAST(CEIL(2600.0 * 120 / COUNT(*)) AS BIGINT), 4) AS w
+         |    GREATEST(CAST(CEIL((MAX("end") - MIN(start)) * 120.0 / COUNT(*)) AS BIGINT), 4) AS w
          |  FROM iv2 GROUP BY chrom),
          |cand AS MATERIALIZED (
          |  SELECT a.id AS id_1, b.id AS id_2,
@@ -2684,7 +2684,7 @@ object SparkEntry {
     "iv_closest_k3" ->
       s"""WITH $iv2Sql, $iv3Sql,
          |stx AS (SELECT chrom,
-         |    GREATEST(CAST(CEIL(2600.0 * 120 / COUNT(*)) AS BIGINT), 4) AS w
+         |    GREATEST(CAST(CEIL((MAX("end") - MIN(start)) * 120.0 / COUNT(*)) AS BIGINT), 4) AS w
          |  FROM iv2 GROUP BY chrom),
          |cand AS MATERIALIZED (
          |  SELECT a.id AS id_1, b.id AS id_2,
@@ -2704,7 +2704,7 @@ object SparkEntry {
     "iv_closest_upstream" ->
       s"""WITH $iv2Sql, $iv3Sql,
          |stx AS (SELECT chrom,
-         |    GREATEST(CAST(CEIL(2600.0 * 120 / COUNT(*)) AS BIGINT), 4) AS w
+         |    GREATEST(CAST(CEIL((MAX("end") - MIN(start)) * 120.0 / COUNT(*)) AS BIGINT), 4) AS w
          |  FROM iv2 GROUP BY chrom),
          |cand AS MATERIALIZED (
          |  SELECT a.id AS id_1, b.id AS id_2,
@@ -2733,7 +2733,7 @@ object SparkEntry {
     "iv_closest_ignore" ->
       s"""WITH $iv2Sql, $iv3Sql,
          |stx AS (SELECT chrom,
-         |    GREATEST(CAST(CEIL(2600.0 * 120 / COUNT(*)) AS BIGINT), 4) AS w
+         |    GREATEST(CAST(CEIL((MAX("end") - MIN(start)) * 120.0 / COUNT(*)) AS BIGINT), 4) AS w
          |  FROM iv2 GROUP BY chrom),
          |cand AS MATERIALIZED (
          |  SELECT a.id AS id_1, b.id AS id_2,
