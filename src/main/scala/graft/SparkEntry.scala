@@ -1769,6 +1769,84 @@ object SparkEntry {
         col("rank").cast("long").as("rank"), col("dist"))
   }
 
+  /** Build one WARC record (version line, CRLF headers, blank line,
+    * Content-Length bytes of block, CRLF CRLF). */
+  private def warcRecord(tpe: String, uri: String, date: String,
+                         ctype: String, body: Array[Byte]): Array[Byte] = {
+    val h = new StringBuilder
+    h ++= "WARC/1.0\r\n"
+    h ++= s"WARC-Type: $tpe\r\n"
+    if (uri != null) h ++= s"WARC-Target-URI: $uri\r\n"
+    h ++= s"WARC-Date: $date\r\n"
+    h ++= s"WARC-Record-ID: <urn:uuid:$tpe-${Option(uri).getOrElse("info")}>\r\n"
+    h ++= s"Content-Type: $ctype\r\n"
+    h ++= s"Content-Length: ${body.length}\r\n\r\n"
+    h.toString.getBytes("UTF-8") ++ body ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  /** WARC/WET source gate: two planted archive files — one plain, one
+    * gzip — holding warcinfo/response/conversion records with multi-
+    * byte UTF-8, an embedded newline, and an empty block; `readWet`
+    * must surface exactly the conversion records with byte-exact
+    * Content-Length slicing and UTF-8 decoding (the oracle re-derives
+    * char counts and md5 from the same literal texts — the
+    * txt_url_canon fixture pattern). The gzip file exercises the
+    * multi-member-capable codec path. */
+  private def ioWarc(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.core.Scratch.dir
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val d = new java.io.File(s"$base/warcfix"); d.mkdirs()
+    val textA = "hello warc world\nsecond line"
+    val textC = "café déjà vu\ncrlf line"
+    val textE = "gzip member text"
+    def b(s0: String) = s0.getBytes("UTF-8")
+    val plain =
+      warcRecord("warcinfo", null, "2026-01-01T00:00:00Z",
+        "application/warc-fields", b("software: graft\r\n")) ++
+      warcRecord("conversion", "http://a.example/page", "2026-01-01T00:00:01Z",
+        "text/plain", b(textA)) ++
+      warcRecord("response", "http://b.example/raw", "2026-01-01T00:00:02Z",
+        "application/http", b("HTTP/1.1 200 OK\r\n\r\nbody")) ++
+      warcRecord("conversion", "http://c.example/caf%C3%A9",
+        "2026-01-01T00:00:03Z", "text/plain", b(textC)) ++
+      warcRecord("conversion", "http://d.example/empty",
+        "2026-01-01T00:00:04Z", "text/plain", Array.emptyByteArray)
+    val gzBody =
+      warcRecord("warcinfo", null, "2026-01-02T00:00:00Z",
+        "application/warc-fields", b("software: graft\r\n")) ++
+      warcRecord("conversion", "http://e.example/zipped",
+        "2026-01-02T00:00:01Z", "text/plain", b(textE))
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(gzBody); gz.close()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/warcfix/fix.wet"), plain)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/warcfix/fix.wet.gz"), bos.toByteArray)
+    graft.io.Warc.readWet(s, s"$base/warcfix/*")
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+        col("record_index").cast("long").as("record_index"),
+        col("target_uri"), col("warc_date"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text").cast("binary")).as("text_md5"))
+  }
+
+  /** BM25 top-k retrieval gate: every 250th document's first 6 tokens
+    * form a query; the full corpus is indexed and searched. Scores are
+    * engine-exact BIGINTs (micro-unit idf × nano-unit tf-normalization,
+    * summed in integers — see [[graft.text.Bm25]]), so the oracle
+    * replays postings, document frequencies, the quantized arithmetic,
+    * and the ranking bit-for-bit. */
+  private def txtBm25(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val q = d.filter(col("doc_id") % 250 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TextOps.tokens(col("text")), 1, 6), " ").as("text"))
+    graft.text.Bm25.topK(d, q, k = 10)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
+
   /** Natural duplicate edges for the components gate: exact-duplicate
     * star edges (each doc in a same-md5 group linked to the group's min
     * id). One hash shuffle — deliberately NOT the minhash pipeline, which
@@ -2092,6 +2170,8 @@ object SparkEntry {
     "txt_vocab" -> (txtVocab _),
     "txt_feat_hash" -> (txtFeatHash _),
     "txt_auc" -> (txtAuc _),
+    "txt_bm25" -> (txtBm25 _),
+    "io_warc" -> (ioWarc _),
     "txt_profile" -> (txtProfile _),
     "txt_novelty" -> (txtNovelty _),
     "txt_lm_backoff" -> (txtLmBackoff _),
@@ -3977,6 +4057,56 @@ object SparkEntry {
         |   'files.bucket.s3.amazonaws.com', 'bucket.s3.amazonaws.com'),
         |  ('not a url', 'not a url', '', ''),
         |  (NULL, NULL, NULL, NULL)) t(url, canon, host, domain)""".stripMargin,
+    // hand-derived expected rows from the same literal texts the query
+    // plants (char counts + md5 recomputed by DuckDB from the literals)
+    "io_warc" ->
+      """SELECT file, record_index, target_uri, warc_date,
+        |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_md5
+        |FROM (VALUES
+        |  ('fix.wet', 1, 'http://a.example/page', '2026-01-01T00:00:01Z',
+        |   'hello warc world' || chr(10) || 'second line'),
+        |  ('fix.wet', 3, 'http://c.example/caf%C3%A9', '2026-01-01T00:00:03Z',
+        |   'café déjà vu' || chr(10) || 'crlf line'),
+        |  ('fix.wet', 4, 'http://d.example/empty', '2026-01-01T00:00:04Z',
+        |   ''),
+        |  ('fix.wet.gz', 1, 'http://e.example/zipped', '2026-01-02T00:00:01Z',
+        |   'gzip member text'))
+        |  v(file, record_index, target_uri, warc_date, t)""".stripMargin,
+    // full BM25 replay: postings, document frequencies, the quantized
+    // micro-idf / nano-tfn arithmetic (identical literals and operand
+    // order as Bm25.scala), exact integer score sum, ranking
+    "txt_bm25" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(COALESCE(text, '')),
+        |      '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        |post AS (SELECT doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, UNNEST(toks) AS term FROM d) t
+        |  GROUP BY doc_id, t.term),
+        |cn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM post GROUP BY term),
+        |idf AS (SELECT term, CAST(round(ln(1.0 +
+        |    (CAST((SELECT n FROM cn) AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |    / (CAST(df AS DOUBLE) + 0.5)) * 1e6) AS BIGINT) AS idf_u
+        |  FROM dfq),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, UNNEST(toks[1:6]) AS term
+        |  FROM d WHERE doc_id % 250 = 0),
+        |sc AS (SELECT qt.query_id, post.doc_id,
+        |    CAST(SUM(idf.idf_u * CAST(round(CAST(post.tf AS DOUBLE) * 2.2
+        |      / (CAST(post.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |         (CAST(dl.dl AS DOUBLE) / cn.avgdl))) * 1e9) AS BIGINT))
+        |      AS BIGINT) AS score
+        |  FROM post JOIN qt USING (term) JOIN idf USING (term)
+        |  JOIN dl USING (doc_id), cn
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, CAST(rn AS BIGINT) AS rank, score FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rn FROM sc) z
+        |WHERE rn <= 10""".stripMargin,
     // count/moment columns recomputed exactly. The HLL estimates are
     // tolerance-gated, not hash-gated (a union of partial sketches need
     // not equal a directly-built sketch): the engine emits vocab_ok/

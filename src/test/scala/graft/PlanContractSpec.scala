@@ -2,7 +2,7 @@ package graft
 
 import graft.core.ColSpec
 import graft.ops.{Closest, Extras, IntervalJoin, Ops}
-import graft.text.Corpus
+import graft.text.{Bm25, Corpus}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -222,5 +222,67 @@ class PlanContractSpec extends SparkSpec {
     // ivA's chr1 rows [1,5) and [4,9) both overlap [2,8); ids read as
     // the bed4 string name column
     assert(rowsOf(q) == Seq(Seq("1"), Seq("2")), rowsOf(q).toString)
+  }
+
+  test("Bm25.topK: query terms broadcast against the postings scan; the " +
+    "per-query ranking pre-prunes map-side (WindowGroupLimit)") {
+    val docs = (1L to 50L)
+      .map(i => (i, s"alpha tok$i beta common")).toDF("doc_id", "text")
+    val q = Seq((1L, "alpha tok7")).toDF("query_id", "text")
+    val df = Bm25.topK(docs, q, k = 3)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"query terms not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"ranking lacks map-side top-k pre-prune:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("pqIvfTopK: probes and ADC table broadcast; the code relation " +
+    "shuffles only for the candidate aggregation") {
+    import graft.ann.Ann
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(8)(d => (((i * 13 + d * 7) % 17) - 8) / 8.0))
+    }.toDF("vec_id", "embedding")
+    val books = Ann.pqCodebooks(vecs, m = 4, k = 4)
+    val cents = Ann.ivfCentroids(vecs, 4)
+    val codes = Ann.pqIvfEncode(vecs, books, cents)
+      .persist() // index at rest — the search plan is what we audit
+    try {
+      codes.count()
+      val df = Ann.pqIvfTopK(codes, books,
+        vecs.filter($"vec_id" % 40 === 0), cents, k = 3, nProbe = 2)
+      df.collect()
+      // audit the corpus-stream side of the SEARCH plan only: the walk
+      // stops at InMemoryTableScan (the index at rest — its one-time
+      // build plan contains pqEncode's intentional broadcast cross
+      // join) AND at BroadcastExchange (the probe/ADC-table broadcast
+      // SIDES are built from the small query set crossed with
+      // dimension-sized books/centroids — intentionally nested-loop;
+      // the contract protects the corpus-sized stream, not them)
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.executedPlan)
+        case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike =>
+          Seq(p)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          p +: nodes(q.plan)
+        case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq(p)
+        case _ => p +: p.children.flatMap(nodes)
+      }
+      val ns = nodes(df.queryExecution.executedPlan)
+      assert(ns.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+        s"probe/ADC not broadcast:\n${plan(df)}")
+      assert(!ns.exists(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+        s"cartesian/BNLJ in the search plan:\n${plan(df)}")
+      assert(ns.exists(_.nodeName.contains("WindowGroupLimit")),
+        s"no map-side top-k:\n${plan(df)}")
+    } finally { codes.unpersist(true); () }
   }
 }
