@@ -1769,6 +1769,20 @@ object SparkEntry {
         col("rank").cast("long").as("rank"), col("dist"))
   }
 
+  /** DSIR importance-weighting gate: the `doc_id % 7 = 0` slice plays
+    * the high-quality target corpus, the full `documents` table the raw
+    * crawl; every raw document gets the exact-BIGINT hashed-bigram log
+    * importance weight (micro-quantized per-bucket ratios, integer
+    * sums — [[graft.text.Dsir]]). The oracle re-derives tokenization,
+    * bigram join, md5 bucketing, add-1-smoothed counts, the quantized
+    * log ratio with identical operand order, and the sums. */
+  private def txtDsir(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.text.Dsir.importanceWeights(
+      d, d.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+      numBuckets = 1024)
+  }
+
   /** Build one WARC record (version line, CRLF headers, blank line,
     * Content-Length bytes of block, CRLF CRLF). */
   private def warcRecord(tpe: String, uri: String, date: String,
@@ -2171,6 +2185,7 @@ object SparkEntry {
     "txt_feat_hash" -> (txtFeatHash _),
     "txt_auc" -> (txtAuc _),
     "txt_bm25" -> (txtBm25 _),
+    "txt_dsir" -> (txtDsir _),
     "io_warc" -> (ioWarc _),
     "txt_profile" -> (txtProfile _),
     "txt_novelty" -> (txtNovelty _),
@@ -4057,6 +4072,44 @@ object SparkEntry {
         |   'files.bucket.s3.amazonaws.com', 'bucket.s3.amazonaws.com'),
         |  ('not a url', 'not a url', '', ''),
         |  (NULL, NULL, NULL, NULL)) t(url, canon, host, domain)""".stripMargin,
+    // full DSIR replay: unigram+bigram md5 buckets, add-1-smoothed
+    // target/raw bucket counts, micro-quantized log ratios (identical
+    // operand order as Dsir.scala), exact integer weight sums
+    "txt_dsir" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(COALESCE(text, '')),
+        |      '[^a-z0-9]+'), x -> len(x) > 0) AS l
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, u.t AS term FROM d, UNNEST(l) AS u(t)
+        |  UNION ALL
+        |  SELECT doc_id, l[u.i] || '_' || l[u.i + 1]
+        |  FROM d, UNNEST(generate_series(1, len(l) - 1)) AS u(i)),
+        |f AS (SELECT doc_id,
+        |    CAST(('0x' || substring(md5('graft-dsir|' || term), 1, 8))
+        |      AS BIGINT) % 1024 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM g GROUP BY doc_id, bucket),
+        |ctt AS (SELECT bucket, CAST(SUM(n) AS BIGINT) AS c
+        |  FROM f WHERE doc_id % 7 = 0 GROUP BY bucket),
+        |crr AS (SELECT bucket, CAST(SUM(n) AS BIGINT) AS c
+        |  FROM f GROUP BY bucket),
+        |tt AS (SELECT CAST(COALESCE(SUM(c), 0) + 1024 AS DOUBLE) AS v
+        |  FROM ctt),
+        |tr AS (SELECT CAST(COALESCE(SUM(c), 0) + 1024 AS DOUBLE) AS v
+        |  FROM crr),
+        |lr AS (SELECT COALESCE(ctt.bucket, crr.bucket) AS bucket,
+        |    CAST(round(ln(
+        |      (CAST(COALESCE(ctt.c, 0) AS DOUBLE) + 1.0) * (SELECT v FROM tr)
+        |      / ((CAST(COALESCE(crr.c, 0) AS DOUBLE) + 1.0)
+        |         * (SELECT v FROM tt))) * 1e6) AS BIGINT) AS lr_u
+        |  FROM ctt FULL JOIN crr USING (bucket)),
+        |sc AS (SELECT f.doc_id, CAST(SUM(f.n * lr.lr_u) AS BIGINT) AS s,
+        |    CAST(SUM(f.n) AS BIGINT) AS nf
+        |  FROM f JOIN lr USING (bucket) GROUP BY f.doc_id)
+        |SELECT d0.doc_id, COALESCE(sc.s, 0) AS dsir_score,
+        |  COALESCE(sc.nf, 0) AS n_feat
+        |FROM documents d0 LEFT JOIN sc USING (doc_id)""".stripMargin,
     // hand-derived expected rows from the same literal texts the query
     // plants (char counts + md5 recomputed by DuckDB from the literals)
     "io_warc" ->
