@@ -1783,6 +1783,29 @@ object SparkEntry {
       numBuckets = 1024)
   }
 
+  /** Count-Min Sketch gate: sketch the full corpus token stream
+    * (depth 4 x width 2048 — deliberately tight so collisions REALLY
+    * occur and the min-over-rows estimate differs from truth on some
+    * probes), then point-estimate every distinct token of the
+    * `doc_id % 101 = 0` slice alongside its exact corpus count. The
+    * oracle replays cell hashing (md5 row salts), cell counts, the
+    * min-estimate, and the exact counts — and the result data itself
+    * exhibits the CMS contract (`est >= n_true`, equal wherever no
+    * collision landed). Non-vacuous at sf0.001 (~5 probe docs). */
+  private def txtCms(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sk = graft.text.Cms.buildSketch(d, "text", depth = 4, width = 2048)
+    val probes = d.filter(col("doc_id") % 101 === 0)
+      .select(explode(TextOps.tokens(col("text"))).as("term")).distinct()
+    val truth = d.select(explode(TextOps.tokens(col("text"))).as("term"))
+      .join(broadcast(probes), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("n_true"))
+    graft.text.Cms.estimate(sk, probes, "term", depth = 4, width = 2048)
+      .join(truth, Seq("term"), "left")
+      .select(col("term"), col("est"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"))
+  }
+
   /** Build one WARC record (version line, CRLF headers, blank line,
     * Content-Length bytes of block, CRLF CRLF). */
   private def warcRecord(tpe: String, uri: String, date: String,
@@ -2186,6 +2209,7 @@ object SparkEntry {
     "txt_auc" -> (txtAuc _),
     "txt_bm25" -> (txtBm25 _),
     "txt_dsir" -> (txtDsir _),
+    "txt_cms" -> (txtCms _),
     "io_warc" -> (ioWarc _),
     "txt_profile" -> (txtProfile _),
     "txt_novelty" -> (txtNovelty _),
@@ -4110,6 +4134,33 @@ object SparkEntry {
         |SELECT d0.doc_id, COALESCE(sc.s, 0) AS dsir_score,
         |  COALESCE(sc.nf, 0) AS n_feat
         |FROM documents d0 LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // CMS replay: per-row md5 cell hashing, cell counts, min-estimate,
+    // exact probe-term counts (salt 'graft-cms-<row>' matches
+    // Cms.cells; width 2048 matches the engine call)
+    "txt_cms" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(COALESCE(text, '')),
+        |      '[^a-z0-9]+'), x -> len(x) > 0) AS l
+        |  FROM documents),
+        |tok AS (SELECT u.t AS term FROM d, UNNEST(l) AS u(t)),
+        |probes AS (SELECT DISTINCT u.t AS term
+        |  FROM d, UNNEST(l) AS u(t) WHERE d.doc_id % 101 = 0),
+        |rows_ AS (SELECT UNNEST([0, 1, 2, 3]) AS i),
+        |sk AS (SELECT i, CAST(('0x' || substring(
+        |      md5('graft-cms-' || CAST(i AS VARCHAR) || '|' || term),
+        |      1, 8)) AS BIGINT) % 2048 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tok, rows_ GROUP BY 1, 2),
+        |pc AS (SELECT term, i, CAST(('0x' || substring(
+        |      md5('graft-cms-' || CAST(i AS VARCHAR) || '|' || term),
+        |      1, 8)) AS BIGINT) % 2048 AS bucket
+        |  FROM probes, rows_),
+        |est AS (SELECT pc.term, MIN(COALESCE(sk.n, 0)) AS est
+        |  FROM pc LEFT JOIN sk USING (i, bucket) GROUP BY 1),
+        |tr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_true
+        |  FROM tok WHERE term IN (SELECT term FROM probes) GROUP BY 1)
+        |SELECT est.term, est.est, COALESCE(tr.n_true, 0) AS n_true
+        |FROM est LEFT JOIN tr USING (term)""".stripMargin,
     // hand-derived expected rows from the same literal texts the query
     // plants (char counts + md5 recomputed by DuckDB from the literals)
     "io_warc" ->

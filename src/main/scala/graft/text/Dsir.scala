@@ -1,6 +1,7 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
@@ -15,8 +16,12 @@ import org.apache.spark.sql.functions._
   * the per-bucket log ratio joins back to the raw corpus's feature
   * relation as a broadcast, and the per-document weight is one more
   * map-side-combinable sum — nothing corpus-sized ever shuffles except
-  * the (doc, bucket) feature rows, once. At 100 TB: two passes over the
-  * text, both aggregations, no windows, no driver-side data.
+  * the (doc, bucket) feature rows. At 100 TB: three text passes total
+  * (target once for its bucket counts; raw once for its counts and
+  * once for scoring), all map-side-combinable aggregations, no
+  * corpus-sized windows, no driver-side actions inside the plan (the
+  * smoothing totals come from an unpartitioned window over the
+  * D-row bucket relation, not a collect).
   *
   * Engine-exactness (the txt_dsir gate): features use the md5 bucket
   * ([[Corpus.hashBucket]] — reproducible outside Spark), the per-bucket
@@ -30,20 +35,19 @@ object Dsir {
 
   /** Hashed unigram+bigram features: `(idCol, bucket, n)` — the DSIR
     * paper's hashed n-gram parameterization. Bigrams join adjacent
-    * tokens with '_'; both gram orders share one bucket space. */
+    * tokens with '_'; both gram orders share one bucket space. ONE text
+    * scan: the bigram array concatenates onto the token array before
+    * the single explode (a zero-length slice when the doc has < 2
+    * tokens), so the corpus is read once per featurize call. */
   def featurize(df: DataFrame, idCol: String, textCol: String,
                 numBuckets: Int = 4096,
                 salt: String = "graft-dsir"): DataFrame = {
     require(numBuckets > 0)
     val toks = TextOps.tokens(col(textCol))
-    val uni = df.select(col(idCol), explode(toks).as("__t"))
-    val bi = df.select(col(idCol), toks.as("__ts"))
-      .where(size(col("__ts")) >= 2)
-      .select(col(idCol), explode(
-        zip_with(slice(col("__ts"), lit(1), size(col("__ts")) - 1),
-          slice(col("__ts"), lit(2), size(col("__ts")) - 1),
-          (a, b) => concat(a, lit("_"), b))).as("__t"))
-    uni.unionByName(bi)
+    val nBi = greatest(size(toks) - 1, lit(0))
+    val bi = zip_with(slice(toks, lit(1), nBi), slice(toks, lit(2), nBi),
+      (a, b) => concat(a, lit("_"), b))
+    df.select(col(idCol), explode(concat(toks, bi)).as("__t"))
       .select(col(idCol),
         pmod(Corpus.hashBucket(col("__t"), salt), lit(numBuckets.toLong))
           .as("bucket"))
@@ -61,16 +65,25 @@ object Dsir {
       f.groupBy(col("bucket")).agg(sum(col("n")).as(out))
     val ct = counts(targetFeats, "__ct")
     val cr = counts(rawFeats, "__cr")
-    val tt = targetFeats.agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
-    val tr = rawFeats.agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
-    val ttD = (tt + numBuckets).toDouble
-    val trD = (tr + numBuckets).toDouble
+    // corpus totals derive from the joined D-row bucket relation itself
+    // (every feature lands in some bucket), via an unpartitioned window
+    // over <= numBuckets rows — no driver action, so neither featurize
+    // pass is recomputed just to read a scalar
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ct.join(cr, Seq("bucket"), "full_outer")
+      .withColumn("__tt",
+        (coalesce(sum(col("__ct")).over(all), lit(0L)) + numBuckets)
+          .cast("double"))
+      .withColumn("__tr",
+        (coalesce(sum(col("__cr")).over(all), lit(0L)) + numBuckets)
+          .cast("double"))
       .select(col("bucket"),
         round(log(
-          (coalesce(col("__ct"), lit(0L)).cast("double") + lit(1.0)) * lit(trD)
+          (coalesce(col("__ct"), lit(0L)).cast("double") + lit(1.0))
+            * col("__tr")
             / ((coalesce(col("__cr"), lit(0L)).cast("double") + lit(1.0))
-              * lit(ttD))) * lit(1e6)).cast("long").as("lr_u"))
+              * col("__tt"))) * lit(1e6)).cast("long").as("lr_u"))
   }
 
   /** DSIR importance weight per raw document:
