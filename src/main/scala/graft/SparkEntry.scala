@@ -1783,6 +1783,31 @@ object SparkEntry {
       numBuckets = 1024)
   }
 
+  /** Hybrid-retrieval gate: BM25 over `documents` text and brute-force
+    * cosine over `embeddings` (the two id spaces are aligned by fixture
+    * design), queries = the `% 250 = 0` slice on BOTH sides so the
+    * rankings share query ids, fused by exact nano-unit RRF
+    * ([[graft.text.Fusion]]). The oracle replays both rankings in full
+    * (the txt_bm25 and emb_cosine_topk oracle bodies as CTEs) plus the
+    * reciprocal-rank arithmetic — so lexical scoring, dense ranking,
+    * and fusion all gate end to end. Non-vacuous at sf0.001 (2 query
+    * docs). */
+  private def txtHybrid(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val q = d.filter(col("doc_id") % 250 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TextOps.tokens(col("text")), 1, 6), " ").as("text"))
+    val lex = graft.text.Bm25.topK(d, q, k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val emb = table(s, dir, "embeddings")
+    val dense = Ann.bruteForceTopK(emb,
+        emb.filter(col("vec_id") % 250 === 0), k = 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    graft.text.Fusion.reciprocalRankFusion(Seq(lex, dense), k = 10)
+      .select(col("query_id"), col("doc_id"), col("rrf_score"),
+        col("n_lists"), col("rank").cast("long").as("rank"))
+  }
+
   /** Count-Min Sketch gate: sketch the full corpus token stream
     * (depth 4 x width 2048 — deliberately tight so collisions REALLY
     * occur and the min-over-rows estimate differs from truth on some
@@ -2210,6 +2235,7 @@ object SparkEntry {
     "txt_bm25" -> (txtBm25 _),
     "txt_dsir" -> (txtDsir _),
     "txt_cms" -> (txtCms _),
+    "txt_hybrid" -> (txtHybrid _),
     "io_warc" -> (ioWarc _),
     "txt_profile" -> (txtProfile _),
     "txt_novelty" -> (txtNovelty _),
@@ -4134,6 +4160,61 @@ object SparkEntry {
         |SELECT d0.doc_id, COALESCE(sc.s, 0) AS dsir_score,
         |  COALESCE(sc.nf, 0) AS n_feat
         |FROM documents d0 LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // hybrid RRF replay: the txt_bm25 oracle body (lex list) + the
+    // emb_cosine_topk oracle body at the %250 query slice (dense list)
+    // + nano-unit reciprocal-rank sums and the fused ranking
+    "txt_hybrid" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(COALESCE(text, '')),
+        |      '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        |post AS (SELECT doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, UNNEST(toks) AS term FROM d) t
+        |  GROUP BY doc_id, t.term),
+        |cn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM post GROUP BY term),
+        |idf AS (SELECT term, CAST(round(ln(1.0 +
+        |    (CAST((SELECT n FROM cn) AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |    / (CAST(df AS DOUBLE) + 0.5)) * 1e6) AS BIGINT) AS idf_u
+        |  FROM dfq),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, UNNEST(toks[1:6]) AS term
+        |  FROM d WHERE doc_id % 250 = 0),
+        |sc AS (SELECT qt.query_id, post.doc_id,
+        |    CAST(SUM(idf.idf_u * CAST(round(CAST(post.tf AS DOUBLE) * 2.2
+        |      / (CAST(post.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |         (CAST(dl.dl AS DOUBLE) / cn.avgdl))) * 1e9) AS BIGINT))
+        |      AS BIGINT) AS score
+        |  FROM post JOIN qt USING (term) JOIN idf USING (term)
+        |  JOIN dl USING (doc_id), cn
+        |  GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id, rn AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rn FROM sc) z
+        |  WHERE rn <= 10),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q2 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 250 = 0),
+        |cscored AS (SELECT q2.query_id, e.vec_id AS doc_id,
+        |    list_cosine_similarity(qv, v) AS cs
+        |  FROM q2 CROSS JOIN e WHERE e.vec_id <> q2.query_id),
+        |dense AS (SELECT query_id, doc_id, rn AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cs DESC, doc_id) AS rn FROM cscored) z
+        |  WHERE rn <= 10),
+        |fused AS (SELECT query_id, doc_id,
+        |    CAST(SUM(CAST(round(1e9 / (60 + CAST(rank AS DOUBLE)))
+        |      AS BIGINT)) AS BIGINT) AS rrf_score,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lists
+        |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM dense)
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, rrf_score, n_lists,
+        |  CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_score DESC, doc_id) AS rn FROM fused) z
+        |WHERE rn <= 10""".stripMargin,
     // CMS replay: per-row md5 cell hashing, cell counts, min-estimate,
     // exact probe-term counts (salt 'graft-cms-<row>' matches
     // Cms.cells; width 2048 matches the engine call)
