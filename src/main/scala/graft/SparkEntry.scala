@@ -1783,6 +1783,21 @@ object SparkEntry {
       numBuckets = 1024)
   }
 
+  /** Fuzzy-decontamination gate: the `doc_id % 97 = 0` slice plays the
+    * benchmark, the full corpus is screened for near-duplicate leakage
+    * via MinHash banding + exact-Jaccard certification. The oracle is
+    * banding-free TRUTH — every corpus x eval shingle-Jaccard >= 0.6
+    * pair from a direct SQL replay — so the gate certifies LSH recall
+    * (any pair the bands miss hash-fails), exactly like
+    * dedup_minhash_lsh does for the self-join case. Eval docs are in
+    * the corpus, so each self-flags at 1.0: non-vacuous at sf0.001
+    * (6 eval docs). */
+  private def txtDecontamFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Corpus.decontaminateFuzzy(d, d.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 3, numHashes = 48, bands = 16, threshold = 0.6)
+  }
+
   /** Hybrid-retrieval gate: BM25 over `documents` text and brute-force
     * cosine over `embeddings` (the two id spaces are aligned by fixture
     * design), queries = the `% 250 = 0` slice on BOTH sides so the
@@ -2236,6 +2251,7 @@ object SparkEntry {
     "txt_dsir" -> (txtDsir _),
     "txt_cms" -> (txtCms _),
     "txt_hybrid" -> (txtHybrid _),
+    "txt_decontam_fuzzy" -> (txtDecontamFuzzy _),
     "io_warc" -> (ioWarc _),
     "txt_profile" -> (txtProfile _),
     "txt_novelty" -> (txtNovelty _),
@@ -4160,6 +4176,30 @@ object SparkEntry {
         |SELECT d0.doc_id, COALESCE(sc.s, 0) AS dsir_score,
         |  COALESCE(sc.nf, 0) AS n_feat
         |FROM documents d0 LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // banding-free truth: ALL corpus x eval shingle-Jaccard >= 0.6
+    // pairs by direct replay (incl. self-pairs at 1.0) — the engine's
+    // LSH candidates + exact verify must reproduce this set exactly
+    "txt_decontam_fuzzy" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_id, b.doc_id AS eval_id,
+        |    COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE b.doc_id % 97 = 0
+        |  GROUP BY 1, 2)
+        |SELECT inter.doc_id, inter.eval_id,
+        |  CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE)
+        |    AS jaccard
+        |FROM inter JOIN sizes x ON inter.doc_id = x.doc_id
+        |  JOIN sizes y ON inter.eval_id = y.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE)
+        |  >= 0.6""".stripMargin,
     // hybrid RRF replay: the txt_bm25 oracle body (lex list) + the
     // emb_cosine_topk oracle body at the %250 query slice (dense list)
     // + nano-unit reciprocal-rank sums and the fused ranking

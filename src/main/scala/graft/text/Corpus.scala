@@ -305,6 +305,57 @@ object Corpus {
         col("n_eval_docs"))
   }
 
+  /** FUZZY benchmark decontamination — the near-duplicate complement of
+    * [[decontaminate]]'s exact-gram overlap: flag corpus documents whose
+    * shingle-set Jaccard against ANY eval document reaches `threshold`,
+    * found by MinHash+LSH banding (never a corpus x eval cross product)
+    * and certified by exact Jaccard on the surviving candidates. Catches
+    * the paraphrased/reformatted benchmark leakage exact grams miss.
+    *
+    * Scale shape: the corpus side streams once through signature +
+    * banding (the [[graft.dedup.Dedup.minhashLshPairs]] kernels); the
+    * eval side is benchmark-sized, so its banded keys BROADCAST and
+    * candidate generation is a map-side hash join — the only exchanges
+    * are the two signature aggregations and the candidate verify joins,
+    * each bounded by true-candidate volume, not corpus^2. Returns
+    * `(idCol, eval_id, jaccard)` (a corpus doc present verbatim in the
+    * eval set self-flags at jaccard 1.0). */
+  def decontaminateFuzzy(corpus: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String, n: Int = 3,
+                         numHashes: Int = 48, bands: Int = 16,
+                         threshold: Double = 0.6): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    import graft.dedup.Dedup.{bandedRel, minhashSigRel, shingleRel}
+    val bandC = bandedRel(
+      minhashSigRel(corpus, idCol, textCol, n, numHashes), bands, r)
+    val bandE = bandedRel(
+        minhashSigRel(evalSet, idCol, textCol, n, numHashes), bands, r)
+      .select(col("__id").as("__eid"), col("__band"), col("__bh"))
+    val cand = bandC.join(broadcast(bandE), Seq("__band", "__bh"))
+      .select(col("__id"), col("__eid")).distinct()
+    // exact cross-relation Jaccard: composite (id, shingle) join keys,
+    // so the plan pays true intersection cost — never an id-only fanout
+    val shC = shingleRel(corpus, idCol, textCol, n)
+    val shE = shingleRel(evalSet, idCol, textCol, n)
+      .select(col("__id").as("__eid2"), col("__sh").as("__she"))
+    val nC = shC.groupBy(col("__id")).agg(count(lit(1)).as("__n1"))
+    val nE = shE.groupBy(col("__eid2")).agg(count(lit(1)).as("__n2"))
+      .withColumnRenamed("__eid2", "__eid")
+    cand
+      .join(shC, Seq("__id"))
+      .join(shE,
+        col("__eid") === col("__eid2") && col("__sh") === col("__she"))
+      .groupBy(col("__id"), col("__eid"))
+      .agg(count(lit(1)).as("__nc"))
+      .join(nC, Seq("__id")).join(nE, Seq("__eid"))
+      .withColumn("jaccard", col("__nc").cast("double") /
+        (col("__n1") + col("__n2") - col("__nc")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__id").as(idCol), col("__eid").as("eval_id"),
+        col("jaccard"))
+  }
+
   /** Per-document top-`k` salient terms — the keyword-extraction shape of
     * TF-IDF. Returns `(idCol, term, tf, df_docs, tfidf, rank)`: term
     * frequency in the doc, document frequency across the corpus, the
