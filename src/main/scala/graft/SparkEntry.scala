@@ -1783,6 +1783,89 @@ object SparkEntry {
       numBuckets = 1024)
   }
 
+  /** BPE training gate: 12 merges learned from the full `documents`
+    * token stream. The oracle is a GENERATED 12-iteration CTE chain
+    * ([[bpeTrainOracle]]) that replays pair counting, the
+    * `(count DESC, left, right)` argmax, and the greedy merge fold per
+    * iteration — sequential dependence expressed as chained CTEs, so
+    * every learned merge and its count gate exactly. */
+  private def txtBpe(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.train(docs(s, dir), "text", numMerges = 12)
+
+  /** Fixed merge list for the apply gate — arbitrary but ordered (later
+    * merges consume earlier outputs: `th` + `e</w>` exists only after
+    * merges 1-2), exercising order sensitivity. */
+  private val bpeFixedMerges = Seq(
+    ("e", "</w>", "e</w>"), ("t", "h", "th"), ("th", "e</w>", "the</w>"),
+    ("a", "n", "an"), ("i", "n", "in"), ("o", "n", "on"))
+
+  /** BPE application gate: tokenize the corpus with the fixed ordered
+    * merge list and count every emitted subword. Applies on the
+    * distinct-word vocabulary and joins back to occurrences (the
+    * engine's scale path); the oracle replays the same folds per
+    * vocabulary word and weights by word count. */
+  private def txtBpeApply(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.applyMerges(docs(s, dir), "doc_id", "text",
+        bpeFixedMerges)
+      .groupBy(col("subword")).agg(count(lit(1)).as("n"))
+
+  /** The merge-fold CTE body shared by the two BPE oracles: apply merge
+    * `(s1, s2) -> m` (columns of `mm`) to `syms` greedily. */
+  private val bpeFoldSql =
+    """string_split(list_reduce(syms, (acc, s) -> CASE
+      |    WHEN (acc = mm.s1 OR ends_with(acc, chr(31) || mm.s1)) AND s = mm.s2
+      |    THEN CASE WHEN acc = mm.s1 THEN mm.m
+      |         ELSE left(acc, len(acc) - len(mm.s1)) || mm.m END
+      |    ELSE acc || chr(31) || s END), chr(31))""".stripMargin
+
+  private val bpeWs0Sql =
+    """WITH d AS (SELECT list_filter(string_split_regex(lower(
+      |    COALESCE(text, '')), '[^a-z0-9]+'), x -> len(x) > 0) AS l
+      |  FROM documents),
+      |ws0 AS (SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS n,
+      |    list_append(list_transform(range(1, len(t) + 1),
+      |      i -> substring(t, CAST(i AS INT), 1)), '</w>') AS syms
+      |  FROM (SELECT u.t AS t FROM d, UNNEST(l) AS u(t)) tk
+      |  GROUP BY 1)""".stripMargin
+
+  /** Generated k-iteration BPE training replay: per iteration a pair
+    * count, a 1-row argmax with the engine's exact tiebreak, and (for
+    * all but the last) the merge fold producing the next vocabulary. */
+  private def bpeTrainOracle(k: Int): String = {
+    val sb = new StringBuilder(bpeWs0Sql)
+    for (i <- 1 to k) {
+      sb ++= s""",
+p$i AS (SELECT syms[j] AS s1, syms[j+1] AS s2, CAST(SUM(n) AS BIGINT) AS c
+  FROM ws${i - 1}, UNNEST(generate_series(1, len(syms) - 1)) AS t(j)
+  GROUP BY 1, 2),
+m$i AS (SELECT s1, s2, s1 || s2 AS m, c FROM p$i
+  ORDER BY c DESC, s1, s2 LIMIT 1)"""
+      if (i < k) sb ++= s""",
+ws$i AS (SELECT word, n, $bpeFoldSql AS syms FROM ws${i - 1}, m$i mm)"""
+    }
+    sb ++= (1 to k).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, s1 AS "left", s2 AS "right",
+  m AS merged, c AS pair_n FROM m$i""").mkString("\n", "\nUNION ALL\n", "")
+    sb.toString
+  }
+
+  /** Generated fixed-merge apply replay: one fold CTE per merge in
+    * [[bpeFixedMerges]] order, then subword counts weighted by word
+    * frequency. */
+  private def bpeApplyOracle: String = {
+    val sb = new StringBuilder(bpeWs0Sql)
+    bpeFixedMerges.zipWithIndex.foreach { case ((a, b, m), idx) =>
+      val i = idx + 1
+      sb ++= s""",
+mm$i AS (SELECT '${a.replace("'", "''")}' AS s1, '${b.replace("'", "''")}' AS s2, '${m.replace("'", "''")}' AS m),
+ws$i AS (SELECT word, n, $bpeFoldSql AS syms FROM ws${i - 1}, mm$i mm)"""
+    }
+    sb ++= s"""
+SELECT s AS subword, CAST(SUM(n) AS BIGINT) AS n
+FROM ws${bpeFixedMerges.size}, UNNEST(syms) AS u(s) GROUP BY 1"""
+    sb.toString
+  }
+
   /** Fuzzy-decontamination gate: the `doc_id % 97 = 0` slice plays the
     * benchmark, the full corpus is screened for near-duplicate leakage
     * via MinHash banding + exact-Jaccard certification. The oracle is
@@ -2252,6 +2335,8 @@ object SparkEntry {
     "txt_cms" -> (txtCms _),
     "txt_hybrid" -> (txtHybrid _),
     "txt_decontam_fuzzy" -> (txtDecontamFuzzy _),
+    "txt_bpe" -> (txtBpe _),
+    "txt_bpe_apply" -> (txtBpeApply _),
     "io_warc" -> (ioWarc _),
     "txt_profile" -> (txtProfile _),
     "txt_novelty" -> (txtNovelty _),
@@ -4176,6 +4261,10 @@ object SparkEntry {
         |SELECT d0.doc_id, COALESCE(sc.s, 0) AS dsir_score,
         |  COALESCE(sc.nf, 0) AS n_feat
         |FROM documents d0 LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // generated 12-iteration CTE replay of BPE training (see
+    // bpeTrainOracle) and the fixed-merge apply replay
+    "txt_bpe" -> bpeTrainOracle(12),
+    "txt_bpe_apply" -> bpeApplyOracle,
     // banding-free truth: ALL corpus x eval shingle-Jaccard >= 0.6
     // pairs by direct replay (incl. self-pairs at 1.0) — the engine's
     // LSH candidates + exact verify must reproduce this set exactly

@@ -1,0 +1,61 @@
+package graft
+
+import graft.text.Bpe
+
+/** BPE: classic low/lower corpus merge order, greedy non-overlap on
+  * repeats, apply round-trip, early exhaustion. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("classic corpus learns the expected first merges") {
+    // 'low' x3, 'lower' x1: pairs l-o (4), o-w (4), w-</w> (3), ...
+    // tie l-o vs o-w at 4 -> lexicographic: ('l','o') first
+    val df = Seq("low low low lower").toDF("text")
+    val m = Bpe.train(df, "text", numMerges = 3)
+      .orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect()
+    assert(m(0) == ((1L, "l", "o", "lo", 4L)))
+    assert(m(1) == ((2L, "lo", "w", "low", 4L)))
+    // after [low] merge: 'low</w>' x3 beats everything else
+    assert(m(2) == ((3L, "low", "</w>", "low</w>", 3L)))
+  }
+
+  test("greedy non-overlapping repeat merge: aaaa -> aa aa") {
+    val df = Seq("aaaa").toDF("text")
+    val m = Bpe.train(df, "text", numMerges = 1)
+      .as[(Long, String, String, String, Long)].collect().head
+    // pairs: (a,a) x3, (a,</w>) x1 -> merge (a,a) with count 3
+    assert(m == ((1L, "a", "a", "aa", 3L)))
+    val applied = Bpe.applyMerges(Seq((7L, "aaaa")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq(("a", "a", "aa")))
+      .as[(Long, String)].collect().map(_._2).toSeq
+    assert(applied == Seq("aa", "aa", "</w>"))
+  }
+
+  test("applyMerges honors merge order and joins back per occurrence") {
+    val df = Seq((1L, "the the cat"), (2L, "the")).toDF("doc_id", "text")
+    val merges = Seq(("t", "h", "th"), ("th", "e", "the"),
+      ("the", "</w>", "the</w>"))
+    val got = Bpe.applyMerges(df, "doc_id", "text", merges)
+      .groupBy("subword").count()
+      .as[(String, Long)].collect().toMap
+    assert(got("the</w>") == 3L) // every 'the' occurrence fully merged
+    assert(got("c") == 1L && got("a") == 1L && got("t") == 1L)
+  }
+
+  test("checkpointed apply equals single-expression apply") {
+    val df = Seq((1L, "banana bandana")).toDF("doc_id", "text")
+    val merges = Seq(("a", "n", "an"), ("b", "an", "ban"),
+      ("an", "a", "ana"), ("d", "ana", "dana"))
+    def run(ck: Int) = Bpe.applyMerges(df, "doc_id", "text", merges, ck)
+      .orderBy("subword").as[(Long, String)].collect().toSeq
+    assert(run(1) == run(50))
+  }
+
+  test("exhausted vocabulary stops early") {
+    val df = Seq("ab").toDF("text")
+    // merge 1: (a,b) -> [ab, </w>]; merge 2: (ab,</w>) -> [ab</w>];
+    // single symbol left -> no pairs -> early stop at 2
+    assert(Bpe.train(df, "text", numMerges = 10).count() == 2L)
+  }
+}
