@@ -68,14 +68,19 @@ object Bpe {
 
   /** Train `numMerges` BPE merges:
     * `(rank, left, right, merged, pair_n)` with `rank` 1-based in merge
-    * order. Each iteration persists the re-symbolized vocab and drops
-    * its parent, so iteration i costs one vocab pass, not i of them.
-    * Stops early (fewer rows) if the vocabulary runs out of pairs. */
+    * order. One Spark job per merge: the pair-count argmax over the
+    * persisted child vocab is also what materializes it (the fold never
+    * gets its own count() job), so the parent generation can only be
+    * unpersisted AFTER that argmax — `prev` defers the drop by one
+    * generation. The final merge skips the fold entirely (its output
+    * vocabulary is never read). Stops early (fewer rows) if the
+    * vocabulary runs out of pairs. */
   def train(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     require(numMerges > 0)
     val spark = df.sparkSession
     import spark.implicits._
     var ws = wordCounts(df, textCol).persist()
+    var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
     try {
@@ -85,20 +90,27 @@ object Bpe {
         val top = pairCounts(ws)
           .orderBy(col("c").desc, col("s1").asc, col("s2").asc)
           .limit(1).collect()
+        // the argmax just materialized every partition of ws; its
+        // parent generation is no longer reachable work
+        if (prev != null) { prev.unpersist(); prev = null }
         if (top.isEmpty) exhausted = true
         else {
           val r = top.head
           val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
           merges += ((i + 1L, a, b, a + b, c))
-          val next = ws.select(col("word"), col("n"),
-            mergeOne(col("syms"), a, b, a + b).as("syms")).persist()
-          next.count() // materialize before dropping the parent
-          ws.unpersist()
-          ws = next
           i += 1
+          if (i < numMerges) {
+            val next = ws.select(col("word"), col("n"),
+              mergeOne(col("syms"), a, b, a + b).as("syms")).persist()
+            prev = ws
+            ws = next
+          }
         }
       }
-    } finally ws.unpersist()
+    } finally {
+      ws.unpersist()
+      if (prev != null) prev.unpersist()
+    }
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_n")
   }
 
