@@ -85,3 +85,110 @@ object Cms {
     estimate(sketch, probes, termCol, depth, width, salt)
       .filter(col("est") >= threshold)
 }
+
+/** HDR-histogram-style quantile sketch (Tene's HdrHistogram /
+  * power-of-two DDSketch family): log-spaced buckets with `2^sbBits`
+  * linear sub-buckets per octave, giving a `2^-sbBits` relative-error
+  * bound on every quantile of a non-negative integer distribution with
+  * a histogram of at most `~(64 - sbBits) * 2^sbBits` rows — the
+  * mergeable distribution summary a 100 TB profiling pass keeps where
+  * exact quantiles would need a global sort.
+  *
+  * Spark-first shape: the sketch IS a `(strata..., bucket, n)` relation
+  * built by one map-side-combinable aggregation; merging shards/batches
+  * is union + sum (associative, commutative — the CMS posture); the
+  * quantile walk is a window over the sketch-sized relation, never over
+  * the data.
+  *
+  * Engine-exactness: DETERMINISTIC, unlike KLL/t-digest — bucketing is
+  * pure integer arithmetic (`floor(log2 v)` via the length of the
+  * binary string, variable shifts, no floating point anywhere), and the
+  * quantile crossing is the integer-mass comparison
+  * `cum*1000 >= total*q_permille`, so the DuckDB oracle
+  * (txt_len_quantiles) replays every bucket, bound, and crossing
+  * bit-for-bit. */
+object Hdr {
+
+  private def pow2(k: Int): Long = 1L << k
+
+  /** Bucket index of non-negative `v`: identity below `2^sbBits`
+    * (exact), then octave `e = floor(log2 v)` keeps its top `sbBits`
+    * fractional bits — `((e-b+1) << b) + ((v >> (e-b)) - 2^b)`. The two
+    * regions meet continuously at `v = 2^b` and the index is monotone
+    * in `v`. */
+  def bucketize(v: Column, sbBits: Int): Column = {
+    val b = sbBits
+    val vv = greatest(v.cast("long"), lit(0L))
+    val e = (length(bin(vv)) - 1).cast("int")
+    val shifted = call_function("shiftrightunsigned", vv, e - lit(b))
+    when(vv < pow2(b), vv).otherwise(
+      shiftleft((e - lit(b) + 1).cast("long"), b) + shifted - lit(pow2(b)))
+  }
+
+  /** Inclusive lower bound of bucket `k` — the deterministic quantile
+    * report value (true quantile lies in `[lo, lo + width)`). */
+  def bucketLo(k: Column, sbBits: Int): Column = {
+    val b = sbBits
+    val g = call_function("shiftrightunsigned", k, lit(b))
+    val sub = k.bitwiseAND(lit(pow2(b) - 1))
+    when(k < pow2(b), k).otherwise(
+      call_function("shiftleft", lit(1L), (g + lit(b) - 1).cast("int"))
+        + call_function("shiftleft", sub, (g - 1).cast("int")))
+  }
+
+  /** Width of bucket `k`: 1 in the linear region, `2^(e-b)` in octave
+    * `e` — so `width/lo <= 2^-sbBits` everywhere. */
+  def bucketWidth(k: Column, sbBits: Int): Column =
+    when(k < pow2(sbBits), lit(1L)).otherwise(
+      call_function("shiftleft", lit(1L),
+        (call_function("shiftrightunsigned", k, lit(sbBits)) - 1).cast("int")))
+
+  /** Build the per-stratum histogram `(strata..., bucket, n)`: one
+    * pass, one map-side-combinable aggregation, output bounded by
+    * |strata| x buckets-per-sketch regardless of input size. */
+  def buildHistogram(df: DataFrame, valueCol: String,
+                     strata: Seq[String] = Nil,
+                     sbBits: Int = 7): DataFrame = {
+    require(sbBits >= 1 && sbBits <= 16)
+    val keys = strata.map(col) :+ bucketize(col(valueCol), sbBits).as("bucket")
+    df.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge histograms built with identical (strata, sbBits): bucket-wise
+    * sum. Associative + commutative — batch/shard/stream partials
+    * combine in any order. */
+  def merge(strata: Seq[String], hists: DataFrame*): DataFrame = {
+    require(hists.nonEmpty)
+    hists.reduce(_ unionByName _)
+      .groupBy((strata :+ "bucket").map(col): _*)
+      .agg(sum(col("n")).as("n"))
+  }
+
+  /** Per-stratum quantiles at the given permille points (e.g. 500 =
+    * median, 990 = p99): `(strata..., q_permille, lo, width, cum_n,
+    * total_n)` where `lo <= Q_q < lo + width`. The crossing bucket is
+    * the first with `cum*1000 >= total*q` — integer mass comparison,
+    * no division, replayed exactly by the oracle. Windows run over the
+    * sketch-sized histogram, not the data. */
+  def quantiles(hist: DataFrame, strata: Seq[String],
+                qPermille: Seq[Int], sbBits: Int = 7): DataFrame = {
+    require(qPermille.nonEmpty && qPermille.forall(q => q > 0 && q <= 1000))
+    import org.apache.spark.sql.expressions.Window
+    val part = if (strata.isEmpty) Window.partitionBy(lit(1))
+               else Window.partitionBy(strata.map(col): _*)
+    val cum = hist
+      .withColumn("cum_n", sum(col("n")).over(part.orderBy(col("bucket"))))
+      .withColumn("total_n", sum(col("n")).over(part))
+    cum.select((strata.map(col) ++ Seq(col("bucket"), col("n"),
+        col("cum_n"), col("total_n"),
+        explode(array(qPermille.map(q => lit(q.toLong)): _*))
+          .as("q_permille"))): _*)
+      .filter(col("cum_n") * 1000 >= col("total_n") * col("q_permille") &&
+        (col("cum_n") - col("n")) * 1000 <
+          col("total_n") * col("q_permille"))
+      .select((strata.map(col) ++ Seq(col("q_permille"),
+        bucketLo(col("bucket"), sbBits).as("lo"),
+        bucketWidth(col("bucket"), sbBits).as("width"),
+        col("cum_n"), col("total_n"))): _*)
+  }
+}

@@ -58,4 +58,70 @@ class SketchesSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(hh.keySet == Set("aa", "bb"))
   }
+
+  // ------------------------------------------------------------- Hdr
+
+  import graft.text.Hdr
+
+  test("hdr bucket bounds: lo <= v < lo+width, monotone, 2^-b error") {
+    val b = 4
+    val rnd = new scala.util.Random(13)
+    val vals = (Seq.fill(300)(math.abs(rnd.nextLong()) % (1L << 40)) ++
+      Seq(0L, 1L, 15L, 16L, 17L, 31L, 32L, (1L << 40) - 1)).distinct
+    val got = vals.toDF("v")
+      .select(col("v"), Hdr.bucketize(col("v"), b).as("k"))
+      .select(col("v"), col("k"), Hdr.bucketLo(col("k"), b).as("lo"),
+        Hdr.bucketWidth(col("k"), b).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    got.foreach { case (v, k, lo, w) =>
+      assert(lo <= v && v < lo + w, s"v=$v k=$k lo=$lo w=$w")
+      if (k >= (1L << b)) assert(w << b <= lo, s"rel err v=$v")
+      else assert(w == 1L && lo == v)
+    }
+    // monotone: sort by v => sort by k
+    val byV = got.sortBy(_._1).map(_._2)
+    assert(byV.sameElements(byV.sorted))
+    // bucket bounds are tight: both endpoints map back to k
+    val back = got.map { case (_, k, lo, w) => (k, lo, lo + w - 1) }
+      .toSeq.toDF("k", "lo", "hi")
+      .select(col("k"), Hdr.bucketize(col("lo"), b).as("k1"),
+        Hdr.bucketize(col("hi"), b).as("k2")).collect()
+    back.foreach(r => assert(r.getLong(0) == r.getLong(1) &&
+      r.getLong(0) == r.getLong(2)))
+  }
+
+  test("hdr merge of shard partials equals the one-shot histogram") {
+    val rnd = new scala.util.Random(17)
+    val xs = Seq.fill(2000)(("s" + rnd.nextInt(3),
+      math.abs(rnd.nextLong()) % 100000L))
+    val df = xs.toDF("g", "v")
+    val one = Hdr.buildHistogram(df, "v", Seq("g"), sbBits = 5)
+    val (a, bs) = xs.splitAt(900)
+    val merged = Hdr.merge(Seq("g"),
+      Hdr.buildHistogram(a.toDF("g", "v"), "v", Seq("g"), 5),
+      Hdr.buildHistogram(bs.toDF("g", "v"), "v", Seq("g"), 5))
+    assert(rowsOf(merged.orderBy("g", "bucket")) ==
+      rowsOf(one.orderBy("g", "bucket")))
+  }
+
+  test("hdr quantiles bracket the exact order statistic") {
+    val b = 6
+    val rnd = new scala.util.Random(23)
+    val xs = Seq.fill(5000)(math.abs(rnd.nextLong()) % 1000000L)
+    val hist = Hdr.buildHistogram(xs.toDF("v"), "v", Nil, b)
+    val qs = Seq(100, 250, 500, 900, 990, 1000)
+    val got = Hdr.quantiles(hist, Nil, qs, b)
+      .select("q_permille", "lo", "width").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._1).sorted == qs.map(_.toLong))
+    val sorted = xs.sorted
+    got.foreach { case (q, lo, w) =>
+      // exact q-quantile = smallest x with rank*1000 >= n*q
+      val idx = sorted.indices.find(i =>
+        (i + 1L) * 1000 >= sorted.length.toLong * q).get
+      val exact = sorted(idx)
+      assert(lo <= exact && exact < lo + w, s"q=$q exact=$exact lo=$lo w=$w")
+    }
+  }
 }
