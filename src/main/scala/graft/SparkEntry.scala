@@ -1866,6 +1866,84 @@ FROM ws${bpeFixedMerges.size}, UNNEST(syms) AS u(s) GROUP BY 1"""
     sb.toString
   }
 
+  /** Z-order layout gate: min-max-scale `(l_partkey, l_suppkey)` onto
+    * the full 21-bit lane domain, Morton-interleave, assign rows to
+    * the 64-cell top-6-bit prefix grid, and emit each cell's row count
+    * and per-axis min/max extents — exactly the parquet footer
+    * statistics a skipping reader would consult. Deterministic (no
+    * sampled range boundaries), bounded output (<=64 rows), and the
+    * lane scaling keeps the grid fully exercised at EVERY SF (raw
+    * 21-bit lanes would collapse sf0.001's [1,200] partkey domain into
+    * one cell). The oracle replays scaling, interleave, and grid
+    * assignment term by term. */
+  private def layZorder(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.zLayoutStatsScaled(table(s, dir, "lineitem"),
+      Seq("l_partkey", "l_suppkey"), bits = 21, fileBits = 6)
+
+  /** The 42 per-bit interleave terms of [[layZorder]]'s z-value as a
+    * DuckDB expression over min-max-scaled lanes `a` (even positions)
+    * and `b` (odd). */
+  private def zorderOracleSql: String = {
+    val terms = (0 until 21).flatMap(i => Seq(
+      s"(((a >> $i) & 1) << ${2 * i})", s"(((b >> $i) & 1) << ${2 * i + 1})"))
+    s"""WITH mx AS (
+  SELECT GREATEST(MAX(GREATEST(CAST(l_partkey AS BIGINT), 0)), 1) AS mpk,
+         GREATEST(MAX(GREATEST(CAST(l_suppkey AS BIGINT), 0)), 1) AS msk
+  FROM lineitem),
+lanes AS (
+  SELECT (GREATEST(CAST(l_partkey AS BIGINT), 0) * 2097151) // mpk AS a,
+         (GREATEST(CAST(l_suppkey AS BIGINT), 0) * 2097151) // msk AS b,
+         GREATEST(CAST(l_partkey AS BIGINT), 0) AS pk,
+         GREATEST(CAST(l_suppkey AS BIGINT), 0) AS sk
+  FROM lineitem, mx),
+z AS (SELECT ${terms.mkString(" | ")} AS z, pk, sk FROM lanes)
+SELECT z >> 36 AS file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  MIN(pk) AS min_l_partkey, MAX(pk) AS max_l_partkey,
+  MIN(sk) AS min_l_suppkey, MAX(sk) AS max_l_suppkey
+FROM z GROUP BY 1"""
+  }
+
+  /** HDR-quantile gate: per-language document-length quantiles from the
+    * deterministic log-bucket histogram (sbBits=4 so multi-value
+    * buckets actually occur at every SF). Output is the quantile
+    * REPORT — crossing bucket's inclusive lower bound + width + the
+    * exact crossing masses — all integer, replayed term-for-term by
+    * the oracle. */
+  private def txtLenQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.text.Hdr.buildHistogram(docs(s, dir), "n_chars",
+      Seq("lang"), sbBits = 4)
+    graft.text.Hdr.quantiles(h, Seq("lang"), Seq(250, 500, 900, 990),
+      sbBits = 4)
+  }
+
+  /** DuckDB replay of [[txtLenQuantiles]]: same integer bucket index,
+    * bounds, and `cum*1000 >= total*q` crossing. */
+  private val hdrQuantilesOracleSql =
+    """WITH v AS (SELECT lang, GREATEST(CAST(n_chars AS BIGINT), 0) AS v
+      |  FROM documents),
+      |bk AS (SELECT lang, CASE WHEN v < 16 THEN v
+      |    ELSE ((length(bin(v)) - 4) << 4)
+      |         + ((v >> (length(bin(v)) - 5)) - 16) END AS bucket
+      |  FROM v),
+      |h AS (SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM bk GROUP BY 1, 2),
+      |c AS (SELECT lang, bucket, n,
+      |    CAST(SUM(n) OVER (PARTITION BY lang ORDER BY bucket)
+      |      AS BIGINT) AS cum_n,
+      |    CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS total_n
+      |  FROM h),
+      |q AS (SELECT CAST(UNNEST([250, 500, 990, 900]) AS BIGINT) AS qp)
+      |SELECT lang, qp AS q_permille,
+      |  CASE WHEN bucket < 16 THEN bucket
+      |    ELSE ((1::BIGINT) << ((bucket >> 4) + 3))
+      |         + ((bucket & 15) << ((bucket >> 4) - 1)) END AS lo,
+      |  CASE WHEN bucket < 16 THEN CAST(1 AS BIGINT)
+      |    ELSE (1::BIGINT) << ((bucket >> 4) - 1) END AS width,
+      |  cum_n, total_n
+      |FROM c, q
+      |WHERE cum_n * 1000 >= total_n * qp
+      |  AND (cum_n - n) * 1000 < total_n * qp""".stripMargin
+
   /** Fuzzy-decontamination gate: the `doc_id % 97 = 0` slice plays the
     * benchmark, the full corpus is screened for near-duplicate leakage
     * via MinHash banding + exact-Jaccard certification. The oracle is
@@ -2337,6 +2415,8 @@ FROM ws${bpeFixedMerges.size}, UNNEST(syms) AS u(s) GROUP BY 1"""
     "txt_decontam_fuzzy" -> (txtDecontamFuzzy _),
     "txt_bpe" -> (txtBpe _),
     "txt_bpe_apply" -> (txtBpeApply _),
+    "lay_zorder" -> (layZorder _),
+    "txt_len_quantiles" -> (txtLenQuantiles _),
     "io_warc" -> (ioWarc _),
     "txt_profile" -> (txtProfile _),
     "txt_novelty" -> (txtNovelty _),
@@ -4265,6 +4345,10 @@ FROM ws${bpeFixedMerges.size}, UNNEST(syms) AS u(s) GROUP BY 1"""
     // bpeTrainOracle) and the fixed-merge apply replay
     "txt_bpe" -> bpeTrainOracle(12),
     "txt_bpe_apply" -> bpeApplyOracle,
+    // per-bit Morton interleave replay + prefix-grid assignment
+    "lay_zorder" -> zorderOracleSql,
+    // HDR log-bucket + integer-mass crossing replay
+    "txt_len_quantiles" -> hdrQuantilesOracleSql,
     // banding-free truth: ALL corpus x eval shingle-Jaccard >= 0.6
     // pairs by direct replay (incl. self-pairs at 1.0) — the engine's
     // LSH candidates + exact verify must reproduce this set exactly
