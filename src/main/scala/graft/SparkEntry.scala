@@ -2310,6 +2310,30 @@ FROM z GROUP BY 1"""
         | AND b.start <= a.start AND a.start < b.`end`""".stripMargin)
   }
 
+  /** SQL-surface z-order: the whole [[layZorder]] computation written
+    * as one `spark.sql` statement against the session-extension-
+    * registered `z_value` function — proving plain-SQL users get the
+    * layout kernel (same oracle as lay_zorder; results must agree). */
+  private def extSqlZorder(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "lineitem").createOrReplaceTempView("graft_sql_li")
+    s.sql(
+      """WITH mx AS (
+        |  SELECT greatest(max(greatest(l_partkey, 0L)), 1L) AS mpk,
+        |         greatest(max(greatest(l_suppkey, 0L)), 1L) AS msk
+        |  FROM graft_sql_li),
+        |lanes AS (
+        |  SELECT (greatest(l_partkey, 0L) * 2097151L) div mpk AS a,
+        |         (greatest(l_suppkey, 0L) * 2097151L) div msk AS b,
+        |         greatest(l_partkey, 0L) AS pk,
+        |         greatest(l_suppkey, 0L) AS sk
+        |  FROM graft_sql_li CROSS JOIN mx)
+        |SELECT shiftrightunsigned(z_value(a, b, 21), 36) AS file_id,
+        |       count(*) AS n_rows,
+        |       min(pk) AS min_l_partkey, max(pk) AS max_l_partkey,
+        |       min(sk) AS min_l_suppkey, max(sk) AS max_l_suppkey
+        |FROM lanes GROUP BY 1""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2417,6 +2441,7 @@ FROM z GROUP BY 1"""
     "txt_bpe_apply" -> (txtBpeApply _),
     "lay_zorder" -> (layZorder _),
     "txt_len_quantiles" -> (txtLenQuantiles _),
+    "ext_sql_zorder" -> (extSqlZorder _),
     "io_warc" -> (ioWarc _),
     "txt_profile" -> (txtProfile _),
     "txt_novelty" -> (txtNovelty _),
@@ -4349,6 +4374,8 @@ FROM z GROUP BY 1"""
     "lay_zorder" -> zorderOracleSql,
     // HDR log-bucket + integer-mass crossing replay
     "txt_len_quantiles" -> hdrQuantilesOracleSql,
+    // SQL-surface z_value must agree with the Column-API layout
+    "ext_sql_zorder" -> zorderOracleSql,
     // banding-free truth: ALL corpus x eval shingle-Jaccard >= 0.6
     // pairs by direct replay (incl. self-pairs at 1.0) — the engine's
     // LSH candidates + exact verify must reproduce this set exactly

@@ -230,6 +230,38 @@ object GraftFunctions {
             "unicode_normalize(text, form): form must be a string " +
               s"literal (NFC/NFD/NFKC/NFKD), got $other")
         }
+      } _),
+    // z_value(c1, c2, ..., bits): Morton interleave of >= 2 bounded
+    // non-negative lanes (graft.ops.Layout.zValue). Resolves to the
+    // same composed built-in integer expressions as the Column API —
+    // no UDF, stays in whole-stage codegen.
+    (FunctionIdentifier("z_value"),
+      new ExpressionInfo("graft.ops.Layout", "z_value"),
+      { args: Seq[Expression] =>
+        require(args.length >= 3,
+          "z_value(col1, col2, ..., bits) needs >= 2 lanes + bits")
+        val bits = args.last match {
+          case Literal(b: Int, IntegerType) => b
+          case other => throw new IllegalArgumentException(
+            s"z_value: bits must be an integer literal, got $other")
+        }
+        import org.apache.spark.sql.graftbridge.Bridge
+        Bridge.catalystExpression(graft.ops.Layout.zValue(
+          args.init.map(Bridge.column), bits))
+      }),
+    // hdr_bucket(v, sbBits): deterministic HDR log-bucket index
+    // (graft.text.Hdr.bucketize) — same composition posture.
+    (FunctionIdentifier("hdr_bucket"),
+      new ExpressionInfo("graft.text.Hdr", "hdr_bucket"),
+      fixedArity("hdr_bucket", 2) { a =>
+        val b = a(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"hdr_bucket: sbBits must be an integer literal, got $other")
+        }
+        import org.apache.spark.sql.graftbridge.Bridge
+        Bridge.catalystExpression(
+          graft.text.Hdr.bucketize(Bridge.column(a(0)), b))
       } _))
 }
 

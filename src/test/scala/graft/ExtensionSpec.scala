@@ -196,4 +196,29 @@ class ExtensionSpec extends SparkSpec with BeforeAndAfterAll {
       spark.sql("SELECT vec_dot(array(1.0d))").collect()
     }
   }
+
+  test("SQL functions: z_value / hdr_bucket match the Column API") {
+    import spark.implicits._
+    val df = Seq((5L, 9L, 1234L), (0L, 0L, 0L), (100L, 3L, 99999L))
+      .toDF("a", "b", "v")
+    df.createOrReplaceTempView("ext_zv")
+    val sqlRows = spark.sql(
+      "SELECT z_value(a, b, 21) AS z, hdr_bucket(v, 4) AS k FROM ext_zv")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val colRows = df.select(
+        graft.ops.Layout.zValue(Seq(col("a"), col("b")), 21).as("z"),
+        graft.text.Hdr.bucketize(col("v"), 4).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sqlRows.toSeq == colRows.toSeq)
+    // 3-lane variadic form resolves too
+    assert(spark.sql("SELECT z_value(1L, 2L, 3L, 10) AS z FROM ext_zv")
+      .head().getLong(0) ==
+      df.limit(1).select(graft.ops.Layout.zValue(
+        Seq(lit(1L), lit(2L), lit(3L)), 10)).head().getLong(0))
+    // bits must be a literal
+    intercept[Exception] {
+      spark.sql("SELECT z_value(a, b, cast(a AS int)) FROM ext_zv")
+        .collect()
+    }
+  }
 }
