@@ -285,4 +285,26 @@ class PlanContractSpec extends SparkSpec {
         s"no map-side top-k:\n${plan(df)}")
     } finally { codes.unpersist(true); () }
   }
+
+  test("zLayoutStatsScaled: one 1-row broadcast, one stats exchange, " +
+      "no window, no sort") {
+    val df = Seq.fill(100)((scala.util.Random.nextInt(1000).toLong + 1,
+      scala.util.Random.nextInt(50).toLong + 1)).toDF("a", "b")
+    val stats = graft.ops.Layout.zLayoutStatsScaled(df, Seq("a", "b"),
+      21, 6)
+    stats.collect()
+    val p = plan(stats)
+    // the max-agg side broadcasts (1 row); the only shuffles are the
+    // two aggregations' exchanges — no sort, no window, no extra pass
+    assert(p.contains("BroadcastExchange"), s"max side not broadcast:\n$p")
+    assert(!p.contains("Window"), s"window crept in:\n$p")
+    assert(!p.contains("SortExec") && !p.toLowerCase.contains("sortmerge"),
+      s"sort crept in:\n$p")
+    // AQE repeats the tree under "== Initial Plan ==" — count only the
+    // final plan's exchanges
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val nShuffles = finalPlan.split("\n")
+      .count(_.matches(""".*[+:]- Exchange .*"""))
+    assert(nShuffles <= 2, s"more shuffles than the two aggs:\n$p")
+  }
 }
