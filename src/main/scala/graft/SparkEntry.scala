@@ -1799,15 +1799,15 @@ object SparkEntry {
     ("e", "</w>", "e</w>"), ("t", "h", "th"), ("th", "e</w>", "the</w>"),
     ("a", "n", "an"), ("i", "n", "in"), ("o", "n", "on"))
 
-  /** BPE application gate: tokenize the corpus with the fixed ordered
-    * merge list and count every emitted subword. Applies on the
-    * distinct-word vocabulary and joins back to occurrences (the
-    * engine's scale path); the oracle replays the same folds per
-    * vocabulary word and weights by word count. */
+  /** BPE application gate: corpus subword frequencies under the fixed
+    * ordered merge list via [[graft.text.Bpe.subwordCounts]] — the
+    * fold runs on the word-count relation, occurrences weight the sum
+    * (one corpus pass, vocab-sized everything else); the oracle
+    * replays the same folds per vocabulary word and weights by word
+    * count. Per-occurrence tokenization (`applyMerges`) is spec-gated
+    * in BpeSpec, where equality with this path is asserted. */
   private def txtBpeApply(s: SparkSession, dir: String): DataFrame =
-    graft.text.Bpe.applyMerges(docs(s, dir), "doc_id", "text",
-        bpeFixedMerges)
-      .groupBy(col("subword")).agg(count(lit(1)).as("n"))
+    graft.text.Bpe.subwordCounts(docs(s, dir), "text", bpeFixedMerges)
 
   /** The merge-fold CTE body shared by the two BPE oracles: apply merge
     * `(s1, s2) -> m` (columns of `mm`) to `syms` greedily. */

@@ -114,29 +114,24 @@ object Bpe {
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_n")
   }
 
-  /** Tokenize a corpus with an ordered merge list:
-    * `(idCol, subword)` rows, one per emitted subword occurrence.
-    * Merges apply to the DISTINCT-word vocabulary only (vocab-sized
-    * fold work), then join back to the (doc, word) occurrences — the
-    * corpus never sees the fold. Expression depth is bounded by
-    * materializing the vocab every `checkpointEvery` merges, so a
-    * real 30k-merge tokenizer plans as ~600 shallow stages instead of
-    * one 30k-deep expression tree. */
-  def applyMerges(df: DataFrame, idCol: String, textCol: String,
-                  merges: Seq[(String, String, String)],
-                  checkpointEvery: Int = 50): DataFrame = {
+  /** Fold an ordered merge list over a vocabulary relation's `syms`
+    * column, preserving every other column. Expression depth is
+    * bounded by materializing the vocab every `checkpointEvery`
+    * merges, so a real 30k-merge tokenizer plans as ~600 shallow
+    * stages instead of one 30k-deep expression tree. */
+  private def foldMerges(vocab0: DataFrame,
+                         merges: Seq[(String, String, String)],
+                         checkpointEvery: Int): DataFrame = {
     require(checkpointEvery > 0)
-    val words = df.select(col(idCol),
-      explode(TextOps.tokens(col(textCol))).as("word"))
-    var vocab = words.select(col("word")).distinct()
-      .select(col("word"), symbolize(col("word")).as("syms"))
+    val others = vocab0.columns.filterNot(_ == "syms").map(col).toSeq
+    var vocab = vocab0
     val batches = merges.grouped(checkpointEvery).toSeq
     var prev: Option[DataFrame] = None
     batches.zipWithIndex.foreach { case (g, gi) =>
       val folded = g.foldLeft(col("syms")) { case (c, (a, b, m)) =>
         mergeOne(c, a, b, m)
       }
-      vocab = vocab.select(col("word"), folded.as("syms"))
+      vocab = vocab.select(others :+ folded.as("syms"): _*)
       if (gi < batches.size - 1) { // bound depth between batches
         vocab = vocab.persist()
         vocab.count() // materialize, then the previous block can go
@@ -146,7 +141,36 @@ object Bpe {
     }
     // the last persisted block stays cached: the returned (lazy) plan
     // reads it instead of re-deriving the full merge chain
+    vocab
+  }
+
+  /** Tokenize a corpus with an ordered merge list:
+    * `(idCol, subword)` rows, one per emitted subword occurrence.
+    * Merges apply to the DISTINCT-word vocabulary only (vocab-sized
+    * fold work), then join back to the (doc, word) occurrences — the
+    * corpus never sees the fold. */
+  def applyMerges(df: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String, String)],
+                  checkpointEvery: Int = 50): DataFrame = {
+    val words = df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("word"))
+    val vocab = foldMerges(
+      words.select(col("word")).distinct()
+        .select(col("word"), symbolize(col("word")).as("syms")),
+      merges, checkpointEvery)
     words.join(vocab, Seq("word"))
       .select(col(idCol), explode(col("syms")).as("subword"))
   }
+
+  /** Corpus-wide subword frequencies `(subword, n)` under an ordered
+    * merge list — the tokenizer-statistics path. Unlike
+    * [[applyMerges]] + count, the corpus never joins back: the fold
+    * runs on the word-count relation and occurrences weight the sum,
+    * so everything past the one corpus pass is vocabulary-sized. */
+  def subwordCounts(df: DataFrame, textCol: String,
+                    merges: Seq[(String, String, String)],
+                    checkpointEvery: Int = 50): DataFrame =
+    foldMerges(wordCounts(df, textCol), merges, checkpointEvery)
+      .select(col("n"), explode(col("syms")).as("subword"))
+      .groupBy(col("subword")).agg(sum(col("n")).as("n"))
 }

@@ -52,6 +52,21 @@ class BpeSpec extends SparkSpec {
     assert(run(1) == run(50))
   }
 
+  test("subwordCounts equals applyMerges aggregated per occurrence") {
+    val df = Seq((1L, "the the cat sat"), (2L, "the cat"), (3L, "thee"))
+      .toDF("doc_id", "text")
+    val merges = Seq(("t", "h", "th"), ("th", "e", "the"),
+      ("the", "</w>", "the</w>"), ("a", "t", "at"))
+    val viaApply = Bpe.applyMerges(df, "doc_id", "text", merges)
+      .groupBy("subword").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val direct = Bpe.subwordCounts(df, "text", merges)
+      .as[(String, Long)].collect().toMap
+    assert(direct == viaApply)
+    assert(direct("the</w>") == 3L)
+  }
+
   test("exhausted vocabulary stops early") {
     val df = Seq("ab").toDF("text")
     // merge 1: (a,b) -> [ab, </w>]; merge 2: (ab,</w>) -> [ab</w>];
