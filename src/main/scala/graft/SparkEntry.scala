@@ -1809,39 +1809,53 @@ object SparkEntry {
   private def txtBpeApply(s: SparkSession, dir: String): DataFrame =
     graft.text.Bpe.subwordCounts(docs(s, dir), "text", bpeFixedMerges)
 
-  /** The merge-fold CTE body shared by the two BPE oracles: apply merge
-    * `(s1, s2) -> m` (columns of `mm`) to `syms` greedily. */
-  private val bpeFoldSql =
-    """string_split(list_reduce(syms, (acc, s) -> CASE
-      |    WHEN (acc = mm.s1 OR ends_with(acc, chr(31) || mm.s1)) AND s = mm.s2
-      |    THEN CASE WHEN acc = mm.s1 THEN mm.m
-      |         ELSE left(acc, len(acc) - len(mm.s1)) || mm.m END
-      |    ELSE acc || chr(31) || s END), chr(31))""".stripMargin
+  /** BPE oracle symbol encoding: the symbol sequence is ONE string
+    * with chr(31) AFTER every symbol (`a␟b␟…␟</w>␟`), so the greedy
+    * left-to-right non-overlapping merge fold is native
+    * `replace(s, 'a␟b␟', 'ab␟')` — DuckDB's replace scans left to
+    * right and continues AFTER each substitution, which is exactly
+    * BPE's fold semantics (verified: `a␟a␟a␟a␟` under (a,a) becomes
+    * `aa␟aa␟`, never re-merging output). The earlier list_reduce
+    * formulation was O(word²) string building per word per iteration
+    * (~minutes at sf1 vocab); this is one native scan. Symbols are
+    * `[a-z0-9]` chars, `</w>`, and their concatenations — chr(31)
+    * can never occur inside one. */
+  private val bpeSymsOfSql =
+    "list_filter(string_split(s, chr(31)), x -> len(x) > 0)"
 
   private val bpeWs0Sql =
     """WITH d AS (SELECT list_filter(string_split_regex(lower(
       |    COALESCE(text, '')), '[^a-z0-9]+'), x -> len(x) > 0) AS l
       |  FROM documents),
-      |ws0 AS (SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS n,
-      |    list_append(list_transform(range(1, len(t) + 1),
-      |      i -> substring(t, CAST(i AS INT), 1)), '</w>') AS syms
+      |ws0 AS MATERIALIZED (SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS n,
+      |    array_to_string(list_append(list_transform(range(1, len(t) + 1),
+      |      i -> substring(t, CAST(i AS INT), 1)), '</w>'), chr(31))
+      |      || chr(31) AS s
       |  FROM (SELECT u.t AS t FROM d, UNNEST(l) AS u(t)) tk
       |  GROUP BY 1)""".stripMargin
 
   /** Generated k-iteration BPE training replay: per iteration a pair
     * count, a 1-row argmax with the engine's exact tiebreak, and (for
-    * all but the last) the merge fold producing the next vocabulary. */
+    * all but the last) the replace-fold producing the next
+    * vocabulary. */
   private def bpeTrainOracle(k: Int): String = {
     val sb = new StringBuilder(bpeWs0Sql)
     for (i <- 1 to k) {
       sb ++= s""",
+sy$i AS (SELECT n, $bpeSymsOfSql AS syms FROM ws${i - 1}),
 p$i AS (SELECT syms[j] AS s1, syms[j+1] AS s2, CAST(SUM(n) AS BIGINT) AS c
-  FROM ws${i - 1}, UNNEST(generate_series(1, len(syms) - 1)) AS t(j)
+  FROM sy$i, UNNEST(generate_series(1, len(syms) - 1)) AS t(j)
   GROUP BY 1, 2),
 m$i AS (SELECT s1, s2, s1 || s2 AS m, c FROM p$i
   ORDER BY c DESC, s1, s2 LIMIT 1)"""
+      // MATERIALIZED: ws_i is referenced twice (sy_{i+1} and ws_{i+1});
+      // inlined CTEs would recompute the whole chain per reference —
+      // 2^k blowup (the original list_reduce oracle OOM'd at sf1 for
+      // exactly this reason).
       if (i < k) sb ++= s""",
-ws$i AS (SELECT word, n, $bpeFoldSql AS syms FROM ws${i - 1}, m$i mm)"""
+ws$i AS MATERIALIZED (SELECT word, n,
+  replace(s, mm.s1 || chr(31) || mm.s2 || chr(31), mm.m || chr(31)) AS s
+  FROM ws${i - 1}, m$i mm)"""
     }
     sb ++= (1 to k).map(i =>
       s"""SELECT CAST($i AS BIGINT) AS rank, s1 AS "left", s2 AS "right",
@@ -1849,21 +1863,19 @@ ws$i AS (SELECT word, n, $bpeFoldSql AS syms FROM ws${i - 1}, m$i mm)"""
     sb.toString
   }
 
-  /** Generated fixed-merge apply replay: one fold CTE per merge in
+  /** Generated fixed-merge apply replay: one replace-fold per merge in
     * [[bpeFixedMerges]] order, then subword counts weighted by word
     * frequency. */
   private def bpeApplyOracle: String = {
-    val sb = new StringBuilder(bpeWs0Sql)
-    bpeFixedMerges.zipWithIndex.foreach { case ((a, b, m), idx) =>
-      val i = idx + 1
-      sb ++= s""",
-mm$i AS (SELECT '${a.replace("'", "''")}' AS s1, '${b.replace("'", "''")}' AS s2, '${m.replace("'", "''")}' AS m),
-ws$i AS (SELECT word, n, $bpeFoldSql AS syms FROM ws${i - 1}, mm$i mm)"""
+    val folded = bpeFixedMerges.foldLeft("s") { case (acc, (a, b, m)) =>
+      def q(x: String) = s"'${x.replace("'", "''")}'"
+      s"replace($acc, ${q(a)} || chr(31) || ${q(b)} || chr(31), " +
+        s"${q(m)} || chr(31))"
     }
-    sb ++= s"""
-SELECT s AS subword, CAST(SUM(n) AS BIGINT) AS n
-FROM ws${bpeFixedMerges.size}, UNNEST(syms) AS u(s) GROUP BY 1"""
-    sb.toString
+    s"""$bpeWs0Sql,
+wsF AS (SELECT n, $folded AS s FROM ws0)
+SELECT sub AS subword, CAST(SUM(n) AS BIGINT) AS n
+FROM (SELECT n, UNNEST($bpeSymsOfSql) AS sub FROM wsF) GROUP BY 1"""
   }
 
   /** Z-order layout gate: min-max-scale `(l_partkey, l_suppkey)` onto
