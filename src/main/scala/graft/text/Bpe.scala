@@ -14,57 +14,71 @@ import org.apache.spark.sql.functions._
   * vocabulary-sized relation (pair explode → map-side-combinable
   * weighted count → a 1-row argmax collect, the Lloyd-iteration
   * posture), never over the corpus again. At 100 TB the corpus pass is
-  * one token aggregation; iterations cost |vocab|, not |corpus|. The
-  * symbol-merge fold is a higher-order `aggregate` expression —
-  * interpreter-evaluated, which is fine on the dimension-sized vocab
-  * relation (the same rationale as the Lloyd/PQ codebook steps; the
-  * corpus-sized stages stay codegen'd).
+  * one token aggregation; iterations cost |vocab|, not |corpus|.
+  *
+  * Symbol-sequence representation: ONE string with `chr(31)` AFTER
+  * every symbol (`a␟b␟…␟</w>␟`). The greedy left-to-right
+  * non-overlapping merge fold is then a literal
+  * `replace(s, "a␟b␟", "ab␟")` — Spark's codegen'd StringReplace scans
+  * left to right and continues AFTER each substitution, which is
+  * exactly BPE's fold semantics (`a␟a␟a␟a␟` under (a,a) becomes
+  * `aa␟aa␟`, never re-merging output), and is O(len) per merge. The
+  * previous array-fold (`aggregate` with slice+concat) was an
+  * interpreter-evaluated O(len²) per word per merge — fine at sf0.01,
+  * a bench timeout at the sf1 vocabulary. Symbols are `[a-z0-9]`
+  * chars, `</w>`, and their concatenations — `chr(31)` can never occur
+  * inside one. The DuckDB oracles use the identical encoding.
   *
   * Engine-exactness: pair counts are exact BIGINT sums; the argmax
   * tiebreak is `(count DESC, left ASC, right ASC)` in binary string
   * order; the merge application is the greedy left-to-right
-  * non-overlapping fold — each replayed identically by the DuckDB
-  * oracle's generated per-iteration CTE chain (txt_bpe /
-  * txt_bpe_apply). */
+  * non-overlapping fold — each replayed identically by the oracle's
+  * generated per-iteration CTE chain (txt_bpe / txt_bpe_apply). */
 object Bpe {
 
   /** `</w>` — Sennrich's end-of-word marker: lets a merge learn that a
     * pair is word-final, and makes detokenization unambiguous. */
   val EndOfWord = "</w>"
 
-  /** Characters of `word` plus the end-of-word marker. */
+  /** Symbol terminator inside the packed sequence string. */
+  val Sep = "\u001f"
+
+  /** Packed symbol string of `word`: every character becomes
+    * `c`+chr(31), then the end-of-word marker (also terminated). */
   def symbolize(word: Column): Column =
-    concat(split(word, ""), array(lit(EndOfWord)))
+    concat(regexp_replace(word, "(.)", "$1" + Sep), lit(EndOfWord + Sep))
 
   /** Greedy left-to-right non-overlapping application of ONE merge
-    * `(a, b) -> m` to a symbol array: fold, merging when the
-    * accumulated tail is exactly `a` and the next symbol is `b` (so
-    * `aaaa` under `(a,a)` becomes `aa aa`, not `aa a a`). */
-  def mergeOne(syms: Column, a: String, b: String, m: String): Column =
-    aggregate(syms, lit(Array.empty[String]),
-      (acc, s) =>
-        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
-          .otherwise(concat(acc, array(s))))
+    * `(a, b) -> m` to a packed symbol string: literal replace of
+    * `a␟b␟` with `m␟` (codegen'd, O(len); see the class doc for why
+    * this IS the BPE fold). */
+  def mergeOne(s: Column, a: String, b: String, m: String): Column =
+    call_function("replace", s, lit(a + Sep + b + Sep), lit(m + Sep))
 
-  /** Weighted adjacent-pair counts `(s1, s2, c)` of a symbolized
-    * vocabulary relation `(word, n, syms)`. */
+  /** Symbol array of a packed sequence string (the trailing separator
+    * yields one empty slot — dropped). */
+  def symbolsOf(s: Column): Column =
+    filter(split(s, Sep), x => length(x) > 0)
+
+  /** Weighted adjacent-pair counts `(s1, s2, c)` of a packed
+    * vocabulary relation `(word, n, s)`. */
   private def pairCounts(ws: DataFrame): DataFrame = {
-    val nP = greatest(size(col("syms")) - 1, lit(0))
+    val syms = symbolsOf(col("s"))
+    val nP = greatest(size(syms) - 1, lit(0))
     ws.select(col("n"),
-        explode(zip_with(slice(col("syms"), lit(1), nP),
-          slice(col("syms"), lit(2), nP),
+        explode(zip_with(slice(syms, lit(1), nP),
+          slice(syms, lit(2), nP),
           (a, b) => struct(a.as("s1"), b.as("s2")))).as("p"))
       .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
       .agg(sum(col("n")).as("c"))
   }
 
-  /** The word-count relation `(word, n, syms)` a training run iterates
+  /** The word-count relation `(word, n, s)` a training run iterates
     * on — the single corpus pass. */
   def wordCounts(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(TextOps.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      .select(col("word"), col("n"), symbolize(col("word")).as("syms"))
+      .select(col("word"), col("n"), symbolize(col("word")).as("s"))
 
   /** Train `numMerges` BPE merges:
     * `(rank, left, right, merged, pair_n)` with `rank` 1-based in merge
@@ -101,7 +115,7 @@ object Bpe {
           i += 1
           if (i < numMerges) {
             val next = ws.select(col("word"), col("n"),
-              mergeOne(col("syms"), a, b, a + b).as("syms")).persist()
+              mergeOne(col("s"), a, b, a + b).as("s")).persist()
             prev = ws
             ws = next
           }
@@ -114,24 +128,24 @@ object Bpe {
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_n")
   }
 
-  /** Fold an ordered merge list over a vocabulary relation's `syms`
-    * column, preserving every other column. Expression depth is
-    * bounded by materializing the vocab every `checkpointEvery`
-    * merges, so a real 30k-merge tokenizer plans as ~600 shallow
-    * stages instead of one 30k-deep expression tree. */
+  /** Fold an ordered merge list over a vocabulary relation's packed
+    * `s` column, preserving every other column. One nested codegen'd
+    * replace chain per `checkpointEvery` merges; the relation is
+    * materialized between batches so a real 30k-merge tokenizer plans
+    * as ~600 shallow stages instead of one 30k-deep expression tree. */
   private def foldMerges(vocab0: DataFrame,
                          merges: Seq[(String, String, String)],
                          checkpointEvery: Int): DataFrame = {
     require(checkpointEvery > 0)
-    val others = vocab0.columns.filterNot(_ == "syms").map(col).toSeq
+    val others = vocab0.columns.filterNot(_ == "s").map(col).toSeq
     var vocab = vocab0
     val batches = merges.grouped(checkpointEvery).toSeq
     var prev: Option[DataFrame] = None
     batches.zipWithIndex.foreach { case (g, gi) =>
-      val folded = g.foldLeft(col("syms")) { case (c, (a, b, m)) =>
+      val folded = g.foldLeft(col("s")) { case (c, (a, b, m)) =>
         mergeOne(c, a, b, m)
       }
-      vocab = vocab.select(others :+ folded.as("syms"): _*)
+      vocab = vocab.select(others :+ folded.as("s"): _*)
       if (gi < batches.size - 1) { // bound depth between batches
         vocab = vocab.persist()
         vocab.count() // materialize, then the previous block can go
@@ -156,10 +170,10 @@ object Bpe {
       explode(TextOps.tokens(col(textCol))).as("word"))
     val vocab = foldMerges(
       words.select(col("word")).distinct()
-        .select(col("word"), symbolize(col("word")).as("syms")),
+        .select(col("word"), symbolize(col("word")).as("s")),
       merges, checkpointEvery)
     words.join(vocab, Seq("word"))
-      .select(col(idCol), explode(col("syms")).as("subword"))
+      .select(col(idCol), explode(symbolsOf(col("s"))).as("subword"))
   }
 
   /** Corpus-wide subword frequencies `(subword, n)` under an ordered
@@ -171,6 +185,6 @@ object Bpe {
                     merges: Seq[(String, String, String)],
                     checkpointEvery: Int = 50): DataFrame =
     foldMerges(wordCounts(df, textCol), merges, checkpointEvery)
-      .select(col("n"), explode(col("syms")).as("subword"))
+      .select(col("n"), explode(symbolsOf(col("s"))).as("subword"))
       .groupBy(col("subword")).agg(sum(col("n")).as("n"))
 }
