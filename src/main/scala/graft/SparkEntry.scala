@@ -1915,6 +1915,46 @@ SELECT z >> 36 AS file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
 FROM z GROUP BY 1"""
   }
 
+  /** BPE encode gate: the corpus tokenized to id sequences under the
+    * fixed merge list — `(doc_id, word_pos, sub_pos, token_id)`, one
+    * row per token with its exact position, ids = binary-order rank of
+    * the subword. The oracle replays tokenization with ordinals, the
+    * replace-folds, the rank assignment, and both position ordinals. */
+  private def txtBpeEncode(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.encodeIds(docs(s, dir), "doc_id", "text",
+      bpeFixedMerges)
+
+  private def bpeEncodeOracle: String = {
+    val folded = bpeFixedMerges.foldLeft("s") { case (acc, (a, b, m)) =>
+      def q(x: String) = s"'${x.replace("'", "''")}'"
+      s"replace($acc, ${q(a)} || chr(31) || ${q(b)} || chr(31), " +
+        s"${q(m)} || chr(31))"
+    }
+    s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(
+  COALESCE(text, '')), '[^a-z0-9]+'), x -> len(x) > 0) AS l
+  FROM documents),
+w AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS word_pos, l[i] AS word
+  FROM toks, UNNEST(generate_series(1, len(l))) AS t(i)),
+vs AS (SELECT word,
+    array_to_string(list_append(list_transform(range(1, len(word) + 1),
+      i -> substring(word, CAST(i AS INT), 1)), '</w>'), chr(31))
+      || chr(31) AS s
+  FROM (SELECT DISTINCT word FROM w)),
+subs AS MATERIALIZED (SELECT word,
+    list_filter(string_split($folded, chr(31)), x -> len(x) > 0) AS syms
+  FROM vs),
+ids AS (SELECT subword,
+    CAST(ROW_NUMBER() OVER (ORDER BY subword) AS BIGINT) AS token_id
+  FROM (SELECT DISTINCT u.sub AS subword
+        FROM subs, UNNEST(syms) AS u(sub))),
+enc AS (SELECT w.doc_id, w.word_pos, CAST(j - 1 AS BIGINT) AS sub_pos,
+    syms[j] AS subword
+  FROM w JOIN subs USING (word),
+  UNNEST(generate_series(1, len(syms))) AS t(j))
+SELECT doc_id, word_pos, sub_pos, token_id
+FROM enc JOIN ids USING (subword)"""
+  }
+
   /** HDR-quantile gate: per-language document-length quantiles from the
     * deterministic log-bucket histogram (sbBits=4 so multi-value
     * buckets actually occur at every SF). Output is the quantile
@@ -2454,6 +2494,7 @@ FROM z GROUP BY 1"""
     "lay_zorder" -> (layZorder _),
     "txt_len_quantiles" -> (txtLenQuantiles _),
     "ext_sql_zorder" -> (extSqlZorder _),
+    "txt_bpe_encode" -> (txtBpeEncode _),
     "io_warc" -> (ioWarc _),
     "txt_profile" -> (txtProfile _),
     "txt_novelty" -> (txtNovelty _),
@@ -4383,6 +4424,8 @@ FROM z GROUP BY 1"""
     "txt_len_quantiles" -> hdrQuantilesOracleSql,
     // SQL-surface z_value must agree with the Column-API layout
     "ext_sql_zorder" -> zorderOracleSql,
+    // ordinal-preserving tokenize-to-ids replay
+    "txt_bpe_encode" -> bpeEncodeOracle,
     // banding-free truth: ALL corpus x eval shingle-Jaccard >= 0.6
     // pairs by direct replay (incl. self-pairs at 1.0) — the engine's
     // LSH candidates + exact verify must reproduce this set exactly

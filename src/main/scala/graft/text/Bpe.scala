@@ -187,4 +187,43 @@ object Bpe {
     foldMerges(wordCounts(df, textCol), merges, checkpointEvery)
       .select(col("n"), explode(symbolsOf(col("s"))).as("subword"))
       .groupBy(col("subword")).agg(sum(col("n")).as("n"))
+
+  /** Deterministic id table `(subword, token_id)` for every subword a
+    * folded vocabulary emits: ids are the 1-based rank of the subword
+    * in binary-string order — reproducible run-to-run and
+    * engine-portable (no hash seeding, no partition order). The window
+    * runs over the subword set, which is merge-list-bounded
+    * (|chars| + |merges| at most), not corpus-sized. */
+  def vocabIds(vocab: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    vocab.select(explode(symbolsOf(col("s"))).as("subword")).distinct()
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("subword"))).cast("long"))
+  }
+
+  /** Tokenize a corpus to id sequences — THE artifact an LM training
+    * pipeline materializes: `(idCol, word_pos, sub_pos, token_id)`,
+    * one row per emitted token with its exact position (0-based word
+    * ordinal in the document x 0-based subword ordinal in the word;
+    * sorting by the pair reconstructs the sequence). The merge fold
+    * runs on the DISTINCT-word vocabulary and joins back to the
+    * position-carrying occurrences; the id table is subword-set-sized
+    * and broadcast. */
+  def encodeIds(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String, String)],
+                checkpointEvery: Int = 50): DataFrame = {
+    val words = df.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("word_pos", "word")))
+    val vocab = foldMerges(
+      words.select(col("word")).distinct()
+        .select(col("word"), symbolize(col("word")).as("s")),
+      merges, checkpointEvery)
+    val ids = vocabIds(vocab)
+    words.join(vocab, Seq("word"))
+      .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
+        posexplode(symbolsOf(col("s"))).as(Seq("sub_pos", "subword")))
+      .join(broadcast(ids), Seq("subword"))
+      .select(col(idCol), col("word_pos"),
+        col("sub_pos").cast("long").as("sub_pos"), col("token_id"))
+  }
 }

@@ -67,6 +67,24 @@ class BpeSpec extends SparkSpec {
     assert(direct("the</w>") == 3L)
   }
 
+  test("encodeIds: positions reconstruct the sequence, ids are ranks") {
+    val df = Seq((1L, "the cat"), (2L, "the")).toDF("doc_id", "text")
+    val merges = Seq(("t", "h", "th"), ("th", "e", "the"),
+      ("the", "</w>", "the</w>"))
+    val rows = Bpe.encodeIds(df, "doc_id", "text", merges)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2, r._3))
+    // vocab after folds: doc1 -> [the</w>] [c,a,t,</w>]; doc2 -> [the</w>]
+    // distinct subwords sorted: </w>, a, c, t, the</w> -> ids 1..5
+    val ids = rows.map(_._4)
+    val byDoc1 = rows.filter(_._1 == 1L)
+    assert(byDoc1.map(r => (r._2, r._3)) ==
+      Seq((0L, 0L), (1L, 0L), (1L, 1L), (1L, 2L), (1L, 3L)))
+    assert(byDoc1.map(_._4) == Seq(5L, 3L, 2L, 4L, 1L)) // the</w> c a t </w>
+    assert(rows.filter(_._1 == 2L).map(_._4) == Seq(5L))
+    assert(ids.forall(i => i >= 1 && i <= 5))
+  }
+
   test("exhausted vocabulary stops early") {
     val df = Seq("ab").toDF("text")
     // merge 1: (a,b) -> [ab, </w>]; merge 2: (ab,</w>) -> [ab</w>];
