@@ -218,14 +218,16 @@ object StreamOps {
       onExactDups: (DataFrame, Long) => Unit = (_, _) => (),
       bloomExpectedItems: Long = 10000000L, bloomFpp: Double = 0.01,
       bloomBuckets: Int = 64,
-      profileIndexPath: String = null, profileStrataCol: String = "source")
+      profileIndexPath: String = null, profileStrataCol: String = "source",
+      lenHistPath: String = null, lenHistSbBits: Int = 7)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         ingestDedupBatch(batch.toDF(), batchId, indexTable, docStorePath,
           onPairs, idCol, textCol, n, numHashes, bands, threshold,
           numBuckets, bloomIndexPath, onExactDups, bloomExpectedItems,
-          bloomFpp, bloomBuckets, profileIndexPath, profileStrataCol)
+          bloomFpp, bloomBuckets, profileIndexPath, profileStrataCol,
+          lenHistPath, lenHistSbBits)
     }
 
   /** The store subdirectories a batch's bloom prefilter may verify
@@ -264,7 +266,8 @@ object StreamOps {
       bloomExpectedItems: Long = 10000000L, bloomFpp: Double = 0.01,
       bloomBuckets: Int = 64,
       profileIndexPath: String = null,
-      profileStrataCol: String = "source"): Unit = {
+      profileStrataCol: String = "source",
+      lenHistPath: String = null, lenHistSbBits: Int = 7): Unit = {
     val s = batchDf.sparkSession
     val batch = batchDf.persist()
     if (!batch.isEmpty) {
@@ -325,6 +328,16 @@ object StreamOps {
       if (profileIndexPath != null)
         graft.text.ProfileIndex.writeProfileBatch(fresh,
           profileStrataCol, textCol, profileIndexPath, batchId)
+      // length-distribution histogram (opt-in): HDR log buckets of the
+      // novel rows' text length per stratum — same batch-addressed
+      // overwrite posture, mergeable by bucket-wise sum, so
+      // Hdr.readHistogram/quantiles stay exact over any replay/batching
+      if (lenHistPath != null)
+        graft.text.Hdr.writeHistogramBatch(
+          fresh.select(col(profileStrataCol),
+            length(coalesce(col(textCol), lit(""))).as("__len")),
+          "__len", Seq(profileStrataCol), lenHistPath, batchId,
+          lenHistSbBits)
       if (bloomIndexPath != null) {
         graft.dedup.Bloom.appendIndex(fresh, col(textCol),
           bloomIndexPath, bloomBuckets, bloomExpectedItems, bloomFpp)

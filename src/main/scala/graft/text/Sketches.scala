@@ -164,6 +164,26 @@ object Hdr {
       .agg(sum(col("n")).as("n"))
   }
 
+  /** Replay-idempotent batch append of a per-stratum histogram index:
+    * the batch's `(strata..., bucket, n)` rows land in a
+    * batch-addressed subdirectory (`path/batch=<id>`) with OVERWRITE,
+    * so a foreachBatch re-delivery REPLACES the rows instead of
+    * doubling them — the ingest doc-store durability posture. Bucket
+    * counts are mergeable by sum, so [[readHistogram]] is exact over
+    * any batching. */
+  def writeHistogramBatch(df: DataFrame, valueCol: String,
+                          strata: Seq[String], path: String, batchId: Long,
+                          sbBits: Int = 7): Unit =
+    buildHistogram(df, valueCol, strata, sbBits)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
+  /** The merged histogram of every batch appended to `path`: bucket-wise
+    * sum over index-sized data only. */
+  def readHistogram(spark: org.apache.spark.sql.SparkSession, path: String,
+                    strata: Seq[String]): DataFrame =
+    merge(strata, spark.read.parquet(path)
+      .select((strata :+ "bucket" :+ "n").map(col): _*))
+
   /** Per-stratum quantiles at the given permille points (e.g. 500 =
     * median, 990 = p99): `(strata..., q_permille, lo, width, cum_n,
     * total_n)` where `lo <= Q_q < lo + width`. The crossing bucket is

@@ -909,7 +909,8 @@ class StreamingSpec extends SparkSpec {
       onExactDups = (d, _) => exact ++= d.select("doc_id")
         .as[Long].collect(),
       bloomExpectedItems = 100000L, bloomBuckets = 4,
-      profileIndexPath = s"$dir/prof")
+      profileIndexPath = s"$dir/prof",
+      lenHistPath = s"$dir/lenhist", lenHistSbBits = 4)
     deliver()
     val storeAfterFirst = spark.read.parquet(s"$dir/store/batch=*")
       .select("doc_id").as[Long].collect().sorted.toSeq
@@ -933,6 +934,18 @@ class StreamingSpec extends SparkSpec {
     val profReplay = ProfileIndex.readProfile(spark, s"$dir/prof")
       .orderBy("stratum").collect().map(_.toSeq).toSeq
     assert(profReplay == profFirst, "replay doubled the profile")
+    // the length-histogram index is batch-addressed too: replay must
+    // not double counts, and the merged histogram must equal a
+    // one-shot over the batch's NOVEL rows (3, 4)
+    import graft.text.Hdr
+    val hist = Hdr.readHistogram(spark, s"$dir/lenhist", Seq("source"))
+      .orderBy("source", "bucket")
+    val novel = b0.filter($"doc_id".isin(3L, 4L))
+      .select($"source", length($"text").as("__len"))
+    val oneShotH = Hdr.buildHistogram(novel, "__len", Seq("source"), 4)
+      .orderBy("source", "bucket")
+    assert(rowsOf(hist) == rowsOf(oneShotH),
+      "histogram replay/merge drift")
   }
 
   test("streaming ANN ingest: per-batch appends equal a one-shot index; " +
