@@ -85,20 +85,19 @@ object SparkEntry {
     * the two bucketed writes; the join itself has zero exchanges,
     * plan-asserted in BucketedJoinSpec). */
   private def ivOverlapBucketed(s: SparkSession, dir: String): DataFrame = {
-    val base = graft.core.Scratch.dir
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val path = s"$base/bji-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val path = scratchFile("bji")
+    val (t1, t2) = (uniqueTable("graft_bji1"), uniqueTable("graft_bji2"))
     val c1 = ColSpec.default
     val c2 = ColSpec.default.withSuffix("_2")
     BucketedJoin.writeBinIndex(
       iv1(s, dir).select("id", "chrom", "start", "end"),
-      "graft_bji1", s"$path/i1", c1, binSize = B, numBuckets = 8)
+      t1, s"$path/i1", c1, binSize = B, numBuckets = 8)
     BucketedJoin.writeBinIndex(
       ColSpec.suffixAll(iv2(s, dir).select("id", "chrom", "start", "end"), "_2"),
-      "graft_bji2", s"$path/i2", c2, binSize = B, numBuckets = 8,
+      t2, s"$path/i2", c2, binSize = B, numBuckets = 8,
       binColName = "__bin_2")
     BucketedJoin.pairsFromBinIndex(
-      s.table("graft_bji1"), s.table("graft_bji2"), c1, c2,
+      s.table(t1), s.table(t2), c1, c2,
       rightBin = "__bin_2", binSize = B)
       .select(col("id").as("id_1"), col("id_2"))
   }
@@ -219,12 +218,40 @@ object SparkEntry {
     graft.seq.SeqOps.digest(seqChunks(s), "Arima", SCAN_BUCKET)
       .select(col("chrom"), col("start"), col("end"))
 
+  /** Scratch paths this process created; deleted best-effort at JVM
+    * exit so gate reruns don't accrete index copies in /dev/shm. */
+  private val scratchCreated =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val it = scratchCreated.iterator()
+      while (it.hasNext) {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+          f.delete(); ()
+        }
+        try rm(new java.io.File(it.next())) catch { case _: Throwable => }
+      }
+    }))
+  }
+
   private def scratchFile(name: String): String = {
     val base = graft.core.Scratch.dir
       .getOrElse(System.getProperty("java.io.tmpdir"))
-    new java.io.File(base,
+    val p = new java.io.File(base,
       s"$name-${java.util.UUID.randomUUID()}").getAbsolutePath
+    scratchCreated.add(p)
+    p
   }
+
+  /** Per-invocation-unique table identifier for the persisted-index
+    * gates. The catalog is in-memory (per-process) but the DATA paths
+    * were formerly fixed per sf-dir, so a concurrent harness process
+    * (builder local check vs driver gate) interleaved the non-atomic
+    * write/append/read sequence — r10's one red gate. Unique names +
+    * unique external paths make each invocation hermetic. */
+  private def uniqueTable(prefix: String): String =
+    s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
   /** bigWig round-trip gate: per-bin iv1 start counts written as a real
     * BBI binary (header + chrom B+ tree + zlib sections + R-tree) and
@@ -1533,9 +1560,7 @@ object SparkEntry {
     * data → same sketches → same booleans). */
   private def txtProfileIncr(s: SparkSession, dir: String): DataFrame = {
     val all = docs(s, dir)
-    val base = graft.core.Scratch.dir
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val path = s"$base/profidx-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val path = scratchFile("profidx")
     ProfileIndex.writeProfileIndex(
       all.filter(col("doc_id") % 2 === 0), "source", "text", path)
     ProfileIndex.appendProfileIndex(
@@ -1603,16 +1628,14 @@ object SparkEntry {
     * is exactly what the oracle computes. */
   private def dedupMinhashIncr(s: SparkSession, dir: String): DataFrame = {
     val all = docs(s, dir)
-    val base = graft.core.Scratch.dir
-      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val mhTable = uniqueTable("graft_mhidx")
     Dedup.writeMinhashIndex(all.filter(col("doc_id") % 3 =!= 0),
-      "doc_id", "text", "graft_mhidx",
-      s"$base/mhidx-${dir.replaceAll("[^a-zA-Z0-9]", "_")}",
+      "doc_id", "text", mhTable, scratchFile("mhidx"),
       // 8 buckets, not the 32-bucket production default: the gate corpus
       // is thousands of rows and per-bucket file/task overhead dominates
       numBuckets = 8)
     Dedup.incrementalMinhashPairs(all.filter(col("doc_id") % 3 === 0),
-        all, "graft_mhidx", "doc_id", "text",
+        all, mhTable, "doc_id", "text",
         n = 3, numHashes = 48, bands = 16, threshold = 0.6)
       .select(col("id_1"), col("id_2"), col("jaccard"))
   }
@@ -1669,15 +1692,13 @@ object SparkEntry {
   private def embIvfIncr(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
     val cents = Ann.ivfCentroids(emb, 8)
-    val base = graft.core.Scratch.dir
-      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val ivfTable = uniqueTable("graft_ivfidx")
     Ann.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 0), cents,
-      "graft_ivfidx", s"$base/ivfidx-${dir.replaceAll("[^a-zA-Z0-9]", "_")}",
-      numBuckets = 8)
+      ivfTable, scratchFile("ivfidx"), numBuckets = 8)
     Ann.appendIvfIndex(emb.filter(col("vec_id") % 3 === 0), cents,
-      "graft_ivfidx", numBuckets = 8)
+      ivfTable, numBuckets = 8)
     Ann.ivfTopKIndexed(s, emb.filter(col("vec_id") % 100 === 0), cents,
-        "graft_ivfidx", k = 5, nProbe = 2,
+        ivfTable, k = 5, nProbe = 2,
         rerankWith = Some(emb), rerankDepth = 20)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"))
