@@ -1831,16 +1831,20 @@ object SparkEntry {
     graft.text.Bpe.subwordCounts(docs(s, dir), "text", bpeFixedMerges)
 
   /** BPE oracle symbol encoding: the symbol sequence is ONE string
-    * with chr(31) AFTER every symbol (`a␟b␟…␟</w>␟`), so the greedy
-    * left-to-right non-overlapping merge fold is native
-    * `replace(s, 'a␟b␟', 'ab␟')` — DuckDB's replace scans left to
+    * with every symbol WRAPPED in chr(31) (`␟a␟␟b␟…␟</w>␟`), so the
+    * greedy left-to-right non-overlapping merge fold is native
+    * `replace(s, '␟a␟␟b␟', '␟ab␟')` — DuckDB's replace scans left to
     * right and continues AFTER each substitution, which is exactly
-    * BPE's fold semantics (verified: `a␟a␟a␟a␟` under (a,a) becomes
-    * `aa␟aa␟`, never re-merging output). The earlier list_reduce
-    * formulation was O(word²) string building per word per iteration
-    * (~minutes at sf1 vocab); this is one native scan. Symbols are
-    * `[a-z0-9]` chars, `</w>`, and their concatenations — chr(31)
-    * can never occur inside one. */
+    * BPE's fold semantics (verified: `␟a␟␟a␟␟a␟␟a␟` under (a,a)
+    * becomes `␟aa␟␟aa␟`, never re-merging output). The wrap anchors
+    * BOTH pattern ends at symbol boundaries (a trailing-only
+    * separator falsely merged `[ban, a]` under (an,a) across the
+    * symbol start), and a wrap rather than one shared boundary
+    * separator keeps back-to-back non-overlapping merges intact (the
+    * first substitution would consume the shared `␟`). Same encoding
+    * as the engine (graft.text.Bpe). Symbols are `[a-z0-9]` chars,
+    * `</w>`, and their concatenations — chr(31) can never occur
+    * inside one. */
   private val bpeSymsOfSql =
     "list_filter(string_split(s, chr(31)), x -> len(x) > 0)"
 
@@ -1849,9 +1853,10 @@ object SparkEntry {
       |    COALESCE(text, '')), '[^a-z0-9]+'), x -> len(x) > 0) AS l
       |  FROM documents),
       |ws0 AS MATERIALIZED (SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS n,
-      |    array_to_string(list_append(list_transform(range(1, len(t) + 1),
-      |      i -> substring(t, CAST(i AS INT), 1)), '</w>'), chr(31))
-      |      || chr(31) AS s
+      |    array_to_string(list_transform(
+      |      list_append(list_transform(range(1, len(t) + 1),
+      |        i -> substring(t, CAST(i AS INT), 1)), '</w>'),
+      |      c -> chr(31) || c || chr(31)), '') AS s
       |  FROM (SELECT u.t AS t FROM d, UNNEST(l) AS u(t)) tk
       |  GROUP BY 1)""".stripMargin
 
@@ -1875,7 +1880,8 @@ m$i AS (SELECT s1, s2, s1 || s2 AS m, c FROM p$i
       // exactly this reason).
       if (i < k) sb ++= s""",
 ws$i AS MATERIALIZED (SELECT word, n,
-  replace(s, mm.s1 || chr(31) || mm.s2 || chr(31), mm.m || chr(31)) AS s
+  replace(s, chr(31) || mm.s1 || chr(31) || chr(31) || mm.s2 || chr(31),
+    chr(31) || mm.m || chr(31)) AS s
   FROM ws${i - 1}, m$i mm)"""
     }
     sb ++= (1 to k).map(i =>
@@ -1887,12 +1893,18 @@ ws$i AS MATERIALIZED (SELECT word, n,
   /** Generated fixed-merge apply replay: one replace-fold per merge in
     * [[bpeFixedMerges]] order, then subword counts weighted by word
     * frequency. */
-  private def bpeApplyOracle: String = {
-    val folded = bpeFixedMerges.foldLeft("s") { case (acc, (a, b, m)) =>
+  /** The fixed-merge replace-fold as one nested DuckDB expression over
+    * packed column `s` — wrap-anchored pattern/replacement (class doc
+    * of [[bpeSymsOfSql]]). */
+  private def bpeFoldSql: String =
+    bpeFixedMerges.foldLeft("s") { case (acc, (a, b, m)) =>
       def q(x: String) = s"'${x.replace("'", "''")}'"
-      s"replace($acc, ${q(a)} || chr(31) || ${q(b)} || chr(31), " +
-        s"${q(m)} || chr(31))"
+      s"replace($acc, chr(31) || ${q(a)} || chr(31) || chr(31) || " +
+        s"${q(b)} || chr(31), chr(31) || ${q(m)} || chr(31))"
     }
+
+  private def bpeApplyOracle: String = {
+    val folded = bpeFoldSql
     s"""$bpeWs0Sql,
 wsF AS (SELECT n, $folded AS s FROM ws0)
 SELECT sub AS subword, CAST(SUM(n) AS BIGINT) AS n
@@ -1946,20 +1958,17 @@ FROM z GROUP BY 1"""
       bpeFixedMerges)
 
   private def bpeEncodeOracle: String = {
-    val folded = bpeFixedMerges.foldLeft("s") { case (acc, (a, b, m)) =>
-      def q(x: String) = s"'${x.replace("'", "''")}'"
-      s"replace($acc, ${q(a)} || chr(31) || ${q(b)} || chr(31), " +
-        s"${q(m)} || chr(31))"
-    }
+    val folded = bpeFoldSql
     s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(
   COALESCE(text, '')), '[^a-z0-9]+'), x -> len(x) > 0) AS l
   FROM documents),
 w AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS word_pos, l[i] AS word
   FROM toks, UNNEST(generate_series(1, len(l))) AS t(i)),
 vs AS (SELECT word,
-    array_to_string(list_append(list_transform(range(1, len(word) + 1),
-      i -> substring(word, CAST(i AS INT), 1)), '</w>'), chr(31))
-      || chr(31) AS s
+    array_to_string(list_transform(
+      list_append(list_transform(range(1, len(word) + 1),
+        i -> substring(word, CAST(i AS INT), 1)), '</w>'),
+      c -> chr(31) || c || chr(31)), '') AS s
   FROM (SELECT DISTINCT word FROM w)),
 subs AS MATERIALIZED (SELECT word,
     list_filter(string_split($folded, chr(31)), x -> len(x) > 0) AS syms

@@ -16,14 +16,21 @@ import org.apache.spark.sql.functions._
   * posture), never over the corpus again. At 100 TB the corpus pass is
   * one token aggregation; iterations cost |vocab|, not |corpus|.
   *
-  * Symbol-sequence representation: ONE string with `chr(31)` AFTER
-  * every symbol (`a␟b␟…␟</w>␟`). The greedy left-to-right
+  * Symbol-sequence representation: ONE string with every symbol
+  * WRAPPED in `chr(31)` (`␟a␟␟b␟…␟</w>␟`). The greedy left-to-right
   * non-overlapping merge fold is then a literal
-  * `replace(s, "a␟b␟", "ab␟")` — Spark's codegen'd StringReplace scans
-  * left to right and continues AFTER each substitution, which is
-  * exactly BPE's fold semantics (`a␟a␟a␟a␟` under (a,a) becomes
-  * `aa␟aa␟`, never re-merging output), and is O(len) per merge. The
-  * previous array-fold (`aggregate` with slice+concat) was an
+  * `replace(s, "␟a␟␟b␟", "␟ab␟")` — Spark's codegen'd StringReplace
+  * scans left to right and continues AFTER each substitution, which is
+  * exactly BPE's fold semantics (`␟a␟␟a␟␟a␟␟a␟` under (a,a) becomes
+  * `␟aa␟␟aa␟`, never re-merging output), and is O(len) per merge.
+  * Both pattern ends are anchored at a symbol boundary: a symbol whose
+  * SUFFIX equals `a` cannot false-match (the earlier trailing-only
+  * encoding merged `[ban, a]` under (an,a) into `bana` across the
+  * symbol start). Wrapping rather than sharing one boundary separator
+  * matters too: a shared `␟` would be consumed by the first
+  * substitution and break back-to-back non-overlapping merges
+  * (`[a,a,a,a]` must fold to `[aa,aa]`, not `[aa,a,a]`). The previous
+  * array-fold (`aggregate` with slice+concat) was an
   * interpreter-evaluated O(len²) per word per merge — fine at sf0.01,
   * a bench timeout at the sf1 vocabulary. Symbols are `[a-z0-9]`
   * chars, `</w>`, and their concatenations — `chr(31)` can never occur
@@ -44,19 +51,21 @@ object Bpe {
   val Sep = "\u001f"
 
   /** Packed symbol string of `word`: every character becomes
-    * `c`+chr(31), then the end-of-word marker (also terminated). */
+    * chr(31)+`c`+chr(31), then the end-of-word marker (also wrapped). */
   def symbolize(word: Column): Column =
-    concat(regexp_replace(word, "(.)", "$1" + Sep), lit(EndOfWord + Sep))
+    concat(regexp_replace(word, "(.)", Sep + "$1" + Sep),
+      lit(Sep + EndOfWord + Sep))
 
   /** Greedy left-to-right non-overlapping application of ONE merge
     * `(a, b) -> m` to a packed symbol string: literal replace of
-    * `a␟b␟` with `m␟` (codegen'd, O(len); see the class doc for why
-    * this IS the BPE fold). */
+    * `␟a␟␟b␟` with `␟m␟` (codegen'd, O(len), boundary-anchored at both
+    * ends; see the class doc for why this IS the BPE fold). */
   def mergeOne(s: Column, a: String, b: String, m: String): Column =
-    call_function("replace", s, lit(a + Sep + b + Sep), lit(m + Sep))
+    call_function("replace", s,
+      lit(Sep + a + Sep + Sep + b + Sep), lit(Sep + m + Sep))
 
-  /** Symbol array of a packed sequence string (the trailing separator
-    * yields one empty slot — dropped). */
+  /** Symbol array of a packed sequence string (the wrap separators
+    * yield empty slots at the edges and boundaries — dropped). */
   def symbolsOf(s: Column): Column =
     filter(split(s, Sep), x => length(x) > 0)
 
@@ -131,8 +140,13 @@ object Bpe {
   /** Fold an ordered merge list over a vocabulary relation's packed
     * `s` column, preserving every other column. One nested codegen'd
     * replace chain per `checkpointEvery` merges; the relation is
-    * materialized between batches so a real 30k-merge tokenizer plans
-    * as ~600 shallow stages instead of one 30k-deep expression tree. */
+    * materialized between batches (eager `localCheckpoint`) so a real
+    * 30k-merge tokenizer plans as ~600 shallow stages instead of one
+    * 30k-deep expression tree. localCheckpoint rather than persist:
+    * the blocks are ContextCleaner-collected once the plan is
+    * unreachable, so a caller that never materializes the returned
+    * lazy frame leaks nothing (persist pinned a CacheManager entry
+    * for the session lifetime with no handle to release it). */
   private def foldMerges(vocab0: DataFrame,
                          merges: Seq[(String, String, String)],
                          checkpointEvery: Int): DataFrame = {
@@ -140,21 +154,14 @@ object Bpe {
     val others = vocab0.columns.filterNot(_ == "s").map(col).toSeq
     var vocab = vocab0
     val batches = merges.grouped(checkpointEvery).toSeq
-    var prev: Option[DataFrame] = None
     batches.zipWithIndex.foreach { case (g, gi) =>
       val folded = g.foldLeft(col("s")) { case (c, (a, b, m)) =>
         mergeOne(c, a, b, m)
       }
       vocab = vocab.select(others :+ folded.as("s"): _*)
-      if (gi < batches.size - 1) { // bound depth between batches
-        vocab = vocab.persist()
-        vocab.count() // materialize, then the previous block can go
-        prev.foreach(_.unpersist())
-        prev = Some(vocab)
-      }
+      if (gi < batches.size - 1) // bound depth between batches
+        vocab = vocab.localCheckpoint()
     }
-    // the last persisted block stays cached: the returned (lazy) plan
-    // reads it instead of re-deriving the full merge chain
     vocab
   }
 

@@ -85,6 +85,28 @@ class BpeSpec extends SparkSpec {
     assert(ids.forall(i => i >= 1 && i <= 5))
   }
 
+  test("merge patterns anchor at symbol STARTS: no cross-boundary merge") {
+    // After (a,n) and (b,an), 'bana' is [ban, a, </w>]. A trailing-only
+    // separator encoding let (an,a) match the SUFFIX of 'ban' plus the
+    // next symbol and fold the word into one bogus 'bana' symbol; the
+    // wrap-anchored pattern must leave [ban, a, </w>] intact.
+    val df = Seq((1L, "bana")).toDF("doc_id", "text")
+    val merges = Seq(("a", "n", "an"), ("b", "an", "ban"),
+      ("an", "a", "ana"))
+    val got = Bpe.applyMerges(df, "doc_id", "text", merges)
+      .as[(Long, String)].collect().map(_._2).toSeq
+    assert(got == Seq("ban", "a", "</w>"))
+  }
+
+  test("wrap keeps back-to-back non-overlapping merges: aaaaaa -> aa x3") {
+    // A SHARED boundary separator would be consumed by each
+    // substitution and break immediate adjacency (-> [aa, a, a, a, a]).
+    val df = Seq((1L, "aaaaaa")).toDF("doc_id", "text")
+    val got = Bpe.applyMerges(df, "doc_id", "text", Seq(("a", "a", "aa")))
+      .as[(Long, String)].collect().map(_._2).toSeq
+    assert(got == Seq("aa", "aa", "aa", "</w>"))
+  }
+
   test("exhausted vocabulary stops early") {
     val df = Seq("ab").toDF("text")
     // merge 1: (a,b) -> [ab, </w>]; merge 2: (ab,</w>) -> [ab</w>];
