@@ -107,6 +107,22 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq("aa", "aa", "aa", "</w>"))
   }
 
+  test("incremental train equals full recompute, merge for merge") {
+    // Mixed corpus with repeats, ties, and words that stay affected
+    // across many merges — exercises delta add/remove/reappear paths.
+    val df = Seq("low lower lowest low low banana bandana aaaa abab",
+      "the thee then than banana low lowest abab aa")
+      .toDF("text")
+    val inc = Bpe.trainIncremental(df, "text", numMerges = 24)
+      .orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val full = Bpe.trainFull(df, "text", numMerges = 24)
+      .orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(inc == full)
+    assert(inc.size == 24)
+  }
+
   test("exhausted vocabulary stops early") {
     val df = Seq("ab").toDF("text")
     // merge 1: (a,b) -> [ab, </w>]; merge 2: (ab,</w>) -> [ab</w>];
