@@ -1790,6 +1790,67 @@ object SparkEntry {
         col("rank").cast("long").as("rank"), col("dist"))
   }
 
+  /** Persisted-index variant of [[embPqIvf]]: the PQ-IVF codes are
+    * written ONCE as a `centroid_id`-bucketed table (the
+    * [[graft.ann.Ann.writePqIvfIndex]] at-rest layout) and the search
+    * runs against that table — the production posture where Lloyd +
+    * encode are paid at ingest and a query touches only the probed
+    * lists' files. Result is identical to emb_pq_ivf (same books,
+    * centroids, queries), so it shares that oracle; what this gate
+    * additionally certifies is that the persisted round-trip (bucketed
+    * write → catalog read → probe-pruned scan) loses nothing. The
+    * search-only wall-clock evidence vs the exhaustive ADC scan is
+    * graft.tools.PqIvfBench's committed artifact. */
+  /** Oracle for the emb_pq_ivf gates: candidates admitted by
+    * probe-list ∘ assignment (the dumped IVF aux), distances replayed
+    * with the identical exact-long ADC arithmetic as emb_pq_topk —
+    * the shortlist composition end to end. */
+  private val pqIvfOracleSql =
+    """WITH bk AS (SELECT sub, cid, cv
+      |  FROM read_parquet('{AUX_DIR}/pq_books/*.parquet')),
+      |cd AS (SELECT vec_id, sub, code
+      |  FROM read_parquet('{AUX_DIR}/pq_codes/*.parquet')),
+      |asg AS (SELECT vec_id, centroid_id
+      |  FROM read_parquet('{AUX_DIR}/ivf_assign/*.parquet')),
+      |pr AS (SELECT query_id, centroid_id
+      |  FROM read_parquet('{AUX_DIR}/ivf_probes/*.parquet')),
+      |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+      |  FROM pr p JOIN asg a USING (centroid_id)),
+      |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id % 100 = 0),
+      |t AS (SELECT query_id, sub, cid,
+      |    CAST(SUM((CAST(round(qv[sub * 8 + u.i] * 1024) AS BIGINT)
+      |              - CAST(round(cv[u.i] * 1024) AS BIGINT))
+      |           * (CAST(round(qv[sub * 8 + u.i] * 1024) AS BIGINT)
+      |              - CAST(round(cv[u.i] * 1024) AS BIGINT))) AS BIGINT) AS pd
+      |  FROM q, bk, UNNEST(generate_series(1, 8)) AS u(i)
+      |  GROUP BY 1, 2, 3),
+      |d AS (SELECT t.query_id, c.vec_id AS neighbor_id,
+      |    CAST(SUM(t.pd) AS BIGINT) AS dist
+      |  FROM cd c
+      |  JOIN cand ON cand.neighbor_id = c.vec_id
+      |  JOIN t ON t.query_id = cand.query_id
+      |        AND t.sub = c.sub AND t.cid = c.code
+      |  GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, dist FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY dist ASC, neighbor_id ASC) AS rn
+      |  FROM d WHERE query_id <> neighbor_id) z
+      |WHERE rn <= 5""".stripMargin
+
+  private def embPqIvfSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val books = pqBooks(s, dir)
+    val cents = Ann.ivfCentroids(emb, 8)
+    val idxTable = uniqueTable("graft_pqivfidx")
+    Ann.writePqIvfIndex(emb, books, cents, idxTable,
+      scratchFile("pqivfidx"), numBuckets = 8)
+    Ann.pqIvfTopK(s.table(idxTable), books,
+      emb.filter(col("vec_id") % 100 === 0), cents, k = 5, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("dist"))
+  }
+
   /** DSIR importance-weighting gate: the `doc_id % 7 = 0` slice plays
     * the high-quality target corpus, the full `documents` table the raw
     * crawl; every raw document gets the exact-BIGINT hashed-bigram log
@@ -2559,6 +2620,7 @@ FROM enc JOIN ids USING (subword)"""
     "emb_ivf_topk" -> (embIvfTopk _),
     "emb_pq_topk" -> (embPqTopk _),
     "emb_pq_ivf" -> (embPqIvf _),
+    "emb_pq_ivf_search" -> (embPqIvfSearch _),
     "emb_cosine_dedup" -> (embCosineDedup _),
     "emb_semdedup" -> (embSemDedup _),
     "emb_lsh_cap" -> (embLshCap _),
@@ -4144,38 +4206,11 @@ FROM enc JOIN ids USING (subword)"""
     // candidates admitted by probe-list ∘ assignment (the dumped IVF
     // aux), distances replayed with the identical exact-long ADC
     // arithmetic as emb_pq_topk — the shortlist composition end to end
-    "emb_pq_ivf" ->
-      """WITH bk AS (SELECT sub, cid, cv
-        |  FROM read_parquet('{AUX_DIR}/pq_books/*.parquet')),
-        |cd AS (SELECT vec_id, sub, code
-        |  FROM read_parquet('{AUX_DIR}/pq_codes/*.parquet')),
-        |asg AS (SELECT vec_id, centroid_id
-        |  FROM read_parquet('{AUX_DIR}/ivf_assign/*.parquet')),
-        |pr AS (SELECT query_id, centroid_id
-        |  FROM read_parquet('{AUX_DIR}/ivf_probes/*.parquet')),
-        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
-        |  FROM pr p JOIN asg a USING (centroid_id)),
-        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id % 100 = 0),
-        |t AS (SELECT query_id, sub, cid,
-        |    CAST(SUM((CAST(round(qv[sub * 8 + u.i] * 1024) AS BIGINT)
-        |              - CAST(round(cv[u.i] * 1024) AS BIGINT))
-        |           * (CAST(round(qv[sub * 8 + u.i] * 1024) AS BIGINT)
-        |              - CAST(round(cv[u.i] * 1024) AS BIGINT))) AS BIGINT) AS pd
-        |  FROM q, bk, UNNEST(generate_series(1, 8)) AS u(i)
-        |  GROUP BY 1, 2, 3),
-        |d AS (SELECT t.query_id, c.vec_id AS neighbor_id,
-        |    CAST(SUM(t.pd) AS BIGINT) AS dist
-        |  FROM cd c
-        |  JOIN cand ON cand.neighbor_id = c.vec_id
-        |  JOIN t ON t.query_id = cand.query_id
-        |        AND t.sub = c.sub AND t.cid = c.code
-        |  GROUP BY 1, 2)
-        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, dist FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        |    ORDER BY dist ASC, neighbor_id ASC) AS rn
-        |  FROM d WHERE query_id <> neighbor_id) z
-        |WHERE rn <= 5""".stripMargin,
+    "emb_pq_ivf" -> pqIvfOracleSql,
+    // identical result contract through the persisted bucketed index;
+    // what the engine side adds is the bucketed write -> catalog read
+    // round-trip (see embPqIvfSearch)
+    "emb_pq_ivf_search" -> pqIvfOracleSql,
     "emb_cov" ->
       """WITH q AS (SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS i,
         |    CAST(round(embedding[u.i] * 1024) AS BIGINT) AS q

@@ -968,6 +968,28 @@ object Ann {
       .select(col("vec_id"), col("centroid_id"), col("sub"), col("code"))
   }
 
+  /** Persist an IVF-addressed PQ code relation as a bucketed table
+    * (external at `path`), bucketed+sorted by `centroid_id` — the
+    * at-rest layout [[pqIvfTopK]]'s scaladoc prescribes: a probe's
+    * broadcast-join against the probe list then prunes hash-clustered
+    * list files instead of rescanning a fresh encode, and the
+    * (construction-heavy) Lloyd + encode cost is paid once per corpus,
+    * not per query. Same posture as [[writeIvfIndex]]; append batches
+    * with mode("append") on the same table like [[appendIvfIndex]]. */
+  def writePqIvfIndex(corpus: DataFrame,
+                      books: Array[(Int, Int, Array[Double])],
+                      cents: Array[(Int, Array[Double])],
+                      table: String, path: String, numBuckets: Int = 32,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    val s = corpus.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    pqIvfEncode(corpus, books, cents, idCol, vecCol)
+      .write.mode("overwrite").option("path", path)
+      .bucketBy(numBuckets, "centroid_id").sortBy("centroid_id")
+      .format("parquet").saveAsTable(table)
+  }
+
   /** IVF-shortlisted ADC top-k — the composition that retires the
     * exhaustive [[pqAdcTopK]] scan at corpus scale: candidates come
     * from the query's `nProbe` probed inverted lists (coarse pruning,
