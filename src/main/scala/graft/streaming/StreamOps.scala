@@ -207,7 +207,12 @@ object StreamOps {
     * [[graft.text.ProfileIndex]] — per-stratum counts, size moments, and
     * HLL vocabulary/distinct-doc estimates stay queryable over
     * everything ingested so far (`ProfileIndex.readProfile`) at
-    * index-scan cost, one stratum-sized append per batch. */
+    * index-scan cost, one stratum-sized append per batch. Pass
+    * `cmsPath` and the novel rows' token stream also feeds a Count-Min
+    * term-frequency sketch ([[graft.text.Cms]]) — point term-frequency
+    * estimates over everything ingested so far at sketch-scan cost
+    * (`Cms.readSketch` + `Cms.estimate`), one depth x width cell
+    * relation per batch. */
   def streamingIngestDedup(docs: DataFrame, indexTable: String,
       docStorePath: String,
       onPairs: (DataFrame, Long) => Unit,
@@ -219,7 +224,8 @@ object StreamOps {
       bloomExpectedItems: Long = 10000000L, bloomFpp: Double = 0.01,
       bloomBuckets: Int = 64,
       profileIndexPath: String = null, profileStrataCol: String = "source",
-      lenHistPath: String = null, lenHistSbBits: Int = 7)
+      lenHistPath: String = null, lenHistSbBits: Int = 7,
+      cmsPath: String = null, cmsDepth: Int = 4, cmsWidth: Int = 2048)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -227,7 +233,7 @@ object StreamOps {
           onPairs, idCol, textCol, n, numHashes, bands, threshold,
           numBuckets, bloomIndexPath, onExactDups, bloomExpectedItems,
           bloomFpp, bloomBuckets, profileIndexPath, profileStrataCol,
-          lenHistPath, lenHistSbBits)
+          lenHistPath, lenHistSbBits, cmsPath, cmsDepth, cmsWidth)
     }
 
   /** The store subdirectories a batch's bloom prefilter may verify
@@ -267,7 +273,9 @@ object StreamOps {
       bloomBuckets: Int = 64,
       profileIndexPath: String = null,
       profileStrataCol: String = "source",
-      lenHistPath: String = null, lenHistSbBits: Int = 7): Unit = {
+      lenHistPath: String = null, lenHistSbBits: Int = 7,
+      cmsPath: String = null, cmsDepth: Int = 4,
+      cmsWidth: Int = 2048): Unit = {
     val s = batchDf.sparkSession
     val batch = batchDf.persist()
     if (!batch.isEmpty) {
@@ -338,6 +346,14 @@ object StreamOps {
             length(coalesce(col(textCol), lit(""))).as("__len")),
           "__len", Seq(profileStrataCol), lenHistPath, batchId,
           lenHistSbBits)
+      // term-frequency sketch (opt-in): CMS cells of the novel rows'
+      // token stream — same batch-addressed overwrite posture, cells
+      // mergeable by sum, so Cms.readSketch/estimate stay exact over
+      // any replay/batching (the sketch's own approximation bound is
+      // unchanged: merged cells == one-shot cells exactly)
+      if (cmsPath != null)
+        graft.text.Cms.writeSketchBatch(fresh, textCol, cmsPath,
+          batchId, cmsDepth, cmsWidth)
       if (bloomIndexPath != null) {
         graft.dedup.Bloom.appendIndex(fresh, col(textCol),
           bloomIndexPath, bloomBuckets, bloomExpectedItems, bloomFpp)

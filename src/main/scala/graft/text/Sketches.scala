@@ -84,6 +84,26 @@ object Cms {
                    salt: String = "graft-cms"): DataFrame =
     estimate(sketch, probes, termCol, depth, width, salt)
       .filter(col("est") >= threshold)
+
+  /** Replay-idempotent batch append of a term-frequency sketch index:
+    * the batch's `(row, bucket, n)` cells land in a batch-addressed
+    * subdirectory (`path/batch=<id>`) with OVERWRITE, so a foreachBatch
+    * re-delivery REPLACES the cells instead of doubling them — the
+    * ingest doc-store durability posture ([[Hdr.writeHistogramBatch]]).
+    * Cells are mergeable by sum, so [[readSketch]] is exact over any
+    * batching. */
+  def writeSketchBatch(df: DataFrame, textCol: String, path: String,
+                       batchId: Long, depth: Int = 4, width: Int = 2048,
+                       salt: String = "graft-cms"): Unit =
+    buildSketch(df, textCol, depth, width, salt)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
+  /** The merged sketch of every batch appended to `path`: cell-wise sum
+    * over sketch-sized data only (at most depth x width rows per
+    * batch). */
+  def readSketch(spark: org.apache.spark.sql.SparkSession,
+                 path: String): DataFrame =
+    merge(spark.read.parquet(path).select("row", "bucket", "n"))
 }
 
 /** HDR-histogram-style quantile sketch (Tene's HdrHistogram /

@@ -910,7 +910,8 @@ class StreamingSpec extends SparkSpec {
         .as[Long].collect(),
       bloomExpectedItems = 100000L, bloomBuckets = 4,
       profileIndexPath = s"$dir/prof",
-      lenHistPath = s"$dir/lenhist", lenHistSbBits = 4)
+      lenHistPath = s"$dir/lenhist", lenHistSbBits = 4,
+      cmsPath = s"$dir/cms", cmsDepth = 3, cmsWidth = 64)
     deliver()
     val storeAfterFirst = spark.read.parquet(s"$dir/store/batch=*")
       .select("doc_id").as[Long].collect().sorted.toSeq
@@ -946,6 +947,24 @@ class StreamingSpec extends SparkSpec {
       .orderBy("source", "bucket")
     assert(rowsOf(hist) == rowsOf(oneShotH),
       "histogram replay/merge drift")
+    // the CMS term-frequency index is batch-addressed too: the merged
+    // sketch must equal a one-shot sketch over the batch's NOVEL rows
+    // (replay replaced, not doubled, the cells), so every point
+    // estimate — here a never-under-count spot check on a token each
+    // novel doc contains — is replay-stable
+    import graft.text.Cms
+    val sk = Cms.readSketch(spark, s"$dir/cms").orderBy("row", "bucket")
+    val oneShotS = Cms.buildSketch(b0.filter($"doc_id".isin(3L, 4L)),
+      "text", depth = 3, width = 64).orderBy("row", "bucket")
+    assert(rowsOf(sk) == rowsOf(oneShotS), "CMS replay/merge drift")
+    // the tokenizer splits on `_`, so mk's words tokenize as e.g.
+    // ["tok0", "5"]; "tok0" appears once per word of doc 3, "tok7"
+    // once per word of doc 4
+    val probes = Seq("tok0", "tok7").toDF("term")
+    val est = Cms.estimate(Cms.readSketch(spark, s"$dir/cms"), probes,
+        "term", depth = 3, width = 64)
+      .as[(String, Long)].collect().toMap
+    assert(est("tok0") >= 59L && est("tok7") >= 60L)
   }
 
   test("streaming ANN ingest: per-batch appends equal a one-shot index; " +
