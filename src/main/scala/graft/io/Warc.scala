@@ -22,15 +22,28 @@ import org.apache.spark.sql.types._
   *
   * Distribution model: a WARC file is NOT splittable without an
   * external index (records are variable-length and, in .gz form,
-  * member boundaries are unknown), so the task unit is one file —
-  * exactly how Common Crawl is laid out (~1 GB segment files, tens of
-  * thousands per crawl): parallelism comes from the file count, which
-  * is what a 100 TB crawl gives you (~100k files >> cores). The scan
-  * side uses Spark's `binaryFile` source, so predicate pushdown on
-  * path/size and the usual file listing parallelism apply; per-record
-  * poison (malformed header, truncated block) ends that FILE's
-  * iteration at the last good record, never the task.
-  */
+  * member boundaries are unknown), so [[read]]'s task unit is one
+  * file — exactly how Common Crawl is laid out (~1 GB segment files,
+  * tens of thousands per crawl): parallelism comes from the file
+  * count, which is what a 100 TB crawl gives you (~100k files >>
+  * cores). The scan side uses Spark's `binaryFile` source, so
+  * predicate pushdown on path/size and the usual file listing
+  * parallelism apply; per-record poison (malformed header, truncated
+  * block) ends that FILE's iteration at the last good record, never
+  * the task.
+  *
+  * Size limits and the splittable path: `binaryFile` materializes a
+  * whole file as one row, so [[read]] fail-fasts on files past
+  * Spark's ~2 GB byte-array row limit with a message naming the
+  * alternative instead of an opaque executor error. The alternative is
+  * the sidecar index ([[buildMemberIndex]], built once per archive —
+  * the engine's own .tbi posture): gzip member offsets recovered by an
+  * RFC 1952 header walk + raw-inflate, after which [[readIndexed]]
+  * seeks members directly (no whole-file row, no 2 GB limit) and fans
+  * ONE archive out across many tasks. Indexed reads assume
+  * record-aligned gzip members (each record its own member — the
+  * layout Common Crawl writes and the `warc` spec recommends for
+  * random access). */
 object Warc {
 
   val recordSchema: StructType = StructType(Seq(
@@ -49,15 +62,18 @@ object Warc {
                        date: String, contentType: String, length: Long,
                        block: Array[Byte])
 
+  /** One CRLF-terminated header line, decoded as UTF-8 (per spec —
+    * header values like WARC-Target-URI may carry raw multibyte
+    * UTF-8; a byte-per-char decode would mojibake them). */
   private def readLine(in: InputStream): String = {
-    val sb = new java.lang.StringBuilder(96)
+    val buf = new java.io.ByteArrayOutputStream(96)
     var c = in.read()
     if (c < 0) throw new EOFException
     while (c >= 0 && c != '\n') {
-      if (c != '\r') sb.append(c.toChar)
+      if (c != '\r') buf.write(c)
       c = in.read()
     }
-    sb.toString
+    new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   private def readFully(in: InputStream, n: Long): Array[Byte] = {
@@ -131,10 +147,29 @@ object Warc {
     else raw
   }
 
+  /** `binaryFile` holds a whole file in one row; past this the row's
+    * byte array is undeliverable (Spark's 2 GB array limit) — [[read]]
+    * fail-fasts instead. */
+  val MaxWholeFileBytes: Long = (Int.MaxValue.toLong / 4) * 3 // ~1.6 GB
+
   /** All records of every WARC(.gz) file under `path` —
     * [[recordSchema]], one task per file (see the class doc for why
-    * that is the right distribution unit for this format). */
+    * that is the right distribution unit for this format). Fail-fast
+    * metadata check: a file past [[MaxWholeFileBytes]] raises
+    * immediately (file listing only, no content read) pointing at
+    * [[buildMemberIndex]]/[[readIndexed]] rather than dying later in
+    * an executor with an opaque negative-array-size error. */
   def read(spark: SparkSession, path: String): DataFrame = {
+    val meta = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("length"))
+      .filter(col("length") > MaxWholeFileBytes)
+      .limit(1).collect()
+    if (meta.nonEmpty)
+      throw new IllegalArgumentException(
+        s"WARC file ${meta.head.getString(0)} is ${meta.head.getLong(1)} " +
+        s"bytes (> $MaxWholeFileBytes): too large for the whole-file " +
+        "reader; build a member index (Warc.buildMemberIndex) and use " +
+        "Warc.readIndexed, which seeks gzip members and has no size limit")
     val bin = spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
     bin.mapPartitions { rows =>
@@ -145,6 +180,232 @@ object Warc {
             Row(p, i, rec.recordId, rec.warcType, rec.targetUri, rec.date,
               rec.contentType, rec.length, rec.block)
           }
+      }
+    }(Encoders.row(recordSchema))
+  }
+
+  val memberSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("member_index", IntegerType),
+    StructField("offset", LongType),
+    StructField("compressed_length", LongType),
+    StructField("n_records", IntegerType)))
+
+  private def readU16LE(in: InputStream): Int = {
+    val a = in.read(); val b = in.read()
+    if (a < 0 || b < 0) throw new EOFException
+    a | (b << 8)
+  }
+
+  /** Walk the RFC 1952 header of one gzip member (magic, flags,
+    * optional extra/name/comment/hcrc fields), returning the header
+    * byte count, or -1 if `in` is positioned at EOF. */
+  private def skipGzipHeader(in: InputStream): Long = {
+    val m1 = in.read()
+    if (m1 < 0) return -1L
+    val m2 = in.read()
+    require(m1 == 0x1f && m2 == 0x8b, "not a gzip member")
+    val cm = in.read()
+    require(cm == 8, s"unsupported gzip compression method $cm")
+    val flg = in.read()
+    var n = 10L
+    var skip = 6L // MTIME(4) XFL OS
+    while (skip > 0) { if (in.read() < 0) throw new EOFException; skip -= 1 }
+    if ((flg & 4) != 0) { // FEXTRA
+      val xlen = readU16LE(in); n += 2 + xlen
+      var s = xlen
+      while (s > 0) { if (in.read() < 0) throw new EOFException; s -= 1 }
+    }
+    if ((flg & 8) != 0) { // FNAME, zero-terminated
+      var c = in.read(); n += 1
+      while (c > 0) { c = in.read(); n += 1 }
+    }
+    if ((flg & 16) != 0) { // FCOMMENT
+      var c = in.read(); n += 1
+      while (c > 0) { c = in.read(); n += 1 }
+    }
+    if ((flg & 2) != 0) { n += 2; readU16LE(in) } // FHCRC
+    n
+  }
+
+  /** Decompress exactly ONE gzip member off `in` (positioned at its
+    * first deflate byte), returning (inflated bytes, compressed deflate
+    * byte count); pushes the over-read tail back so `in` is left
+    * positioned at the member's 8-byte CRC/ISIZE trailer. */
+  private def inflateOneMember(in: java.io.PushbackInputStream)
+      : (Array[Byte], Long) = {
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      val out = new java.io.ByteArrayOutputStream(1 << 16)
+      val ibuf = new Array[Byte](1 << 15)
+      val obuf = new Array[Byte](1 << 16)
+      var lastFill = 0
+      while (!inf.finished()) {
+        if (inf.needsInput()) {
+          val r = in.read(ibuf)
+          if (r < 0) throw new EOFException("truncated gzip member")
+          inf.setInput(ibuf, 0, r)
+          lastFill = r
+        }
+        val w = inf.inflate(obuf)
+        out.write(obuf, 0, w)
+      }
+      // bytes of the LAST fill beyond the deflate stream's end sit at
+      // ibuf[lastFill - remaining, lastFill) — return them to the stream
+      val rem = inf.getRemaining
+      if (rem > 0) in.unread(ibuf, lastFill - rem, rem)
+      (out.toByteArray, inf.getBytesRead)
+    } finally inf.end()
+  }
+
+  /** Reads at most `limit` bytes off `in` then reports EOF — the
+    * per-member window [[readIndexed]] hands the record walk. */
+  private final class BoundedIn(in: InputStream, limit: Long)
+      extends InputStream {
+    private var left = limit
+    override def read(): Int =
+      if (left <= 0) -1
+      else { val c = in.read(); if (c >= 0) left -= 1; c }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (left <= 0) return -1
+      val r = in.read(b, off, math.min(len.toLong, left).toInt)
+      if (r > 0) left -= r
+      r
+    }
+  }
+
+  /** Sidecar member index of every gzip WARC under `path` — built ONCE
+    * per archive (the .tbi posture: pay a sequential pass at ingest,
+    * seek forever after). One row per gzip member
+    * ([[memberSchema]]: byte offset, compressed length, record count),
+    * so [[readIndexed]] can fan a single multi-GB archive out across
+    * tasks and never materializes a whole file. Plain (uncompressed)
+    * files get one whole-file row — they stream record-by-record
+    * anyway. Write the result next to the archives and reuse it. */
+  def buildMemberIndex(spark: SparkSession, path: String): DataFrame = {
+    val files = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("length"))
+    files.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val p = r.getString(0)
+        val totalLen = r.getLong(1)
+        val uri = new java.net.URI(p)
+        val fs = org.apache.hadoop.fs.FileSystem.get(uri,
+          new org.apache.hadoop.conf.Configuration())
+        val raw = fs.open(new org.apache.hadoop.fs.Path(uri))
+        val in = new java.io.PushbackInputStream(
+          new BufferedInputStream(raw, 1 << 16), 1 << 15)
+        val head = new Array[Byte](2)
+        val got = in.read(head)
+        if (got > 0) in.unread(head, 0, got)
+        val isGz = got == 2 && (head(0) & 0xff) == 0x1f &&
+          (head(1) & 0xff) == 0x8b
+        if (!isGz) {
+          in.close()
+          Iterator.single(Row(p, 0, 0L, totalLen,
+            -1)) // plain file: record count not pre-walked
+        } else {
+          var offset = 0L
+          var idx = 0
+          new Iterator[Row] {
+            private var nextRow: Row = null
+            private var done = false
+            private def advance(): Unit = {
+              if (done) return
+              try {
+                val hdr = skipGzipHeader(in)
+                if (hdr < 0) { done = true; in.close(); return }
+                val (bytes, deflateLen) = inflateOneMember(in)
+                var t = 8L // CRC32 + ISIZE trailer
+                while (t > 0) {
+                  if (in.read() < 0) throw new EOFException; t -= 1
+                }
+                val memberLen = hdr + deflateLen + 8
+                val n = parseRecords(
+                  new ByteArrayInputStream(bytes)).length
+                nextRow = Row(p, idx, offset, memberLen, n)
+                offset += memberLen
+                idx += 1
+              } catch {
+                case _: Exception => done = true; in.close()
+              }
+            }
+            override def hasNext: Boolean = {
+              if (nextRow == null && !done) advance()
+              nextRow != null
+            }
+            override def next(): Row = {
+              if (!hasNext) throw new NoSuchElementException
+              val x = nextRow; nextRow = null; x
+            }
+          }
+        }
+      }
+    }(Encoders.row(memberSchema))
+  }
+
+  /** All records of the archives covered by a [[buildMemberIndex]]
+    * sidecar — same [[recordSchema]] and per-file `record_index`
+    * numbering as [[read]], but the task unit is a RANGE OF GZIP
+    * MEMBERS rather than a whole file: the index relation is
+    * repartitioned across `numTasks` (default: the cluster's default
+    * parallelism) and each task seeks straight to its members'
+    * offsets. No whole-file row exists anywhere, so there is no size
+    * limit. Record ordinals are reconstructed from the index's
+    * per-member record counts (an index-sized window, never the
+    * data). */
+  def readIndexed(spark: SparkSession, memberIndex: DataFrame,
+                  numTasks: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = if (numTasks > 0) numTasks
+            else spark.sparkContext.defaultParallelism
+    val w = Window.partitionBy(col("path")).orderBy(col("member_index"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // range-partition + sort so a task's members cluster by file and
+    // arrive in offset order: one open per (file, task), one cheap
+    // seek per member
+    val planned = memberIndex
+      .withColumn("first_record",
+        coalesce(sum(col("n_records")).over(w), lit(0L)))
+      .repartitionByRange(n, col("path"), col("member_index"))
+      .sortWithinPartitions(col("path"), col("member_index"))
+    planned.mapPartitions { rows =>
+      var curPath: String = null
+      var curRaw: org.apache.hadoop.fs.FSDataInputStream = null
+      def close(): Unit = if (curRaw != null) {
+        try curRaw.close() catch { case _: Exception => () }
+        curRaw = null; curPath = null
+      }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+      rows.flatMap { r =>
+        val p = r.getAs[String]("path")
+        val offset = r.getAs[Long]("offset")
+        val len = r.getAs[Long]("compressed_length")
+        val first = r.getAs[Long]("first_record")
+        if (p != curPath) {
+          close()
+          val uri = new java.net.URI(p)
+          val fs = org.apache.hadoop.fs.FileSystem.get(uri,
+            new org.apache.hadoop.conf.Configuration())
+          curRaw = fs.open(new org.apache.hadoop.fs.Path(uri))
+          curPath = p
+        }
+        curRaw.seek(offset)
+        val lim = new BufferedInputStream(new BoundedIn(curRaw, len), 1 << 16)
+        val head = new Array[Byte](2)
+        lim.mark(2)
+        val got = lim.read(head)
+        lim.reset()
+        val in: InputStream =
+          if (got == 2 && (head(0) & 0xff) == 0x1f &&
+              (head(1) & 0xff) == 0x8b)
+            new GZIPInputStream(lim, 1 << 16)
+          else lim
+        parseRecords(in).zipWithIndex.map { case (rec, i) =>
+          Row(p, (first + i).toInt, rec.recordId, rec.warcType,
+            rec.targetUri, rec.date, rec.contentType, rec.length, rec.block)
+        }
       }
     }(Encoders.row(recordSchema))
   }

@@ -50,6 +50,72 @@ class WarcSpec extends SparkSpec {
     assert(rs2.map(_.targetUri) == List("ok"))
   }
 
+  test("UTF-8 header values: a multibyte WARC-Target-URI survives") {
+    val uri = "http://例え.jp/ünïcode"
+    val bytes = rec("conversion", uri, None, "body".getBytes("UTF-8"))
+    val rs = Warc.parseRecords(new ByteArrayInputStream(bytes)).toList
+    assert(rs.map(_.targetUri) == List(uri))
+  }
+
+  test("member index + readIndexed: one archive fans out over N>1 " +
+      "tasks and equals the whole-file reader record for record") {
+    val dir = java.nio.file.Files.createTempDirectory("warcidx").toString
+    def gzip(b: Array[Byte]) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    // 12 records, each its own gzip member (the Common Crawl layout);
+    // member 5 carries a gzip FNAME field so the header walk's
+    // optional-field paths are exercised
+    val members = (0 until 12).map { i =>
+      val raw = rec("conversion", s"http://m/$i", None,
+        s"body $i ${"x" * (i * 13)}".getBytes("UTF-8"))
+      if (i == 5) {
+        val b = gzip(raw)
+        // splice an FNAME: set FLG bit 3 and insert a zero-terminated
+        // name after the 10-byte fixed header
+        b(3) = (b(3) | 8).toByte
+        b.take(10) ++ ("five.warc".getBytes("ISO-8859-1") :+ 0.toByte) ++
+          b.drop(10)
+      } else gzip(raw)
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/big.warc.gz"),
+      members.flatten.toArray)
+    val idx = Warc.buildMemberIndex(spark, s"$dir/big.warc.gz")
+    val idxRows = idx.orderBy("member_index")
+      .as[(String, Int, Long, Long, Int)].collect()
+    assert(idxRows.length == 12)
+    assert(idxRows.forall(_._5 == 1), "one record per member")
+    // offsets tile the file exactly
+    val fileLen = new java.io.File(s"$dir/big.warc.gz").length()
+    assert(idxRows.map(r => (r._3, r._4)).sliding(2).forall {
+      case Array((o1, l1), (o2, _)) => o1 + l1 == o2
+      case _ => true
+    })
+    assert(idxRows.last._3 + idxRows.last._4 == fileLen)
+    val viaIndex = Warc.readIndexed(spark, idx, numTasks = 4)
+    assert(viaIndex.rdd.getNumPartitions == 4)
+    val whole = Warc.read(spark, s"$dir/big.warc.gz")
+    assert(viaIndex.exceptAll(whole).isEmpty &&
+      whole.exceptAll(viaIndex).isEmpty)
+    assert(viaIndex.count() == 12)
+  }
+
+  test("read fail-fasts on a file past the whole-file byte limit with " +
+      "a message naming the indexed reader") {
+    val dir = java.nio.file.Files.createTempDirectory("warcbig").toString
+    // a sparse file LOOKS huge to the listing without costing disk
+    val f = new java.io.RandomAccessFile(s"$dir/huge.warc", "rw")
+    f.setLength(Warc.MaxWholeFileBytes + 1)
+    f.close()
+    val e = intercept[IllegalArgumentException] {
+      Warc.read(spark, s"$dir/huge.warc")
+    }
+    assert(e.getMessage.contains("readIndexed"))
+  }
+
   test("read + readWet over files: gzip multi-member, conversion " +
       "filter, UTF-8 decode") {
     val dir = java.nio.file.Files.createTempDirectory("warcspec").toString
