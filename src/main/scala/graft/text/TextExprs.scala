@@ -21,6 +21,84 @@ object TextKernels {
     if (java.text.Normalizer.isNormalized(str, f)) s
     else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
   }
+
+  /** Static language-ID tables: marker word -> bitmask of the
+    * [[TextOps.LangMarkers]] languages containing it (shared markers
+    * like de/pt `das` set both bits, preserving the per-language
+    * regexp_count semantics), the language codes by declaration index,
+    * and the longest marker length (a cheap run-length prefilter). */
+  private lazy val (langMarkerBits, langCodes, langMaxMarker) = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    var maxLen = 0
+    TextOps.LangMarkers.zipWithIndex.foreach { case ((_, ws), i) =>
+      ws.foreach { w =>
+        val k = UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, Integer.valueOf(
+          (if (prev == null) 0 else prev.intValue()) | (1 << i)))
+        maxLen = math.max(maxLen, w.getBytes("UTF-8").length)
+      }
+    }
+    (m, TextOps.LangMarkers.map(t => UTF8String.fromString(t._1)).toArray,
+      maxLen)
+  }
+
+  private val und = UTF8String.fromString("und")
+
+  /** Fused language ID — ONE lowercase + ONE byte scan instead of one
+    * `regexp_count` NFA pass per language (12 passes; sf1's heaviest
+    * pure-text query). Semantics are exactly the regexp cascade's:
+    * `\b(marker)\b` over `lower(text)` with Java's ASCII `\b` matches
+    * precisely the MAXIMAL `[a-zA-Z0-9_]` runs equal to a marker (a
+    * marker is all-letters, so any run containing a digit/underscore
+    * simply misses the table; both match ends sit on word/non-word
+    * boundaries, and non-overlapping counting of maximal runs is
+    * count-per-run). Multibyte UTF-8 continuation/lead bytes are all
+    * >= 0x80, i.e. non-word — boundaries fall out byte-wise. Ties
+    * resolve in declaration order; zero hits -> "und". */
+  def langId(s: UTF8String): UTF8String = {
+    val bytes = s.toLowerCase.getBytes
+    val counts = new Array[Int](langCodes.length)
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      val b = bytes(i)
+      val isWord = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') ||
+        (b >= 'A' && b <= 'Z') || b == '_'
+      if (!isWord) i += 1
+      else {
+        var j = i + 1
+        var done = false
+        while (j < n && !done) {
+          val c = bytes(j)
+          if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+              (c >= 'A' && c <= 'Z') || c == '_') j += 1
+          else done = true
+        }
+        val len = j - i
+        if (len <= langMaxMarker) {
+          val bits = langMarkerBits.get(UTF8String.fromBytes(bytes, i, len))
+          if (bits != null) {
+            var v = bits.intValue()
+            while (v != 0) {
+              val k = java.lang.Integer.numberOfTrailingZeros(v)
+              counts(k) += 1
+              v &= v - 1
+            }
+          }
+        }
+        i = j
+      }
+    }
+    var best = 0
+    var bestIdx = -1
+    var k = 0
+    while (k < counts.length) {
+      if (counts(k) > best) { best = counts(k); bestIdx = k }
+      k += 1
+    }
+    if (bestIdx < 0) und else langCodes(bestIdx)
+  }
 }
 
 /** `unicode_normalize(text, form)` as a native Catalyst expression —
@@ -30,6 +108,31 @@ object TextKernels {
   * canonically equivalent strings (e + COMBINING ACUTE vs U+00E9) to
   * hash identically.
   */
+/** `lang_id(text)` as a native Catalyst expression — the fused
+  * single-pass form of the 12-regexp marker cascade (see
+  * [[TextKernels.langId]] for the equivalence argument). Null text
+  * evaluates to null; [[TextOps.langId]] coalesces to "und" to match
+  * the regexp cascade's null behavior. */
+case class LangId(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.langId(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.langId($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class UnicodeNormalize(child: Expression, form: String)
     extends UnaryExpression {
   require(Set("NFC", "NFD", "NFKC", "NFKD").contains(form),

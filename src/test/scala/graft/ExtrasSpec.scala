@@ -206,6 +206,34 @@ class TextDedupSpec extends SparkSpec {
       "doc_id", "n", "lang")
   }
 
+  test("fused langId equals the 12-regexp reference on adversarial text") {
+    // exercises: \b subtleties (underscore and digits are word chars,
+    // so the_le / le5 must NOT count their embedded markers), shared
+    // markers counting for two languages (das: de+pt, una/con: es+it),
+    // declaration-order tie resolution, Unicode neighbors as
+    // boundaries, uppercase folding, null, empty, punctuation glue
+    val texts = Seq(
+      "The cat and the dog sat on the mat.",
+      "Der Hund und die Katze sind nicht da.",
+      "the_le le5 5le _the the_ no markers here",
+      "das das das uma dos como mais",       // shared de/pt markers
+      "una con una con",                      // es/it tie -> es
+      "le la et THE AND OF to is that with",  // case folding + mixed
+      "é le é la é et é est",                 // non-ASCII boundaries
+      "the,and;of:to!is?that(with)for",       // punctuation boundaries
+      "yang dan ini itu dengan",
+      "", null, "12345 _ __ 999",
+      "le||la||et||est, det som inte jag")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val both = df.select($"id",
+      TextOps.langId($"text").as("fused"),
+      TextOps.langIdRegex($"text").as("ref"))
+      .collect()
+    both.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"row ${r.getLong(0)}: fused=${r.getString(1)} ref=${r.getString(2)}"))
+  }
+
   test("shingles builds distinct word 3-grams") {
     val df = Seq((1L, "a b c d b c d")).toDF("id", "t")
     val sh = df.select(explode(TextOps.shingles($"t", 3)).as("s"))
