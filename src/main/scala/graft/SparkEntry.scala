@@ -2477,6 +2477,33 @@ FROM enc JOIN ids USING (subword)"""
         |FROM lanes GROUP BY 1""".stripMargin)
   }
 
+  /** Nearest-neighbor in plain SQL through the `graft_closest` TVF
+    * (`plans.GraftTableFunctions`): the engine's banded-candidate +
+    * rank-scan plan, reached from one SQL statement — a user writing
+    * k-NN as a window over a chrom-only join would get the same-chrom
+    * cross product instead. Same semantics and oracle as iv_closest_k3
+    * (k=3, tie on id); PlanContractSpec asserts the plan shape (no
+    * cartesian/nested-loop join, WindowGroupLimit present). */
+  private def extSqlClosest(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set(graft.plans.IntervalJoinRewrite.BinSizeKey, B.toString)
+    iv3(s, dir).createOrReplaceTempView("graft_sql_iv3")
+    iv2(s, dir).createOrReplaceTempView("graft_sql_iv2")
+    s.sql(
+      """SELECT id_1, id_2, distance
+        |FROM graft_closest('graft_sql_iv3', 'graft_sql_iv2', 3, 'id')"""
+        .stripMargin)
+  }
+
+  /** Cluster-merge in plain SQL through the `graft_merge` TVF — the
+    * engine's range-partitioned sweep from one SQL statement. Same
+    * semantics and oracle as iv_merge (min_dist=0). */
+  private def extSqlMerge(s: SparkSession, dir: String): DataFrame = {
+    iv1(s, dir).createOrReplaceTempView("graft_sql_iv1")
+    s.sql(
+      """SELECT chrom, start, `end`, n_intervals
+        |FROM graft_merge('graft_sql_iv1', 0)""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2495,6 +2522,8 @@ FROM enc JOIN ids USING (subword)"""
     "iv_overlap_bucketed" -> (ivOverlapBucketed _),
     "ext_sql_overlap" -> (extSqlOverlap _),
     "ext_sql_point" -> (extSqlPoint _),
+    "ext_sql_closest" -> (extSqlClosest _),
+    "ext_sql_merge" -> (extSqlMerge _),
     "iv_closest_self" -> (ivClosestSelf _),
     "iv_overlap_left_pts" -> (ivOverlapLeftPts _),
     "iv_setdiff_pts" -> (ivSetdiffPts _),
@@ -2683,6 +2712,44 @@ FROM enc JOIN ids USING (subword)"""
   // ------------------------------------------------------------- oracles
 
   import TestTables.{overlapSql => ovl}
+
+  /** Generated banded k-NN oracle for the closest family: per-chrom
+    * density-scaled candidate band, overlap-aware sortdist, row_number
+    * ranking with the given tie order, and an under-coverage CERT that
+    * fails LOUDLY (empties the oracle) if the band admitted fewer
+    * candidates than the truth needs. The cert requirement is
+    * `min(k, same-chrom iv2 count)` per iv3 row — not a flat `>= k`,
+    * which false-failed on left rows with fewer total same-chrom
+    * partners (or rows on chroms absent from iv2, which are
+    * legitimately candidate-free and emit a null neighbor). Soundness:
+    * band admission is distance-bounded, so if >= k candidates are
+    * admitted the true k nearest are among them, and if fewer than k
+    * partners EXIST the cert forces all of them admitted. */
+  private def closestOracle(k: Int, tieOrder: String): String =
+    s"""WITH $iv2Sql, $iv3Sql,
+       |stx AS (SELECT chrom,
+       |    GREATEST(CAST(CEIL((MAX("end") - MIN(start)) * 120.0 / COUNT(*)) AS BIGINT), 4) AS w
+       |  FROM iv2 GROUP BY chrom),
+       |cand AS MATERIALIZED (
+       |  SELECT a.id AS id_1, b.id AS id_2,
+       |    GREATEST(a.start - b."end", b.start - a."end", 0) AS dist,
+       |    CASE WHEN ${ovl("a", "b")} THEN 0
+       |         ELSE GREATEST(a.start - b."end", b.start - a."end", 0) + 1 END AS sortdist
+       |  FROM iv3 a JOIN stx s ON a.chrom = s.chrom
+       |  JOIN iv2 b ON a.chrom = b.chrom
+       |    AND b."end" >= a.start - s.w AND b.start <= a."end" + s.w),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1
+       |    ORDER BY sortdist, $tieOrder) AS rn FROM cand),
+       |cert AS (SELECT (SELECT COUNT(*) FROM iv3) = COUNT(*) AS ok FROM (
+       |  SELECT a.id FROM iv3 a
+       |  LEFT JOIN (SELECT chrom, COUNT(*) AS nc FROM iv2 GROUP BY chrom) cc
+       |    ON a.chrom = cc.chrom
+       |  LEFT JOIN (SELECT id_1, COUNT(*) AS ncand FROM cand GROUP BY id_1) g
+       |    ON g.id_1 = a.id
+       |  WHERE COALESCE(g.ncand, 0) >= LEAST($k, COALESCE(cc.nc, 0))) z)
+       |SELECT a.id AS id_1, r.id_2, r.dist AS distance
+       |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= $k
+       |WHERE (SELECT ok FROM cert)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -3132,66 +3199,15 @@ FROM enc JOIN ids USING (subword)"""
     // CTE PROVES sufficiency per run: if any left row has fewer than k
     // banded candidates the whole result is emptied — a loud rowcount
     // failure, never a silently-wrong compare.
-    "iv_closest" ->
-      s"""WITH $iv2Sql, $iv3Sql,
-         |stx AS (SELECT chrom,
-         |    GREATEST(CAST(CEIL((MAX("end") - MIN(start)) * 120.0 / COUNT(*)) AS BIGINT), 4) AS w
-         |  FROM iv2 GROUP BY chrom),
-         |cand AS MATERIALIZED (
-         |  SELECT a.id AS id_1, b.id AS id_2,
-         |    GREATEST(a.start - b."end", b.start - a."end", 0) AS dist,
-         |    CASE WHEN ${ovl("a", "b")} THEN 0
-         |         ELSE GREATEST(a.start - b."end", b.start - a."end", 0) + 1 END AS sortdist
-         |  FROM iv3 a JOIN stx s ON a.chrom = s.chrom
-         |  JOIN iv2 b ON a.chrom = b.chrom
-         |    AND b."end" >= a.start - s.w AND b.start <= a."end" + s.w),
-         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1
-         |    ORDER BY sortdist, id_2) AS rn FROM cand),
-         |cert AS (SELECT (SELECT COUNT(*) FROM iv3) = COUNT(*) AS ok FROM
-         |  (SELECT id_1 FROM cand GROUP BY id_1 HAVING COUNT(*) >= 1) z)
-         |SELECT a.id AS id_1, r.id_2, r.dist AS distance
-         |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 1
-         |WHERE (SELECT ok FROM cert)""".stripMargin,
-    "iv_closest_tie" ->
-      s"""WITH $iv2Sql, $iv3Sql,
-         |stx AS (SELECT chrom,
-         |    GREATEST(CAST(CEIL((MAX("end") - MIN(start)) * 120.0 / COUNT(*)) AS BIGINT), 4) AS w
-         |  FROM iv2 GROUP BY chrom),
-         |cand AS MATERIALIZED (
-         |  SELECT a.id AS id_1, b.id AS id_2,
-         |    GREATEST(a.start - b."end", b.start - a."end", 0) AS dist,
-         |    CASE WHEN ${ovl("a", "b")} THEN 0
-         |         ELSE GREATEST(a.start - b."end", b.start - a."end", 0) + 1 END AS sortdist
-         |  FROM iv3 a JOIN stx s ON a.chrom = s.chrom
-         |  JOIN iv2 b ON a.chrom = b.chrom
-         |    AND b."end" >= a.start - s.w AND b.start <= a."end" + s.w),
-         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1
-         |    ORDER BY sortdist, id_2 DESC) AS rn FROM cand),
-         |cert AS (SELECT (SELECT COUNT(*) FROM iv3) = COUNT(*) AS ok FROM
-         |  (SELECT id_1 FROM cand GROUP BY id_1 HAVING COUNT(*) >= 1) z)
-         |SELECT a.id AS id_1, r.id_2, r.dist AS distance
-         |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 1
-         |WHERE (SELECT ok FROM cert)""".stripMargin,
-    "iv_closest_k3" ->
-      s"""WITH $iv2Sql, $iv3Sql,
-         |stx AS (SELECT chrom,
-         |    GREATEST(CAST(CEIL((MAX("end") - MIN(start)) * 120.0 / COUNT(*)) AS BIGINT), 4) AS w
-         |  FROM iv2 GROUP BY chrom),
-         |cand AS MATERIALIZED (
-         |  SELECT a.id AS id_1, b.id AS id_2,
-         |    GREATEST(a.start - b."end", b.start - a."end", 0) AS dist,
-         |    CASE WHEN ${ovl("a", "b")} THEN 0
-         |         ELSE GREATEST(a.start - b."end", b.start - a."end", 0) + 1 END AS sortdist
-         |  FROM iv3 a JOIN stx s ON a.chrom = s.chrom
-         |  JOIN iv2 b ON a.chrom = b.chrom
-         |    AND b."end" >= a.start - s.w AND b.start <= a."end" + s.w),
-         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1
-         |    ORDER BY sortdist, id_2) AS rn FROM cand),
-         |cert AS (SELECT (SELECT COUNT(*) FROM iv3) = COUNT(*) AS ok FROM
-         |  (SELECT id_1 FROM cand GROUP BY id_1 HAVING COUNT(*) >= 3) z)
-         |SELECT a.id AS id_1, r.id_2, r.dist AS distance
-         |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 3
-         |WHERE (SELECT ok FROM cert)""".stripMargin,
+    "iv_closest" -> closestOracle(1, "id_2"),
+    "iv_closest_tie" -> closestOracle(1, "id_2 DESC"),
+    "iv_closest_k3" -> closestOracle(3, "id_2"),
+    // same plan and semantics as iv_closest_k3, reached through the
+    // graft_closest TVF from plain SQL
+    "ext_sql_closest" -> closestOracle(3, "id_2"),
+    "ext_sql_merge" ->
+      s"""WITH $iv1Sql, $mergedIv1Sql
+         |SELECT chrom, start, "end", n_intervals FROM m1""".stripMargin,
     "iv_closest_upstream" ->
       s"""WITH $iv2Sql, $iv3Sql,
          |stx AS (SELECT chrom,

@@ -271,5 +271,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(s => IntervalJoinRewrite(s))
     GraftFunctions.all.foreach(e.injectFunction)
+    GraftTableFunctions.all.foreach(e.injectTableFunction)
   }
 }

@@ -1,0 +1,83 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
+  Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+/** TVF-style SQL surface for WHOLE-OPERATOR semantics a scalar function
+  * can't express — nearest-neighbor (`closest`) and cluster-merge
+  * (`merge`). A pure-SQL user writing k-NN as a window over a
+  * chrom-only join gets the O(|L|·|R|/n_chrom) cross-product plan the
+  * engine exists to avoid; these table functions resolve straight to
+  * the engine's logical plans (banded candidates + rank scan for
+  * closest, range-partitioned sweep for merge), so `spark.sql` users
+  * get the scale-safe shape without the Scala API:
+  *
+  * {{{ SELECT id_1, id_2, distance
+  *     FROM graft_closest('probes', 'targets', 3, 'id') }}}
+  * {{{ SELECT chrom, start, `end`, n_intervals
+  *     FROM graft_merge('intervals', 0) }}}
+  *
+  * Table arguments are string literals resolved against the session
+  * catalog (views or tables) at analysis time — the injected builder
+  * receives expressions, not relations, so this is the TVF idiom
+  * Spark's `injectTableFunction` supports. The closest bin width comes
+  * from the same runtime conf as the interval-join rewrite
+  * ([[IntervalJoinRewrite.BinSizeKey]]) — one knob for the SQL
+  * surface's coordinate scale. */
+object GraftTableFunctions {
+
+  private def strLit(e: Expression, fn: String, what: String): String =
+    e match {
+      case Literal(v, StringType) if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be a string literal, got $other")
+    }
+
+  private def longLit(e: Expression, fn: String, what: String): Long =
+    e match {
+      case Literal(v: Int, IntegerType) => v.toLong
+      case Literal(v: Long, LongType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer literal, got $other")
+    }
+
+  private def binSize(s: SparkSession): Long =
+    s.conf.get(IntervalJoinRewrite.BinSizeKey,
+      IntervalJoinRewrite.DefaultBinSize.toString).toLong
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_closest"),
+      new ExpressionInfo("graft.ops.Closest", "graft_closest"),
+      { args: Seq[Expression] =>
+        require(args.length == 3 || args.length == 4,
+          "graft_closest(left_table, right_table, k[, tie_col]) " +
+            s"expects 3-4 arguments, got ${args.length}")
+        val fn = "graft_closest"
+        val s = SparkSession.active
+        val k = longLit(args(2), fn, "k").toInt
+        val tie = if (args.length > 3)
+          Some(strLit(args(3), fn, "tie_col")) else None
+        graft.ops.Closest.closest(
+            s.table(strLit(args(0), fn, "left_table")),
+            Some(s.table(strLit(args(1), fn, "right_table"))),
+            k = k, tieBreakingCol = tie, suffixes = ("_1", "_2"),
+            binSize = binSize(s))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_merge"),
+      new ExpressionInfo("graft.ops.Ops", "graft_merge"),
+      { args: Seq[Expression] =>
+        require(args.length == 2,
+          s"graft_merge(table, min_dist) expects 2 arguments, got ${args.length}")
+        val fn = "graft_merge"
+        val s = SparkSession.active
+        graft.ops.Ops.merge(s.table(strLit(args(0), fn, "table")),
+            minDist = Some(longLit(args(1), fn, "min_dist")))
+          .queryExecution.logical
+      }))
+}

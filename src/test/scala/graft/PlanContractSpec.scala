@@ -49,6 +49,40 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("graft_closest TVF from plain SQL: engine plan (no cartesian, " +
+    "no nested loop, WindowGroupLimit ranking), engine results") {
+    ivA.createOrReplaceTempView("pcs_tvf_a")
+    ivB.createOrReplaceTempView("pcs_tvf_b")
+    spark.conf.set(graft.plans.IntervalJoinRewrite.BinSizeKey, "4")
+    val df = spark.sql(
+      """SELECT id_1, id_2, distance
+        |FROM graft_closest('pcs_tvf_a', 'pcs_tvf_b', 1, 'id')""".stripMargin)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in TVF plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in TVF plan:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"k-NN ranking not pre-pruned map-side:\n$p")
+    // equals the Scala API call it resolves to (collected compare:
+    // combining the two trees in one exceptAll plan would alias the
+    // SAME LocalRelation exprIds into a self-join conflict — a test
+    // artifact, not a TVF property)
+    val api = Closest.closest(ivA, Some(ivB), k = 1,
+        tieBreakingCol = Some("id"), suffixes = ("_1", "_2"), binSize = 4)
+      .select($"id_1", $"id_2", $"distance")
+    assert(rowsOf(df) == rowsOf(api))
+  }
+
+  test("graft_merge TVF from plain SQL equals the Scala merge") {
+    ivA.createOrReplaceTempView("pcs_tvf_m")
+    val df = spark.sql(
+      "SELECT chrom, start, `end`, n_intervals " +
+        "FROM graft_merge('pcs_tvf_m', 0)")
+    val api = Ops.merge(ivA, minDist = Some(0))
+      .select($"chrom", $"start", $"end", $"n_intervals")
+    assert(rowsOf(df) == rowsOf(api))
+  }
+
   test("region select pushes the chrom/coordinate filters into the " +
     "parquet scan") {
     val dir = java.nio.file.Files
