@@ -124,8 +124,23 @@ object Bench {
       val sfTag = sfDir.split('/').lastOption.getOrElse(sfDir)
       val smallTotal =
         if (resultsSmall.isEmpty) "null" else r1(resultsSmall.values.sum)
+      // Fast-tail summary: mean/p50 of everything OUTSIDE the slowest
+      // decile. The suite's round-over-round noise lives in a handful
+      // of storm-struck heavies; the fast tail is the stable signal a
+      // reviewer can compare across rounds at a glance without
+      // re-deriving it from 150 per-query values.
+      val fastTail = {
+        val vs = results.values.toSeq.sorted
+        val keep = vs.take(math.max(1, (vs.size * 9) / 10))
+        if (keep.isEmpty) """"fast_tail":null"""
+        else {
+          def r2(v: Double): String = (math.rint(v * 100) / 100).toString
+          s""""fast_tail":{"n":${keep.size},"mean_sec":${r2(
+            keep.sum / keep.size)},"p50_sec":${r2(keep(keep.size / 2))}}"""
+        }
+      }
       def line(qs: String): String =
-        s"""{"metric":"total","value":${r1(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfTag)},"partial":$partial,"skipped":$sk,"canary_start_sec":${r1(canaryStart)},"canary_end_sec":${r1(canaryEnd)},"wall_sec":${r1(wall)},"reps":$effReps,"n_queries":${results.size},"sf001_total_sec":$smallTotal}"""
+        s"""{"metric":"total","value":${r1(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfTag)},"partial":$partial,"skipped":$sk,"canary_start_sec":${r1(canaryStart)},"canary_end_sec":${r1(canaryEnd)},"wall_sec":${r1(wall)},"reps":$effReps,"n_queries":${results.size},$fastTail,"sf001_total_sec":$smallTotal}"""
       val bySlow = results.toSeq.sortBy(-_._2)
       def qsFor(keep: Int): String = {
         val kept = bySlow.take(keep)
