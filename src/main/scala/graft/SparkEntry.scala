@@ -2504,6 +2504,21 @@ FROM enc JOIN ids USING (subword)"""
         |FROM graft_merge('graft_sql_iv1', 0)""".stripMargin)
   }
 
+  /** Per-interval coverage in plain SQL through the `graft_coverage`
+    * TVF — the engine's merge-then-binned-join plan. Same semantics
+    * and oracle as iv_coverage. The remaining TVFs (graft_cluster,
+    * graft_subtract, graft_complement) are equality-tested against
+    * the Scala API in PlanContractSpec. */
+  private def extSqlCoverage(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set(graft.plans.IntervalJoinRewrite.BinSizeKey, B.toString)
+    iv1(s, dir).createOrReplaceTempView("graft_sql_iv1")
+    iv2(s, dir).createOrReplaceTempView("graft_sql_iv2")
+    s.sql(
+      """SELECT id, chrom, start, `end`, coverage
+        |FROM graft_coverage('graft_sql_iv2', 'graft_sql_iv1')"""
+        .stripMargin)
+  }
+
   // ---------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2524,6 +2539,7 @@ FROM enc JOIN ids USING (subword)"""
     "ext_sql_point" -> (extSqlPoint _),
     "ext_sql_closest" -> (extSqlClosest _),
     "ext_sql_merge" -> (extSqlMerge _),
+    "ext_sql_coverage" -> (extSqlCoverage _),
     "iv_closest_self" -> (ivClosestSelf _),
     "iv_overlap_left_pts" -> (ivOverlapLeftPts _),
     "iv_setdiff_pts" -> (ivSetdiffPts _),
@@ -2712,6 +2728,15 @@ FROM enc JOIN ids USING (subword)"""
   // ------------------------------------------------------------- oracles
 
   import TestTables.{overlapSql => ovl}
+
+  private lazy val coverageOracleSql: String =
+    s"""WITH $iv1Sql, $iv2Sql, $mergedIv1Sql
+       |SELECT a.id, a.chrom, a.start, a."end",
+       |  CAST(COALESCE(SUM(CASE WHEN m.start IS NULL THEN NULL
+       |    ELSE GREATEST(LEAST(a."end", m."end") - GREATEST(a.start, m.start), 0) END), 0) AS BIGINT) AS coverage
+       |FROM iv2 a LEFT JOIN m1 m
+       |  ON a.chrom = m.chrom AND a.start < m."end" AND m.start < a."end"
+       |GROUP BY a.id, a.chrom, a.start, a."end"""".stripMargin
 
   /** Generated banded k-NN oracle for the closest family: per-chrom
     * density-scaled candidate band, overlap-aware sortdist, row_number
@@ -3033,14 +3058,9 @@ FROM enc JOIN ids USING (subword)"""
          |SELECT chrom, MIN(start) AS start, MAX("end") AS "end",
          |  COUNT(*) AS n_intervals
          |FROM z GROUP BY chrom, cid""".stripMargin,
-    "iv_coverage" ->
-      s"""WITH $iv1Sql, $iv2Sql, $mergedIv1Sql
-         |SELECT a.id, a.chrom, a.start, a."end",
-         |  CAST(COALESCE(SUM(CASE WHEN m.start IS NULL THEN NULL
-         |    ELSE GREATEST(LEAST(a."end", m."end") - GREATEST(a.start, m.start), 0) END), 0) AS BIGINT) AS coverage
-         |FROM iv2 a LEFT JOIN m1 m
-         |  ON a.chrom = m.chrom AND a.start < m."end" AND m.start < a."end"
-         |GROUP BY a.id, a.chrom, a.start, a."end"""".stripMargin,
+    "iv_coverage" -> coverageOracleSql,
+    // identical semantics through the graft_coverage TVF from plain SQL
+    "ext_sql_coverage" -> coverageOracleSql,
     "iv_gene_coverage" ->
       s"""WITH $iv1Sql, $iv2Sql, $mergedIv1Sql,
          |cov AS (SELECT a.id, a.chrom, a.start, a."end",

@@ -79,5 +79,52 @@ object GraftTableFunctions {
         graft.ops.Ops.merge(s.table(strLit(args(0), fn, "table")),
             minDist = Some(longLit(args(1), fn, "min_dist")))
           .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_cluster"),
+      new ExpressionInfo("graft.ops.Ops", "graft_cluster"),
+      { args: Seq[Expression] =>
+        require(args.length == 2,
+          s"graft_cluster(table, min_dist) expects 2 arguments, got ${args.length}")
+        val fn = "graft_cluster"
+        val s = SparkSession.active
+        graft.ops.Ops.cluster(s.table(strLit(args(0), fn, "table")),
+            minDist = Some(longLit(args(1), fn, "min_dist")))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_coverage"),
+      new ExpressionInfo("graft.ops.Ops", "graft_coverage"),
+      { args: Seq[Expression] =>
+        require(args.length == 2,
+          s"graft_coverage(table, by_table) expects 2 arguments, got ${args.length}")
+        val fn = "graft_coverage"
+        val s = SparkSession.active
+        graft.ops.Ops.coverage(
+            s.table(strLit(args(0), fn, "table")),
+            s.table(strLit(args(1), fn, "by_table")),
+            binSize = binSize(s))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_subtract"),
+      new ExpressionInfo("graft.ops.Ops", "graft_subtract"),
+      { args: Seq[Expression] =>
+        require(args.length == 2,
+          s"graft_subtract(table, minus_table) expects 2 arguments, got ${args.length}")
+        val fn = "graft_subtract"
+        val s = SparkSession.active
+        graft.ops.Ops.subtract(
+            s.table(strLit(args(0), fn, "table")),
+            s.table(strLit(args(1), fn, "minus_table")),
+            binSize = binSize(s))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_complement"),
+      new ExpressionInfo("graft.ops.Ops", "graft_complement"),
+      { args: Seq[Expression] =>
+        require(args.length == 1,
+          s"graft_complement(table) expects 1 argument, got ${args.length}")
+        val fn = "graft_complement"
+        val s = SparkSession.active
+        graft.ops.Ops.complement(s.table(strLit(args(0), fn, "table")))
+          .queryExecution.logical
       }))
 }

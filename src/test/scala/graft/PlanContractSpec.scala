@@ -83,6 +83,29 @@ class PlanContractSpec extends SparkSpec {
     assert(rowsOf(df) == rowsOf(api))
   }
 
+  test("graft_cluster / graft_subtract / graft_coverage / " +
+    "graft_complement TVFs equal their Scala operators") {
+    ivA.createOrReplaceTempView("pcs_tvf_a2")
+    ivB.createOrReplaceTempView("pcs_tvf_b2")
+    spark.conf.set(graft.plans.IntervalJoinRewrite.BinSizeKey, "4")
+    val cl = spark.sql(
+      "SELECT id, cluster FROM graft_cluster('pcs_tvf_a2', 0)")
+    assert(rowsOf(cl) ==
+      rowsOf(Ops.cluster(ivA, minDist = Some(0)).select($"id", $"cluster")))
+    val sub = spark.sql(
+      "SELECT chrom, start, `end` FROM graft_subtract('pcs_tvf_a2', 'pcs_tvf_b2')")
+    assert(rowsOf(sub) == rowsOf(Ops.subtract(ivA, ivB, binSize = 4)
+      .select($"chrom", $"start", $"end")))
+    val cov = spark.sql(
+      "SELECT id, coverage FROM graft_coverage('pcs_tvf_a2', 'pcs_tvf_b2')")
+    assert(rowsOf(cov) == rowsOf(Ops.coverage(ivA, ivB, binSize = 4)
+      .select($"id", $"coverage")))
+    val comp = spark.sql(
+      "SELECT chrom, start, `end` FROM graft_complement('pcs_tvf_a2')")
+    assert(rowsOf(comp) == rowsOf(Ops.complement(ivA)
+      .select($"chrom", $"start", $"end")))
+  }
+
   test("region select pushes the chrom/coordinate filters into the " +
     "parquet scan") {
     val dir = java.nio.file.Files
