@@ -2018,6 +2018,99 @@ FROM z GROUP BY 1"""
     graft.text.Bpe.encodeIds(docs(s, dir), "doc_id", "text",
       bpeFixedMerges)
 
+  /** Unigram-LM (SentencePiece-style) tokenizer gate: seed a piece
+    * inventory from corpus substrings (len <= 4, floor 2, top-64 +
+    * every char), score with micro-quantized log frequencies, and
+    * Viterbi-encode the corpus to `(doc_id, word_pos, sub_pos,
+    * token_id)` — the other of the two tokenizer constructions LLM
+    * pipelines use, gated end to end. No EM here (the trainer is
+    * spec-gated in UnigramSpec); the oracle replays seeding, scoring,
+    * and the exact-Long DP with its deterministic tie rules
+    * position by position. */
+  private def txtUnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pieces = graft.text.Unigram.seedPieces(
+      graft.text.Unigram.wordCounts(d, "text"),
+      maxPieceLen = 4, minCount = 2L, maxSeed = 64)
+    graft.text.Unigram.encodeIds(d, "doc_id", "text", pieces,
+      maxPieceLen = 4)
+  }
+
+  /** Generated Viterbi-DP oracle for [[txtUnigramEncode]]: seed +
+    * score in SQL, then `maxP` chained per-position DP CTEs (argmin
+    * per word by the engine's exact tie rule: score DESC, piece count
+    * ASC, last-piece length DESC) and `maxP` backtrack CTEs emitting
+    * (piece, sub_pos) — the BPE-train-oracle generated-chain idiom. A
+    * cert empties the result loudly if any word exceeds the generated
+    * depth. */
+  private def unigramEncodeOracle(maxP: Int = 16, maxL: Int = 4): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(
+  COALESCE(text, '')), '[^a-z0-9]+'), x -> len(x) > 0) AS l
+  FROM documents),
+w AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS word_pos, l[i] AS word
+  FROM toks, UNNEST(generate_series(1, len(l))) AS t(i)),
+wc AS MATERIALIZED (SELECT u.t AS word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks, UNNEST(l) AS u(t) GROUP BY 1),
+words AS MATERIALIZED (SELECT word FROM wc),
+subs AS (SELECT substr(word, CAST(a.i AS INT),
+      CAST(b.j - a.i + 1 AS INT)) AS piece,
+    CAST(SUM(n) AS BIGINT) AS cnt
+  FROM wc, UNNEST(generate_series(1, len(word))) AS a(i),
+  UNNEST(generate_series(a.i, least(len(word), a.i + ${maxL - 1}))) AS b(j)
+  GROUP BY 1),
+inv AS MATERIALIZED (
+  SELECT piece, cnt FROM subs WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (SELECT piece, cnt FROM subs
+    WHERE len(piece) > 1 AND cnt >= 2
+    ORDER BY cnt DESC, piece LIMIT 64) z),
+pieces AS MATERIALIZED (SELECT piece, cnt,
+    CAST(round(ln(CAST(cnt AS DOUBLE) /
+      CAST((SELECT SUM(cnt) FROM inv) AS DOUBLE)) * 1e6) AS BIGINT) AS logp
+  FROM inv),
+ids AS MATERIALIZED (SELECT piece,
+    CAST(ROW_NUMBER() OVER (ORDER BY piece) AS BIGINT) AS token_id
+  FROM (SELECT DISTINCT piece FROM inv)),
+dp0 AS (SELECT word, CAST(0 AS BIGINT) AS score, 0 AS np, 0 AS ll
+  FROM words)"""
+    for (p <- 1 to maxP) {
+      val branches = (1 to math.min(maxL, p)).map { l =>
+        s"""    SELECT d.word, d.score + pc.logp AS score, d.np + 1 AS np, $l AS ll
+    FROM dp${p - l} d JOIN pieces pc
+      ON pc.piece = substr(d.word, ${p - l + 1}, $l)
+    WHERE len(d.word) >= $p"""
+      }.mkString("\n    UNION ALL\n")
+      sb ++= s""",
+dp$p AS MATERIALIZED (SELECT word, score, np, ll FROM (
+  SELECT c.*, ROW_NUMBER() OVER (PARTITION BY c.word
+    ORDER BY c.score DESC, c.np ASC, c.ll DESC) AS rn FROM (
+$branches
+  ) c) z WHERE rn = 1)"""
+    }
+    sb ++= s""",
+dpall AS MATERIALIZED (${(1 to maxP).map(p =>
+      s"SELECT $p AS p, word, np, ll FROM dp$p").mkString("\n  UNION ALL ")}),
+bt0 AS (SELECT word, CAST(len(word) AS INT) AS pos FROM words)"""
+    for (k <- 0 until maxP) {
+      sb ++= s""",
+e$k AS MATERIALIZED (SELECT b.word,
+    substr(b.word, b.pos - d.ll + 1, d.ll) AS piece,
+    CAST(d.np - 1 AS BIGINT) AS sub_pos, b.pos - d.ll AS nxt
+  FROM bt$k b JOIN dpall d ON d.word = b.word AND d.p = b.pos
+  WHERE b.pos > 0),
+bt${k + 1} AS (SELECT word, nxt AS pos FROM e$k WHERE nxt > 0)"""
+    }
+    sb ++= s""",
+segs AS (${(0 until maxP).map(k =>
+      s"SELECT word, piece, sub_pos FROM e$k").mkString("\n  UNION ALL ")}),
+cert AS (SELECT MAX(len(word)) <= $maxP AS ok FROM words)
+SELECT w.doc_id, w.word_pos, s.sub_pos, i.token_id
+FROM w JOIN segs s USING (word) JOIN ids i USING (piece)
+WHERE (SELECT ok FROM cert)"""
+    sb.toString
+  }
+
   private def bpeEncodeOracle: String = {
     val folded = bpeFoldSql
     s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(
@@ -2631,6 +2724,7 @@ FROM enc JOIN ids USING (subword)"""
     "txt_len_quantiles" -> (txtLenQuantiles _),
     "ext_sql_zorder" -> (extSqlZorder _),
     "txt_bpe_encode" -> (txtBpeEncode _),
+    "txt_unigram_encode" -> (txtUnigramEncode _),
     "io_warc" -> (ioWarc _),
     "txt_profile" -> (txtProfile _),
     "txt_novelty" -> (txtNovelty _),
@@ -4527,6 +4621,7 @@ FROM enc JOIN ids USING (subword)"""
     "ext_sql_zorder" -> zorderOracleSql,
     // ordinal-preserving tokenize-to-ids replay
     "txt_bpe_encode" -> bpeEncodeOracle,
+    "txt_unigram_encode" -> unigramEncodeOracle(),
     // banding-free truth: ALL corpus x eval shingle-Jaccard >= 0.6
     // pairs by direct replay (incl. self-pairs at 1.0) — the engine's
     // LSH candidates + exact verify must reproduce this set exactly

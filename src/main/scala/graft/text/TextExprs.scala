@@ -108,6 +108,105 @@ object TextKernels {
   * canonically equivalent strings (e + COMBINING ACUTE vs U+00E9) to
   * hash identically.
   */
+object UnigramKernel {
+  /** Exact-Long Viterbi segmentation of one word against a piece ->
+    * micro-log-prob table: maximize total score; ties per position by
+    * fewer pieces, then longer last piece (all deterministic — the
+    * DuckDB oracle replays the same argmin per position). Returns null
+    * when no cover exists (a vocabulary holding every single character
+    * never gets here). */
+  def segment(s: UTF8String,
+              vocab: java.util.HashMap[String, java.lang.Long],
+              maxPieceLen: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val w = s.toString
+    val n = w.length
+    val NEG = java.lang.Long.MIN_VALUE / 4
+    val score = new Array[Long](n + 1)
+    val npieces = new Array[Int](n + 1)
+    val lastLen = new Array[Int](n + 1)
+    java.util.Arrays.fill(score, NEG)
+    score(0) = 0L
+    var p = 1
+    while (p <= n) {
+      var len = 1
+      val maxL = math.min(maxPieceLen, p)
+      while (len <= maxL) {
+        if (score(p - len) != NEG) {
+          val lp = vocab.get(w.substring(p - len, p))
+          if (lp != null) {
+            val sc = score(p - len) + lp.longValue()
+            val np = npieces(p - len) + 1
+            val better = sc > score(p) ||
+              (sc == score(p) && (np < npieces(p) ||
+                (np == npieces(p) && len > lastLen(p))))
+            if (better) {
+              score(p) = sc; npieces(p) = np; lastLen(p) = len
+            }
+          }
+        }
+        len += 1
+      }
+      p += 1
+    }
+    if (n > 0 && score(n) == NEG) return null
+    val out = new Array[AnyRef](npieces(n))
+    var pos = n
+    var i = npieces(n) - 1
+    while (pos > 0) {
+      val l = lastLen(pos)
+      out(i) = UTF8String.fromString(w.substring(pos - l, pos))
+      pos -= l
+      i -= 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `unigram_segment(word)` — exact Viterbi subword segmentation
+  * against a dimension-sized piece inventory carried as a codegen
+  * reference object (the broadcast-dimension pattern: a tokenizer
+  * vocabulary is ~64k rows, model-sized, never corpus-sized). */
+case class UnigramSegment(child: Expression,
+                          vocab: Map[String, Long], maxPieceLen: Int)
+    extends UnaryExpression {
+  require(maxPieceLen >= 1)
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "unigram_segment"
+
+  @transient private lazy val jVocab = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (k, v) => m.put(k, java.lang.Long.valueOf(v)) }
+    m
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    UnigramKernel.segment(v.asInstanceOf[UTF8String], jVocab, maxPieceLen)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vref = ctx.addReferenceObj("unigramVocab", jVocab,
+      "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.text.UnigramKernel.segment(
+         |  $c, $vref, $maxPieceLen);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `lang_id(text)` as a native Catalyst expression — the fused
   * single-pass form of the 12-regexp marker cascade (see
   * [[TextKernels.langId]] for the equivalence argument). Null text
