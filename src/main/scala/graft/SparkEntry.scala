@@ -2036,16 +2036,57 @@ FROM z GROUP BY 1"""
       maxPieceLen = 4)
   }
 
-  /** Generated Viterbi-DP oracle for [[txtUnigramEncode]]: seed +
-    * score in SQL, then `maxP` chained per-position DP CTEs (argmin
-    * per word by the engine's exact tie rule: score DESC, piece count
-    * ASC, last-piece length DESC) and `maxP` backtrack CTEs emitting
-    * (piece, sub_pos) — the BPE-train-oracle generated-chain idiom. A
-    * cert empties the result loudly if any word exceeds the generated
-    * depth. */
-  private def unigramEncodeOracle(maxP: Int = 16, maxL: Int = 4): String = {
+  /** Generated Viterbi-DP CTE block over CTEs `words(word)` and
+    * `<pieces>(piece, logp)`: `maxP` chained per-position DP CTEs
+    * (argmin per word by the engine's exact tie rule: score DESC,
+    * piece count ASC, last-piece length DESC) and `maxP` backtrack
+    * CTEs, ending in `<pfx>segs(word, piece, sub_pos)` — the
+    * BPE-train-oracle generated-chain idiom, reused by both the
+    * encode and train oracles. */
+  private def unigramDpSql(pieces: String, pfx: String,
+                           maxP: Int, maxL: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(
+    sb ++= s"""${pfx}dp0 AS (SELECT word, CAST(0 AS BIGINT) AS score, 0 AS np, 0 AS ll
+  FROM words)"""
+    for (p <- 1 to maxP) {
+      val branches = (1 to math.min(maxL, p)).map { l =>
+        s"""    SELECT d.word, d.score + pc.logp AS score, d.np + 1 AS np, $l AS ll
+    FROM ${pfx}dp${p - l} d JOIN $pieces pc
+      ON pc.piece = substr(d.word, ${p - l + 1}, $l)
+    WHERE len(d.word) >= $p"""
+      }.mkString("\n    UNION ALL\n")
+      sb ++= s""",
+${pfx}dp$p AS MATERIALIZED (SELECT word, score, np, ll FROM (
+  SELECT c.*, ROW_NUMBER() OVER (PARTITION BY c.word
+    ORDER BY c.score DESC, c.np ASC, c.ll DESC) AS rn FROM (
+$branches
+  ) c) z WHERE rn = 1)"""
+    }
+    sb ++= s""",
+${pfx}dpall AS MATERIALIZED (${(1 to maxP).map(p =>
+      s"SELECT $p AS p, word, np, ll FROM ${pfx}dp$p").mkString("\n  UNION ALL ")}),
+${pfx}bt0 AS (SELECT word, CAST(len(word) AS INT) AS pos FROM words)"""
+    for (k <- 0 until maxP) {
+      sb ++= s""",
+${pfx}e$k AS MATERIALIZED (SELECT b.word,
+    substr(b.word, b.pos - d.ll + 1, d.ll) AS piece,
+    CAST(d.np - 1 AS BIGINT) AS sub_pos, b.pos - d.ll AS nxt
+  FROM ${pfx}bt$k b JOIN ${pfx}dpall d ON d.word = b.word AND d.p = b.pos
+  WHERE b.pos > 0),
+${pfx}bt${k + 1} AS (SELECT word, nxt AS pos FROM ${pfx}e$k WHERE nxt > 0)"""
+    }
+    sb ++= s""",
+${pfx}segs AS (${(0 until maxP).map(k =>
+      s"SELECT word, piece, sub_pos FROM ${pfx}e$k").mkString("\n  UNION ALL ")})"""
+    sb.toString
+  }
+
+  /** Shared seed+score CTE block ending in `pieces(piece, cnt, logp)`
+    * over `toks`/`wc`/`words` — the exact [[graft.text.Unigram
+    * .seedPieces]] recipe (floor, deterministic truncation, every
+    * char, window-total micro-quantized scores). */
+  private def unigramSeedSql(maxL: Int, maxSeed: Int): String =
+    s"""toks AS (SELECT doc_id, list_filter(string_split_regex(lower(
   COALESCE(text, '')), '[^a-z0-9]+'), x -> len(x) > 0) AS l
   FROM documents),
 w AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS word_pos, l[i] AS word
@@ -2064,52 +2105,60 @@ inv AS MATERIALIZED (
   UNION ALL
   SELECT piece, cnt FROM (SELECT piece, cnt FROM subs
     WHERE len(piece) > 1 AND cnt >= 2
-    ORDER BY cnt DESC, piece LIMIT 64) z),
+    ORDER BY cnt DESC, piece LIMIT $maxSeed) z),
 pieces AS MATERIALIZED (SELECT piece, cnt,
     CAST(round(ln(CAST(cnt AS DOUBLE) /
       CAST((SELECT SUM(cnt) FROM inv) AS DOUBLE)) * 1e6) AS BIGINT) AS logp
-  FROM inv),
+  FROM inv)"""
+
+  /** Unigram-LM TRAINER gate: one hard-EM round over the seed
+    * inventory, prune to 24 pieces (single chars always kept), final
+    * re-score — the full [[graft.text.Unigram.train]] recipe with
+    * emIters=1. The oracle replays the EM end to end: seed + score,
+    * the Viterbi DP chain under seed scores, occurrence-weighted
+    * piece recount, the char floor, deterministic prune, and the
+    * final micro-quantized re-score. */
+  private def txtUnigramTrain(s: SparkSession, dir: String): DataFrame =
+    graft.text.Unigram.train(docs(s, dir), "text", vocabSize = 24,
+      maxPieceLen = 4, emIters = 1, minCount = 2L, maxSeed = 64)
+
+  private def unigramTrainOracle(maxP: Int = 16, maxL: Int = 4): String =
+    s"""WITH ${unigramSeedSql(maxL, 64)},
+${unigramDpSql("pieces", "", maxP, maxL)},
+used AS MATERIALIZED (SELECT s.piece, CAST(SUM(wc.n) AS BIGINT) AS cnt
+  FROM segs s JOIN wc USING (word) GROUP BY 1),
+em1 AS MATERIALIZED (
+  SELECT piece, cnt FROM used
+  UNION ALL
+  SELECT i.piece, CAST(1 AS BIGINT) AS cnt FROM inv i
+  WHERE len(i.piece) = 1
+    AND i.piece NOT IN (SELECT piece FROM used)),
+kept AS MATERIALIZED (
+  SELECT piece, cnt FROM em1 WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (SELECT piece, cnt FROM em1 WHERE len(piece) > 1
+    ORDER BY cnt DESC, piece
+    LIMIT GREATEST(24 - (SELECT COUNT(*) FROM em1 WHERE len(piece) = 1),
+      0)) z),
+cert AS (SELECT MAX(len(word)) <= $maxP AS ok FROM words)
+SELECT piece, cnt,
+  CAST(round(ln(CAST(cnt AS DOUBLE) /
+    CAST((SELECT SUM(cnt) FROM kept) AS DOUBLE)) * 1e6) AS BIGINT)
+    AS logp_micro
+FROM kept WHERE (SELECT ok FROM cert)"""
+
+  /** Oracle for [[txtUnigramEncode]]: seed + score + DP + backtrack +
+    * binary-rank ids, with a loud depth cert. */
+  private def unigramEncodeOracle(maxP: Int = 16, maxL: Int = 4): String =
+    s"""WITH ${unigramSeedSql(maxL, 64)},
 ids AS MATERIALIZED (SELECT piece,
     CAST(ROW_NUMBER() OVER (ORDER BY piece) AS BIGINT) AS token_id
   FROM (SELECT DISTINCT piece FROM inv)),
-dp0 AS (SELECT word, CAST(0 AS BIGINT) AS score, 0 AS np, 0 AS ll
-  FROM words)"""
-    for (p <- 1 to maxP) {
-      val branches = (1 to math.min(maxL, p)).map { l =>
-        s"""    SELECT d.word, d.score + pc.logp AS score, d.np + 1 AS np, $l AS ll
-    FROM dp${p - l} d JOIN pieces pc
-      ON pc.piece = substr(d.word, ${p - l + 1}, $l)
-    WHERE len(d.word) >= $p"""
-      }.mkString("\n    UNION ALL\n")
-      sb ++= s""",
-dp$p AS MATERIALIZED (SELECT word, score, np, ll FROM (
-  SELECT c.*, ROW_NUMBER() OVER (PARTITION BY c.word
-    ORDER BY c.score DESC, c.np ASC, c.ll DESC) AS rn FROM (
-$branches
-  ) c) z WHERE rn = 1)"""
-    }
-    sb ++= s""",
-dpall AS MATERIALIZED (${(1 to maxP).map(p =>
-      s"SELECT $p AS p, word, np, ll FROM dp$p").mkString("\n  UNION ALL ")}),
-bt0 AS (SELECT word, CAST(len(word) AS INT) AS pos FROM words)"""
-    for (k <- 0 until maxP) {
-      sb ++= s""",
-e$k AS MATERIALIZED (SELECT b.word,
-    substr(b.word, b.pos - d.ll + 1, d.ll) AS piece,
-    CAST(d.np - 1 AS BIGINT) AS sub_pos, b.pos - d.ll AS nxt
-  FROM bt$k b JOIN dpall d ON d.word = b.word AND d.p = b.pos
-  WHERE b.pos > 0),
-bt${k + 1} AS (SELECT word, nxt AS pos FROM e$k WHERE nxt > 0)"""
-    }
-    sb ++= s""",
-segs AS (${(0 until maxP).map(k =>
-      s"SELECT word, piece, sub_pos FROM e$k").mkString("\n  UNION ALL ")}),
+${unigramDpSql("pieces", "", maxP, maxL)},
 cert AS (SELECT MAX(len(word)) <= $maxP AS ok FROM words)
 SELECT w.doc_id, w.word_pos, s.sub_pos, i.token_id
 FROM w JOIN segs s USING (word) JOIN ids i USING (piece)
 WHERE (SELECT ok FROM cert)"""
-    sb.toString
-  }
 
   private def bpeEncodeOracle: String = {
     val folded = bpeFoldSql
@@ -2725,6 +2774,7 @@ FROM enc JOIN ids USING (subword)"""
     "ext_sql_zorder" -> (extSqlZorder _),
     "txt_bpe_encode" -> (txtBpeEncode _),
     "txt_unigram_encode" -> (txtUnigramEncode _),
+    "txt_unigram" -> (txtUnigramTrain _),
     "io_warc" -> (ioWarc _),
     "txt_profile" -> (txtProfile _),
     "txt_novelty" -> (txtNovelty _),
@@ -4622,6 +4672,7 @@ FROM enc JOIN ids USING (subword)"""
     // ordinal-preserving tokenize-to-ids replay
     "txt_bpe_encode" -> bpeEncodeOracle,
     "txt_unigram_encode" -> unigramEncodeOracle(),
+    "txt_unigram" -> unigramTrainOracle(),
     // banding-free truth: ALL corpus x eval shingle-Jaccard >= 0.6
     // pairs by direct replay (incl. self-pairs at 1.0) — the engine's
     // LSH candidates + exact verify must reproduce this set exactly
