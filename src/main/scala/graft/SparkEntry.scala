@@ -1488,6 +1488,18 @@ object SparkEntry {
     Corpus.mixBySource(docs(s, dir).select(col("doc_id"), col("source")),
       MixWeights)
 
+  /** Temperature-mixing gate: alpha=0.5 rebalancing toward small
+    * sources with the expected output pinned at 2x the corpus. The
+    * oracle recomputes per-source counts, quantized sqrt masses,
+    * the fixed-operand-order multiplicities, and the md5 fractional-
+    * epoch rule from scratch — so the whole weights-from-data chain is
+    * gated, not just the mixBySource mechanics doc_mix already
+    * covers. */
+  private def docMixTemp(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"))
+    Corpus.mixByTemperature(d, targetRows = 2L * d.count(), alpha = 0.5)
+  }
+
   private def txtChunk(s: SparkSession, dir: String): DataFrame =
     Corpus.chunk(docs(s, dir), size = 128, overlap = 32)
 
@@ -2786,6 +2798,7 @@ FROM enc JOIN ids USING (subword)"""
     "doc_shard_shuffle" -> (docShardShuffle _),
     "doc_domain_cap" -> (docDomainCap _),
     "doc_mix" -> (docMix _),
+    "doc_mix_temp" -> (docMixTemp _),
     "txt_chunk" -> (txtChunk _),
     "txt_normalize" -> (txtNormalize _),
     "dedup_exact" -> (dedupExact _),
@@ -4130,6 +4143,28 @@ FROM enc JOIN ids USING (subword)"""
         |  CAST(('0x' || substring(
         |    md5('mix|' || e.epoch || '|' || d.doc_id), 1, 8)) AS BIGINT)
         |  < w.thresh""".stripMargin,
+    "doc_mix_temp" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |q AS MATERIALIZED (SELECT source, n,
+        |  CAST(round(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS q FROM c),
+        |m AS MATERIALIZED (SELECT source, n,
+        |  CAST(q AS DOUBLE)
+        |    * CAST(2 * (SELECT COUNT(*) FROM documents) AS DOUBLE)
+        |    / CAST((SELECT SUM(q) FROM q) AS DOUBLE)
+        |    / CAST(n AS DOUBLE) AS w
+        |  FROM q),
+        |wt AS MATERIALIZED (SELECT source,
+        |  CAST(FLOOR(w) AS BIGINT) AS n_full,
+        |  CAST(FLOOR((w - FLOOR(w)) * 4294967296.0) AS BIGINT) AS thresh
+        |  FROM m)
+        |SELECT d.doc_id, d.source, e.epoch
+        |FROM documents d JOIN wt USING (source),
+        |  UNNEST(generate_series(0, wt.n_full)) e(epoch)
+        |WHERE e.epoch < wt.n_full OR
+        |  CAST(('0x' || substring(
+        |    md5('mix|' || e.epoch || '|' || d.doc_id), 1, 8)) AS BIGINT)
+        |  < wt.thresh""".stripMargin,
     "txt_normalize" ->
       """WITH t AS (SELECT doc_id, text || ' cafe' || chr(769) AS text
         |  FROM documents)

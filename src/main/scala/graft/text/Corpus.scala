@@ -791,6 +791,48 @@ object Corpus {
     * filter — rows multiply by at most `ceil(max weight)` and the
     * predicate runs map-side; no shuffle. Returns (idCol, srcCol, epoch)
     * plus the input's other columns. */
+  /** Per-source multiplicities for TEMPERATURE mixing (the XLM-R/mT5
+    * multilingual-rebalancing rule): source sampling mass ∝ `n_s^alpha`
+    * with `alpha < 1` upweighting small sources, scaled so the
+    * expected output row count is `targetRows`. Per-document
+    * multiplicity `m_s = mass_s / n_s * targetRows`.
+    *
+    * Determinism/engine-exactness: `n_s^alpha` is quantized to an
+    * exact BIGINT (`round(pow * 1e6)`) BEFORE the normalizing sum, so
+    * the sum is order-free integer arithmetic and every multiplicity
+    * is a fixed-operand-order IEEE expression a SQL oracle replays
+    * bit for bit. At `alpha = 0.5` the power is `sqrt` — correctly
+    * rounded by IEEE, hence portable; other alphas go through
+    * `math.pow`, whose cross-engine agreement is typical but not
+    * guaranteed (the gate pins alpha = 0.5). Source count collection
+    * is dimension-sized (#sources), the centroid-collect posture. */
+  def temperatureWeights(df: DataFrame, srcCol: String = "source",
+                         alpha: Double = 0.5,
+                         targetRows: Long): Map[String, Double] = {
+    require(alpha > 0.0 && targetRows > 0)
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val qs = counts.map { case (s, n) =>
+      val p = if (alpha == 0.5) math.sqrt(n.toDouble)
+              else math.pow(n.toDouble, alpha)
+      (s, n, math.round(p * 1e6))
+    }
+    val sumQ = qs.map(_._3).sum
+    qs.map { case (s, n, q) =>
+      s -> (q.toDouble * targetRows.toDouble / sumQ.toDouble / n.toDouble)
+    }.toMap
+  }
+
+  /** [[mixBySource]] with [[temperatureWeights]] computed from the
+    * data — one call from corpus to temperature-rebalanced mixture. */
+  def mixByTemperature(df: DataFrame, targetRows: Long,
+                       alpha: Double = 0.5,
+                       idCol: String = "doc_id",
+                       srcCol: String = "source",
+                       salt: String = "mix"): DataFrame =
+    mixBySource(df, temperatureWeights(df, srcCol, alpha, targetRows),
+      idCol, srcCol, salt)
+
   def mixBySource(df: DataFrame, weights: Map[String, Double],
                   idCol: String = "doc_id", srcCol: String = "source",
                   salt: String = "mix"): DataFrame = {
