@@ -465,6 +465,28 @@ class CorpusSpec extends SparkSpec {
     assert(frac.subsetOf(larger))
   }
 
+  test("temperatureWeights: alpha<1 upweights small sources, expected " +
+    "mass hits the target, alpha=1 is proportional") {
+    // 160 'big' docs vs 10 'small'
+    val df = (0L until 170L).map(i => (i, if (i < 160) "big" else "small"))
+      .toDF("doc_id", "source")
+    val w = Corpus.temperatureWeights(df, targetRows = 340L, alpha = 0.5)
+    // expected output mass = sum over sources of m_s * n_s ~ target
+    val mass = w("big") * 160 + w("small") * 10
+    assert(math.abs(mass - 340.0) < 1e-6, s"mass=$mass")
+    // rebalancing: small source's per-doc multiplicity exceeds big's
+    // by ~sqrt(160/10) = 4x
+    val ratio = w("small") / w("big")
+    assert(ratio > 3.9 && ratio < 4.1, s"ratio=$ratio")
+    // alpha=1: every doc gets the same multiplicity (pure scaling)
+    val w1 = Corpus.temperatureWeights(df, targetRows = 340L, alpha = 1.0)
+    assert(math.abs(w1("small") / w1("big") - 1.0) < 1e-6)
+    // determinism end to end through the mixture
+    val m1 = Corpus.mixByTemperature(df, 340L).collect().map(_.toSeq).toSet
+    val m2 = Corpus.mixByTemperature(df, 340L).collect().map(_.toSeq).toSet
+    assert(m1 == m2 && m1.nonEmpty)
+  }
+
   test("shuffleShards: a deterministic permutation — every row exactly " +
       "once, contiguous 1-based positions per shard, salt-independent " +
       "orders, stable across repartitionings") {
