@@ -2660,9 +2660,7 @@ FROM enc JOIN ids USING (subword)"""
 
   /** Per-interval coverage in plain SQL through the `graft_coverage`
     * TVF — the engine's merge-then-binned-join plan. Same semantics
-    * and oracle as iv_coverage. The remaining TVFs (graft_cluster,
-    * graft_subtract, graft_complement) are equality-tested against
-    * the Scala API in PlanContractSpec. */
+    * and oracle as iv_coverage. */
   private def extSqlCoverage(s: SparkSession, dir: String): DataFrame = {
     s.conf.set(graft.plans.IntervalJoinRewrite.BinSizeKey, B.toString)
     iv1(s, dir).createOrReplaceTempView("graft_sql_iv1")
@@ -2671,6 +2669,40 @@ FROM enc JOIN ids USING (subword)"""
       """SELECT id, chrom, start, `end`, coverage
         |FROM graft_coverage('graft_sql_iv2', 'graft_sql_iv1')"""
         .stripMargin)
+  }
+
+  /** Interval clustering in plain SQL through the `graft_cluster` TVF —
+    * same semantics and oracle as iv_cluster (the gate's bucketSize is a
+    * partitioning knob, not a semantics knob, so the TVF's default
+    * produces the identical relation). */
+  private def extSqlCluster(s: SparkSession, dir: String): DataFrame = {
+    iv1(s, dir).createOrReplaceTempView("graft_sql_iv1")
+    s.sql(
+      """SELECT id, chrom, start, `end`, cluster_start, cluster_end
+        |FROM graft_cluster('graft_sql_iv1', 0)""".stripMargin)
+  }
+
+  /** Interval subtraction in plain SQL through the `graft_subtract`
+    * TVF — same semantics and oracle as iv_subtract. */
+  private def extSqlSubtract(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set(graft.plans.IntervalJoinRewrite.BinSizeKey, B.toString)
+    iv1(s, dir).createOrReplaceTempView("graft_sql_iv1")
+    iv2(s, dir).createOrReplaceTempView("graft_sql_iv2")
+    s.sql(
+      """SELECT id, chrom, start, `end`
+        |FROM graft_subtract('graft_sql_iv2', 'graft_sql_iv1')"""
+        .stripMargin)
+  }
+
+  /** Viewless complement in plain SQL through the `graft_complement`
+    * TVF: gaps over the engine's viewless default scaffold — one
+    * [0, Long.MaxValue) region per chromosome present in the input,
+    * named by the chromosome itself. */
+  private def extSqlComplement(s: SparkSession, dir: String): DataFrame = {
+    iv1(s, dir).createOrReplaceTempView("graft_sql_iv1")
+    s.sql(
+      """SELECT chrom, start, `end`, view_region
+        |FROM graft_complement('graft_sql_iv1')""".stripMargin)
   }
 
   // ---------------------------------------------------------------- wiring
@@ -2694,6 +2726,9 @@ FROM enc JOIN ids USING (subword)"""
     "ext_sql_closest" -> (extSqlClosest _),
     "ext_sql_merge" -> (extSqlMerge _),
     "ext_sql_coverage" -> (extSqlCoverage _),
+    "ext_sql_cluster" -> (extSqlCluster _),
+    "ext_sql_subtract" -> (extSqlSubtract _),
+    "ext_sql_complement" -> (extSqlComplement _),
     "iv_closest_self" -> (ivClosestSelf _),
     "iv_overlap_left_pts" -> (ivOverlapLeftPts _),
     "iv_setdiff_pts" -> (ivSetdiffPts _),
@@ -2895,6 +2930,54 @@ FROM enc JOIN ids USING (subword)"""
        |  ON a.chrom = m.chrom AND a.start < m."end" AND m.start < a."end"
        |GROUP BY a.id, a.chrom, a.start, a."end"""".stripMargin
 
+  private lazy val clusterOracleSql: String =
+    s"""WITH $iv1Sql,
+       |x AS (SELECT id, chrom, start, "end",
+       |        MAX("end") OVER (PARTITION BY chrom ORDER BY start, "end", id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |      FROM iv1),
+       |y AS (SELECT *, CASE WHEN pm IS NULL OR start > pm THEN 1 ELSE 0 END AS brd FROM x),
+       |z AS (SELECT *, SUM(brd) OVER (PARTITION BY chrom ORDER BY start, "end", id
+       |        ROWS UNBOUNDED PRECEDING) AS cid FROM y)
+       |SELECT id, chrom, start, "end",
+       |  MIN(start) OVER (PARTITION BY chrom, cid) AS cluster_start,
+       |  MAX("end") OVER (PARTITION BY chrom, cid) AS cluster_end
+       |FROM z""".stripMargin
+
+  private lazy val subtractOracleSql: String =
+    s"""WITH $iv1Sql, $iv2Sql, $mergedIv1Sql,
+       |mm AS (
+       |  SELECT a.id, a.chrom, a.start AS s1, a."end" AS e1,
+       |    GREATEST(m.start, a.start) AS ms, LEAST(m."end", a."end") AS me
+       |  FROM iv2 a JOIN m1 m
+       |    ON a.chrom = m.chrom AND a.start < m."end" AND m.start < a."end"),
+       |frag1 AS (SELECT id, chrom,
+       |    COALESCE(LAG(me) OVER (PARTITION BY id ORDER BY ms), s1) AS fs,
+       |    ms AS fe FROM mm),
+       |frag2 AS (SELECT id, chrom, MAX(me) AS fs, MAX(e1) AS fe
+       |  FROM mm GROUP BY id, chrom),
+       |untouched AS (SELECT id, chrom, start AS fs, "end" AS fe FROM iv2 a
+       |  WHERE NOT EXISTS (SELECT 1 FROM m1 m
+       |    WHERE m.chrom = a.chrom AND a.start < m."end" AND m.start < a."end"))
+       |SELECT id, chrom, fs AS start, fe AS "end" FROM (
+       |  SELECT * FROM frag1 UNION ALL SELECT * FROM frag2
+       |  UNION ALL SELECT * FROM untouched) u
+       |WHERE fs < fe""".stripMargin
+
+  /** Viewless complement truth: merged iv1 runs subtracted from a
+    * per-chrom [0, Long.MaxValue) scaffold, region name = chrom. */
+  private lazy val complementViewlessOracleSql: String =
+    s"""WITH $iv1Sql, $mergedIv1Sql,
+       |g1 AS (SELECT chrom,
+       |    COALESCE(LAG("end") OVER (PARTITION BY chrom ORDER BY start),
+       |             CAST(0 AS BIGINT)) AS gs,
+       |    start AS ge FROM m1),
+       |g2 AS (SELECT chrom, MAX("end") AS gs,
+       |    CAST(9223372036854775807 AS BIGINT) AS ge FROM m1 GROUP BY chrom)
+       |SELECT chrom, gs AS start, ge AS "end", chrom AS view_region
+       |FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2) u
+       |WHERE gs < ge""".stripMargin
+
   /** Generated banded k-NN oracle for the closest family: per-chrom
     * density-scaled candidate band, overlap-aware sortdist, row_number
     * ranking with the given tie order, and an under-coverage CERT that
@@ -3058,19 +3141,9 @@ FROM enc JOIN ids USING (subword)"""
          |SELECT id, chrom, start, "end" FROM iv1 a
          |WHERE NOT EXISTS (SELECT 1 FROM iv2 b
          |  WHERE b.chrom = a.chrom AND ${ovl("a", "b")})""".stripMargin,
-    "iv_cluster" ->
-      s"""WITH $iv1Sql,
-         |x AS (SELECT id, chrom, start, "end",
-         |        MAX("end") OVER (PARTITION BY chrom ORDER BY start, "end", id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-         |      FROM iv1),
-         |y AS (SELECT *, CASE WHEN pm IS NULL OR start > pm THEN 1 ELSE 0 END AS brd FROM x),
-         |z AS (SELECT *, SUM(brd) OVER (PARTITION BY chrom ORDER BY start, "end", id
-         |        ROWS UNBOUNDED PRECEDING) AS cid FROM y)
-         |SELECT id, chrom, start, "end",
-         |  MIN(start) OVER (PARTITION BY chrom, cid) AS cluster_start,
-         |  MAX("end") OVER (PARTITION BY chrom, cid) AS cluster_end
-         |FROM z""".stripMargin,
+    "iv_cluster" -> clusterOracleSql,
+    // same semantics reached through the graft_cluster TVF from plain SQL
+    "ext_sql_cluster" -> clusterOracleSql,
     "iv_merge" ->
       s"""WITH $iv1Sql, $mergedIv1Sql
          |SELECT chrom, start, "end", n_intervals FROM m1""".stripMargin,
@@ -3433,25 +3506,10 @@ FROM enc JOIN ids USING (subword)"""
          |SELECT a.id AS id_1, r.id_2, r.dist AS distance
          |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 1
          |WHERE (SELECT ok FROM cert)""".stripMargin,
-    "iv_subtract" ->
-      s"""WITH $iv1Sql, $iv2Sql, $mergedIv1Sql,
-         |mm AS (
-         |  SELECT a.id, a.chrom, a.start AS s1, a."end" AS e1,
-         |    GREATEST(m.start, a.start) AS ms, LEAST(m."end", a."end") AS me
-         |  FROM iv2 a JOIN m1 m
-         |    ON a.chrom = m.chrom AND a.start < m."end" AND m.start < a."end"),
-         |frag1 AS (SELECT id, chrom,
-         |    COALESCE(LAG(me) OVER (PARTITION BY id ORDER BY ms), s1) AS fs,
-         |    ms AS fe FROM mm),
-         |frag2 AS (SELECT id, chrom, MAX(me) AS fs, MAX(e1) AS fe
-         |  FROM mm GROUP BY id, chrom),
-         |untouched AS (SELECT id, chrom, start AS fs, "end" AS fe FROM iv2 a
-         |  WHERE NOT EXISTS (SELECT 1 FROM m1 m
-         |    WHERE m.chrom = a.chrom AND a.start < m."end" AND m.start < a."end"))
-         |SELECT id, chrom, fs AS start, fe AS "end" FROM (
-         |  SELECT * FROM frag1 UNION ALL SELECT * FROM frag2
-         |  UNION ALL SELECT * FROM untouched) u
-         |WHERE fs < fe""".stripMargin,
+    "iv_subtract" -> subtractOracleSql,
+    // same semantics reached through the graft_subtract TVF from plain SQL
+    "ext_sql_subtract" -> subtractOracleSql,
+    "ext_sql_complement" -> complementViewlessOracleSql,
     "iv_subtract_index" ->
       s"""WITH $iv1Sql, $iv2Sql, $mergedIv1Sql,
          |mm AS (
