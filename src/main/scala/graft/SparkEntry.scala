@@ -1500,6 +1500,64 @@ object SparkEntry {
     Corpus.mixByTemperature(d, targetRows = 2L * d.count(), alpha = 0.5)
   }
 
+  /** Leakage-guarded split gate: `source` as the leakage group (the
+    * URL-host stand-in), 0.75/0.125/0.125 cuts — chosen so every split
+    * captures at least one of the 20 fixture sources (16/3/1; at
+    * 0.8/0.1/0.1 `test` was empty). The sources are identical at every
+    * SF, so split membership is SF-invariant; group-atomicity is what
+    * the md5-of-group construction guarantees and the oracle replays.
+    * Both cuts are exact binary doubles, so the BIGINT cut constants
+    * are unambiguous. */
+  private def docSplitGroup(s: SparkSession, dir: String): DataFrame =
+    Corpus.splitByGroup(docs(s, dir).select(col("doc_id"), col("source")),
+      "source", Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+
+  /** Join-key skew profile gate: the key `floor(sqrt(l_orderkey %
+    * 10000))` plants a linearly-skewed distribution (key k carries
+    * ~2k+1 of every 10k rows, so the heaviest key reads ~2x the mean —
+    * nontrivial share_ppm/skew_x100 values) that both engines derive
+    * from the same exact integer+IEEE-sqrt arithmetic. topK=20 rows at
+    * every SF. */
+  private def diagKeySkew(s: SparkSession, dir: String): DataFrame =
+    Corpus.keySkew(
+      table(s, dir, "lineitem").select(
+        floor(sqrt((col("l_orderkey") % 10000).cast("double")))
+          .cast("long").as("k")),
+      "k", topK = 20)
+
+  /** Compaction-planner gate: 512 synthetic files (one per
+    * `l_orderkey % 512`, bytes = 1000 x rowcount) across 4 partitions,
+    * target = 4x the mean file size COMPUTED FROM THE DATA
+    * (`(count div 512) * 4000`) so the plan packs ~4 files per group
+    * at every SF — the grouping rule itself is what the oracle
+    * replays. */
+  private def layCompaction(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    val stats = li.groupBy(
+        (col("l_orderkey") % 4).cast("long").as("part"),
+        format_string("f%06d", (col("l_orderkey") % 512).cast("int"))
+          .as("file"))
+      .agg((count(lit(1)) * 1000L).as("bytes"))
+    val target = (li.count() / 512L) * 4000L
+    graft.ops.Layout.planCompaction(stats, Seq("part"), "file", "bytes",
+        target)
+      .select(col("part"), col("file"), col("bytes"),
+        col("compaction_group"), col("group_bytes"))
+  }
+
+  /** Per-language adaptive quality gate: keep the top 60% of each
+    * language by `n_chars` (the stand-in score — the rank mechanics,
+    * not the scorer, are the product here; scoreLinear/gopherQuality
+    * plug into the same scoreCol). Integer rank cut, ties on doc_id —
+    * the oracle replays the identical window. */
+  private def txtQualityAdaptive(s: SparkSession, dir: String): DataFrame =
+    Corpus.adaptiveQualityFilter(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        groupCol = "lang", scoreCol = "n_chars", idCol = "doc_id",
+        keepPpm = 600000L)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("q_rank"), col("n_group"))
+
   private def txtChunk(s: SparkSession, dir: String): DataFrame =
     Corpus.chunk(docs(s, dir), size = 128, overlap = 32)
 
@@ -2834,6 +2892,10 @@ FROM enc JOIN ids USING (subword)"""
     "doc_domain_cap" -> (docDomainCap _),
     "doc_mix" -> (docMix _),
     "doc_mix_temp" -> (docMixTemp _),
+    "doc_split_group" -> (docSplitGroup _),
+    "diag_key_skew" -> (diagKeySkew _),
+    "lay_compaction" -> (layCompaction _),
+    "txt_quality_adaptive" -> (txtQualityAdaptive _),
     "txt_chunk" -> (txtChunk _),
     "txt_normalize" -> (txtNormalize _),
     "dedup_exact" -> (dedupExact _),
@@ -4223,6 +4285,55 @@ FROM enc JOIN ids USING (subword)"""
         |  CAST(('0x' || substring(
         |    md5('mix|' || e.epoch || '|' || d.doc_id), 1, 8)) AS BIGINT)
         |  < wt.thresh""".stripMargin,
+    // cut constants are the engine's own (0.75 * 2^32).toLong /
+    // (0.875 * 2^32).toLong — both exact binary doubles
+    "doc_split_group" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    CAST(('0x' || substring(md5('graft-split|' || source), 1, 8))
+        |      AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN bucket < 3221225472 THEN 'train'
+        |       WHEN bucket < 3758096384 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin,
+    "diag_key_skew" ->
+      """WITH k AS (SELECT CAST(CAST(FLOOR(SQRT(CAST(l_orderkey % 10000
+        |      AS DOUBLE))) AS BIGINT) AS VARCHAR) AS key
+        |  FROM lineitem),
+        |c AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt FROM k GROUP BY 1),
+        |t AS (SELECT SUM(cnt) AS total, CAST(COUNT(*) AS BIGINT) AS n_keys
+        |  FROM c)
+        |SELECT key, cnt,
+        |  cnt * 1000000 // total AS share_ppm,
+        |  cnt * 100 * n_keys // total AS skew_x100
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, key ASC LIMIT 20""".stripMargin,
+    "lay_compaction" ->
+      """WITH f AS (SELECT CAST(l_orderkey % 4 AS BIGINT) AS part,
+        |    printf('f%06d', CAST(l_orderkey % 512 AS INT)) AS file,
+        |    CAST(COUNT(*) * 1000 AS BIGINT) AS bytes
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT (COUNT(*) // 512) * 4000 AS target FROM lineitem),
+        |c AS (SELECT part, file, bytes,
+        |    COALESCE(SUM(bytes) OVER (PARTITION BY part ORDER BY file
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      CAST(0 AS BIGINT)) AS bfr
+        |  FROM f),
+        |g AS (SELECT part, file, bytes, bfr // target AS compaction_group
+        |  FROM c CROSS JOIN t)
+        |SELECT part, file, bytes, compaction_group,
+        |  SUM(bytes) OVER (PARTITION BY part, compaction_group)
+        |    AS group_bytes
+        |FROM g""".stripMargin,
+    "txt_quality_adaptive" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS q_rank,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n_group
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, q_rank, n_group FROM r
+        |WHERE q_rank * 1000000 <= 600000 * n_group""".stripMargin,
     "txt_normalize" ->
       """WITH t AS (SELECT doc_id, text || ' cafe' || chr(769) AS text
         |  FROM documents)

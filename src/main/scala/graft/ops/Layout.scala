@@ -175,4 +175,46 @@ object Layout {
     if (total == 0) 0.0
     else stats.filter(pred).count().toDouble / total
   }
+
+  /** Small-file compaction planner — the table-maintenance half of
+    * `OPTIMIZE`: given per-file stats `(partition cols..., nameCol,
+    * bytesCol)`, assign every file a `compaction_group` such that each
+    * group's files concatenate to roughly `targetBytes` (the classic
+    * streaming bin-packing: walk files in name order within a
+    * partition, cut a new group whenever the running total would pass
+    * the target — each group lands in [target, target + maxfile) except
+    * the partition's last, so no group needs a split and oversized
+    * files sit alone in their own group). Group id is
+    * `floor(cumulative_bytes_before_this_file / targetBytes)`:
+    * deterministic, order-free to compute (one running-sum window per
+    * partition), and exactly the cut rule above because the running
+    * total only crosses a multiple of `targetBytes` when a group
+    * closes. Output: input columns + `compaction_group` (0-based per
+    * partition) + `group_bytes` (that group's total).
+    *
+    * Why it matters at 100 TB: a streaming ingest writes millions of
+    * KB-sized files; planning the rewrite is itself a big-data job.
+    * This plans it relationally — one exchange on the partition
+    * columns, two windows over each partition's sorted run, output
+    * one row per file — so the planner scales with the file COUNT,
+    * never the data volume. */
+  def planCompaction(stats: DataFrame, partCols: Seq[String],
+                     nameCol: String, bytesCol: String,
+                     targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes=$targetBytes")
+    import org.apache.spark.sql.expressions.Window
+    val part = if (partCols.isEmpty) Window.partitionBy()
+               else Window.partitionBy(partCols.map(col): _*)
+    val w = part.orderBy(col(nameCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g = stats.withColumn("__before",
+        coalesce(sum(col(bytesCol)).over(w), lit(0L)))
+      .withColumn("compaction_group",
+        expr(s"__before div ${targetBytes}L"))
+      .drop("__before")
+    val wg = if (partCols.isEmpty) Window.partitionBy(col("compaction_group"))
+             else Window.partitionBy(
+               (partCols.map(col) :+ col("compaction_group")): _*)
+    g.withColumn("group_bytes", sum(col(bytesCol)).over(wg))
+  }
 }

@@ -853,4 +853,95 @@ object Corpus {
           col("__thresh"))
       .drop("__w", "__nfull", "__thresh")
   }
+
+  /** Leakage-guarded train/eval split: every row sharing the same group
+    * key (URL host, source domain, author — whatever near-duplicates
+    * cluster under) lands in the same split, so paraphrases of one page
+    * can never straddle train and eval. `fractions` is an ordered list
+    * of (label, fraction) summing to <= 1 (a remainder falls into the
+    * LAST label, so 0.8/0.1/0.1 is exactly exhaustive); assignment is
+    * the cumulative-cut test on the content-addressed [[hashBucket]] of
+    * the GROUP (not the row), making the split
+    *
+    *   - group-atomic by construction (the hash has no row input),
+    *   - reproducible across runs, engines, partitionings, and retries,
+    *   - stable under fraction growth: widening a prefix label's
+    *     fraction only MOVES groups across the one affected cut,
+    *
+    * all as one codegen'd when-chain in a map-only pass — no shuffle,
+    * no group materialization, pushes to the scan like any projection.
+    * Output: input columns + `split`. */
+  def splitByGroup(df: DataFrame, groupCol: String,
+                   fractions: Seq[(String, Double)],
+                   salt: String = "graft-split"): DataFrame = {
+    require(fractions.nonEmpty, "fractions must be non-empty")
+    fractions.foreach { case (l, f) =>
+      require(f > 0.0 && f <= 1.0, s"fraction $l=$f") }
+    val total = fractions.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"fractions sum to $total > 1")
+    val bucket = hashBucket(col(groupCol), salt)
+    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+      .tail.map(c => (c * 4294967296.0).toLong)
+    val chain = fractions.init.zip(cuts.init).foldRight(
+        lit(fractions.last._1)) { case (((label, _), cut), acc) =>
+      when(bucket < cut, label).otherwise(acc)
+    }
+    df.withColumn("split", chain)
+  }
+
+  /** Join-key skew profile — the pre-flight diagnosis for the 100 TB
+    * shuffle: per-key row counts for the `topK` heaviest keys plus the
+    * integer skew statistics a planner acts on (salt factor, AQE skew
+    * thresholds). Per returned key:
+    *
+    *   - `cnt`: exact row count,
+    *   - `share_ppm`: `cnt * 1e6 div total` — parts-per-million of the
+    *     relation carried by this key,
+    *   - `skew_x100`: `cnt * 100 * n_keys div total` — how many times
+    *     the MEAN key's load this key carries, x100 (a uniform key
+    *     reads 100; a key reading 10_000 needs ~100-way salting),
+    *
+    * all exact BIGINT arithmetic (no floats to drift across engines).
+    * Scale shape: one map-side-combinable groupBy on the key, a 1-row
+    * broadcast total, and a `topK` global limit on (cnt desc, key asc)
+    * — output is topK-sized however large the input. */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK=$topK")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("__total"),
+      count(lit(1)).as("__n_keys"))
+    // `div` (exact integer division) rather than `/`+cast: a double
+    // intermediate truncates on Spark but rounds on DuckDB-style CASTs
+    counts.crossJoin(broadcast(totals))
+      .select(col("key"), col("cnt"),
+        expr("cnt * 1000000 div __total").as("share_ppm"),
+        expr("cnt * 100 * __n_keys div __total").as("skew_x100"))
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(topK)
+  }
+
+  /** Per-group adaptive quality filter: keep the best `keepPpm/1e6`
+    * fraction of each group (language, source) by `scoreCol`, so a
+    * corpus-wide threshold can't silently delete a low-resource
+    * language whose score distribution sits lower. Rank-based, not
+    * value-based — `rank * 1e6 <= keepPpm * n_group` in exact BIGINT
+    * (so the kept count per group is `floor(keepPpm * n / 1e6)`,
+    * engine-portable, no float quantile to disagree on). Ties broken
+    * by `idCol` ascending, so the kept set is deterministic. Output:
+    * input columns + `q_rank` (1-based within group, best first) +
+    * `n_group`. Scale shape: one exchange on the group column; the
+    * rank filter plans as a running window over each group's sorted
+    * run — no second pass, no global sort. */
+  def adaptiveQualityFilter(df: DataFrame, groupCol: String,
+                            scoreCol: String, idCol: String,
+                            keepPpm: Long): DataFrame = {
+    require(keepPpm >= 0 && keepPpm <= 1000000L, s"keepPpm=$keepPpm")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val wn = Window.partitionBy(col(groupCol))
+    df.withColumn("q_rank", row_number().over(w).cast(LongType))
+      .withColumn("n_group", count(lit(1)).over(wn))
+      .filter(col("q_rank") * 1000000L <= lit(keepPpm) * col("n_group"))
+  }
 }

@@ -532,4 +532,68 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSet
     assert(got == expect)
   }
+
+  test("splitByGroup: group-atomic, exhaustive, fraction-monotone") {
+    val df = (1L to 400L).map(i => (i, s"host${i % 40}")).toDF("id", "host")
+    val out = Corpus.splitByGroup(df, "host",
+      Seq("train" -> 0.7, "val" -> 0.15, "test" -> 0.15))
+    // every row lands in exactly one split (exhaustive cuts)
+    assert(out.filter($"split".isNull).count() == 0)
+    assert(out.count() == 400)
+    // group-atomic: one split per host
+    val perHost = out.groupBy($"host")
+      .agg(countDistinct($"split").as("n")).filter($"n" =!= 1).count()
+    assert(perHost == 0)
+    // monotone: widening the train fraction never evicts a train group
+    val narrow = Corpus.splitByGroup(df, "host",
+        Seq("train" -> 0.5, "rest" -> 0.5))
+      .filter($"split" === "train").select($"host").distinct()
+      .as[String].collect().toSet
+    val wide = Corpus.splitByGroup(df, "host",
+        Seq("train" -> 0.7, "rest" -> 0.3))
+      .filter($"split" === "train").select($"host").distinct()
+      .as[String].collect().toSet
+    assert(narrow.subsetOf(wide))
+    // deterministic across repartitionings
+    val re = Corpus.splitByGroup(df.repartition(7), "host",
+      Seq("train" -> 0.7, "val" -> 0.15, "test" -> 0.15))
+    assert(re.select($"id", $"split").as[(Long, String)].collect().toSet ==
+      out.select($"id", $"split").as[(Long, String)].collect().toSet)
+  }
+
+  test("keySkew: exact counts, integer shares, uniform key reads ~100") {
+    // key 'a' x 60, 'b' x 30, 'c' x 10 -> total 100, 3 keys
+    val df = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c"))
+      .toDF("k")
+    val out = Corpus.keySkew(df, "k", topK = 2).collect()
+    assert(out.length == 2)
+    assert(out(0).getString(0) == "a" && out(0).getLong(1) == 60L)
+    assert(out(0).getLong(2) == 600000L) // 60e6/100
+    assert(out(0).getLong(3) == 180L)    // 60*100*3/100: 1.8x mean
+    assert(out(1).getString(0) == "b" && out(1).getLong(3) == 90L)
+    // uniform distribution: every key's skew_x100 is exactly 100
+    val uni = (1 to 4).flatMap(k => Seq.fill(25)(s"k$k")).toDF("k")
+    val us = Corpus.keySkew(uni, "k", topK = 4).collect()
+    assert(us.forall(_.getLong(3) == 100L))
+  }
+
+  test("adaptiveQualityFilter: per-group floor(keepPpm*n/1e6) kept, " +
+    "best scores first, ties on id") {
+    val df = Seq(
+      // lang en: scores 10,20,30,40,50 -> keep 60% = 3 (50,40,30)
+      (1L, "en", 10L), (2L, "en", 20L), (3L, "en", 30L),
+      (4L, "en", 40L), (5L, "en", 50L),
+      // lang fr: all tie at 7 -> keep floor(0.6*3)=1, lowest id wins
+      (6L, "fr", 7L), (7L, "fr", 7L), (8L, "fr", 7L)
+    ).toDF("id", "lang", "score")
+    val out = Corpus.adaptiveQualityFilter(df, "lang", "score", "id",
+        keepPpm = 600000L)
+      .select($"id").as[Long].collect().toSet
+    assert(out == Set(3L, 4L, 5L, 6L))
+    // keepPpm=1e6 keeps everything; 0 keeps nothing
+    assert(Corpus.adaptiveQualityFilter(df, "lang", "score", "id",
+      1000000L).count() == 8)
+    assert(Corpus.adaptiveQualityFilter(df, "lang", "score", "id",
+      0L).count() == 0)
+  }
 }

@@ -139,4 +139,38 @@ class LayoutSpec extends SparkSpec {
     val full = (1L << 42) - 1
     spans.foreach(r => assert(r.getLong(1) < full / 2))
   }
+
+  test("planCompaction: groups hit the target, partition-local, " +
+    "oversized files isolate, order-deterministic") {
+    import spark.implicits._
+    // partition p0: 6 files of 300 bytes; target 1000 -> groups of
+    // sizes 1200/600 (cumulative cut at each multiple of 1000)
+    val p0 = (0 until 6).map(i => ("p0", f"f$i%03d", 300L))
+    // partition p1: one 5000-byte monster + two 100-byte files
+    val p1 = Seq(("p1", "a", 5000L), ("p1", "b", 100L), ("p1", "c", 100L))
+    val stats = (p0 ++ p1).toDF("part", "file", "bytes")
+    val out = Layout.planCompaction(stats, Seq("part"), "file", "bytes",
+      targetBytes = 1000L).collect()
+    val byFile = out.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(3), r.getLong(4))).toMap
+    // p0: f0..f3 have before 0,300,600,900 -> group 0 (1200 bytes);
+    // f4,f5 before 1200,1500 -> group 1 (600 bytes)
+    (0 until 4).foreach(i => assert(byFile(("p0", f"f$i%03d")) == (0L, 1200L)))
+    (4 until 6).foreach(i => assert(byFile(("p0", f"f$i%03d")) == (1L, 600L)))
+    // p1: the monster is alone in group 0; b lands at before=5000 ->
+    // group 5; c at 5100 -> group 5 too
+    assert(byFile(("p1", "a")) == (0L, 5000L))
+    assert(byFile(("p1", "b"))._1 == 5L && byFile(("p1", "c"))._1 == 5L)
+    assert(byFile(("p1", "b"))._2 == 200L)
+    // every group's bytes < target + max file size (no unbounded group)
+    out.groupBy(r => (r.getString(0), r.getLong(3))).foreach {
+      case (_, rows) => assert(rows.head.getLong(4) < 1000L + 5000L)
+    }
+    // deterministic under repartitioning
+    val re = Layout.planCompaction(stats.repartition(5), Seq("part"),
+      "file", "bytes", 1000L).collect()
+    assert(re.map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+      .toSet == out.map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+      .toSet)
+  }
 }
