@@ -2440,6 +2440,22 @@ FROM enc JOIN ids USING (subword)"""
         col("rank").cast("long").as("rank"), col("score"))
   }
 
+  /** Positional phrase-search gate: every 5th doc gets " alpha beta
+    * gamma" appended (every 10th twice — multiple occurrences per doc),
+    * every 7th the near-miss " alpha beta delta" (matches the 2-token
+    * prefix, never the phrase). The oracle replays tokenization, the
+    * positional postings, and the consecutive-position join chain. */
+  private def txtPhrase(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 5 === 0, lit(" alpha beta gamma"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit(" alpha beta delta"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 10 === 0, lit(" alpha beta gamma"))
+        .otherwise(lit(""))).as("text"))
+    graft.text.Bm25.phraseMatches(planted, Seq("alpha", "beta", "gamma"))
+  }
+
   /** Natural duplicate edges for the components gate: exact-duplicate
     * star edges (each doc in a same-md5 group linked to the group's min
     * id). One hash shuffle — deliberately NOT the minhash pipeline, which
@@ -2868,6 +2884,7 @@ FROM enc JOIN ids USING (subword)"""
     "txt_feat_hash" -> (txtFeatHash _),
     "txt_auc" -> (txtAuc _),
     "txt_bm25" -> (txtBm25 _),
+    "txt_phrase" -> (txtPhrase _),
     "txt_dsir" -> (txtDsir _),
     "txt_cms" -> (txtCms _),
     "txt_hybrid" -> (txtHybrid _),
@@ -5000,6 +5017,26 @@ FROM enc JOIN ids USING (subword)"""
         |  v(file, record_index, target_uri, warc_date, t)""".stripMargin,
     // full BM25 replay: postings, document frequencies, the quantized
     // micro-idf / nano-tfn arithmetic (identical literals and operand
+    "txt_phrase" ->
+      """WITH t AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' alpha beta gamma' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' alpha beta delta' ELSE '' END
+        |    || CASE WHEN doc_id % 10 = 0 THEN ' alpha beta gamma' ELSE '' END
+        |      AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '[^a-z0-9]+'), x -> len(x) > 0) AS l FROM t),
+        |p AS MATERIALIZED (SELECT doc_id, l[i] AS term,
+        |    CAST(i - 1 AS BIGINT) AS pos
+        |  FROM toks, UNNEST(generate_series(1, len(l))) AS u(i)
+        |  WHERE l[i] IN ('alpha', 'beta', 'gamma'))
+        |SELECT a.doc_id, a.pos AS match_pos
+        |FROM p a
+        |JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  AND b.term = 'beta'
+        |JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |  AND c.term = 'gamma'
+        |WHERE a.term = 'alpha'""".stripMargin,
     // order as Bm25.scala), exact integer score sum, ranking
     "txt_bm25" ->
       """WITH d AS (SELECT doc_id,

@@ -114,4 +114,44 @@ object Bm25 {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
   }
+
+  /** Positional postings `(term, doc_id, pos)` — 0-based token
+    * position, the relation behind [[phraseMatches]]. One explode, one
+    * exchange-free projection (consumers group or join as they need). */
+  def positionalPostings(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
+      .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
+
+  /** Exact consecutive-token phrase occurrences — the positional-index
+    * phrase query of a search engine, planned relationally. Returns
+    * `(doc_id, match_pos)`, one row per occurrence (0-based position of
+    * the phrase's first token; overlapping occurrences all emit).
+    *
+    * Scale shape: the corpus is tokenized ONCE and immediately filtered
+    * to the phrase's distinct terms — the `isin` predicate prunes
+    * before anything shuffles, so the materialized relation
+    * (localCheckpoint, so the k-1 self-joins below don't re-scan the
+    * corpus k times) is bounded by the phrase terms' postings lists,
+    * never the corpus. Then k-1 equi-joins on `(doc_id, pos - i)` chain
+    * the positions; each join's build side is one term's postings, so
+    * cost tracks the RAREST term — the classic inverted-index phrase
+    * plan, with Catalyst free to reorder the equi-join chain. */
+  def phraseMatches(docs: DataFrame, phrase: Seq[String],
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val terms = phrase.map(_.toLowerCase)
+    val post = positionalPostings(docs, idCol, textCol)
+      .filter(col("term").isin(terms.distinct: _*))
+      .localCheckpoint()
+    val first = post.filter(col("term") === terms.head)
+      .select(col("doc_id"), col("pos").as("match_pos"))
+    terms.zipWithIndex.tail.foldLeft(first) { case (acc, (t, i)) =>
+      acc.join(post.filter(col("term") === t)
+          .select(col("doc_id"), (col("pos") - i).as("match_pos")),
+        Seq("doc_id", "match_pos"))
+    }
+  }
 }

@@ -902,13 +902,17 @@ object Corpus {
     *     reads 100; a key reading 10_000 needs ~100-way salting),
     *
     * all exact BIGINT arithmetic (no floats to drift across engines).
-    * Scale shape: one map-side-combinable groupBy on the key, a 1-row
-    * broadcast total, and a `topK` global limit on (cnt desc, key asc)
-    * — output is topK-sized however large the input. */
+    * Scale shape: ONE map-side-combinable groupBy pass over the data
+    * (the counts relation is materialized via localCheckpoint so the
+    * 1-row total and the topK limit both read the key-cardinality-sized
+    * result instead of re-scanning the input twice), then a broadcast
+    * total and a TakeOrdered on (cnt desc, key asc) — output is
+    * topK-sized however large the input. */
   def keySkew(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
     require(topK >= 1, s"topK=$topK")
     val counts = df.groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val totals = counts.agg(sum(col("cnt")).as("__total"),
       count(lit(1)).as("__n_keys"))
     // `div` (exact integer division) rather than `/`+cast: a double

@@ -100,4 +100,27 @@ class Bm25Spec extends SparkSpec {
         Seq((1L, "apple")).toDF("query_id", "text"), 1)
       .count() == 1)
   }
+
+  test("phraseMatches: consecutive positions only, overlaps emit, " +
+      "prefix near-miss and reordered terms don't match") {
+    val corpus = Seq(
+      (1L, "the quick brown fox"),          // match at 1
+      (2L, "quick brown quick brown fox"),  // match at 2 only
+      (3L, "quick fox brown"),              // terms present, not adjacent
+      (4L, "brown quick fox"),              // reordered
+      (5L, "Quick BROWN fox, quick brown fox!"), // case/punct: 0 and 3
+      (6L, "quick brown"),                  // prefix only
+      (7L, "")).toDF("doc_id", "text")
+    val out = Bm25.phraseMatches(corpus, Seq("quick", "brown", "fox"))
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L), (2L, 2L), (5L, 0L), (5L, 3L)))
+    // overlapping self-phrase: "a a a a" under phrase (a, a) -> 0,1,2
+    val selfy = Seq((1L, "a a a a")).toDF("doc_id", "text")
+    assert(Bm25.phraseMatches(selfy, Seq("a", "a"))
+      .as[(Long, Long)].collect().toSet ==
+      Set((1L, 0L), (1L, 1L), (1L, 2L)))
+    // single-term phrase degenerates to term lookup: docs 1-5 all
+    // contain fox, doc 5 twice -> 6 occurrences
+    assert(Bm25.phraseMatches(corpus, Seq("fox")).count() == 6)
+  }
 }
