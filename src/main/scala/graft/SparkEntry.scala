@@ -2489,6 +2489,21 @@ FROM enc JOIN ids USING (subword)"""
       .select(col("id"), col("component_id"))
   }
 
+  /** Representative-selection gate: natural exact-duplicate components
+    * resolved, then one doc kept per cluster by (n_chars desc, doc_id
+    * asc) — exact duplicates tie on n_chars, so the id tiebreak is
+    * exercised on every cluster; the corpus's non-duplicate majority
+    * takes the map-only singleton branch. Oracle replays the recursive
+    * closure over the dumped natural edges plus the identical ranking
+    * window. */
+  private def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val comps = Dedup.resolveComponents(exactDupEdges(s, dir))
+    Dedup.keepBestPerComponent(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        comps, "doc_id", "n_chars")
+      .select(col("doc_id"), col("component_id"), col("is_kept"))
+  }
+
   /** Embeddings plus planted near-duplicates: every 50th vector rescaled
     * by 0.5 under a fresh id. Power-of-two scaling is exact in IEEE
     * arithmetic, so the planted copy provably lands in the same LSH bucket
@@ -2925,6 +2940,7 @@ FROM enc JOIN ids USING (subword)"""
     "dedup_minhash_incr" -> (dedupMinhashIncr _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_components" -> (dedupComponents _),
+    "dedup_keep_best" -> (dedupKeepBest _),
     "emb_cov" -> (embCov _),
     "emb_cosine_topk" -> (embCosineTopk _),
     "emb_quant_topk" -> (embQuantTopk _),
@@ -4502,6 +4518,24 @@ FROM enc JOIN ids USING (subword)"""
         |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
         |SELECT a AS id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS component_id
         |FROM reach GROUP BY a""".stripMargin,
+    "dedup_keep_best" ->
+      """WITH RECURSIVE nat AS (SELECT id_1, id_2
+        |  FROM read_parquet('{AUX_DIR}/dup_pairs/*.parquet')),
+        |e AS (SELECT id_1 AS a, id_2 AS b FROM nat
+        |  UNION SELECT id_2, id_1 FROM nat),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |comp AS (SELECT a AS doc_id,
+        |    CAST(LEAST(a, MIN(b)) AS BIGINT) AS component_id
+        |  FROM reach GROUP BY a),
+        |j AS (SELECT d.doc_id,
+        |    COALESCE(c.component_id, d.doc_id) AS component_id, d.n_chars
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |r AS (SELECT doc_id, component_id,
+        |    ROW_NUMBER() OVER (PARTITION BY component_id
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM j)
+        |SELECT doc_id, component_id, rk = 1 AS is_kept FROM r""".stripMargin,
     "emb_ann_lsh" ->
       """WITH bk AS (SELECT vec_id, bucket
         |  FROM read_parquet('{AUX_DIR}/emb_buckets/*.parquet')),

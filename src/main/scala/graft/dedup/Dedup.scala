@@ -572,4 +572,32 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_1", "id_2", "hamming")
   }
+
+  /** Duplicate-cluster representative selection — the resolution step
+    * after [[resolveComponents]]: keep exactly one document per
+    * duplicate cluster, chosen by quality (`scoreCol` descending, id
+    * ascending on ties) rather than the arbitrary-first the naive
+    * `dropDuplicates` would pick. Output: `docs`' columns +
+    * `component_id` (the doc's own id for singletons) + `is_kept`.
+    *
+    * Scale shape: the duplicate graph is tiny relative to the corpus,
+    * so only docs that APPEAR in `components` pay the ranking window
+    * (inner join + one exchange on component_id); the rest of the
+    * corpus takes the `left_anti` branch — map-only once the
+    * dimension-sized component relation broadcasts — and is kept
+    * as-is. Nothing corpus-wide shuffles. */
+  def keepBestPerComponent(docs: DataFrame, components: DataFrame,
+                           idCol: String, scoreCol: String): DataFrame = {
+    val comp = components.select(col("id").as(idCol), col("component_id"))
+    val ranked = docs.join(comp, Seq(idCol))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("component_id"))
+          .orderBy(col(scoreCol).desc, col(idCol).asc)))
+      .withColumn("is_kept", col("__rk") === 1)
+      .drop("__rk")
+    val singles = docs.join(comp.select(col(idCol)), Seq(idCol), "left_anti")
+      .withColumn("component_id", col(idCol))
+      .withColumn("is_kept", lit(true))
+    ranked.unionByName(singles)
+  }
 }

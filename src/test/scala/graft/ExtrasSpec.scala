@@ -721,4 +721,25 @@ class ComponentsSpec extends SparkSpec {
     assert(got.length == 20)
     assert(got.forall(_.getLong(1) == 0L))
   }
+
+  test("keepBestPerComponent: best score wins, ties break low-id, " +
+    "singletons keep themselves") {
+    // cluster {1,2,3}: scores 5,9,9 -> doc 2 kept (tie 2 vs 3 -> low id)
+    // cluster {10,11}: scores 4,7 -> doc 11 kept
+    // docs 20, 21: no edges -> singletons, both kept
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 7L),
+      (20L, 1L), (21L, 2L)).toDF("doc_id", "score")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_1", "id_2")
+    val comps = Dedup.resolveComponents(edges)
+    val out = Dedup.keepBestPerComponent(docs, comps, "doc_id", "score")
+      .select($"doc_id", $"component_id", $"is_kept")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (10L, 10L, false), (11L, 10L, true),
+      (20L, 20L, true), (21L, 21L, true)))
+    // exactly one kept doc per component, every doc present
+    val kept = out.filter(_._3).map(_._2)
+    assert(kept.size == out.map(_._2).size && out.size == 7)
+  }
 }
