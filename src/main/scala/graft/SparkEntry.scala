@@ -2761,10 +2761,15 @@ FROM enc JOIN ids USING (subword)"""
   }
 
   /** Interval clustering in plain SQL through the `graft_cluster` TVF —
-    * same semantics and oracle as iv_cluster (the gate's bucketSize is a
-    * partitioning knob, not a semantics knob, so the TVF's default
-    * produces the identical relation). */
+    * same semantics and oracle as iv_cluster. bucketSize is a
+    * PARALLELISM knob (bucket-invariant results); the session conf
+    * lowers it to the fixture coordinate scale exactly as the gates'
+    * Scala calls pass SCAN_BUCKET — without it the 2^20 genome-scale
+    * default puts each chrom's sweep in one range (8-way parallelism
+    * floor, ~3x the gate wall at sf0.1). */
   private def extSqlCluster(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set(graft.plans.GraftTableFunctions.BucketSizeKey,
+      SCAN_BUCKET.toString)
     iv1(s, dir).createOrReplaceTempView("graft_sql_iv1")
     s.sql(
       """SELECT id, chrom, start, `end`, cluster_start, cluster_end

@@ -49,6 +49,17 @@ object GraftTableFunctions {
     s.conf.get(IntervalJoinRewrite.BinSizeKey,
       IntervalJoinRewrite.DefaultBinSize.toString).toLong
 
+  /** Bucket width of the ordered scans behind `graft_cluster`/
+    * `graft_merge` — a PARALLELISM knob (results are bucket-invariant):
+    * the per-chrom sweep splits into ranges of this many coordinates,
+    * so parallelism ~ coordinate_extent / bucketSize per chrom. The
+    * 2^20 default suits genome-scale coordinates (~250 ranges per
+    * human chromosome); sessions over small coordinate spaces lower it
+    * via this conf the way the join rewrite's binSize is lowered. */
+  val BucketSizeKey = "spark.graft.sql.scan.bucketSize"
+  private def bucketSize(s: SparkSession): Long =
+    s.conf.get(BucketSizeKey, (1L << 20).toString).toLong
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
     (FunctionIdentifier("graft_closest"),
@@ -88,7 +99,8 @@ object GraftTableFunctions {
         val fn = "graft_cluster"
         val s = SparkSession.active
         graft.ops.Ops.cluster(s.table(strLit(args(0), fn, "table")),
-            minDist = Some(longLit(args(1), fn, "min_dist")))
+            minDist = Some(longLit(args(1), fn, "min_dist")),
+            bucketSize = bucketSize(s))
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_coverage"),
