@@ -2598,6 +2598,19 @@ FROM enc JOIN ids USING (subword)"""
         col("height").cast("long").as("height"),
         col("n_frames").cast("long").as("n_frames"))
 
+  /** Perceptual-hash dedup gate over REAL pixels: the two-tone fixture
+    * plants 7 pixel-content classes (split position = doc_id % 7) across
+    * every 3rd doc; the engine PNG-encodes, imageio-decodes, aHashes,
+    * and groups — the gate passes only if the real hash maps ids
+    * congruent mod 7 together (stability) AND apart across classes (no
+    * collision), which the oracle derives from the planted arithmetic
+    * alone. */
+  private def mmPhashDedup(s: SparkSession, dir: String): DataFrame =
+    graft.mm.Multimodal.phashGroups(
+        graft.mm.Multimodal.syntheticPngTwoTone(
+          docs(s, dir).filter(col("doc_id") % 3 === 0), "doc_id"))
+      .select(col("media_id").as("doc_id"), col("rep_id"))
+
   /** REAL-codec audio gate: deterministic PCM16 sines are RIFF-encoded on
     * the executors (`Multimodal.syntheticWav`, from-scratch container
     * builder) and pushed back through `Multimodal.decodeAudio`'s WAV
@@ -2964,6 +2977,7 @@ FROM enc JOIN ids USING (subword)"""
     "mm_meta" -> (mmMeta _),
     "mm_frames" -> (mmFrames _),
     "mm_decode" -> (mmDecode _),
+    "mm_phash_dedup" -> (mmPhashDedup _),
     "mm_audio" -> (mmAudio _),
     "mm_video" -> (mmVideo _),
     "mm_frame_extract" -> (mmFrameExtract _),
@@ -4802,6 +4816,11 @@ FROM enc JOIN ids USING (subword)"""
         |  CAST(3 + (doc_id * 5) % 11 AS BIGINT) AS height,
         |  CAST(1 AS BIGINT) AS n_frames
         |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+    "mm_phash_dedup" ->
+      """WITH m AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id,
+        |  MIN(doc_id) OVER (PARTITION BY doc_id % 7) AS rep_id
+        |FROM m""".stripMargin,
     "mm_audio" ->
       """SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
         |  CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,

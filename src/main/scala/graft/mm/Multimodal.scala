@@ -194,6 +194,109 @@ object Multimodal {
         }
       }(Encoders.row(mediaSchema))
 
+  /** Two-tone PNG fixture for the perceptual-hash gate: 64x64, dark
+    * (0x202020) left of pixel column `8 * ((id % 7) + 1)`, light
+    * (0xE0E0E0) right of it — the ONLY id-dependence is the split
+    * position, so ids congruent mod 7 produce pixel-identical images
+    * (same aHash by construction) while the 7 split positions give 7
+    * distinct bit layouts. Generated on the executors like
+    * [[syntheticPng]]. */
+  def syntheticPngTwoTone(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val split = 8 * ((id % 7).toInt + 1)
+          val img = new java.awt.image.BufferedImage(64, 64,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 64) {
+            var x = 0
+            while (x < 64) {
+              img.setRGB(x, y, if (x < split) 0x202020 else 0xE0E0E0)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(id, bos.toByteArray, "image/png")
+        }
+      }(Encoders.row(mediaSchema))
+
+  /** Average-hash (aHash) perceptual fingerprint — the classic
+    * near-duplicate image signature: 8x8 grid of block-mean grays, bit
+    * `by*8 + bx` set iff the block's mean exceeds the image's global
+    * mean. All comparisons are EXACT cross-multiplied integer
+    * arithmetic (`block_sum * n_total > total_sum * n_block` — no
+    * float means to drift across JVMs); grayscale is integer luma
+    * `(299r + 587g + 114b) / 1000`. Resolution-independent: block
+    * `(bx, by)` covers pixel columns `[bx*w/8, (bx+1)*w/8)` (integer
+    * bounds; an empty block on a <8px axis reads as not-above).
+    * `None` for null/undecodable payloads. */
+  def imageAHash(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      var total = 0L
+      var y = 0
+      while (y < h) {
+        val by = math.min(y * 8 / h, 7)
+        var x = 0
+        while (x < w) {
+          val bx = math.min(x * 8 / w, 7)
+          val rgb = img.getRGB(x, y)
+          val gray = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)) / 1000
+          val b = by * 8 + bx
+          sums(b) += gray; cnts(b) += 1; total += gray
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h.toLong
+      var hash = 0L
+      var b = 0
+      while (b < 64) {
+        if (cnts(b) > 0 && sums(b) * n > total * cnts(b)) hash |= 1L << b
+        b += 1
+      }
+      Some(hash)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Pixel-content duplicate groups by [[imageAHash]]: every media row
+    * mapped to `(media_id, rep_id)` with `rep_id` the smallest media id
+    * sharing its hash (undecodable payloads represent themselves).
+    * Scale shape: one decode pass at the codec boundary
+    * (`mapPartitions`, [[decode]]'s posture), one hash exchange on the
+    * 64-bit signature for the min-aggregate, one join back — never a
+    * pairwise compare. Near-dup variant: band the hash's four 16-bit
+    * quarters and verify candidates by Hamming distance, exactly the
+    * [[graft.dedup.Dedup.simhashPairs]] recipe on this column. */
+  def phashGroups(media: DataFrame): DataFrame = {
+    val hashSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("ahash", LongType, nullable = true)))
+    val hashed = media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val h = imageAHash(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), h.map(Long.box).orNull)
+        }
+      }(Encoders.row(hashSchema))
+    val reps = hashed.filter(col("ahash").isNotNull)
+      .groupBy(col("ahash")).agg(min(col("media_id")).as("rep_id"))
+    hashed.join(reps, Seq("ahash"), "left")
+      .select(col("media_id"),
+        coalesce(col("rep_id"), col("media_id")).as("rep_id"))
+  }
+
   /** The fixture's planted dimensions, shared with oracle arithmetic. */
   def plantedDims(id: Long): (Int, Int) =
     (4 + (id % 13).toInt, 3 + ((id * 5) % 11).toInt)

@@ -315,6 +315,51 @@ class MultimodalSpec extends SparkSpec {
     assert(!txt.isNullAt(3) && txt.getAs[Long]("n_bytes") == 3L)
   }
 
+  test("imageAHash: pixel-identical images hash equal, split layouts " +
+    "differ, resolution-independent, corrupt -> None") {
+    def png(w: Int, h: Int)(rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def twoTone(w: Int, h: Int, splitFrac: Double) =
+      png(w, h)((x, _) => if (x < (w * splitFrac).toInt) 0x202020 else 0xE0E0E0)
+    val a = Multimodal.imageAHash(twoTone(64, 64, 0.25)).get
+    val b = Multimodal.imageAHash(twoTone(64, 64, 0.25)).get
+    val c = Multimodal.imageAHash(twoTone(64, 64, 0.75)).get
+    assert(a == b, "identical pixels must hash equal")
+    assert(a != c, "different split layouts must differ")
+    // resolution independence: same layout at 2x the resolution
+    val big = Multimodal.imageAHash(twoTone(128, 128, 0.25)).get
+    assert(big == a, "block-mean hash is resolution-independent")
+    // the bit layout is the planted geometry: 2 dark 8px block-columns
+    // at split 0.25 -> bits clear for bx<2, set for bx>=2, every row
+    (0 until 8).foreach { by =>
+      (0 until 8).foreach { bx =>
+        val bit = (a >> (by * 8 + bx)) & 1L
+        assert(bit == (if (bx < 2) 0L else 1L), s"bit ($bx,$by)")
+      }
+    }
+    // solid image: no block exceeds the global mean -> hash 0
+    assert(Multimodal.imageAHash(png(16, 16)((_, _) => 0x808080)).get == 0L)
+    assert(Multimodal.imageAHash(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.imageAHash(null).isEmpty)
+    // phashGroups: mod-7 classes collapse, undecodable represents itself
+    val media = Multimodal.syntheticPngTwoTone(
+      (0L until 21L).toDF("id"), "id")
+    val groups = Multimodal.phashGroups(media)
+      .as[(Long, Long)].collect().toMap
+    (0L until 21L).foreach(id => assert(groups(id) == id % 7))
+    val withBad = media.unionByName(Seq(
+        (99L, Array[Byte](0, 1), "image/png"))
+      .toDF("media_id", "payload", "mime"))
+    assert(Multimodal.phashGroups(withBad)
+      .filter($"media_id" === 99L).head().getLong(1) == 99L)
+  }
+
   test("real WAV decode: planted format recovered; sine RMS; corrupt -> null") {
     val ids = Seq(0L, 3L, 7L, 13L).toDF("id")
     val media = Multimodal.syntheticWav(ids, "id")
