@@ -1561,6 +1561,21 @@ object SparkEntry {
   private def txtChunk(s: SparkSession, dir: String): DataFrame =
     Corpus.chunk(docs(s, dir), size = 128, overlap = 32)
 
+  /** Snapshot-delta gate: the "new" corpus drops every 13th doc
+    * (removed), rewrites every 7th (changed), and plants fresh ids for
+    * every 11th (added); everything else must emit NOTHING — the
+    * delta-sized-output contract is what the oracle certifies. */
+  private def docDelta(s: SparkSession, dir: String): DataFrame = {
+    val old = docs(s, dir).select(col("doc_id"), col("text"))
+    val newer = old.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(old.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Corpus.snapshotDelta(old, newer, "doc_id", "text")
+  }
+
   /** Unicode-normalization gate: every doc gets a planted combining
     * sequence (" cafe" + U+0301) so NFC recomposition is non-vacuous on
     * every row; md5 of the normalized text + per-row changed flag and
@@ -2943,6 +2958,7 @@ FROM enc JOIN ids USING (subword)"""
     "doc_mix" -> (docMix _),
     "doc_mix_temp" -> (docMixTemp _),
     "doc_split_group" -> (docSplitGroup _),
+    "doc_delta" -> (docDelta _),
     "diag_key_skew" -> (diagKeySkew _),
     "lay_compaction" -> (layCompaction _),
     "txt_quality_adaptive" -> (txtQualityAdaptive _),
@@ -4349,6 +4365,24 @@ FROM enc JOIN ids USING (subword)"""
         |       WHEN bucket < 3758096384 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b""".stripMargin,
+    "doc_delta" ->
+      """WITH o AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+        |n AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN COALESCE(text, '') || ' v2'
+        |         ELSE COALESCE(text, '') END AS t
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, COALESCE(text, '') FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |    o.t AS ot, n.t AS nt
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN ot IS NULL THEN 'added'
+        |       WHEN nt IS NULL THEN 'removed'
+        |       WHEN ot <> nt THEN 'changed' END AS status
+        |FROM j
+        |WHERE ot IS NULL OR nt IS NULL OR ot <> nt""".stripMargin,
     "diag_key_skew" ->
       """WITH k AS (SELECT CAST(CAST(FLOOR(SQRT(CAST(l_orderkey % 10000
         |      AS DOUBLE))) AS BIGINT) AS VARCHAR) AS key

@@ -925,6 +925,37 @@ object Corpus {
       .limit(topK)
   }
 
+  /** Corpus snapshot delta — the incremental-pipeline primitive: which
+    * documents changed between two corpus versions, by CONTENT, not by
+    * file layout. One row per difference:
+    *
+    *   - `added`: the id exists only in `newDf`
+    *   - `removed`: the id exists only in `oldDf`
+    *   - `changed`: both sides have the id but the text's md5 differs
+    *
+    * Unchanged docs emit nothing, so the output is delta-sized — the
+    * downstream incremental dedup/index/tokenize passes (the engine's
+    * `appendMinhashIndex` / streaming-ingest family) re-process only
+    * these rows instead of the corpus. Scale shape: texts collapse to
+    * 32-char md5s in the scan projection, so the one full-outer
+    * id-join shuffles hashes, never documents. */
+  def snapshotDelta(oldDf: DataFrame, newDf: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    // coalesce: a null text must read as presence-with-empty-content,
+    // not as the id being absent from that side
+    val o = oldDf.select(col(idCol),
+      md5(coalesce(col(textCol), lit(""))).as("__h_old"))
+    val n = newDf.select(col(idCol),
+      md5(coalesce(col(textCol), lit(""))).as("__h_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") =!= col("__h_new"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+  }
+
   /** Per-group adaptive quality filter: keep the best `keepPpm/1e6`
     * fraction of each group (language, source) by `scoreCol`, so a
     * corpus-wide threshold can't silently delete a low-resource

@@ -577,6 +577,22 @@ class CorpusSpec extends SparkSpec {
     assert(us.forall(_.getLong(3) == 100L))
   }
 
+  test("snapshotDelta: added/removed/changed only, unchanged silent, " +
+    "null text is empty-content presence") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c"),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val neu = Seq((1L, "a"), (2L, "B2"), (5L, "e"),
+      (4L, "now present")).toDF("id", "text")
+    val out = Corpus.snapshotDelta(old, neu, "id", "text")
+      .as[(Long, String)].collect().toSet
+    // 1 unchanged (silent), 2 changed, 3 removed, 5 added,
+    // 4: null -> real text = changed (NOT added)
+    assert(out == Set((2L, "changed"), (3L, "removed"),
+      (5L, "added"), (4L, "changed")))
+    // identical snapshots -> empty delta
+    assert(Corpus.snapshotDelta(old, old, "id", "text").isEmpty)
+  }
+
   test("adaptiveQualityFilter: per-group floor(keepPpm*n/1e6) kept, " +
     "best scores first, ties on id") {
     val df = Seq(
