@@ -1561,6 +1561,28 @@ object SparkEntry {
   private def txtChunk(s: SparkSession, dir: String): DataFrame =
     Corpus.chunk(docs(s, dir), size = 128, overlap = 32)
 
+  /** The CDC gate's planted shared block — long enough (~170 chars at
+    * an expected ~64-char chunk length) that docs sharing it align on
+    * identical interior chunk hashes regardless of where their own
+    * prefix shifts it to. */
+  private val CdcShared = " the shared trailing block for the cdc gate " +
+    "repeats identically across documents and is long enough to span " +
+    "several content-defined chunks so interior boundaries realign."
+
+  /** Content-defined-chunking gate: every 4th doc gets the shared
+    * block appended AFTER its own (varying-length) text, so the block
+    * sits at a different offset per doc — identical interior chunk
+    * hashes across those docs is the CDC property itself. The oracle
+    * replays the window-md5 boundary rule, the span windows, and the
+    * chunk hashes from scratch. */
+  private def txtCdc(s: SparkSession, dir: String): DataFrame =
+    Corpus.cdcChunks(
+      docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(CdcShared)).otherwise(lit("")))
+          .as("text")),
+      "doc_id", "text")
+
   /** Snapshot-delta gate: the "new" corpus drops every 13th doc
     * (removed), rewrites every 7th (changed), and plants fresh ids for
     * every 11th (added); everything else must emit NOTHING — the
@@ -2959,6 +2981,7 @@ FROM enc JOIN ids USING (subword)"""
     "doc_mix_temp" -> (docMixTemp _),
     "doc_split_group" -> (docSplitGroup _),
     "doc_delta" -> (docDelta _),
+    "txt_cdc" -> (txtCdc _),
     "diag_key_skew" -> (diagKeySkew _),
     "lay_compaction" -> (layCompaction _),
     "txt_quality_adaptive" -> (txtQualityAdaptive _),
@@ -4365,6 +4388,30 @@ FROM enc JOIN ids USING (subword)"""
         |       WHEN bucket < 3758096384 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b""".stripMargin,
+    "txt_cdc" ->
+      s"""WITH base AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 4 = 0 THEN '$CdcShared' ELSE '' END AS t
+         |  FROM documents),
+         |b2 AS (SELECT doc_id, t, CAST(length(t) AS BIGINT) AS len
+         |  FROM base WHERE length(t) > 0),
+         |cand AS (SELECT doc_id, t, len, CAST(u.p AS BIGINT) AS p
+         |  FROM b2, UNNEST(generate_series(16, len)) u(p)),
+         |hits AS (SELECT doc_id, p FROM cand
+         |  WHERE CAST(('0x' || substring(md5(
+         |      substring(t, CAST(p AS INT) - 15, 16)), 1, 8)) AS BIGINT)
+         |    % 64 = 0),
+         |bounds AS (SELECT DISTINCT doc_id, p FROM (
+         |  SELECT doc_id, p FROM hits
+         |  UNION ALL SELECT doc_id, CAST(0 AS BIGINT) FROM b2
+         |  UNION ALL SELECT doc_id, len FROM b2) u),
+         |spans AS (SELECT doc_id, p,
+         |    LEAD(p) OVER (PARTITION BY doc_id ORDER BY p) AS nxt
+         |  FROM bounds)
+         |SELECT s.doc_id, s.p AS chunk_start, s.nxt - s.p AS chunk_len,
+         |  md5(substring(b.t, CAST(s.p + 1 AS INT),
+         |    CAST(s.nxt - s.p AS INT))) AS chunk_md5
+         |FROM spans s JOIN b2 b USING (doc_id)
+         |WHERE s.nxt IS NOT NULL AND s.nxt > s.p""".stripMargin,
     "doc_delta" ->
       """WITH o AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
         |n AS (SELECT doc_id,

@@ -925,6 +925,58 @@ object Corpus {
       .limit(topK)
   }
 
+  /** Content-defined chunking (CDC) — the storage-dedup primitive
+    * (Rabin-style, the recipe behind LBFS/restic/borg and block-level
+    * crawl dedup): chunk boundaries are decided by the CONTENT of a
+    * sliding `window`-char hash, not by fixed offsets, so two documents
+    * sharing a long substring produce identical chunks for it even
+    * when surrounding edits SHIFT its position — exactly what
+    * fixed-size chunking cannot do. A boundary falls after character
+    * `p` (1-based) iff `p >= window` and the md5 bucket of
+    * `text[p-window+1 .. p]` is divisible by `divisor`; chunk k spans
+    * `(b_k, b_{k+1}]` with implicit boundaries at 0 and at the text
+    * end. Expected chunk length ~ `divisor` chars.
+    *
+    * Output: `(idCol, chunk_start, chunk_len, chunk_md5)` — group by
+    * `chunk_md5` downstream for cross-corpus block dedup (the
+    * [[graft.dedup.Dedup.exact]] posture at chunk granularity).
+    *
+    * Scale shape: the boundary scan is one explode + codegen'd
+    * md5-filter stage in which the text column never outlives the
+    * stage (only `(id, p)` survives into the exchange); chunk
+    * extraction joins the boundary list back to the text by id. Both
+    * shuffles carry boundary-count rows, ~ `len/divisor` per doc.
+    * Empty documents emit nothing; docs shorter than `window` emit one
+    * whole-document chunk. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                window: Int = 16, divisor: Int = 64): DataFrame = {
+    require(window >= 2 && divisor >= 2, s"window=$window divisor=$divisor")
+    val id = col(idCol)
+    val base = df.select(id, coalesce(col(textCol), lit("")).as("__t"))
+      .withColumn("__len", length(col("__t")).cast(LongType))
+      .filter(col("__len") > 0)
+    val cand = base
+      .select(id, col("__t"), col("__len"),
+        explode(sequence(lit(window.toLong), col("__len"))).as("p"))
+    val hits = cand.filter(
+        conv(substring(md5(expr(
+            s"substring(__t, p - ${window - 1}, $window)")), 1, 8), 16, 10)
+          .cast(LongType) % divisor === 0)
+      .select(id, col("p"))
+    val bounds = hits
+      .unionByName(base.select(id, lit(0L).as("p")))
+      .unionByName(base.select(id, col("__len").as("p")))
+      .distinct()
+    val w = Window.partitionBy(id).orderBy(col("p").asc)
+    val spans = bounds
+      .withColumn("__next", lead(col("p"), 1).over(w))
+      .filter(col("__next").isNotNull && col("__next") > col("p"))
+    spans.join(base.select(id, col("__t")), Seq(idCol))
+      .select(id, col("p").as("chunk_start"),
+        (col("__next") - col("p")).as("chunk_len"),
+        md5(expr("substring(__t, p + 1, __next - p)")).as("chunk_md5"))
+  }
+
   /** Corpus snapshot delta — the incremental-pipeline primitive: which
     * documents changed between two corpus versions, by CONTENT, not by
     * file layout. One row per difference:

@@ -577,6 +577,44 @@ class CorpusSpec extends SparkSpec {
     assert(us.forall(_.getLong(3) == 100L))
   }
 
+  test("cdcChunks: chunks tile the text exactly; shared content chunks " +
+    "identically under shifted offsets; short/empty-doc edges") {
+    val shared = "the quick brown fox jumps over the lazy dog and then " +
+      "keeps running through the content defined chunking fixture text " +
+      "until several chunk boundaries have certainly been crossed here"
+    val df = Seq(
+      (1L, "A" + shared),
+      (2L, "completely different prefix of another length " + shared),
+      (3L, "tiny"),       // shorter than the window: one whole chunk
+      (4L, "")            // empty: no chunks
+    ).toDF("id", "text")
+    val out = Corpus.cdcChunks(df, "id", "text").collect()
+    // tiling: per doc, starts are contiguous and lens sum to length
+    Seq(1L, 2L, 3L).foreach { id =>
+      val rows = out.filter(_.getLong(0) == id).sortBy(_.getLong(1))
+      val text = df.filter($"id" === id).head().getString(1)
+      assert(rows.head.getLong(1) == 0L)
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(1) + a.getLong(2) == b.getLong(1))
+        case _ =>
+      }
+      assert(rows.map(_.getLong(2)).sum == text.length.toLong)
+    }
+    assert(out.count(_.getLong(0) == 3L) == 1) // single whole chunk
+    assert(!out.exists(_.getLong(0) == 4L))    // empty doc silent
+    // the CDC property: docs 1 and 2 share interior chunk hashes even
+    // though the shared block sits at different offsets
+    val h1 = out.filter(_.getLong(0) == 1L).map(_.getString(3)).toSet
+    val h2 = out.filter(_.getLong(0) == 2L).map(_.getString(3)).toSet
+    assert((h1 & h2).nonEmpty,
+      "shifted shared content must realign on identical chunks")
+    // determinism under repartitioning
+    val re = Corpus.cdcChunks(df.repartition(5), "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    assert(re == out.map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet)
+  }
+
   test("snapshotDelta: added/removed/changed only, unchanged silent, " +
     "null text is empty-content presence") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c"),
