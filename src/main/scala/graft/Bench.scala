@@ -62,10 +62,17 @@ object Bench {
     * select list down to a parquet row count). bit_xor, not sum: a sum
     * of 64-bit hashes overflows under ANSI mode.
     */
-  private def sink(df: DataFrame): Long =
-    df.select(xxhash64(df.columns.map(col): _*).as("__h"))
-      .agg(count(lit(1)).as("__n"), bit_xor(col("__h")))
-      .head().getLong(0)
+  /** (row count, order-free content signature). The signature is the
+    * bit_xor of the per-row xxhash64 — printed per query so a
+    * correctness-vs-environment dispute (the r11 driver-red rows) can
+    * be adjudicated from the artifacts: same rows+sig across runs means
+    * the VALUES were identical and any red gate is environmental. */
+  private def sink(df: DataFrame): (Long, Long) = {
+    val r = df.select(xxhash64(df.columns.map(col): _*).as("__h"))
+      .agg(count(lit(1)).as("__n"), bit_xor(col("__h")).as("__sig"))
+      .head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
 
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -265,7 +272,7 @@ object Bench {
           val budget = if (storm) math.min(adaptive, 25) else adaptive
           val t0 = now()
           withBudget(spark, s"$name-p$pass", budget)(sink(fn(spark, dir))) match {
-            case Right(n) =>
+            case Right((n, sig)) =>
               val dt = (now() - t0) / 1e9
               if (dt > 30) { stormSignals += 1; calmStreak = 0 }
               else if (dt < 10) {
@@ -279,8 +286,8 @@ object Bench {
               out(name) = best
               skipped.remove(name)
               System.err.println(
-                f"[bench] $sfTag p$pass $name%-24s $dt%8.2fs  rows=$n  best=$best%.2f")
-              println(s"""{"metric":"query","query":${jstr(name)},"sf":${jstr(sfTag)},"pass":$pass,"value":$best,"unit":"sec","rows":$n}""")
+                f"[bench] $sfTag p$pass $name%-24s $dt%8.2fs  rows=$n sig=$sig%016x  best=$best%.2f")
+              println(s"""{"metric":"query","query":${jstr(name)},"sf":${jstr(sfTag)},"pass":$pass,"value":$best,"unit":"sec","rows":$n,"sig":${jstr(f"$sig%016x")}}""")
             case Left(e) =>
               stormSignals += 1; calmStreak = 0
               if (!storm && stormSignals >= 2) {

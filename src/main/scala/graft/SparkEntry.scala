@@ -1589,9 +1589,13 @@ object SparkEntry {
     * delta-sized-output contract is what the oracle certifies. */
   private def docDelta(s: SparkSession, dir: String): DataFrame = {
     val old = docs(s, dir).select(col("doc_id"), col("text"))
+    // coalesce BEFORE the append: concat(NULL, ' v2') is NULL, which
+    // snapshotDelta would read as unchanged while the oracle's
+    // COALESCE(text,'') || ' v2' reads as changed (ADVICE r11)
     val newer = old.filter(col("doc_id") % 13 =!= 0)
       .select(col("doc_id"),
-        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+        when(col("doc_id") % 7 === 0,
+            concat(coalesce(col("text"), lit("")), lit(" v2")))
           .otherwise(col("text")).as("text"))
       .unionByName(old.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
@@ -4380,7 +4384,8 @@ FROM enc JOIN ids USING (subword)"""
     // (0.875 * 2^32).toLong — both exact binary doubles
     "doc_split_group" ->
       """WITH b AS (SELECT doc_id, source,
-        |    CAST(('0x' || substring(md5('graft-split|' || source), 1, 8))
+        |    CAST(('0x' || substring(md5('graft-split|' ||
+        |      COALESCE(source, '__graft_null__')), 1, 8))
         |      AS BIGINT) AS bucket
         |  FROM documents)
         |SELECT doc_id, source,

@@ -205,7 +205,10 @@ object Layout {
     import org.apache.spark.sql.expressions.Window
     val part = if (partCols.isEmpty) Window.partitionBy()
                else Window.partitionBy(partCols.map(col): _*)
-    val w = part.orderBy(col(nameCol).asc)
+    // bytes as tie-break: with duplicate names in a partition the ROWS
+    // frame over the tie would otherwise be ambiguous, making __before
+    // (hence group ids) nondeterministic across runs (ADVICE r11)
+    val w = part.orderBy(col(nameCol).asc, col(bytesCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val g = stats.withColumn("__before",
         coalesce(sum(col(bytesCol)).over(w), lit(0L)))

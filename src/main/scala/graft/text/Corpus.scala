@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Corpus-curation operators above the single-column [[TextOps]] layer:
   * Gopher-style repetition signals and deterministic content-hash
@@ -870,7 +870,11 @@ object Corpus {
     *
     * all as one codegen'd when-chain in a map-only pass — no shuffle,
     * no group materialization, pushes to the scan like any projection.
-    * Output: input columns + `split`. */
+    * A NULL group key is coalesced to the sentinel `__graft_null__`
+    * before hashing (concat_ws would silently SKIP the null, collapsing
+    * all null-group rows into md5(salt)); nulls thus form one explicit
+    * atomic group that any external replay can reproduce with the same
+    * COALESCE. Output: input columns + `split`. */
   def splitByGroup(df: DataFrame, groupCol: String,
                    fractions: Seq[(String, Double)],
                    salt: String = "graft-split"): DataFrame = {
@@ -879,7 +883,8 @@ object Corpus {
       require(f > 0.0 && f <= 1.0, s"fraction $l=$f") }
     val total = fractions.map(_._2).sum
     require(total <= 1.0 + 1e-9, s"fractions sum to $total > 1")
-    val bucket = hashBucket(col(groupCol), salt)
+    val bucket = hashBucket(
+      coalesce(col(groupCol).cast(StringType), lit("__graft_null__")), salt)
     val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
       .tail.map(c => (c * 4294967296.0).toLong)
     val chain = fractions.init.zip(cuts.init).foldRight(
