@@ -4393,6 +4393,10 @@ FROM enc JOIN ids USING (subword)"""
         |       WHEN bucket < 3758096384 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b""".stripMargin,
+    // Replays CdcKernel's polynomial window hash DIRECTLY per position
+    // (sum of cp * P^(15-j) mod M, P=1000003, M=2^31-1): the engine's
+    // rolling update equals this window sum by ring arithmetic mod M,
+    // so an independent non-rolling replay certifies the rolling code.
     "txt_cdc" ->
       s"""WITH base AS (SELECT doc_id, text ||
          |    CASE WHEN doc_id % 4 = 0 THEN '$CdcShared' ELSE '' END AS t
@@ -4400,15 +4404,19 @@ FROM enc JOIN ids USING (subword)"""
          |b2 AS (SELECT doc_id, t, CAST(length(t) AS BIGINT) AS len
          |  FROM base WHERE length(t) > 0),
          |cand AS (SELECT doc_id, t, len, CAST(u.p AS BIGINT) AS p
-         |  FROM b2, UNNEST(generate_series(16, len)) u(p)),
+         |  FROM b2, UNNEST(generate_series(16, len - 1)) u(p)),
          |hits AS (SELECT doc_id, p FROM cand
-         |  WHERE CAST(('0x' || substring(md5(
-         |      substring(t, CAST(p AS INT) - 15, 16)), 1, 8)) AS BIGINT)
-         |    % 64 = 0),
-         |bounds AS (SELECT DISTINCT doc_id, p FROM (
-         |  SELECT doc_id, p FROM hits
+         |  WHERE CAST(list_sum(list_transform(range(16), j ->
+         |      CAST(ord(substring(t, CAST(p - 15 + j AS INT), 1))
+         |        AS BIGINT) *
+         |      list_extract([1828017126, 1744706798, 206851044,
+         |        1433149184, 66148026, 633364108, 1274554124, 1544709545,
+         |        57298384, 2061642598, 1953433226, 1604566856, 1049561761,
+         |        1426104154, 1000003, 1], CAST(j + 1 AS INT))))
+         |    AS BIGINT) % 2147483647 % 64 = 0),
+         |bounds AS (SELECT doc_id, p FROM hits
          |  UNION ALL SELECT doc_id, CAST(0 AS BIGINT) FROM b2
-         |  UNION ALL SELECT doc_id, len FROM b2) u),
+         |  UNION ALL SELECT doc_id, len FROM b2),
          |spans AS (SELECT doc_id, p,
          |    LEAD(p) OVER (PARTITION BY doc_id ORDER BY p) AS nxt
          |  FROM bounds)

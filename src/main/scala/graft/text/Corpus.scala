@@ -937,49 +937,42 @@ object Corpus {
     * sharing a long substring produce identical chunks for it even
     * when surrounding edits SHIFT its position — exactly what
     * fixed-size chunking cannot do. A boundary falls after character
-    * `p` (1-based) iff `p >= window` and the md5 bucket of
-    * `text[p-window+1 .. p]` is divisible by `divisor`; chunk k spans
-    * `(b_k, b_{k+1}]` with implicit boundaries at 0 and at the text
-    * end. Expected chunk length ~ `divisor` chars.
+    * `p` (1-based) iff `p >= window`, `p < length`, and the polynomial
+    * rolling fingerprint of `text[p-window+1 .. p]` is divisible by
+    * `divisor` (see [[CdcKernel]] for the exact hash — replayable by
+    * any engine with exact 64-bit integers, including the DuckDB
+    * oracle); chunk k spans `(b_k, b_{k+1}]` with implicit boundaries
+    * at 0 and at the text end. Expected chunk length ~ `divisor`
+    * chars.
     *
     * Output: `(idCol, chunk_start, chunk_len, chunk_md5)` — group by
     * `chunk_md5` downstream for cross-corpus block dedup (the
     * [[graft.dedup.Dedup.exact]] posture at chunk granularity).
     *
-    * Scale shape: the boundary scan is one explode + codegen'd
-    * md5-filter stage in which the text column never outlives the
-    * stage (only `(id, p)` survives into the exchange); chunk
-    * extraction joins the boundary list back to the text by id. Both
-    * shuffles carry boundary-count rows, ~ `len/divisor` per doc.
+    * Scale shape: ZERO shuffles — one codegen'd projection computes
+    * each document's full boundary array in a single rolling code-point
+    * walk ([[CdcBoundaries]]; r11's explode + md5-per-position scan was
+    * the suite's heaviest sf1 query), a `zip_with` over the
+    * 0/len-extended array pairs consecutive bounds, and one explode
+    * emits the chunk rows map-side. The text never crosses an exchange.
     * Empty documents emit nothing; docs shorter than `window` emit one
-    * whole-document chunk. */
+    * whole-document chunk (their boundary array is empty — which also
+    * closes r11's phantom-candidate edge where `sequence(window, len)`
+    * DESCENDED for sub-window docs). */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
                 window: Int = 16, divisor: Int = 64): DataFrame = {
     require(window >= 2 && divisor >= 2, s"window=$window divisor=$divisor")
+    import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
     val id = col(idCol)
     val base = df.select(id, coalesce(col(textCol), lit("")).as("__t"))
-      .withColumn("__len", length(col("__t")).cast(LongType))
-      .filter(col("__len") > 0)
-    val cand = base
-      .select(id, col("__t"), col("__len"),
-        explode(sequence(lit(window.toLong), col("__len"))).as("p"))
-    val hits = cand.filter(
-        conv(substring(md5(expr(
-            s"substring(__t, p - ${window - 1}, $window)")), 1, 8), 16, 10)
-          .cast(LongType) % divisor === 0)
-      .select(id, col("p"))
-    val bounds = hits
-      .unionByName(base.select(id, lit(0L).as("p")))
-      .unionByName(base.select(id, col("__len").as("p")))
-      .distinct()
-    val w = Window.partitionBy(id).orderBy(col("p").asc)
-    val spans = bounds
-      .withColumn("__next", lead(col("p"), 1).over(w))
-      .filter(col("__next").isNotNull && col("__next") > col("p"))
-    spans.join(base.select(id, col("__t")), Seq(idCol))
-      .select(id, col("p").as("chunk_start"),
-        (col("__next") - col("p")).as("chunk_len"),
-        md5(expr("substring(__t, p + 1, __next - p)")).as("chunk_md5"))
+      .filter(length(col("__t")) > 0)
+    base
+      .select(id, col("__t"),
+        explode(column(CdcSpans(expression(col("__t")), window, divisor)))
+          .as("sp"))
+      .select(id, col("sp.s").as("chunk_start"),
+        (col("sp.e") - col("sp.s")).as("chunk_len"),
+        md5(expr("substring(__t, sp.s + 1, sp.e - sp.s)")).as("chunk_md5"))
   }
 
   /** Corpus snapshot delta — the incremental-pipeline primitive: which

@@ -613,6 +613,26 @@ class CorpusSpec extends SparkSpec {
     val re = Corpus.cdcChunks(df.repartition(5), "id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
     assert(re == out.map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet)
+    // plan contract: the r12 rolling-hash kernel made CDC a pure
+    // map-side projection + generate — NO exchange anywhere (r11's
+    // scan shuffled boundary rows through a distinct + window)
+    val plan = Corpus.cdcChunks(df, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"CDC plan must not shuffle:\n$plan")
+    // rolling update == direct window sum (the oracle's form), checked
+    // on a 300-char fixture at every position via a brute replay
+    val probe = (0 until 300).map(i => ('a' + (i * 7 + i * i % 13) % 26).toChar)
+      .mkString
+    val eng = Corpus.cdcChunks(Seq((9L, probe)).toDF("id", "text"), "id", "text")
+      .collect().map(_.getLong(1)).sorted
+    val M = 2147483647L; val P = 1000003L
+    val direct = (16 to probe.length - 1).filter { p =>
+      val win = probe.substring(p - 16, p)
+      val h = win.foldLeft(0L)((acc, c) => (acc * P + c.toLong) % M)
+      h % 64 == 0
+    }.map(_.toLong)
+    assert(eng.toSeq == (0L +: direct).sorted,
+      s"engine starts ${eng.toSeq} vs direct-sum bounds $direct")
   }
 
   test("snapshotDelta: added/removed/changed only, unchanged silent, " +
