@@ -189,7 +189,8 @@ object Warc {
     StructField("member_index", IntegerType),
     StructField("offset", LongType),
     StructField("compressed_length", LongType),
-    StructField("n_records", IntegerType)))
+    StructField("n_records", IntegerType),
+    StructField("clean_eof", BooleanType)))
 
   private def readU16LE(in: InputStream): Int = {
     val a = in.read(); val b = in.read()
@@ -281,7 +282,18 @@ object Warc {
     * so [[readIndexed]] can fan a single multi-GB archive out across
     * tasks and never materializes a whole file. Plain (uncompressed)
     * files get one whole-file row — they stream record-by-record
-    * anyway. Write the result next to the archives and reuse it. */
+    * anyway. Write the result next to the archives and reuse it.
+    *
+    * Corruption accounting (VERDICT r11 #5 — a truncated member must
+    * not read as a complete archive): every gzip file additionally
+    * emits ONE summary row with `member_index = -1`, where `offset` =
+    * bytes cleanly indexed, `compressed_length` = UNACCOUNTED tail
+    * bytes (0 on a clean walk), `n_records` = member count, and
+    * `clean_eof` = whether the walk consumed the file exactly to EOF.
+    * A mid-archive corruption therefore yields `clean_eof = false`
+    * with a nonzero unaccounted length — ingest can quarantine on
+    * `member_index = -1 AND NOT clean_eof` while still reading the
+    * clean prefix. [[readIndexed]] skips summary rows. */
   def buildMemberIndex(spark: SparkSession, path: String): DataFrame = {
     val files = spark.read.format("binaryFile").load(path)
       .select(col("path"), col("length"))
@@ -303,13 +315,14 @@ object Warc {
         if (!isGz) {
           in.close()
           Iterator.single(Row(p, 0, 0L, totalLen,
-            -1)) // plain file: record count not pre-walked
+            -1, true)) // plain file: record count not pre-walked
         } else {
           var offset = 0L
           var idx = 0
           new Iterator[Row] {
             private var nextRow: Row = null
             private var done = false
+            private var summarized = false
             private def advance(): Unit = {
               if (done) return
               try {
@@ -323,15 +336,23 @@ object Warc {
                 val memberLen = hdr + deflateLen + 8
                 val n = parseRecords(
                   new ByteArrayInputStream(bytes)).length
-                nextRow = Row(p, idx, offset, memberLen, n)
+                nextRow = Row(p, idx, offset, memberLen, n, true)
                 offset += memberLen
                 idx += 1
               } catch {
+                // corrupt/truncated member: stop the walk but make the
+                // damage VISIBLE — the summary row below carries the
+                // unaccounted byte count, never a silent prefix index
                 case _: Exception => done = true; in.close()
               }
             }
             override def hasNext: Boolean = {
               if (nextRow == null && !done) advance()
+              if (nextRow == null && done && !summarized) {
+                summarized = true
+                nextRow = Row(p, -1, offset, totalLen - offset, idx,
+                  offset == totalLen)
+              }
               nextRow != null
             }
             override def next(): Row = {
@@ -365,6 +386,7 @@ object Warc {
     // arrive in offset order: one open per (file, task), one cheap
     // seek per member
     val planned = memberIndex
+      .filter(col("member_index") >= 0) // drop per-file summary rows
       .withColumn("first_record",
         coalesce(sum(col("n_records")).over(w), lit(0L)))
       .repartitionByRange(n, col("path"), col("member_index"))

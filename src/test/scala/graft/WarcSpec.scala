@@ -83,9 +83,10 @@ class WarcSpec extends SparkSpec {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/big.warc.gz"),
       members.flatten.toArray)
-    val idx = Warc.buildMemberIndex(spark, s"$dir/big.warc.gz")
-    val idxRows = idx.orderBy("member_index")
-      .as[(String, Int, Long, Long, Int)].collect()
+    val allRows = Warc.buildMemberIndex(spark, s"$dir/big.warc.gz")
+      .orderBy("member_index")
+      .as[(String, Int, Long, Long, Int, Boolean)].collect()
+    val (summary, idxRows) = (allRows.head, allRows.tail)
     assert(idxRows.length == 12)
     assert(idxRows.forall(_._5 == 1), "one record per member")
     // offsets tile the file exactly
@@ -95,12 +96,50 @@ class WarcSpec extends SparkSpec {
       case _ => true
     })
     assert(idxRows.last._3 + idxRows.last._4 == fileLen)
+    // clean-walk summary row: all bytes accounted, 12 members, clean EOF
+    assert(summary._2 == -1 && summary._3 == fileLen && summary._4 == 0L &&
+      summary._5 == 12 && summary._6, s"bad summary $summary")
+    val idx = Warc.buildMemberIndex(spark, s"$dir/big.warc.gz")
     val viaIndex = Warc.readIndexed(spark, idx, numTasks = 4)
     assert(viaIndex.rdd.getNumPartitions == 4)
     val whole = Warc.read(spark, s"$dir/big.warc.gz")
     assert(viaIndex.exceptAll(whole).isEmpty &&
       whole.exceptAll(viaIndex).isEmpty)
     assert(viaIndex.count() == 12)
+  }
+
+  test("member index surfaces mid-archive corruption: truncation " +
+      "summary row, clean prefix still readable") {
+    val dir = java.nio.file.Files.createTempDirectory("warccorrupt").toString
+    def gzip(b: Array[Byte]) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    val members = (0 until 8).map(i => gzip(
+      rec("conversion", s"http://c/$i", None, s"body $i".getBytes("UTF-8"))))
+    val clean = members.take(5)
+    val cleanLen = clean.map(_.length.toLong).sum
+    // member 5's gzip magic smashed: the walk must stop THERE and the
+    // summary row must carry the unaccounted tail, not read as complete
+    val corrupted = members(5).clone()
+    corrupted(0) = 0x00
+    val bytes = clean.flatMap(_.toSeq) ++ corrupted.toSeq ++
+      members.drop(6).flatMap(_.toSeq)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/bad.warc.gz"), bytes.toArray)
+    val fileLen = new java.io.File(s"$dir/bad.warc.gz").length()
+    val idx = Warc.buildMemberIndex(spark, s"$dir/bad.warc.gz")
+    val summary = idx.filter($"member_index" === -1)
+      .as[(String, Int, Long, Long, Int, Boolean)].head()
+    assert(!summary._6, "corrupt archive must NOT report clean_eof")
+    assert(summary._3 == cleanLen, "bytes cleanly indexed = clean prefix")
+    assert(summary._4 == fileLen - cleanLen && summary._4 > 0,
+      "unaccounted tail bytes must be visible")
+    assert(summary._5 == 5, "five clean members before the corruption")
+    // the clean prefix is still readable through the index
+    val recs = Warc.readIndexed(spark, idx, numTasks = 2)
+    assert(recs.count() == 5)
   }
 
   test("read fail-fasts on a file past the whole-file byte limit with " +
