@@ -139,7 +139,124 @@ object Bpe {
 
   def train(df: DataFrame, textCol: String, numMerges: Int): DataFrame =
     if (numMerges < IncrementalThreshold) trainFull(df, textCol, numMerges)
-    else trainIncremental(df, textCol, numMerges)
+    else trainBatched(df, textCol, numMerges)
+
+  /** Merge-loop LATENCY eliminator on top of [[trainIncremental]]'s
+    * delta maintenance: most iterations emit the next merge WITHOUT
+    * scheduling a Spark job, by deciding the argmax driver-side from a
+    * collected top-K snapshot plus sound upper bounds on every pair the
+    * pending merges could have changed.
+    *
+    * The invariant making this exact: folding merge `(a, b) -> ab` over
+    * the vocabulary changes the count of pair `(x, y)` ONLY IF
+    * `y == a` (its right symbol may be consumed as an occurrence
+    * start), `x == b` (its left symbol may be consumed as an occurrence
+    * end), `(x, y) == (a, b)` (merged away), or the pair involves the
+    * NEW symbol string `ab` (gains). Every other pair's count is
+    * untouched — so the top-K snapshot stays EXACT for untouched pairs,
+    * touched pairs move to an upper-bound set (a stale pair can only
+    * lose count → its old count bounds it; a new pair `(prev, ab)`
+    * gains at most `min(count(prev, a), c)` → the stale prev-pair bound
+    * or, for prevs outside the snapshot, `min(floorC, c)` bounds it),
+    * and pairs outside the snapshot can never climb past an unchanged
+    * snapshot pair (they ranked below the K-th row and only decrease).
+    * The next merge is therefore DECIDED whenever the best exact pair's
+    * count strictly exceeds every bound; otherwise the pending deltas
+    * are applied (lazily — they materialize inside the re-anchor job)
+    * and ONE argmax job re-collects the snapshot. The one subtlety is
+    * symbol-string conflation: if `ab` equals a symbol created by an
+    * earlier merge, new pairs alias existing ones and the gain analysis
+    * above breaks — detected exactly (initial symbols are single chars
+    * + `</w>`, so only prior merge OUTPUTS can collide) and answered
+    * with a forced re-anchor.
+    *
+    * Output is bit-identical to [[trainFull]] (BpeSpec property); jobs
+    * scale with ANCHORS, not merges — on Zipfian text most consecutive
+    * top pairs are symbol-disjoint, so batches run long. */
+  def trainBatched(df: DataFrame, textCol: String, numMerges: Int,
+                   topK: Int = 64, maxPending: Int = 32): DataFrame = {
+    require(numMerges > 0 && topK > 1 && maxPending > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    var ws = wordCounts(df, textCol).localCheckpoint()
+    var counts = pairCounts(ws).localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    val mergedStrings = scala.collection.mutable.Set.empty[String]
+    val exact = scala.collection.mutable.Map.empty[(String, String), Long]
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var floorC: Option[Long] = None
+    val pending = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String)]
+    var exhausted = false
+    var mustAnchor = false
+
+    // fold the pending merges' deltas into counts/ws (lazily — the
+    // anchor argmax materializes everything in one job), then re-collect
+    // the top-K snapshot
+    def anchor(): Unit = {
+      pending.foreach { case (a, b, m) =>
+        val pat = Sep + a + Sep + Sep + b + Sep
+        val aff = ws.filter(col("s").contains(pat))
+        val minus = pairCounts(aff)
+          .select(col("s1"), col("s2"), (-col("c")).as("c"))
+        val plus = pairCounts(aff.select(col("word"), col("n"),
+          mergeOne(col("s"), a, b, m).as("s")))
+        counts = counts.unionByName(plus).unionByName(minus)
+          .groupBy(col("s1"), col("s2")).agg(sum(col("c")).as("c"))
+          .filter(col("c") > 0)
+        ws = ws.select(col("word"), col("n"),
+          mergeOne(col("s"), a, b, m).as("s"))
+      }
+      if (pending.nonEmpty) {
+        ws = ws.localCheckpoint()
+        counts = counts.localCheckpoint(false)
+        pending.clear()
+      }
+      val rows = counts
+        .orderBy(col("c").desc, col("s1").asc, col("s2").asc)
+        .limit(topK).collect()
+      exact.clear(); bounds.clear()
+      rows.foreach(r =>
+        exact((r.getString(0), r.getString(1))) = r.getLong(2))
+      floorC = if (rows.length == topK) Some(rows.last.getLong(2)) else None
+      mustAnchor = false
+      if (rows.isEmpty) exhausted = true
+    }
+
+    anchor()
+    while (merges.length < numMerges && !exhausted) {
+      if (mustAnchor || exact.isEmpty) anchor()
+      if (!exhausted) {
+        val ((a, b), c) = exact.minBy { case ((s1, s2), cc) =>
+          (-cc, s1, s2)
+        }
+        if (!bounds.forall(c > _)) {
+          mustAnchor = true // a changed pair might outrank: re-anchor
+        } else {
+          val m = a + b
+          merges += ((merges.length + 1L, a, b, m, c))
+          exact.remove((a, b))
+          pending += ((a, b, m))
+          val conflates = mergedStrings.contains(m)
+          mergedStrings += m
+          if (conflates || pending.length >= maxPending) mustAnchor = true
+          else {
+            // touched pairs: right symbol a (occurrence starts) or left
+            // symbol b (occurrence ends) → stale, bounded by old count;
+            // new (·, ab)/(ab, ·) pairs from snapshot-known prevs are
+            // covered by the same stale bounds, from unknown prevs by
+            // min(floor, c)
+            val stale = exact.keys
+              .filter { case (x, y) => y == a || x == b }.toList
+            stale.foreach { k => bounds += exact(k); exact.remove(k) }
+            floorC.foreach(fc => bounds += math.min(fc, c))
+          }
+        }
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_n")
+  }
 
   /** The incremental-maintenance trainer (see [[train]] doc). */
   def trainIncremental(df: DataFrame, textCol: String,

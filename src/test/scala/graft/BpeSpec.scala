@@ -123,6 +123,33 @@ class BpeSpec extends SparkSpec {
     assert(inc.size == 24)
   }
 
+  test("batched train equals full recompute at every snapshot geometry") {
+    // The decide-without-a-job path must be bit-identical to the naive
+    // trainer regardless of how often it re-anchors: tiny topK forces
+    // constant floor-bound pressure, tiny maxPending forces flushes
+    // mid-decision-run, large settings let whole batches decide
+    // driver-side. Corpus mixes ties, adjacent-symbol chains (aaaa,
+    // abab force stale/new-pair bound churn), and long shared prefixes.
+    val df = Seq("low lower lowest low low banana bandana aaaa abab",
+      "the thee then than banana low lowest abab aa")
+      .toDF("text")
+    val full = Bpe.trainFull(df, "text", numMerges = 24)
+      .orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    for ((k, p) <- Seq((2, 1), (3, 2), (8, 4), (64, 32))) {
+      val bat = Bpe.trainBatched(df, "text", numMerges = 24,
+          topK = k, maxPending = p)
+        .orderBy("rank")
+        .as[(Long, String, String, String, Long)].collect().toSeq
+      assert(bat == full, s"topK=$k maxPending=$p diverged")
+    }
+  }
+
+  test("batched train early-stops on exhaustion like the full trainer") {
+    val df = Seq("ab").toDF("text")
+    assert(Bpe.trainBatched(df, "text", numMerges = 10).count() == 2L)
+  }
+
   test("exhausted vocabulary stops early") {
     val df = Seq("ab").toDF("text")
     // merge 1: (a,b) -> [ab, </w>]; merge 2: (ab,</w>) -> [ab</w>];
