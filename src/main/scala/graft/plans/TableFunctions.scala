@@ -45,6 +45,13 @@ object GraftTableFunctions {
         s"$fn: $what must be an integer literal, got $other")
     }
 
+  /** Comma-separated name-list literal ('' or whitespace-only → Nil) —
+    * the SQL spelling of the Scala API's `on: Seq[String]` grouping
+    * argument. */
+  private def strListLit(e: Expression, fn: String, what: String): Seq[String] =
+    strLit(e, fn, what).split(',').iterator.map(_.trim)
+      .filter(_.nonEmpty).toSeq
+
   private def binSize(s: SparkSession): Long =
     s.conf.get(IntervalJoinRewrite.BinSizeKey,
       IntervalJoinRewrite.DefaultBinSize.toString).toLong
@@ -65,41 +72,59 @@ object GraftTableFunctions {
     (FunctionIdentifier("graft_closest"),
       new ExpressionInfo("graft.ops.Closest", "graft_closest"),
       { args: Seq[Expression] =>
-        require(args.length == 3 || args.length == 4,
-          "graft_closest(left_table, right_table, k[, tie_col]) " +
-            s"expects 3-4 arguments, got ${args.length}")
+        require(args.length >= 3 && args.length <= 5,
+          "graft_closest(left_table, right_table, k[, tie_col[, ignore]]) " +
+            s"expects 3-5 arguments, got ${args.length}")
         val fn = "graft_closest"
         val s = SparkSession.active
         val k = longLit(args(2), fn, "k").toInt
+        // '' means "no tie column" so callers can reach the ignore arg
         val tie = if (args.length > 3)
-          Some(strLit(args(3), fn, "tie_col")) else None
+          Some(strLit(args(3), fn, "tie_col")).filter(_.nonEmpty) else None
+        // comma-set of neighbor classes to EXCLUDE: any of
+        // 'overlaps', 'upstream', 'downstream' (the Scala ignore_* flags)
+        val ignore = if (args.length > 4)
+          strListLit(args(4), fn, "ignore").toSet else Set.empty[String]
+        val bad = ignore -- Set("overlaps", "upstream", "downstream")
+        require(bad.isEmpty,
+          s"$fn: ignore accepts overlaps/upstream/downstream, got $bad")
         graft.ops.Closest.closest(
             s.table(strLit(args(0), fn, "left_table")),
             Some(s.table(strLit(args(1), fn, "right_table"))),
-            k = k, tieBreakingCol = tie, suffixes = ("_1", "_2"),
+            k = k,
+            ignoreOverlaps = ignore("overlaps"),
+            ignoreUpstream = ignore("upstream"),
+            ignoreDownstream = ignore("downstream"),
+            tieBreakingCol = tie, suffixes = ("_1", "_2"),
             binSize = binSize(s))
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_merge"),
       new ExpressionInfo("graft.ops.Ops", "graft_merge"),
       { args: Seq[Expression] =>
-        require(args.length == 2,
-          s"graft_merge(table, min_dist) expects 2 arguments, got ${args.length}")
+        require(args.length == 2 || args.length == 3,
+          "graft_merge(table, min_dist[, on_cols]) expects 2-3 " +
+            s"arguments, got ${args.length}")
         val fn = "graft_merge"
         val s = SparkSession.active
+        val on = if (args.length > 2)
+          strListLit(args(2), fn, "on_cols") else Nil
         graft.ops.Ops.merge(s.table(strLit(args(0), fn, "table")),
-            minDist = Some(longLit(args(1), fn, "min_dist")))
+            minDist = Some(longLit(args(1), fn, "min_dist")), on = on)
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_cluster"),
       new ExpressionInfo("graft.ops.Ops", "graft_cluster"),
       { args: Seq[Expression] =>
-        require(args.length == 2,
-          s"graft_cluster(table, min_dist) expects 2 arguments, got ${args.length}")
+        require(args.length == 2 || args.length == 3,
+          "graft_cluster(table, min_dist[, on_cols]) expects 2-3 " +
+            s"arguments, got ${args.length}")
         val fn = "graft_cluster"
         val s = SparkSession.active
+        val on = if (args.length > 2)
+          strListLit(args(2), fn, "on_cols") else Nil
         graft.ops.Ops.cluster(s.table(strLit(args(0), fn, "table")),
-            minDist = Some(longLit(args(1), fn, "min_dist")),
+            minDist = Some(longLit(args(1), fn, "min_dist")), on = on,
             bucketSize = bucketSize(s))
           .queryExecution.logical
       }),
