@@ -1020,6 +1020,118 @@ object SparkEntry {
     s.table("evt_stream_enrich_sink")
   }
 
+  /** End-to-end streaming-ingest gate over the FULL persisted-index
+    * quintet (doc store + bloom exact-dup index + minhash band index +
+    * HDR length histogram + CMS term sketch), certifying CROSS-INDEX
+    * consistency after a 3-batch ingest that includes BOTH failure
+    * replays a production stream sees:
+    *   - batch 1 is delivered twice with the same batchId (a foreachBatch
+    *     re-delivery after a post-commit failure), and
+    *   - batch 2 first suffers a CRASH-BETWEEN-INDEXES torn delivery
+    *     (only the store write lands — simulated by pre-writing the raw
+    *     batch to its store directory) before the full replay.
+    * Batches 1 and 2 carry planted exact re-deliveries of earlier
+    * batches' texts (re-keyed ids), so the bloom prefilter's drop path
+    * is non-vacuous. The output is a metric relation the DuckDB oracle
+    * recomputes from first principles: the admitted set is "rows whose
+    * text does not occur in any earlier batch", and every index total
+    * (store counts, distinct indexed docs, band rows, histogram mass,
+    * CMS token mass / depth, profile exact columns) must land exactly on
+    * that set — any replay double-count, torn-write remnant, or
+    * cross-index drift shifts a value and fails the hash. Replay
+    * determinism of the near-dup pair stream and the bloom membership of
+    * every stored doc are engine-side checks surfaced as must-be-zero
+    * metrics. */
+  private def evtIngestE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+    val b0 = d.filter(col("doc_id") % 3 === 0)
+    val b1 = d.filter(col("doc_id") % 3 === 1).unionByName(
+      d.filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          col("text")))
+    val b2 = d.filter(col("doc_id") % 3 === 2).unionByName(
+      d.filter(col("doc_id") % 3 === 1 && col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+          col("text")))
+    val mhTable = uniqueTable("graft_e2e_mh")
+    val store = scratchFile("e2e_store")
+    val bloom = scratchFile("e2e_bloom")
+    val prof = scratchFile("e2e_prof")
+    val hist = scratchFile("e2e_hist")
+    val cms = scratchFile("e2e_cms")
+    val depth = 4
+    // empty seeds: the stream owns every index from the first batch on
+    Dedup.writeMinhashIndex(d.limit(0), "doc_id", "text", mhTable,
+      scratchFile("e2e_mhidx"), numBuckets = 8)
+    graft.dedup.Bloom.writeIndex(d.limit(0), col("text"), bloom,
+      numBuckets = 8, expectedItems = 1000000L)
+    val dupCounts = scala.collection.mutable.Map.empty[Long, Long]
+    val pairsSeen = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    var pairsReplayDrift = 0L
+    def deliver(batch: DataFrame, id: Long): Unit =
+      StreamOps.ingestDedupBatch(batch, id, mhTable, store,
+        (p, bid) => {
+          val got = p.select(col("id_1").cast("long"), col("id_2").cast("long"))
+            .as[(Long, Long)].collect().toSet
+          pairsSeen.get(bid).foreach(prev =>
+            pairsReplayDrift += ((prev diff got) ++ (got diff prev)).size.toLong)
+          pairsSeen(bid) = got
+        },
+        n = 3, numHashes = 48, bands = 16, threshold = 0.5, numBuckets = 8,
+        bloomIndexPath = bloom,
+        onExactDups = (dd, bid) => { dupCounts(bid) = dd.count(); () },
+        bloomExpectedItems = 1000000L, bloomBuckets = 8,
+        profileIndexPath = prof, profileStrataCol = "source",
+        lenHistPath = hist, cmsPath = cms, cmsDepth = depth, cmsWidth = 2048)
+    deliver(b0, 0L)
+    deliver(b1, 1L)
+    deliver(b1, 1L) // foreachBatch replay: same batchId re-delivered whole
+    // crash-between-indexes: a torn delivery that completed ONLY the
+    // store write (raw rows, dups not yet dropped), then the full replay
+    b2.select("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$store/batch=2")
+    deliver(b2, 2L)
+    // ---- cross-index consistency metrics (all value-gated by the oracle)
+    val storeDf = s.read.option("basePath", store).parquet(store)
+      .select(col("doc_id"), col("text"), col("batch").cast("long").as("b"))
+      .persist()
+    val perBatch = storeDf.groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val admitted = perBatch.values.sum
+    val idx = s.table(mhTable)
+    val mhDocs = idx.select(col("__id")).distinct().count()
+    val mhBandRows = idx.select(col("__id"), col("__band")).distinct().count()
+    val flagged = graft.dedup.Bloom.probeMaybe(s.read.parquet(bloom),
+      storeDf, col("text"), numBuckets = 8).count()
+    val histDf = graft.text.Hdr.readHistogram(s, hist, Seq("source")).persist()
+    val histDocs = histDf.agg(sum(col("n"))).head.getLong(0)
+    val histStrata = histDf.select(col("source")).distinct().count()
+    histDf.unpersist()
+    val cmsMass = graft.text.Cms.readSketch(s, cms)
+      .agg(sum(col("n"))).head.getLong(0)
+    val profRow = ProfileIndex.readProfile(s, prof)
+      .agg(sum(col("n_docs")), sum(col("n_tokens")), sum(col("n_chars"))).head
+    storeDf.unpersist()
+    Seq(
+      ("admitted_total", admitted),
+      ("admitted_b0", perBatch.getOrElse(0L, 0L)),
+      ("admitted_b1", perBatch.getOrElse(1L, 0L)),
+      ("admitted_b2", perBatch.getOrElse(2L, 0L)),
+      ("exact_dups", dupCounts.values.sum),
+      ("minhash_docs", mhDocs),
+      ("minhash_band_rows", mhBandRows),
+      ("bloom_missing", admitted - flagged),
+      ("hist_docs", histDocs),
+      ("hist_strata", histStrata),
+      ("cms_tokens", cmsMass / depth),
+      ("profile_docs", profRow.getLong(0)),
+      ("profile_tokens", profRow.getLong(1)),
+      ("profile_chars", profRow.getLong(2)),
+      ("pairs_replay_drift", pairsReplayDrift)
+    ).toDF("metric", "value").orderBy(col("metric"))
+  }
+
   private def ivSortRank(s: SparkSession, dir: String): DataFrame = {
     val assigned = Ops.assignView(iv1(s, dir), view(s), viewOrdCol = Some("ord"))
     val ords = view(s).select(col("name").as("__vn"), col("ord"))
@@ -2853,6 +2965,32 @@ FROM enc JOIN ids USING (subword)"""
         |FROM graft_complement('graft_sql_iv1')""".stripMargin)
   }
 
+  /** Grouped cluster-merge in plain SQL: `graft_merge`'s optional
+    * on_cols argument (comma-separated grouping columns — the Scala
+    * API's `on=`), so SQL users get per-stratum merges without dropping
+    * to Scala. Same semantics and oracle as iv_merge_on. */
+  private def extSqlMergeOn(s: SparkSession, dir: String): DataFrame = {
+    iv1(s, dir).createOrReplaceTempView("graft_sql_iv1")
+    s.sql(
+      """SELECT chrom, strand, start, `end`, n_intervals
+        |FROM graft_merge('graft_sql_iv1', 0, 'strand')""".stripMargin)
+  }
+
+  /** Direction-restricted nearest neighbor in plain SQL:
+    * `graft_closest`'s optional ignore argument (comma-set of
+    * overlaps/upstream/downstream — the Scala API's ignore_* flags).
+    * ignore='downstream' keeps only upstream neighbors; same semantics
+    * and oracle as iv_closest_upstream. */
+  private def extSqlClosestUp(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set(graft.plans.IntervalJoinRewrite.BinSizeKey, B.toString)
+    iv3(s, dir).createOrReplaceTempView("graft_sql_iv3")
+    iv2(s, dir).createOrReplaceTempView("graft_sql_iv2")
+    s.sql(
+      """SELECT id_1, id_2, distance
+        |FROM graft_closest('graft_sql_iv3', 'graft_sql_iv2', 1, 'id',
+        |  'downstream')""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2877,6 +3015,8 @@ FROM enc JOIN ids USING (subword)"""
     "ext_sql_cluster" -> (extSqlCluster _),
     "ext_sql_subtract" -> (extSqlSubtract _),
     "ext_sql_complement" -> (extSqlComplement _),
+    "ext_sql_merge_on" -> (extSqlMergeOn _),
+    "ext_sql_closest_up" -> (extSqlClosestUp _),
     "iv_closest_self" -> (ivClosestSelf _),
     "iv_overlap_left_pts" -> (ivOverlapLeftPts _),
     "iv_setdiff_pts" -> (ivSetdiffPts _),
@@ -2943,6 +3083,7 @@ FROM enc JOIN ids USING (subword)"""
     "evt_stream_file" -> (evtStreamFile _),
     "evt_stream_join" -> (evtStreamJoin _),
     "evt_stream_enrich" -> (evtStreamEnrich _),
+    "evt_ingest_e2e" -> (evtIngestE2e _),
     "evt_window_agg" -> (evtWindowAgg _),
     "txt_stats" -> (txtStats _),
     "txt_langid" -> (txtLangid _),
@@ -3077,6 +3218,61 @@ FROM enc JOIN ids USING (subword)"""
   // ------------------------------------------------------------- oracles
 
   import TestTables.{overlapSql => ovl}
+
+  /** Grouped merge replay (per-(chrom,strand) sweep) — shared by the
+    * Scala-API gate (iv_merge_on) and the TVF on_cols gate
+    * (ext_sql_merge_on). */
+  private lazy val mergeOnOracleSql: String =
+    s"""WITH $iv1Sql
+       |SELECT chrom, strand, MIN(start) AS start, MAX("end") AS "end",
+       |  COUNT(*) AS n_intervals
+       |FROM (
+       |  SELECT chrom, strand, start, "end",
+       |         SUM(brd) OVER (PARTITION BY chrom, strand
+       |                        ORDER BY start, "end", id
+       |                        ROWS UNBOUNDED PRECEDING) AS cid
+       |  FROM (
+       |    SELECT *, CASE WHEN pm IS NULL OR start > pm THEN 1 ELSE 0 END AS brd
+       |    FROM (
+       |      SELECT id, chrom, strand, start, "end",
+       |             MAX("end") OVER (PARTITION BY chrom, strand
+       |                              ORDER BY start, "end", id
+       |                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |      FROM iv1) x) y) z
+       |GROUP BY chrom, strand, cid""".stripMargin
+
+  /** Upstream-only closest replay — shared by the Scala-API gate
+    * (iv_closest_upstream) and the TVF ignore-arg gate
+    * (ext_sql_closest_up). */
+  private lazy val closestUpstreamOracleSql: String =
+    s"""WITH $iv2Sql, $iv3Sql,
+       |stx AS (SELECT chrom,
+       |    GREATEST(CAST(CEIL((MAX("end") - MIN(start)) * 120.0 / COUNT(*)) AS BIGINT), 4) AS w
+       |  FROM iv2 GROUP BY chrom),
+       |cand AS MATERIALIZED (
+       |  SELECT a.id AS id_1, b.id AS id_2,
+       |    GREATEST(a.start - b."end", b.start - a."end", 0) AS dist,
+       |    CASE WHEN ${ovl("a", "b")} THEN 0
+       |         ELSE GREATEST(a.start - b."end", b.start - a."end", 0) + 1 END AS sortdist
+       |  FROM iv3 a JOIN stx s ON a.chrom = s.chrom
+       |  JOIN iv2 b ON a.chrom = b.chrom
+       |    AND b."end" >= a.start - s.w AND b.start <= a."end" + s.w
+       |  WHERE (${ovl("a", "b")}) OR b."end" <= a.start),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1
+       |    ORDER BY sortdist, id_2) AS rn FROM cand),
+       |cert AS (SELECT NOT EXISTS (
+       |  -- a left row absent from cand is legitimate ONLY when no
+       |  -- upstream candidate exists at all (chrom's min end beyond
+       |  -- its start; an overlap would have been admitted) — absent
+       |  -- with one beyond the band = under-coverage, fail loudly
+       |  SELECT 1 FROM iv3 a
+       |  JOIN (SELECT chrom, MIN("end") AS mine FROM iv2 GROUP BY chrom)
+       |    me ON a.chrom = me.chrom
+       |  WHERE me.mine <= a.start
+       |    AND a.id NOT IN (SELECT id_1 FROM cand)) AS ok)
+       |SELECT a.id AS id_1, r.id_2, r.dist AS distance
+       |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 1
+       |WHERE (SELECT ok FROM cert)""".stripMargin
 
   private lazy val coverageOracleSql: String =
     s"""WITH $iv1Sql, $iv2Sql, $mergedIv1Sql
@@ -3389,24 +3585,8 @@ FROM enc JOIN ids USING (subword)"""
          |    CAST(bp1 + bp2 - intersection_bp AS DOUBLE) END AS jaccard,
          |  n_intersections
          |FROM inter, b1, b2""".stripMargin,
-    "iv_merge_on" ->
-      s"""WITH $iv1Sql
-         |SELECT chrom, strand, MIN(start) AS start, MAX("end") AS "end",
-         |  COUNT(*) AS n_intervals
-         |FROM (
-         |  SELECT chrom, strand, start, "end",
-         |         SUM(brd) OVER (PARTITION BY chrom, strand
-         |                        ORDER BY start, "end", id
-         |                        ROWS UNBOUNDED PRECEDING) AS cid
-         |  FROM (
-         |    SELECT *, CASE WHEN pm IS NULL OR start > pm THEN 1 ELSE 0 END AS brd
-         |    FROM (
-         |      SELECT id, chrom, strand, start, "end",
-         |             MAX("end") OVER (PARTITION BY chrom, strand
-         |                              ORDER BY start, "end", id
-         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-         |      FROM iv1) x) y) z
-         |GROUP BY chrom, strand, cid""".stripMargin,
+    "iv_merge_on" -> mergeOnOracleSql,
+    "ext_sql_merge_on" -> mergeOnOracleSql,
     "iv_cluster_on" ->
       s"""WITH $iv1Sql,
          |x AS (SELECT id, chrom, strand, start, "end",
@@ -3615,35 +3795,8 @@ FROM enc JOIN ids USING (subword)"""
     "ext_sql_merge" ->
       s"""WITH $iv1Sql, $mergedIv1Sql
          |SELECT chrom, start, "end", n_intervals FROM m1""".stripMargin,
-    "iv_closest_upstream" ->
-      s"""WITH $iv2Sql, $iv3Sql,
-         |stx AS (SELECT chrom,
-         |    GREATEST(CAST(CEIL((MAX("end") - MIN(start)) * 120.0 / COUNT(*)) AS BIGINT), 4) AS w
-         |  FROM iv2 GROUP BY chrom),
-         |cand AS MATERIALIZED (
-         |  SELECT a.id AS id_1, b.id AS id_2,
-         |    GREATEST(a.start - b."end", b.start - a."end", 0) AS dist,
-         |    CASE WHEN ${ovl("a", "b")} THEN 0
-         |         ELSE GREATEST(a.start - b."end", b.start - a."end", 0) + 1 END AS sortdist
-         |  FROM iv3 a JOIN stx s ON a.chrom = s.chrom
-         |  JOIN iv2 b ON a.chrom = b.chrom
-         |    AND b."end" >= a.start - s.w AND b.start <= a."end" + s.w
-         |  WHERE (${ovl("a", "b")}) OR b."end" <= a.start),
-         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1
-         |    ORDER BY sortdist, id_2) AS rn FROM cand),
-         |cert AS (SELECT NOT EXISTS (
-         |  -- a left row absent from cand is legitimate ONLY when no
-         |  -- upstream candidate exists at all (chrom's min end beyond
-         |  -- its start; an overlap would have been admitted) — absent
-         |  -- with one beyond the band = under-coverage, fail loudly
-         |  SELECT 1 FROM iv3 a
-         |  JOIN (SELECT chrom, MIN("end") AS mine FROM iv2 GROUP BY chrom)
-         |    me ON a.chrom = me.chrom
-         |  WHERE me.mine <= a.start
-         |    AND a.id NOT IN (SELECT id_1 FROM cand)) AS ok)
-         |SELECT a.id AS id_1, r.id_2, r.dist AS distance
-         |FROM iv3 a LEFT JOIN ranked r ON a.id = r.id_1 AND r.rn <= 1
-         |WHERE (SELECT ok FROM cert)""".stripMargin,
+    "iv_closest_upstream" -> closestUpstreamOracleSql,
+    "ext_sql_closest_up" -> closestUpstreamOracleSql,
     "iv_closest_ignore" ->
       s"""WITH $iv2Sql, $iv3Sql,
          |stx AS (SELECT chrom,
@@ -3970,6 +4123,49 @@ FROM enc JOIN ids USING (subword)"""
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // end-to-end ingest-quintet replay: the admitted set is derived from
+    // first principles (rows whose text occurs in no earlier batch — the
+    // bloom-prefilter + exact-verify contract), and every persisted-index
+    // total must land exactly on it; token masses replay the engine
+    // tokenizer (the txt_cms pattern)
+    "evt_ingest_e2e" ->
+      """WITH stream AS (
+        |  SELECT doc_id, source, text, doc_id % 3 AS b FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, source, text, 1 FROM documents
+        |    WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 2000000, source, text, 2 FROM documents
+        |    WHERE doc_id % 3 = 1 AND doc_id % 7 = 1),
+        |adm AS (SELECT * FROM stream s WHERE NOT EXISTS (
+        |  SELECT 1 FROM stream e WHERE e.b < s.b AND e.text = s.text)),
+        |tok AS (SELECT CAST(COALESCE(SUM(len(list_filter(
+        |    string_split_regex(lower(COALESCE(text, '')), '[^a-z0-9]+'),
+        |    x -> len(x) > 0))), 0) AS BIGINT) AS n FROM adm)
+        |SELECT metric, value FROM (
+        |  SELECT 'admitted_total' AS metric, CAST(COUNT(*) AS BIGINT) AS value
+        |    FROM adm
+        |  UNION ALL SELECT 'admitted_b0', CAST(COUNT(*) AS BIGINT)
+        |    FROM adm WHERE b = 0
+        |  UNION ALL SELECT 'admitted_b1', CAST(COUNT(*) AS BIGINT)
+        |    FROM adm WHERE b = 1
+        |  UNION ALL SELECT 'admitted_b2', CAST(COUNT(*) AS BIGINT)
+        |    FROM adm WHERE b = 2
+        |  UNION ALL SELECT 'exact_dups',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM stream)
+        |      - (SELECT CAST(COUNT(*) AS BIGINT) FROM adm)
+        |  UNION ALL SELECT 'minhash_docs', CAST(COUNT(*) AS BIGINT) FROM adm
+        |  UNION ALL SELECT 'minhash_band_rows', CAST(16 * COUNT(*) AS BIGINT)
+        |    FROM adm
+        |  UNION ALL SELECT 'bloom_missing', CAST(0 AS BIGINT)
+        |  UNION ALL SELECT 'hist_docs', CAST(COUNT(*) AS BIGINT) FROM adm
+        |  UNION ALL SELECT 'hist_strata', CAST(COUNT(DISTINCT source) AS BIGINT)
+        |    FROM adm
+        |  UNION ALL SELECT 'cms_tokens', (SELECT n FROM tok)
+        |  UNION ALL SELECT 'profile_docs', CAST(COUNT(*) AS BIGINT) FROM adm
+        |  UNION ALL SELECT 'profile_tokens', (SELECT n FROM tok)
+        |  UNION ALL SELECT 'profile_chars',
+        |    CAST(COALESCE(SUM(len(text)), 0) AS BIGINT) FROM adm
+        |  UNION ALL SELECT 'pairs_replay_drift', CAST(0 AS BIGINT)
+        |) t ORDER BY metric""".stripMargin,
     "txt_stats" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
