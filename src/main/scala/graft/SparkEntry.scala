@@ -1630,6 +1630,24 @@ object SparkEntry {
     * nontrivial share_ppm/skew_x100 values) that both engines derive
     * from the same exact integer+IEEE-sqrt arithmetic. topK=20 rows at
     * every SF. */
+  /** Skew-salted join gate: a derived key puts 75% of documents on one
+    * hot value (the others keep their ~1.25%-share source), so with
+    * minSharePpm=100000 ONLY the hot key crosses the salting bar — the
+    * plan runs both branches (salted hot + plain cold) and the oracle
+    * replays the whole join from first principles. The dim side drops
+    * 'src1' so the LEFT join's null path is exercised through the cold
+    * branch. Exactness of the two-branch union IS the gate. */
+  private def joinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 4 < 3, lit("hot")).otherwise(col("source"))
+        .as("k"))
+    val dim = d.groupBy(col("k")).agg(count(lit(1)).as("n_k"))
+      .filter(col("k") =!= "src1")
+    graft.ops.SkewJoin.saltedJoin(d, dim, Seq("k"), saltFactor = 8,
+        heavyTopK = 64, minSharePpm = 100000L, joinType = "left")
+      .select(col("doc_id"), col("k"), col("n_k"))
+  }
+
   private def diagKeySkew(s: SparkSession, dir: String): DataFrame =
     Corpus.keySkew(
       table(s, dir, "lineitem").select(
@@ -3128,6 +3146,7 @@ FROM enc JOIN ids USING (subword)"""
     "doc_delta" -> (docDelta _),
     "txt_cdc" -> (txtCdc _),
     "diag_key_skew" -> (diagKeySkew _),
+    "join_skew_salted" -> (joinSkewSalted _),
     "lay_compaction" -> (layCompaction _),
     "txt_quality_adaptive" -> (txtQualityAdaptive _),
     "txt_chunk" -> (txtChunk _),
@@ -4639,6 +4658,16 @@ FROM enc JOIN ids USING (subword)"""
         |       WHEN ot <> nt THEN 'changed' END AS status
         |FROM j
         |WHERE ot IS NULL OR nt IS NULL OR ot <> nt""".stripMargin,
+    // full-join replay: the salted two-branch union must be EXACTLY the
+    // plain left join (salting is an execution strategy, not semantics)
+    "join_skew_salted" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 < 3 THEN 'hot' ELSE source END AS k
+        |  FROM documents),
+        |dim AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k FROM d
+        |  GROUP BY k HAVING k <> 'src1')
+        |SELECT d.doc_id, d.k, dim.n_k
+        |FROM d LEFT JOIN dim ON d.k = dim.k""".stripMargin,
     "diag_key_skew" ->
       """WITH k AS (SELECT CAST(CAST(FLOOR(SQRT(CAST(l_orderkey % 10000
         |      AS DOUBLE))) AS BIGINT) AS VARCHAR) AS key

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.SkewJoin
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def skewed() = {
+    // 'hot' carries 300 of 320 rows; v1/v2/unmatched are light
+    val left = ((0 until 300).map(i => (i.toLong, "hot")) ++
+      Seq((300L, "v1"), (301L, "v2"), (302L, "v2"), (303L, "miss")))
+      .toDF("id", "k")
+    // multi-row build side: 2 rows per key so fan-out is exercised
+    val right = Seq(("hot", 1L), ("hot", 2L), ("v1", 10L), ("v2", 20L),
+      ("v2", 21L), ("extra", 99L)).toDF("k", "payload")
+    (left, right)
+  }
+
+  private def sorted(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+
+  test("salted inner join equals the plain join") {
+    val (left, right) = skewed()
+    val got = SkewJoin.saltedJoin(left, right, Seq("k"),
+      saltFactor = 4, minSharePpm = 100000L)
+    assert(sorted(got) == sorted(left.join(right, Seq("k"), "inner")))
+  }
+
+  test("salted left join equals the plain join incl. unmatched rows") {
+    val (left, right) = skewed()
+    val got = SkewJoin.saltedJoin(left, right, Seq("k"),
+      saltFactor = 4, minSharePpm = 100000L, joinType = "left")
+    assert(sorted(got) == sorted(left.join(right, Seq("k"), "left")))
+    assert(got.filter(col("k") === "miss" && col("payload").isNull)
+      .count() == 1L)
+  }
+
+  test("only heavy keys are salted; the salted branch joins on __salt") {
+    val (left, right) = skewed()
+    assert(SkewJoin.heavyKeys(left, Seq("k"), 64, 100000L).toSeq == Seq("hot"))
+    val plan = SkewJoin.saltedJoin(left, right, Seq("k"),
+        saltFactor = 4, minSharePpm = 100000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"no salted branch in:\n$plan")
+  }
+
+  test("no heavy keys -> falls back to the plain single join") {
+    val left = (0 until 100).map(i => (i.toLong, s"k$i")).toDF("id", "k")
+    val right = Seq(("k1", 1L), ("k2", 2L)).toDF("k", "payload")
+    val out = SkewJoin.saltedJoin(left, right, Seq("k"),
+      minSharePpm = 100000L)
+    assert(!out.queryExecution.executedPlan.toString.contains("__salt"))
+    assert(sorted(out) == sorted(left.join(right, Seq("k"), "inner")))
+  }
+
+  test("salting is deterministic under repartition") {
+    val (left, right) = skewed()
+    val a = SkewJoin.saltedJoin(left.repartition(7), right, Seq("k"),
+      saltFactor = 4, minSharePpm = 100000L)
+    val b = SkewJoin.saltedJoin(left.repartition(3), right, Seq("k"),
+      saltFactor = 4, minSharePpm = 100000L)
+    assert(sorted(a) == sorted(b))
+  }
+
+  test("composite keys salt and join correctly") {
+    val left = ((0 until 200).map(i => (i.toLong, "a", 1L)) ++
+      Seq((200L, "a", 2L), (201L, "b", 1L))).toDF("id", "k1", "k2")
+    val right = Seq(("a", 1L, "x"), ("a", 2L, "y"), ("b", 1L, "z"))
+      .toDF("k1", "k2", "tag")
+    val got = SkewJoin.saltedJoin(left, right, Seq("k1", "k2"),
+      saltFactor = 4, minSharePpm = 100000L)
+    assert(sorted(got) == sorted(left.join(right, Seq("k1", "k2"), "inner")))
+  }
+}
