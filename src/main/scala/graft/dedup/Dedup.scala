@@ -207,8 +207,18 @@ object Dedup {
     * intersection cost — never an id-only fanout. */
   private[graft] def verifyJaccard(cand: DataFrame, df: DataFrame,
                                    idCol: String, textCol: String, n: Int,
-                                   threshold: Double): DataFrame = {
-    val sh = shingleRel(df, idCol, textCol, n)
+                                   threshold: Double): DataFrame =
+    verifyJaccardOn(cand, shingleRel(df, idCol, textCol, n), threshold)
+
+  /** [[verifyJaccard]] against a caller-supplied shingle relation —
+    * referenced THREE times below (both join sides + the size
+    * aggregate), so a caller whose relation is expensive to produce and
+    * small to hold (the incremental probe's candidate-member shingles:
+    * re-deriving them means re-scanning the corpus STORE per reference)
+    * should persist it and release after consumption. The full-corpus
+    * recompute path must NOT persist (corpus x shingle-sized). */
+  private[graft] def verifyJaccardOn(cand: DataFrame, sh: DataFrame,
+                                     threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     val sh2 = sh.select(col("__id").as("__rid2"), col("__sh").as("__sh2"))
     val inter = cand
@@ -394,9 +404,14 @@ object Dedup {
     val candIds = cand.select(col("id_1").as(idCol))
       .unionByName(cand.select(col("id_2").as(idCol))).distinct()
     val pruned = universe.join(candIds, Seq(idCol), "left_semi")
-    val out = verifyJaccard(cand, pruned, idCol, textCol, n, threshold)
+    // candidate-member shingles persisted ONCE: the verify relation
+    // references them three times, and each un-persisted reference
+    // would re-scan the corpus store through the semi-join
+    val candSh = shingleRel(pruned, idCol, textCol, n).persist()
+    val out = verifyJaccardOn(cand, candSh, threshold)
     (out, () => {
       newBanded.unpersist(blocking = false)
+      candSh.unpersist(blocking = false)
       org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(cand)
       ()
     })

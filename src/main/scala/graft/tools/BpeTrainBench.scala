@@ -3,8 +3,8 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Measurement main for the BPE trainer's two strategies:
-  * `runMain graft.tools.BpeTrainBench <sfDir> <numMerges> <incr|full>
-  * [ngrams=N]`.
+  * `runMain graft.tools.BpeTrainBench <sfDir> <numMerges>
+  * <incr|full|batched> [ngrams=N]`.
   * Trains on the `documents` table and prints one JSON line with the
   * wall-clock seconds and a checksum of the learned merge list (so the
   * two strategies' equality is visible in the artifact, not just in
@@ -43,11 +43,22 @@ object BpeTrainBench {
       }
       raw.select(concat_ws(" ", joined).as("text"))
     }
+    // job counter: the batched trainer's claim is that Spark JOBS scale
+    // with re-anchor points, not merges — count them, don't infer them
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      })
     val t0 = System.nanoTime()
     val merges = (mode match {
       case "incr" => graft.text.Bpe.trainIncremental(docs, "text", numMerges)
       case "full" => graft.text.Bpe.trainFull(docs, "text", numMerges)
-      case m => sys.error(s"unknown mode $m (incr|full)")
+      case "batched" => graft.text.Bpe.trainBatched(docs, "text", numMerges)
+      case m => sys.error(s"unknown mode $m (incr|full|batched)")
     }).collect()
     val sec = (System.nanoTime() - t0) / 1e9
     val sum = java.security.MessageDigest.getInstance("MD5")
@@ -55,7 +66,7 @@ object BpeTrainBench {
         .map(_.mkString("")).mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     println(f"""{"mode":"$mode","merges":${merges.length},""" +
-      f""""sec":$sec%.1f,"md5":"$sum"}""")
+      f""""sec":$sec%.1f,"jobs":${jobs.get()},"md5":"$sum"}""")
     spark.stop()
   }
 }
