@@ -67,12 +67,7 @@ object Bench {
     * correctness-vs-environment dispute (the r11 driver-red rows) can
     * be adjudicated from the artifacts: same rows+sig across runs means
     * the VALUES were identical and any red gate is environmental. */
-  private def sink(df: DataFrame): (Long, Long) = {
-    val r = df.select(xxhash64(df.columns.map(col): _*).as("__h"))
-      .agg(count(lit(1)).as("__n"), bit_xor(col("__h")).as("__sig"))
-      .head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-  }
+  private def sink(df: DataFrame): (Long, Long) = graft.core.Sig.sink(df)
 
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

@@ -1044,7 +1044,12 @@ object SparkEntry {
     * metrics. */
   private def evtIngestE2e(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+    // null-guard the stratum key: Spark's distinct() counts a NULL
+    // stratum, DuckDB's COUNT(DISTINCT) skips it — sentinel both sides
+    // (the doc_split_group posture) so the gate survives a nullable
+    // fixture
+    val d = docs(s, dir).select(col("doc_id"),
+      coalesce(col("source"), lit("__null")).as("source"), col("text"))
     val b0 = d.filter(col("doc_id") % 3 === 0)
     val b1 = d.filter(col("doc_id") % 3 === 1).unionByName(
       d.filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0)
@@ -4148,11 +4153,13 @@ FROM enc JOIN ids USING (subword)"""
     // total must land exactly on it; token masses replay the engine
     // tokenizer (the txt_cms pattern)
     "evt_ingest_e2e" ->
-      """WITH stream AS (
-        |  SELECT doc_id, source, text, doc_id % 3 AS b FROM documents
-        |  UNION ALL SELECT doc_id + 1000000, source, text, 1 FROM documents
+      """WITH base AS (SELECT doc_id, COALESCE(source, '__null') AS source,
+        |    text FROM documents),
+        |stream AS (
+        |  SELECT doc_id, source, text, doc_id % 3 AS b FROM base
+        |  UNION ALL SELECT doc_id + 1000000, source, text, 1 FROM base
         |    WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
-        |  UNION ALL SELECT doc_id + 2000000, source, text, 2 FROM documents
+        |  UNION ALL SELECT doc_id + 2000000, source, text, 2 FROM base
         |    WHERE doc_id % 3 = 1 AND doc_id % 7 = 1),
         |adm AS (SELECT * FROM stream s WHERE NOT EXISTS (
         |  SELECT 1 FROM stream e WHERE e.b < s.b AND e.text = s.text)),

@@ -205,6 +205,29 @@ object Dedup {
     * sets of `df` (which must contain the text of every id appearing in
     * `cand`). The composite (id, shingle) join key keeps the plan at true
     * intersection cost — never an id-only fanout. */
+  /** The incremental probe's candidate pairs BEFORE verification:
+    * banded batch keys against the persisted index table (corpus side,
+    * SHUFFLE_HASH so the bucketed scan streams) unioned with the
+    * within-batch band self-join. Extracted so the plan contract —
+    * "the index probe reads the bucketed table scan, never a corpus
+    * shuffle" — is assertable on the PRODUCTION relation
+    * (ExtrasSpec); the caller lineage-cuts the result. */
+  private[graft] def candidateRel(newBanded: DataFrame,
+                                  store: DataFrame): DataFrame = {
+    val vsCorpus = newBanded.hint("SHUFFLE_HASH").alias("x")
+      .join(store.alias("y"),
+        col("x.__band") === col("y.__band") && col("x.__bh") === col("y.__bh") &&
+          col("x.__id") =!= col("y.__id"))
+      .select(least(col("x.__id"), col("y.__id")).as("id_1"),
+        greatest(col("x.__id"), col("y.__id")).as("id_2"))
+    val vsBatch = newBanded.alias("x")
+      .join(newBanded.alias("y"),
+        col("x.__band") === col("y.__band") && col("x.__bh") === col("y.__bh") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_1"), col("y.__id").as("id_2"))
+    vsCorpus.unionByName(vsBatch).distinct()
+  }
+
   private[graft] def verifyJaccard(cand: DataFrame, df: DataFrame,
                                    idCol: String, textCol: String, n: Int,
                                    threshold: Double): DataFrame =
@@ -376,18 +399,7 @@ object Dedup {
     val newBanded = bandedRel(
       minhashSigRel(newDocs, idCol, textCol, n, numHashes), bands, r)
       .persist()
-    val store = s.table(indexTable)
-    val vsCorpus = newBanded.hint("SHUFFLE_HASH").alias("x")
-      .join(store.alias("y"),
-        col("x.__band") === col("y.__band") && col("x.__bh") === col("y.__bh") &&
-          col("x.__id") =!= col("y.__id"))
-      .select(least(col("x.__id"), col("y.__id")).as("id_1"),
-        greatest(col("x.__id"), col("y.__id")).as("id_2"))
-    val vsBatch = newBanded.alias("x")
-      .join(newBanded.alias("y"),
-        col("x.__band") === col("y.__band") && col("x.__bh") === col("y.__bh") &&
-          col("x.__id") < col("y.__id"))
-      .select(col("x.__id").as("id_1"), col("y.__id").as("id_2"))
+    val candDf = candidateRel(newBanded, s.table(indexTable))
     // localCheckpoint, not persist: a LINEAGE CUT, not just an execution
     // barrier. The verification tree references `pruned` 4x, `pruned`
     // references `cand` twice more (both id prunes), so with a lazy
@@ -398,7 +410,7 @@ object Dedup {
     // dominated the probe (measured 24s of sub-0.5s jobs on a 20-doc
     // batch — pure driver time). The checkpoint collapses `cand` to a
     // LogicalRDD leaf; it is candidate-pair-sized, never corpus-sized.
-    val cand = vsCorpus.unionByName(vsBatch).distinct().localCheckpoint()
+    val cand = candDf.localCheckpoint()
     // semi-join prune BEFORE shingling: verification re-shingles only
     // candidate members, not the whole universe
     val candIds = cand.select(col("id_1").as(idCol))

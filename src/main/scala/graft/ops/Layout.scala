@@ -205,10 +205,15 @@ object Layout {
     import org.apache.spark.sql.expressions.Window
     val part = if (partCols.isEmpty) Window.partitionBy()
                else Window.partitionBy(partCols.map(col): _*)
-    // bytes as tie-break: with duplicate names in a partition the ROWS
-    // frame over the tie would otherwise be ambiguous, making __before
-    // (hence group ids) nondeterministic across runs (ADVICE r11)
-    val w = part.orderBy(col(nameCol).asc, col(bytesCol).asc)
+    // (name, bytes, row-content-hash) ordering: with duplicate names in
+    // a partition the ROWS frame over the tie would otherwise be
+    // ambiguous, making __before (hence group ids) nondeterministic
+    // across runs (ADVICE r11). The content hash closes the remaining
+    // same-name-same-bytes case — rows identical in EVERY column are
+    // interchangeable, so full determinism of the observable output
+    // needs no further key.
+    val w = part.orderBy(col(nameCol).asc, col(bytesCol).asc,
+        xxhash64(stats.columns.map(col): _*).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val g = stats.withColumn("__before",
         coalesce(sum(col(bytesCol)).over(w), lit(0L)))

@@ -18,12 +18,7 @@ import org.apache.spark.sql.functions._
   * pair count and an order-free signature are printed so reps are
   * visibly computing the same relation. */
 object MinhashIncrBench {
-  private def sink(df: DataFrame): (Long, Long) = {
-    val r = df.select(xxhash64(df.columns.map(col): _*).as("__h"))
-      .agg(count(lit(1)).as("__n"), bit_xor(col("__h")).as("__sig"))
-      .head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-  }
+  private def sink(df: DataFrame): (Long, Long) = graft.core.Sig.sink(df)
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -54,9 +49,15 @@ object MinhashIncrBench {
     var sig = 0L
     for (_ <- 1 to reps) {
       val t0 = System.nanoTime()
-      val (n, s) = sink(Dedup.incrementalMinhashPairs(batch, all, tbl,
-        "doc_id", "text", n = 3, numHashes = 48, bands = 16,
-        threshold = 0.6))
+      // the WithRelease variant + release after consumption: the
+      // production per-batch path frees its probe caches after every
+      // onPairs, so the steady-state number must be measured the same
+      // way (the no-release wrapper would pin two cache entries + a
+      // checkpoint RDD per rep and degrade later reps)
+      val (pairs, release) = Dedup.incrementalMinhashPairsWithRelease(
+        batch, all, tbl, "doc_id", "text", n = 3, numHashes = 48,
+        bands = 16, threshold = 0.6)
+      val (n, s) = try sink(pairs) finally release()
       probeSec = math.min(probeSec, (System.nanoTime() - t0) / 1e9)
       rows = n; sig = s
     }

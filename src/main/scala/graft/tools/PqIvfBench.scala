@@ -33,15 +33,13 @@ import org.apache.spark.sql.functions._
   * the probed fraction — cell membership carries no neighbor signal —
   * so the production operating point (high recall at a small probe
   * fraction) is a property the DATA has to permit. The mixture corpus
-  * (unit centers, sigma 0.35) is the regime real text/image embeddings
+  * (unit centers, default sigma 0.06 — separable; sigma 0.35 serves as
+  * the isotropic control) is the regime real text/image embeddings
   * live in, and is where the recall-at-fraction-of-wall claim is
   * demonstrated; the fixture run is kept in the artifact to document
   * the isotropic bound honestly. */
 object PqIvfBench {
-  private def sink(df: DataFrame): Long =
-    df.select(xxhash64(df.columns.map(col): _*).as("__h"))
-      .agg(count(lit(1)).as("__n"), bit_xor(col("__h")))
-      .head().getLong(0)
+  private def sink(df: DataFrame): Long = graft.core.Sig.sink(df)._1
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)

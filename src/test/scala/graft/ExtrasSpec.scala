@@ -291,14 +291,12 @@ class TextDedupSpec extends SparkSpec {
     assert(got == full)
     // the candidate relation is lineage-cut (localCheckpoint) before
     // verification, so the bucketed index scan no longer appears in the
-    // OUTPUT plan — assert the contract where it now executes: the
-    // banded probe join against the index table
+    // OUTPUT plan — assert the contract on the PRODUCTION candidate
+    // relation (the exact function the probe checkpoints)
     val banded = Dedup.bandedRel(
       Dedup.minhashSigRel(batch, "doc_id", "text", 3, 48), 16, 3)
-    val probe = banded.alias("x").join(spark.table("mhidx_spec").alias("y"),
-      $"x.__band" === $"y.__band" && $"x.__bh" === $"y.__bh" &&
-        $"x.__id" =!= $"y.__id")
-    val p = probe.queryExecution.executedPlan.toString
+    val p = Dedup.candidateRel(banded, spark.table("mhidx_spec"))
+      .queryExecution.executedPlan.toString
     assert(p.contains("Bucketed: true"),
       s"index probe did not use the bucketed scan:\n$p")
   }
