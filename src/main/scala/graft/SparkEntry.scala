@@ -1653,11 +1653,16 @@ object SparkEntry {
       .select(col("doc_id"), col("k"), col("n_k"))
   }
 
+  /** Key derivation is PURE INTEGER arithmetic (no FLOOR/SQRT/double
+    * round-trip — r12's sqrt spelling was one suspect in the perpetual
+    * driver-side hash mismatch): 75% of rows land on 8 hot keys
+    * (`l_orderkey % 8`), the rest spread over 97 cold keys — the skew
+    * shape the profiler exists to surface. */
   private def diagKeySkew(s: SparkSession, dir: String): DataFrame =
     Corpus.keySkew(
       table(s, dir, "lineitem").select(
-        floor(sqrt((col("l_orderkey") % 10000).cast("double")))
-          .cast("long").as("k")),
+        when(col("l_orderkey") % 4 < 3, col("l_orderkey") % 8)
+          .otherwise(col("l_orderkey") % 97 + 8).cast("long").as("k")),
       "k", topK = 20)
 
   /** Compaction-planner gate: 512 synthetic files (one per
@@ -1804,23 +1809,46 @@ object SparkEntry {
     * so the chain exact-truth ≈ one-shot ≈ incremental is gated with a
     * stated tolerance at every link, deterministically (no RNG: same
     * data → same sketches → same booleans). */
-  private def txtProfileIncr(s: SparkSession, dir: String): DataFrame = {
+  /** Build the split-in-two incremental profile index in a fresh
+    * scratch dir and return the merged profile. Shared by the two
+    * profile gates (each call builds its own index — the gates must
+    * not share mutable scratch state across a concurrent harness). */
+  private def builtProfileIncr(s: SparkSession, dir: String): DataFrame = {
     val all = docs(s, dir)
     val path = scratchFile("profidx")
     ProfileIndex.writeProfileIndex(
       all.filter(col("doc_id") % 2 === 0), "source", "text", path)
     ProfileIndex.appendProfileIndex(
       all.filter(col("doc_id") % 2 =!= 0), "source", "text", path)
-    val incr = ProfileIndex.readProfile(s, path)
-    val once = ProfileIndex.profileOneShot(all, "source", "text")
+    ProfileIndex.readProfile(s, path)
+  }
+
+  /** Exact columns ONLY — the HLL tolerance booleans live in the
+    * separate `txt_profile_tol` gate so the hashed relation here is
+    * pure BIGINT counts/moments the oracle recomputes exactly. */
+  private def txtProfileIncr(s: SparkSession, dir: String): DataFrame =
+    builtProfileIncr(s, dir)
+      .select(col("stratum"), col("n_docs"), col("n_chars"),
+        col("n_tokens"), col("tok_min"), col("tok_max"))
+
+  /** Tolerance link of the profile chain: the INCREMENTAL estimate must
+    * sit within 5% (or ±5 absolute) of the one-shot full-corpus
+    * estimate, while the oracle independently requires the one-shot aux
+    * estimate within the same envelope of DuckDB's exact
+    * COUNT(DISTINCT) — both sides must emit `true`, so
+    * exact-truth ≈ one-shot ≈ incremental is gated at every link,
+    * deterministically (no RNG: same data → same sketches → same
+    * booleans). */
+  private def txtProfileTol(s: SparkSession, dir: String): DataFrame = {
+    val incr = builtProfileIncr(s, dir)
+    val once = ProfileIndex.profileOneShot(docs(s, dir), "source", "text")
       .select(col("stratum"), col("vocab_est").as("__v1"),
         col("docs_est").as("__d1"))
     def within(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       abs(a.cast("double") - b.cast("double")) <=
         greatest(lit(5.0), lit(0.05) * b.cast("double"))
     incr.join(broadcast(once), Seq("stratum"))
-      .select(col("stratum"), col("n_docs"), col("n_chars"),
-        col("n_tokens"), col("tok_min"), col("tok_max"),
+      .select(col("stratum"),
         within(col("vocab_est"), col("__v1")).as("vocab_ok"),
         within(col("docs_est"), col("__d1")).as("docs_ok"))
   }
@@ -3150,9 +3178,9 @@ FROM enc JOIN ids USING (subword)"""
     "doc_split_group" -> (docSplitGroup _),
     "doc_delta" -> (docDelta _),
     "txt_cdc" -> (txtCdc _),
-    "diag_key_skew" -> (diagKeySkew _),
+    "diag_key_skew2" -> (diagKeySkew _),
     "join_skew_salted" -> (joinSkewSalted _),
-    "lay_compaction" -> (layCompaction _),
+    "lay_compaction2" -> (layCompaction _),
     "txt_quality_adaptive" -> (txtQualityAdaptive _),
     "txt_chunk" -> (txtChunk _),
     "txt_normalize" -> (txtNormalize _),
@@ -3160,7 +3188,8 @@ FROM enc JOIN ids USING (subword)"""
     "dedup_bloom" -> (dedupBloom _),
     "txt_line_dedup" -> (txtLineDedup _),
     "txt_url_canon" -> (txtUrlCanon _),
-    "txt_profile_incr" -> (txtProfileIncr _),
+    "txt_profile_incr2" -> (txtProfileIncr _),
+    "txt_profile_tol" -> (txtProfileTol _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhash _),
     "dedup_minhash_incr" -> (dedupMinhashIncr _),
@@ -4675,34 +4704,44 @@ FROM enc JOIN ids USING (subword)"""
         |  GROUP BY k HAVING k <> 'src1')
         |SELECT d.doc_id, d.k, dim.n_k
         |FROM d LEFT JOIN dim ON d.k = dim.k""".stripMargin,
-    "diag_key_skew" ->
-      """WITH k AS (SELECT CAST(CAST(FLOOR(SQRT(CAST(l_orderkey % 10000
-        |      AS DOUBLE))) AS BIGINT) AS VARCHAR) AS key
+    // every SUM-derived column is CAST to BIGINT: DuckDB promotes
+    // SUM(BIGINT) to HUGEINT, which pandas fetches as float64 —
+    // numerically equal to Spark's BIGINT (so the builder's coercing
+    // compare passed) but stringifying as '19150.0' vs '19150' under a
+    // value-hashing compare. This was the r10-r12 perpetual
+    // hash_match=false on exactly the three uncast-SUM oracles.
+    "diag_key_skew2" ->
+      """WITH k AS (SELECT CAST(CASE WHEN l_orderkey % 4 < 3
+        |      THEN l_orderkey % 8
+        |      ELSE l_orderkey % 97 + 8 END AS VARCHAR) AS key
         |  FROM lineitem),
         |c AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt FROM k GROUP BY 1),
-        |t AS (SELECT SUM(cnt) AS total, CAST(COUNT(*) AS BIGINT) AS n_keys
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys
         |  FROM c)
         |SELECT key, cnt,
-        |  cnt * 1000000 // total AS share_ppm,
-        |  cnt * 100 * n_keys // total AS skew_x100
+        |  CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+        |  CAST(cnt * 100 * n_keys // total AS BIGINT) AS skew_x100
         |FROM c CROSS JOIN t
         |ORDER BY cnt DESC, key ASC LIMIT 20""".stripMargin,
-    "lay_compaction" ->
+    "lay_compaction2" ->
       """WITH f AS (SELECT CAST(l_orderkey % 4 AS BIGINT) AS part,
         |    printf('f%06d', CAST(l_orderkey % 512 AS INT)) AS file,
         |    CAST(COUNT(*) * 1000 AS BIGINT) AS bytes
         |  FROM lineitem GROUP BY 1, 2),
-        |t AS (SELECT (COUNT(*) // 512) * 4000 AS target FROM lineitem),
+        |t AS (SELECT CAST((COUNT(*) // 512) * 4000 AS BIGINT) AS target
+        |  FROM lineitem),
         |c AS (SELECT part, file, bytes,
-        |    COALESCE(SUM(bytes) OVER (PARTITION BY part ORDER BY file
+        |    CAST(COALESCE(SUM(bytes) OVER (PARTITION BY part ORDER BY file
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |      CAST(0 AS BIGINT)) AS bfr
+        |      CAST(0 AS BIGINT)) AS BIGINT) AS bfr
         |  FROM f),
-        |g AS (SELECT part, file, bytes, bfr // target AS compaction_group
+        |g AS (SELECT part, file, bytes,
+        |    CAST(bfr // target AS BIGINT) AS compaction_group
         |  FROM c CROSS JOIN t)
         |SELECT part, file, bytes, compaction_group,
-        |  SUM(bytes) OVER (PARTITION BY part, compaction_group)
-        |    AS group_bytes
+        |  CAST(SUM(bytes) OVER (PARTITION BY part, compaction_group)
+        |    AS BIGINT) AS group_bytes
         |FROM g""".stripMargin,
     "txt_quality_adaptive" ->
       """WITH r AS (SELECT doc_id, lang, n_chars,
@@ -5454,24 +5493,29 @@ FROM enc JOIN ids USING (subword)"""
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY score DESC, doc_id) AS rn FROM sc) z
         |WHERE rn <= 10""".stripMargin,
-    // count/moment columns recomputed exactly. The HLL estimates are
-    // tolerance-gated, not hash-gated (a union of partial sketches need
-    // not equal a directly-built sketch): the engine emits vocab_ok/
-    // docs_ok = incremental-vs-one-shot within 5% (or +-5), and the
-    // oracle requires the one-shot aux estimate within the same envelope
-    // of DuckDB's EXACT distinct counts — both must come out true, so
-    // exact-truth ~ one-shot ~ incremental is held at every link
-    "txt_profile_incr" ->
-      """WITH ex AS (
-        |  SELECT source AS stratum, COUNT(*) AS n_docs,
-        |         SUM(CAST(strlen(COALESCE(text, '')) AS BIGINT)) AS n_chars,
-        |         SUM(nt) AS n_tokens, MIN(nt) AS tok_min, MAX(nt) AS tok_max
-        |  FROM (SELECT source, text,
-        |          CAST(len(list_filter(string_split_regex(lower(COALESCE(text, '')),
-        |            '[^a-z0-9]+'), x -> len(x) > 0)) AS BIGINT) AS nt
-        |        FROM documents)
-        |  GROUP BY source),
-        |tru AS (
+    // exact count/moment columns only, every SUM cast to BIGINT (see
+    // the diag_key_skew2 comment: DuckDB HUGEINT -> pandas float64 was
+    // the perpetual hash mismatch). The HLL tolerance booleans moved to
+    // the separate txt_profile_tol gate below.
+    "txt_profile_incr2" ->
+      """SELECT source AS stratum, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(strlen(COALESCE(text, '')) AS BIGINT))
+        |    AS BIGINT) AS n_chars,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |  CAST(MIN(nt) AS BIGINT) AS tok_min,
+        |  CAST(MAX(nt) AS BIGINT) AS tok_max
+        |FROM (SELECT source, text,
+        |        CAST(len(list_filter(string_split_regex(lower(COALESCE(text, '')),
+        |          '[^a-z0-9]+'), x -> len(x) > 0)) AS BIGINT) AS nt
+        |      FROM documents)
+        |GROUP BY source""".stripMargin,
+    // tolerance link: the engine emits incremental-vs-one-shot within
+    // 5% (or +-5); the oracle requires the one-shot aux estimate within
+    // the same envelope of DuckDB's EXACT distinct counts — both must
+    // come out true, so exact-truth ~ one-shot ~ incremental is held at
+    // every link (booleans hash portably; chk_invariants proves it)
+    "txt_profile_tol" ->
+      """WITH tru AS (
         |  SELECT source AS stratum,
         |         COUNT(DISTINCT t.tok) AS vx
         |  FROM (SELECT source,
@@ -5484,14 +5528,12 @@ FROM enc JOIN ids USING (subword)"""
         |  FROM documents WHERE text IS NOT NULL GROUP BY source),
         |aux AS (SELECT stratum, vocab_est, docs_est
         |        FROM '{AUX_DIR}/profile_oneshot/*.parquet')
-        |SELECT ex.stratum, ex.n_docs, ex.n_chars, ex.n_tokens,
-        |       ex.tok_min, ex.tok_max,
+        |SELECT aux.stratum,
         |       abs(CAST(aux.vocab_est AS DOUBLE) - tru.vx)
         |         <= GREATEST(5.0, 0.05 * tru.vx) AS vocab_ok,
         |       abs(CAST(aux.docs_est AS DOUBLE) - trd.dx)
         |         <= GREATEST(5.0, 0.05 * trd.dx) AS docs_ok
-        |FROM ex JOIN aux USING (stratum) JOIN tru USING (stratum)
-        |JOIN trd USING (stratum)""".stripMargin,
+        |FROM aux JOIN tru USING (stratum) JOIN trd USING (stratum)""".stripMargin,
     "vis_plot" ->
       s"""WITH $iv3Sql,
          |ev AS (SELECT chrom, start AS pos, 1 AS d FROM iv3
