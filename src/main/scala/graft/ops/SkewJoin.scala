@@ -29,36 +29,51 @@ import org.apache.spark.sql.functions._
   *     union. Semantics are EXACTLY the plain join's for `inner` and
   *     `left` (gated against a full replay oracle).
   *
-  * The heavy-key list is a `heavyTopK`-bounded collect (dimension-sized
-  * by construction — it cannot exceed `1e6 / minSharePpm` keys).
+  * The heavy-key relation is `heavyTopK`-bounded by construction (at
+  * most `1e6 / minSharePpm` keys can clear the share bar), so
+  * broadcasting it for the hot/cold routing is always dimension-sized.
   *
   * Reference: no counterpart (bioframe is single-process); the recipe
   * is the standard Spark/Flink skew mitigation, e.g. Spark AQE docs'
   * "salting" guidance and the two-phase aggregation folklore. */
 object SkewJoin {
 
-  /** Left-side key histogram with heavy flags — exposed so callers can
-    * inspect what would be salted (same integer-exact share arithmetic
-    * as `keySkew`). */
+  /** Left-side heavy-key relation: the REAL key columns (typed tuples —
+    * never a concatenated string, which would merge ("ab","c") with
+    * ("a","bc") and NULL with "") plus `__cnt`, ordered by count
+    * descending. Same integer-exact share arithmetic as `keySkew`.
+    * NULL key components group and rank like any other value (a null
+    * key CAN be heavy — in a left join its rows still shuffle).
+    *
+    * The counts relation is cut from its input lineage with
+    * `localCheckpoint` (blocks are NOT replicated: on a real cluster an
+    * executor loss during a long-lived caller forces recomputation to
+    * fail rather than replay — acceptable for this bounded, cheap
+    * profile, which a retry of the caller simply re-derives). */
   def heavyKeys(left: DataFrame, keys: Seq[String], heavyTopK: Int,
-                minSharePpm: Long): Array[String] = {
+                minSharePpm: Long): DataFrame = {
     require(keys.nonEmpty && heavyTopK >= 1 && minSharePpm >= 1)
-    val keyStr = concat_ws("", keys.map(k => col(k).cast("string")): _*)
-    val counts = left.groupBy(keyStr.as("__key"))
+    val counts = left.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
       .localCheckpoint()
     val total = counts.agg(sum(col("__cnt"))).head.getLong(0)
     counts
       .filter(col("__cnt") * 1000000L >= lit(total) * minSharePpm)
-      .orderBy(col("__cnt").desc, col("__key").asc)
+      .orderBy(col("__cnt").desc +: keys.map(k => col(k).asc): _*)
       .limit(heavyTopK)
-      .select(col("__key")).collect().map(_.getString(0))
   }
 
   /** Exact equi-join with heavy keys salted across `saltFactor`
     * partitions. `joinType` in {inner, left}; right-side columns must
     * not collide with left's outside `keys` (same contract as
-    * `DataFrame.join(right, keys)`). */
+    * `DataFrame.join(right, keys)`), and neither input may already
+    * carry the internal `__salt` column (feeding a previous
+    * `saltedJoin` output back in must drop it first — silently joining
+    * on a stale salt would be wrong). Hot/cold routing is a broadcast
+    * null-safe semi/anti join on the REAL key columns, so distinct
+    * tuples never alias and null-keyed hot rows are salted too (they
+    * match nothing, exactly like the plain join, but their shuffle
+    * spreads over `saltFactor` buckets instead of one). */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltFactor: Int = 8, heavyTopK: Int = 64,
                  minSharePpm: Long = 10000L,
@@ -66,18 +81,29 @@ object SkewJoin {
     require(saltFactor >= 2, s"saltFactor=$saltFactor")
     require(joinType == "inner" || joinType == "left",
       s"joinType must be inner|left, got $joinType")
+    require(!left.columns.contains("__salt") &&
+        !right.columns.contains("__salt"),
+      "inputs must not carry a __salt column (drop it from a previous " +
+        "saltedJoin output before re-joining)")
     val heavy = heavyKeys(left, keys, heavyTopK, minSharePpm)
     if (heavy.isEmpty) return left.join(right, keys, joinType)
-    val keyStr = concat_ws("", keys.map(k => col(k).cast("string")): _*)
-    val isHeavy = keyStr.isin(heavy.toSeq: _*)
+    // renamed probe columns: `heavy` derives from `left`, so joining on
+    // same-named attributes would be ambiguous against either input
+    val probe = broadcast(heavy.select(keys.zipWithIndex.map {
+      case (k, i) => col(k).as(s"__hk$i")
+    }: _*))
+    def routeCond(df: DataFrame): Column =
+      keys.zipWithIndex.map { case (k, i) => df(k) <=> col(s"__hk$i") }
+        .reduce(_ && _)
     // deterministic content salt: identical retried tasks, replayed
     // batches, and both plan branches agree on every row's salt
     val salt = pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor))
       .cast("int")
-    val hotLeft = left.filter(isHeavy).withColumn("__salt", salt)
-    val coldLeft = left.filter(!isHeavy)
-    val hotRight = right.filter(isHeavy).withColumn("__salt",
-      explode(sequence(lit(0), lit(saltFactor - 1))))
+    val hotLeft = left.join(probe, routeCond(left), "left_semi")
+      .withColumn("__salt", salt)
+    val coldLeft = left.join(probe, routeCond(left), "left_anti")
+    val hotRight = right.join(probe, routeCond(right), "left_semi")
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     val joinKeys = keys :+ "__salt"
     hotLeft.join(hotRight, joinKeys, joinType).drop("__salt")
       .unionByName(coldLeft.join(right, keys, joinType))

@@ -38,7 +38,8 @@ class SkewJoinSpec extends SparkSpec {
 
   test("only heavy keys are salted; the salted branch joins on __salt") {
     val (left, right) = skewed()
-    assert(SkewJoin.heavyKeys(left, Seq("k"), 64, 100000L).toSeq == Seq("hot"))
+    assert(SkewJoin.heavyKeys(left, Seq("k"), 64, 100000L)
+      .select("k").as[String].collect().toSeq == Seq("hot"))
     val plan = SkewJoin.saltedJoin(left, right, Seq("k"),
         saltFactor = 4, minSharePpm = 100000L)
       .queryExecution.executedPlan.toString
@@ -71,5 +72,42 @@ class SkewJoinSpec extends SparkSpec {
     val got = SkewJoin.saltedJoin(left, right, Seq("k1", "k2"),
       saltFactor = 4, minSharePpm = 100000L)
     assert(sorted(got) == sorted(left.join(right, Seq("k1", "k2"), "inner")))
+  }
+
+  test("colliding composite tuples profile as distinct keys") {
+    // ("ab","c") vs ("a","bc") concatenate identically; (null) vs ("")
+    // merge under concat_ws. All four must stay distinct tuples.
+    val left = ((0 until 50).map(i => (i.toLong, "ab", "c")) ++
+      (50 until 80).map(i => (i.toLong, "a", "bc")) ++
+      (80 until 90).map(i => (i.toLong, null: String, "c")) ++
+      (90 until 95).map(i => (i.toLong, "", "c"))).toDF("id", "k1", "k2")
+    val hk = SkewJoin.heavyKeys(left, Seq("k1", "k2"), 64, 1L)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1),
+        r.getLong(2))).toSeq
+    assert(hk == Seq((Some("ab"), "c", 50L), (Some("a"), "bc", 30L),
+      (None, "c", 10L), (Some(""), "c", 5L)))
+  }
+
+  test("a heavy NULL key salts and still left-joins to nothing") {
+    val left = ((0 until 200).map(i => (i.toLong, null: String)) ++
+      Seq((200L, "v1"), (201L, "v2"))).toDF("id", "k")
+    val right = Seq(("v1", 10L), ("v2", 20L)).toDF("k", "payload")
+    val got = SkewJoin.saltedJoin(left, right, Seq("k"),
+      saltFactor = 4, minSharePpm = 100000L, joinType = "left")
+    assert(sorted(got) == sorted(left.join(right, Seq("k"), "left")))
+    assert(got.filter(col("k").isNull && col("payload").isNull)
+      .count() == 200L)
+  }
+
+  test("inputs already carrying __salt are rejected") {
+    val (left, right) = skewed()
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(left.withColumn("__salt", lit(0)), right,
+        Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(left, right.withColumn("__salt", lit(0)),
+        Seq("k"))
+    }
   }
 }
