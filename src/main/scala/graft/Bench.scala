@@ -160,6 +160,16 @@ object Bench {
       val out = (results.size to 0 by -1).iterator
         .map(k => line(qsFor(k))).find(_.length <= 1700)
         .getOrElse(line("{}"))
+      // r12's driver artifact arrived parsed:null — a TorrentBroadcast
+      // cleanup stack (another thread, stderr) spliced into the merged
+      // stream mid-line. Defense in depth: persist a sidecar copy FIRST
+      // (survives any stream tear), flush stderr so buffered log lines
+      // land before ours, then emit the JSON as the final stdout line.
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_result.json"),
+        (out + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+      System.err.flush()
       println(out)
       System.out.flush()
     }
@@ -358,8 +368,11 @@ object Bench {
 
     canaryEnd = canary()
     System.err.println(f"[bench] canary-end $canaryEnd%.2fs")
-    emitFinal(partial = false)
+    // stop Spark BEFORE the final emit: its executor/cleaner threads are
+    // the source of the async log stacks that can land AFTER our line
+    // and become the driver's "last line" (r12 parsed:null)
     try Runtime.getRuntime.removeShutdownHook(hook) catch { case _: Throwable => }
-    spark.stop()
+    try spark.stop() catch { case _: Throwable => () }
+    emitFinal(partial = false)
   }
 }
