@@ -258,44 +258,44 @@ object SparkEntry {
     * read back distributed; the oracle recomputes the relation in SQL, so
     * any encode/decode defect shows as a value/hash mismatch. Counts are
     * exact in the format's float32. */
-  private def ioBigwig(s: SparkSession, dir: String): DataFrame = {
-    val bins = Extras.binnify(chromsizes(s), 100L)
-    val counts = iv1(s, dir)
-      .groupBy(col("chrom").as("__c"),
-        (floor(col("start") / 100) * 100).cast("long").as("__b"))
-      .agg(count(lit(1)).as("__n"))
-    val valued = bins
-      .join(counts, bins("chrom") === col("__c") && bins("start") === col("__b"),
-        "left")
-      .select(bins("chrom"), col("start"), col("end"),
-        coalesce(col("__n"), lit(0L)).cast("double").as("value"))
-    val path = scratchFile("io_bigwig")
-    graft.io.Tables.toBigWig(valued, path)
-    graft.io.Tables.readBigWig(s, path)
-  }
+  /** One written BBI artifact per sf-dir, shared by the io_bigwig /
+    * io_dsv2_bw twins: both gates previously rebuilt and re-compressed
+    * the IDENTICAL file (same deterministic relation), doubling the
+    * single-writer sink cost in every suite run (r12 flagged the pair
+    * at 2x9.6s). The write still happens — once — inside whichever
+    * gate runs first; the file is scratch-tracked for exit cleanup. */
+  private val bbiShared =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sharedBigWig(s: SparkSession, dir: String): String =
+    bbiShared.computeIfAbsent(dir, _ => {
+      val bins = Extras.binnify(chromsizes(s), 100L)
+      val counts = iv1(s, dir)
+        .groupBy(col("chrom").as("__c"),
+          (floor(col("start") / 100) * 100).cast("long").as("__b"))
+        .agg(count(lit(1)).as("__n"))
+      val valued = bins
+        .join(counts,
+          bins("chrom") === col("__c") && bins("start") === col("__b"),
+          "left")
+        .select(bins("chrom"), col("start"), col("end"),
+          coalesce(col("__n"), lit(0L)).cast("double").as("value"))
+      val path = scratchFile("io_bbi_shared")
+      graft.io.Tables.toBigWig(valued, path)
+      path
+    })
+
+  private def ioBigwig(s: SparkSession, dir: String): DataFrame =
+    graft.io.Tables.readBigWig(s, sharedBigWig(s, dir))
 
   /** DSv2 bigwig gate: the io_bigwig relation written once, read back
     * through `spark.read.format("bigwig")` with a chrom + coordinate
     * region expressed as Catalyst predicates — the scan must prune
     * R-tree blocks from the pushed region and still match the oracle's
     * SQL recomputation of the selected bins exactly. */
-  private def ioDsv2Bw(s: SparkSession, dir: String): DataFrame = {
-    val bins = Extras.binnify(chromsizes(s), 100L)
-    val counts = iv1(s, dir)
-      .groupBy(col("chrom").as("__c"),
-        (floor(col("start") / 100) * 100).cast("long").as("__b"))
-      .agg(count(lit(1)).as("__n"))
-    val valued = bins
-      .join(counts, bins("chrom") === col("__c") && bins("start") === col("__b"),
-        "left")
-      .select(bins("chrom"), col("start"), col("end"),
-        coalesce(col("__n"), lit(0L)).cast("double").as("value"))
-    val path = scratchFile("io_dsv2_bw")
-    graft.io.Tables.toBigWig(valued, path)
-    s.read.format("bigwig").load(path)
+  private def ioDsv2Bw(s: SparkSession, dir: String): DataFrame =
+    s.read.format("bigwig").load(sharedBigWig(s, dir))
       .filter(col("chrom") === "c2" && col("start") < 1700L &&
         col("end") > 300L)
-  }
 
   /** bigBed round-trip gate over iv3, id carried through the `rest`
     * payload. */

@@ -313,8 +313,19 @@ private[graft] object Bbi {
                 order: ByteOrder,
                 zooms: Seq[(Long, Seq[(BlockRef, Array[Byte])], Long)] = Nil)
       : Unit = {
-    def pack(ss: Seq[(BlockRef, Array[Byte])]) = ss.map { case (ref, raw) =>
-      (ref, if (compress) deflate(raw) else raw, raw.length)
+    // sections are independent — deflate them across driver cores (the
+    // sink stays bounded-single-writer at the FILE level, but the zlib
+    // CPU, the dominant write cost on large section counts, fans out;
+    // deflate() builds a fresh Deflater per call so this is race-free)
+    def pack(ss: Seq[(BlockRef, Array[Byte])]) = {
+      val arr = ss.toArray
+      val out = new Array[(BlockRef, Array[Byte], Int)](arr.length)
+      java.util.stream.IntStream.range(0, arr.length).parallel().forEach {
+        i =>
+          val (ref, raw) = arr(i)
+          out(i) = (ref, if (compress) deflate(raw) else raw, raw.length)
+      }
+      out.toSeq
     }
     val packed = pack(sections)
     val zPacked = zooms.map { case (red, ss, n) => (red, pack(ss), n) }
