@@ -1050,14 +1050,20 @@ object SparkEntry {
     // fixture
     val d = docs(s, dir).select(col("doc_id"),
       coalesce(col("source"), lit("__null")).as("source"), col("text"))
+    // re-keyed replay copies get NEGATED ids (-id-1): genuine doc_ids
+    // are non-negative, so the synthetic ids can never collide with
+    // real ones at ANY fixture scale (fixed +1e6 offsets would alias
+    // once a fixture carries doc_id >= 1e6), and the two re-keyed
+    // families draw from disjoint row predicates so they cannot
+    // collide with each other either
     val b0 = d.filter(col("doc_id") % 3 === 0)
     val b1 = d.filter(col("doc_id") % 3 === 1).unionByName(
       d.filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        .select((-col("doc_id") - 1L).as("doc_id"), col("source"),
           col("text")))
     val b2 = d.filter(col("doc_id") % 3 === 2).unionByName(
       d.filter(col("doc_id") % 3 === 1 && col("doc_id") % 7 === 1)
-        .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+        .select((-col("doc_id") - 1L).as("doc_id"), col("source"),
           col("text")))
     val mhTable = uniqueTable("graft_e2e_mh")
     val store = scratchFile("e2e_store")
@@ -4186,9 +4192,9 @@ FROM enc JOIN ids USING (subword)"""
         |    text FROM documents),
         |stream AS (
         |  SELECT doc_id, source, text, doc_id % 3 AS b FROM base
-        |  UNION ALL SELECT doc_id + 1000000, source, text, 1 FROM base
+        |  UNION ALL SELECT -doc_id - 1, source, text, 1 FROM base
         |    WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
-        |  UNION ALL SELECT doc_id + 2000000, source, text, 2 FROM base
+        |  UNION ALL SELECT -doc_id - 1, source, text, 2 FROM base
         |    WHERE doc_id % 3 = 1 AND doc_id % 7 = 1),
         |adm AS (SELECT * FROM stream s WHERE NOT EXISTS (
         |  SELECT 1 FROM stream e WHERE e.b < s.b AND e.text = s.text)),
