@@ -68,27 +68,54 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
     * Returns (id_1, id_2, n_common, n_1, n_2, jaccard) with id_1 < id_2.
     * The equi-join on shingle is the only quadratic-risk step: one
-    * stop-shingle shared by f documents contributes f^2 join rows, so the
-    * hot-shingle cap is ON by default — a shingle in more than
-    * `maxShingleDf` docs is dropped from the similarity universe (a
-    * deliberate stop-shingle semantic, like IDF cutoffs). At the default
-    * 100k the cap is invisible at test scale and bounds the worst key to
-    * 1e10 candidate rows at corpus scale; pass `None` for exact semantics
-    * on corpora known to be free of boilerplate.
+    * stop-shingle shared by f documents contributes f^2 join rows, so
+    * TWO guard rails are ON by default:
     *
-    * NOTE the default makes Jaccard silently approximate on corpora that
+    *   - hot-shingle cap: a shingle in more than `maxShingleDf` docs is
+    *     dropped from the similarity universe (a deliberate stop-shingle
+    *     semantic, like IDF cutoffs). Default 10k — invisible at test
+    *     scale, and at web scale it bounds any one shingle's join
+    *     contribution to ~5e7 candidate rows (the r12 review's point:
+    *     the old 100k default admitted ~5e9 from a single shingle);
+    *   - candidate-pair budget: before building the join, one cheap
+    *     aggregation computes the EXACT candidate count the equi-join
+    *     would produce (sum of df*(df-1)/2 over surviving shingles) and
+    *     fails fast past `maxCandidatePairs` instead of launching a
+    *     shuffle that cannot finish. The error names [[hotShingles]] so
+    *     the caller can see which shingles dominate.
+    *
+    * Pass `None` for either to opt out on corpora known to be free of
+    * boilerplate. This is the exact/audit path — [[minhashLshPairs]] is
+    * the scale path.
+    *
+    * NOTE the cap makes Jaccard silently approximate on corpora that
     * do contain stop-shingles. The cap's effect is observable without
     * re-running the pipeline: [[hotShingles]] returns exactly the
     * shingles (with doc frequencies) the cap would drop — run it once per
     * corpus to audit before trusting the default. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.0,
-                        maxShingleDf: Option[Long] = Some(100000L)): DataFrame = {
+                        maxShingleDf: Option[Long] = Some(10000L),
+                        maxCandidatePairs: Option[Long] = Some(1000000000L))
+      : DataFrame = {
     var sh = shingleRel(df, idCol, textCol, n)
     maxShingleDf.foreach { cap =>
       val hot = sh.groupBy(col("__sh")).count().filter(col("count") > cap)
         .select(col("__sh"))
       sh = sh.join(broadcast(hot), Seq("__sh"), "left_anti")
+    }
+    maxCandidatePairs.foreach { budget =>
+      val est = Option(sh.groupBy(col("__sh"))
+          .agg(count(lit(1)).as("__df"))
+          .agg(sum(expr("__df * (__df - 1) div 2"))).head.get(0))
+        .fold(0L)(_.asInstanceOf[Long])
+      require(est <= budget,
+        s"ngramJaccardPairs would generate $est candidate pairs " +
+          s"(> maxCandidatePairs=$budget): the shingle equi-join cannot " +
+          "finish at this skew. Audit Dedup.hotShingles(df, ...) to see " +
+          "which shingles dominate, lower maxShingleDf, or use the " +
+          "banded minhashLshPairs scale path; raise maxCandidatePairs " +
+          "explicitly only if the cluster can absorb the shuffle.")
     }
     val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     val a = sh.select(col("__id").as("id_1"), col("__sh"))
@@ -454,6 +481,15 @@ object Dedup {
     *    on node id — never wider than (long, long).
     *
     * Returns (id, component_id) for every node that appears in `pairs`. */
+  private[graft] def collectGuard(nEdges: Long, maxResultBytes: Long,
+                                  threshold: Long): Unit =
+    require(maxResultBytes <= 0 || nEdges * 96L <= maxResultBytes,
+      s"resolveComponents: $nEdges edges are under " +
+        s"smallGraphThreshold=$threshold but would overflow " +
+        s"spark.driver.maxResultSize=$maxResultBytes on collect — lower " +
+        "smallGraphThreshold so the distributed label-propagation " +
+        "path runs, or raise spark.driver.maxResultSize.")
+
   def resolveComponents(pairs: DataFrame, idCol1: String = "id_1",
                         idCol2: String = "id_2",
                         maxIters: Int = 25,
@@ -474,7 +510,12 @@ object Dedup {
     val edges = base.union(
         base.select(col("__dst").as("__src"), col("__src").as("__dst")))
       .distinct().persist()
-    if (edges.count() <= smallGraphThreshold) {
+    val nEdges = edges.count()
+    if (nEdges <= smallGraphThreshold) {
+      collectGuard(nEdges, org.apache.spark.network.util.JavaUtils
+          .byteStringAsBytes(
+            spark.conf.get("spark.driver.maxResultSize", "1g")),
+        smallGraphThreshold)
       val es = edges.as[(Long, Long)].collect()
       base.unpersist(blocking = false)
       edges.unpersist(blocking = false)
@@ -528,6 +569,18 @@ object Dedup {
         converged = changed == 0
         i += 1
       }
+      // surface convergence: with pointer jumping, rounds ~ log2(graph
+      // diameter) — hitting maxIters unconverged means labels are WRONG
+      // (some nodes still carry a non-minimal component id), which a
+      // caller must not silently dedup with
+      System.err.println(
+        s"[graft] resolveComponents: $nEdges edges, $i rounds, " +
+          s"converged=$converged")
+      require(converged,
+        s"resolveComponents did not converge in maxIters=$maxIters " +
+          s"pointer-jumping rounds ($nEdges symmetrized edges) — the " +
+          "graph's diameter exceeds 2^maxIters. Raise maxIters; labels " +
+          "at this point are not a valid components relation.")
       base.unpersist(blocking = false)
       edges.unpersist(blocking = false)
       labels

@@ -263,6 +263,24 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("ngram candidate-pair budget fails fast on a stop-shingle corpus") {
+    // every doc shares the same 3 tokens -> one shingle with df=40 ->
+    // 40*39/2 = 780 candidate pairs; budget 100 must trip, and the
+    // error must point at the audit path
+    val df = (0 until 40).map(i => (i.toLong, "the same text"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        maxCandidatePairs = Some(100L)).count()
+    }
+    assert(e.getMessage.contains("780 candidate pairs"))
+    assert(e.getMessage.contains("hotShingles"))
+    // the same corpus under the default budget (or with the hot shingle
+    // capped away) still works
+    assert(Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      maxShingleDf = Some(10L), maxCandidatePairs = Some(100L)).count() == 0L)
+  }
+
   test("incremental minhash equals the full recompute restricted to " +
     "batch-touching pairs, probing the index via a bucketed scan") {
     // near-dup pairs planted across the corpus/batch split (1,2), inside
@@ -727,6 +745,31 @@ class ComponentsSpec extends SparkSpec {
     val got = Dedup.resolveComponents(pairs, smallGraphThreshold = 0L).collect()
     assert(got.length == 20)
     assert(got.forall(_.getLong(1) == 0L))
+  }
+
+  test("collect-path guard: an edge count the driver cannot hold fails " +
+    "fast with guidance instead of dying mid-collect") {
+    // pure-logic check of the budget the collect path asserts: 1e7 edges
+    // x 96 bytes > a 256 MB maxResultSize
+    val e = intercept[IllegalArgumentException] {
+      Dedup.collectGuard(10000000L, 256L * 1024 * 1024, 20000000L)
+    }
+    assert(e.getMessage.contains("smallGraphThreshold"))
+    assert(e.getMessage.contains("label-propagation"))
+    Dedup.collectGuard(1000000L, 1024L * 1024 * 1024, 20000000L) // fits
+    Dedup.collectGuard(10000000L, 0L, 20000000L) // unlimited
+  }
+
+  test("propagation path refuses to return unconverged labels at " +
+    "maxIters") {
+    // 20-node chain needs ~log2(20) pointer-jump rounds; maxIters=1
+    // cannot converge and must throw, not hand back wrong components
+    val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("id_1", "id_2")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.resolveComponents(pairs, smallGraphThreshold = 0L,
+        maxIters = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("keepBestPerComponent: best score wins, ties break low-id, " +
