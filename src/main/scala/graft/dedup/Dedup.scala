@@ -437,6 +437,16 @@ object Dedup {
     // dominated the probe (measured 24s of sub-0.5s jobs on a 20-doc
     // batch — pure driver time). The checkpoint collapses `cand` to a
     // LogicalRDD leaf; it is candidate-pair-sized, never corpus-sized.
+    //
+    // FAULT-TOLERANCE TRADE-OFF (r12 advice): localCheckpoint blocks are
+    // NOT replicated and the lineage is gone — on a real cluster an
+    // executor loss mid-batch fails the micro-batch instead of
+    // recomputing. That is the intended posture here: the relation is
+    // candidate-pair-sized, the batch is the retry unit (foreachBatch
+    // re-delivers, and the ingest indexes are replay-idempotent by
+    // batch id — see StreamOps.ingestDedupBatch), so a rare batch retry
+    // costs seconds while the lazy-cache alternative costs ~24s of
+    // driver planning on EVERY batch.
     val cand = candDf.localCheckpoint()
     // semi-join prune BEFORE shingling: verification re-shingles only
     // candidate members, not the whole universe

@@ -64,23 +64,31 @@ object PqIvfBench {
         // sigma=0.35 gives ~2.8 (pure isotropic noise, the fixture
         // regime)
         val sigma = (if (parts.length > 3) parts(3).toInt else 60) / 1000.0
-        // fixed-seed Gaussian mixture: c unit-norm centers, points =
-        // center + N(0, sigma^2 I) noise; label = cluster (ground truth)
+        // fixed-seed Gaussian mixture: c unit-norm centers (driver,
+        // c*d doubles — dimension-sized), points generated DISTRIBUTED:
+        // only the centers broadcast, each row draws its noise from a
+        // per-row deterministic RNG seeded by vec_id, so synth sizes in
+        // the millions never materialize on the driver and the corpus
+        // is identical under any partitioning
         val rnd = new scala.util.Random(42)
         def gauss(dim: Int): Array[Double] = Array.fill(dim)(rnd.nextGaussian())
         def unit(v: Array[Double]): Array[Double] = {
           val nm = math.sqrt(v.map(x => x * x).sum); v.map(_ / nm)
         }
         val centers = Array.fill(c)(unit(gauss(d)))
-        val rows = (0 until n).map { i =>
-          val lbl = i % c
-          val v = centers(lbl).zip(gauss(d)).map { case (cv, g) =>
-            (cv + sigma * g).toFloat
-          }
-          (i.toLong, v, lbl)
-        }
+        val bc = spark.sparkContext.broadcast(centers)
         import spark.implicits._
-        rows.toDF("vec_id", "embedding", "label")
+        spark.range(n.toLong).as[Long]
+          .mapPartitions { it =>
+            val cs = bc.value
+            it.map { i =>
+              val r = new scala.util.Random(42L * 1000003L + i)
+              val lbl = (i % c).toInt
+              val v = cs(lbl).map(cv => (cv + sigma * r.nextGaussian()).toFloat)
+              (i, v, lbl)
+            }
+          }
+          .toDF("vec_id", "embedding", "label")
           .repartition(cpus.toInt).persist()
       } else spark.read.parquet(s"$dir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)
