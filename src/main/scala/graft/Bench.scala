@@ -275,6 +275,11 @@ object Bench {
       val wanted0 = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => args.isEmpty || args.contains(n) }
         .filter { case (n, _) => only.forall(_.contains(n)) }
+        // a pinned gate already ran at the sf0.01 shape in the main
+        // pass — re-measuring it in the scale-pair pass would record a
+        // meaningless sf0.01-vs-sf0.01 pair and burn budget
+        .filter { case (n, _) =>
+          !(e2ePinSmall.contains(n) && pinOk && dir == pinDir) }
       val wanted = if (pass <= 1) wanted0
         else wanted0.sortBy { case (n, _) =>
           out.get(n).fold(Double.NegativeInfinity)(-_) }
@@ -315,9 +320,9 @@ object Bench {
                 System.err.println("[bench] storm mode ON (25s budgets)")
               }
               if (!out.contains(name)) {
-                skipped(name) = s"$e:$sfTag"
+                skipped(name) = s"$e:$qsf"
                 System.err.println(s"[bench] p$pass $name SKIPPED ($e)")
-                println(s"""{"metric":"query","query":${jstr(name)},"sf":${jstr(sfTag)},"pass":$pass,"skipped":${jstr(e)}}""")
+                println(s"""{"metric":"query","query":${jstr(name)},"sf":${jstr(qsf)},"pass":$pass,"skipped":${jstr(e)}}""")
               } else
                 System.err.println(s"[bench] p$pass $name rep failed ($e); keeping best")
           }
@@ -385,9 +390,13 @@ object Bench {
     System.err.println(f"[bench] canary-end $canaryEnd%.2fs")
     // stop Spark BEFORE the final emit: its executor/cleaner threads are
     // the source of the async log stacks that can land AFTER our line
-    // and become the driver's "last line" (r12 parsed:null)
-    try Runtime.getRuntime.removeShutdownHook(hook) catch { case _: Throwable => }
+    // and become the driver's "last line" (r12 parsed:null). The
+    // shutdown hook stays installed until AFTER emitFinal — if stop()
+    // hangs in a VM stall phase and the harness SIGTERMs us, the hook
+    // still emits the partial artifact (the r5 failure mode); the
+    // emitted-CAS makes double emission impossible.
     try spark.stop() catch { case _: Throwable => () }
     emitFinal(partial = false)
+    try Runtime.getRuntime.removeShutdownHook(hook) catch { case _: Throwable => }
   }
 }

@@ -1661,9 +1661,10 @@ object SparkEntry {
 
   /** Key derivation is PURE INTEGER arithmetic (no FLOOR/SQRT/double
     * round-trip — r12's sqrt spelling was one suspect in the perpetual
-    * driver-side hash mismatch): 75% of rows land on 8 hot keys
-    * (`l_orderkey % 8`), the rest spread over 97 cold keys — the skew
-    * shape the profiler exists to surface. */
+    * driver-side hash mismatch): 75% of rows land on 6 hot keys
+    * (`l_orderkey % 8` over rows with `% 4 < 3` can only hit residues
+    * {0,1,2,4,5,6} — 3 and 7 imply `% 4 == 3`), the rest spread over
+    * 97 cold keys — the skew shape the profiler exists to surface. */
   private def diagKeySkew(s: SparkSession, dir: String): DataFrame =
     Corpus.keySkew(
       table(s, dir, "lineitem").select(
@@ -1815,17 +1816,22 @@ object SparkEntry {
     * so the chain exact-truth ≈ one-shot ≈ incremental is gated with a
     * stated tolerance at every link, deterministically (no RNG: same
     * data → same sketches → same booleans). */
-  /** Build the split-in-two incremental profile index in a fresh
-    * scratch dir and return the merged profile. Shared by the two
-    * profile gates (each call builds its own index — the gates must
-    * not share mutable scratch state across a concurrent harness). */
+  /** Build the split-in-two incremental profile index ONCE per sf-dir
+    * (memoized path, bbiShared posture — the scratch dir is
+    * UUID-unique and immutable after build, so the two profile gates
+    * and bench reps share it safely) and return the merged profile. */
+  private val profIdxShared =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def builtProfileIncr(s: SparkSession, dir: String): DataFrame = {
-    val all = docs(s, dir)
-    val path = scratchFile("profidx")
-    ProfileIndex.writeProfileIndex(
-      all.filter(col("doc_id") % 2 === 0), "source", "text", path)
-    ProfileIndex.appendProfileIndex(
-      all.filter(col("doc_id") % 2 =!= 0), "source", "text", path)
+    val path = profIdxShared.computeIfAbsent(dir, _ => {
+      val all = docs(s, dir)
+      val p = scratchFile("profidx")
+      ProfileIndex.writeProfileIndex(
+        all.filter(col("doc_id") % 2 === 0), "source", "text", p)
+      ProfileIndex.appendProfileIndex(
+        all.filter(col("doc_id") % 2 =!= 0), "source", "text", p)
+      p
+    })
     ProfileIndex.readProfile(s, path)
   }
 

@@ -99,14 +99,21 @@ object Dedup {
                         maxCandidatePairs: Option[Long] = Some(1000000000L))
       : DataFrame = {
     var sh = shingleRel(df, idCol, textCol, n)
+    // ONE per-shingle df relation serves both guards (the budget check
+    // previously re-shingled the corpus through its own aggregation).
+    // The budget's eager action is a deliberate second corpus pass —
+    // persisting the corpus-sized shingle relation to avoid it would
+    // cost more memory at scale than the scan costs time.
+    lazy val dfCounts = sh.groupBy(col("__sh"))
+      .agg(count(lit(1)).as("__df"))
     maxShingleDf.foreach { cap =>
-      val hot = sh.groupBy(col("__sh")).count().filter(col("count") > cap)
-        .select(col("__sh"))
+      val hot = dfCounts.filter(col("__df") > cap).select(col("__sh"))
       sh = sh.join(broadcast(hot), Seq("__sh"), "left_anti")
     }
     maxCandidatePairs.foreach { budget =>
-      val est = Option(sh.groupBy(col("__sh"))
-          .agg(count(lit(1)).as("__df"))
+      val surviving = maxShingleDf.fold(dfCounts)(cap =>
+        dfCounts.filter(col("__df") <= cap))
+      val est = Option(surviving
           .agg(sum(expr("__df * (__df - 1) div 2"))).head.get(0))
         .fold(0L)(_.asInstanceOf[Long])
       require(est <= budget,
@@ -480,7 +487,8 @@ object Dedup {
     *    beats ~log(n) shuffle rounds of job overhead. The default (1M
     *    edges ~ tens of MB on the driver) is sized for a SHARED driver:
     *    a deployment that owns its driver heap can raise it toward
-    *    `spark.driver.maxResultSize / 32B-per-edge`;
+    *    `spark.driver.maxResultSize / 32B-per-edge` (the same constant
+    *    [[collectGuard]] enforces before collecting);
     *  - larger graphs run distributed min-label propagation WITH pointer
     *    jumping (each round also replaces a node's label by its label's
     *    label), converging in O(log diameter) rounds instead of
@@ -493,7 +501,7 @@ object Dedup {
     * Returns (id, component_id) for every node that appears in `pairs`. */
   private[graft] def collectGuard(nEdges: Long, maxResultBytes: Long,
                                   threshold: Long): Unit =
-    require(maxResultBytes <= 0 || nEdges * 96L <= maxResultBytes,
+    require(maxResultBytes <= 0 || nEdges * 32L <= maxResultBytes,
       s"resolveComponents: $nEdges edges are under " +
         s"smallGraphThreshold=$threshold but would overflow " +
         s"spark.driver.maxResultSize=$maxResultBytes on collect — lower " +
@@ -582,17 +590,19 @@ object Dedup {
       // surface convergence: with pointer jumping, rounds ~ log2(graph
       // diameter) — hitting maxIters unconverged means labels are WRONG
       // (some nodes still carry a non-minimal component id), which a
-      // caller must not silently dedup with
+      // caller must not silently dedup with. Unpersist BEFORE the
+      // require: a caller that catches and retries with higher maxIters
+      // must not accumulate pinned blocks per attempt.
       System.err.println(
         s"[graft] resolveComponents: $nEdges edges, $i rounds, " +
           s"converged=$converged")
+      base.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
       require(converged,
         s"resolveComponents did not converge in maxIters=$maxIters " +
           s"pointer-jumping rounds ($nEdges symmetrized edges) — the " +
           "graph's diameter exceeds 2^maxIters. Raise maxIters; labels " +
           "at this point are not a valid components relation.")
-      base.unpersist(blocking = false)
-      edges.unpersist(blocking = false)
       labels
     }
   }

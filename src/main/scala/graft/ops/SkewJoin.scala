@@ -56,7 +56,10 @@ object SkewJoin {
     val counts = left.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
       .localCheckpoint()
-    val total = counts.agg(sum(col("__cnt"))).head.getLong(0)
+    // coalesce: sum over ZERO groups is null (empty left input) — the
+    // profile is then empty, not an NPE
+    val total = counts.agg(coalesce(sum(col("__cnt")), lit(0L)))
+      .head.getLong(0)
     counts
       .filter(col("__cnt") * 1000000L >= lit(total) * minSharePpm)
       .orderBy(col("__cnt").desc +: keys.map(k => col(k).asc): _*)

@@ -99,6 +99,13 @@ class SkewJoinSpec extends SparkSpec {
       .count() == 200L)
   }
 
+  test("empty left input: empty profile, empty join, no NPE") {
+    val (left, right) = skewed()
+    val empty = left.filter(col("k") === "no-such-key")
+    assert(SkewJoin.heavyKeys(empty, Seq("k"), 8, 1L).count() == 0L)
+    assert(SkewJoin.saltedJoin(empty, right, Seq("k")).count() == 0L)
+  }
+
   test("inputs already carrying __salt are rejected") {
     val (left, right) = skewed()
     intercept[IllegalArgumentException] {
