@@ -291,8 +291,15 @@ object Bench {
           val adaptive = out.get(name)
             .map(best => math.min(perQueryBudget, (best * 2 + 5).ceil.toInt))
             .getOrElse(perQueryBudget)
-          val budget = if (storm) math.min(adaptive, 25) else adaptive
           val pinned = e2ePinSmall.contains(name) && pinOk && dir == sfDir
+          // an unmeasured pinned e2e gate gets a 150s floor: its
+          // orchestration cost (~50s calm, 90s+ in a stall phase) sits
+          // right at the default budget, and a timeout skip loses the
+          // measurement entirely — it runs once, outside the scale
+          // pair, so the floor costs at most one query's slack
+          val adaptive2 = if (pinned && !out.contains(name))
+            math.max(adaptive, 150) else adaptive
+          val budget = if (storm) math.min(adaptive2, 25) else adaptive2
           val qdir = if (pinned) pinDir else dir
           val qsf = if (pinned) sfTag + "-pinned-sf0.01" else sfTag
           val t0 = now()
