@@ -1895,9 +1895,15 @@ object SparkEntry {
       TextOps.registeredDomain(col("url")).as("domain"))
   }
 
+  // caps passed EXPLICITLY (ADVICE r13): the DuckDB oracle has no
+  // hot-shingle cap, so this gate's semantics must not shift if the
+  // library defaults ever change. 100k is far above any fixture df
+  // (the sf0.1 documents table tops out around df~200), so the capped
+  // relation here is provably identical to the uncapped oracle.
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3,
-        threshold = 0.6)
+        threshold = 0.6, maxShingleDf = Some(100000L),
+        maxCandidatePairs = Some(1000000000L))
       .select(col("id_1"), col("id_2"), col("n_common"), col("n_1"),
         col("n_2"), col("jaccard"))
 

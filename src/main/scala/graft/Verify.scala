@@ -1,8 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{FutureTask, TimeUnit, TimeoutException}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Storm-proofing contract (VERDICT r13 #1 — CORRECTNESS_r13.json arrived
+  * as `{}` because a driver-side kill during the ~13-minute dump left an
+  * outDir with results but NO oracle_sql.json, and an oracle-less compare
+  * emits an empty map):
+  *
+  *   - `oracle_sql.json` and the aux manifest skeleton are written FIRST,
+  *     before any query runs — they are derived from static
+  *     `SparkEntry.oracleSql`, so a run killed at any point still gates
+  *     its completed prefix;
+  *   - the aux manifests (`verify_errors.json`, `signatures.json`) are
+  *     re-flushed after EVERY query, not once at the end;
+  *   - each query runs under a per-query wall budget on its own thread
+  *     (job-group cancel on timeout, like Bench) so one degraded query
+  *     cannot eat the driver's whole window, and two consecutive slow /
+  *     timed-out queries flip a storm mode with a tighter budget until
+  *     three consecutive fast queries flip it back;
+  *   - a total wall budget stops the dump outright; queries skipped past
+  *     it get error-relation placeholders (visible RED, not missing) for
+  *     as long as a small grace window allows.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -25,6 +48,15 @@ object Verify {
     // pair relation becomes the wall-clock (the DuckDB compare reads the
     // output via glob, so multi-file dirs gate identically).
     val outParts = sys.env.getOrElse("SPARK_GRAFT_OUT_PARTS", "1").toInt
+    // Per-query wall budget in seconds (0 disables). 240s is ~25-50x the
+    // healthy per-query time at the driver's sf0.01 — it only fires on a
+    // genuine hang / deep VM stall. sf1 runs (tools/check_sf1.py) disable
+    // it: the pair-family heavies legitimately run for many minutes.
+    val queryBudget = sys.env.getOrElse("SPARK_GRAFT_VERIFY_BUDGET", "240").toInt
+    // Total wall budget (0 disables): chosen under the driver's own kill
+    // window so WE decide what a truncated run looks like (error
+    // placeholders, flushed manifests) instead of a SIGKILL mid-write.
+    val totalBudget = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TOTAL", "2700").toInt
     val spark = graft.core.Scratch.tune(SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -34,10 +66,55 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // signature/bucket dumps for the hash-based oracles go to a SIBLING
+    // dir: the driver's gate scans outDir and must only see query results
+    val auxDir = new java.io.File(outDir).getAbsolutePath + "__aux"
+    new java.io.File(auxDir).mkdirs()
+
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+    // ---- FIRST WRITES: everything derivable without running a query ----
+    // {AUX_DIR} marks oracles that read Verify's own signature/bucket
+    // dumps (DuckDB cannot recompute xxhash64) — resolve it here so the
+    // SQL the driver executes carries the real absolute path.
+    val oracleJson = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{AUX_DIR}", auxDir))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
+
     // A wired query that errors before producing output must stay VISIBLE:
     // with no output dir the downstream compare silently omits it and the
     // artifact reads as all-green (the r6 events regression hid this way).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val sigs = scala.collection.mutable.LinkedHashMap[String, (Long, String)]()
+    val nWired = SparkEntry.queries.count { case (n, _) => keep(n) }
+    var nCompleted = 0
+    // Manifest flush — called after EVERY query so a killed run leaves
+    // manifests for its completed prefix (r13: they were written once,
+    // at the very end, and the round's artifact arrived empty).
+    def flushManifests(): Unit = {
+      val errJson = errors
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$auxDir/verify_errors.json"),
+        s"""{"n_wired":$nWired,"n_completed":$nCompleted,"errors":$errJson}""")
+      val sigJson = sigs
+        .map { case (k, (n, s)) => s"""${q(k)}: {"rows":$n,"sig":${q(s)}}""" }
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$auxDir/signatures.json"), sigJson)
+    }
+    flushManifests() // skeleton: a kill before query 1 still leaves valid JSON
+
     // Per-gate content signature of the WRITTEN parquet (what the
     // driver's DuckDB compare will read): row count + order-free
     // bit_xor of per-row xxhash64 over the name-sorted string-cast
@@ -47,7 +124,6 @@ object Verify {
     // r11 #1). Disable with SPARK_GRAFT_SIG=0 for sf1-scale dumps
     // where re-reading a ~1e9-row output doubles the wall.
     val wantSig = sys.env.getOrElse("SPARK_GRAFT_SIG", "1") != "0"
-    val sigs = scala.collection.mutable.LinkedHashMap[String, (Long, String)]()
     def signature(name: String): Unit = if (wantSig) try {
       import org.apache.spark.sql.functions._
       val df = spark.read.parquet(s"$outDir/$name")
@@ -62,49 +138,114 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] sig $name failed: ${e.getMessage}")
     }
+
+    // Make a failure VISIBLE to the driver's outDir scan (r6 ADVICE: an
+    // erroring gate must surface in the artifact, not vanish): a one-row
+    // relation with the error under a __verify_error column can never
+    // rows/schema/hash-match any oracle, so the compare records a FAILING
+    // entry instead of omitting the query. Also clobbers any partial write.
+    def writeErrorRelation(name: String, msg: String): Unit = try {
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      spark.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(s"$name: $msg")),
+          StructType(Seq(StructField("__verify_error", StringType))))
+        .repartition(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    } catch { case _: Throwable => () }
+
+    // Run `body` on a daemon thread under `budgetSec`; cancel its Spark
+    // jobs and return Left on timeout (budgetSec <= 0 disables the cap).
+    def withBudget[A](tag: String, budgetSec: Int)(body: => A): Either[String, A] = {
+      if (budgetSec <= 0) {
+        try Right(body) catch { case e: Throwable =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(3).mkString(" ").take(400)) }
+      } else {
+        val task = new FutureTask[A](() => {
+          spark.sparkContext.setJobGroup(s"verify-$tag", tag, interruptOnCancel = true)
+          try body finally spark.sparkContext.clearJobGroup()
+        })
+        val t = new Thread(task, s"verify-$tag"); t.setDaemon(true); t.start()
+        try Right(task.get(budgetSec.toLong, TimeUnit.SECONDS))
+        catch {
+          case _: TimeoutException =>
+            spark.sparkContext.cancelJobGroup(s"verify-$tag")
+            t.join(10000L) // let the cancel land so a zombie doesn't poison the next query
+            if (t.isAlive) System.err.println(s"[verify] $tag zombie survived cancel")
+            Left(s"timeout after ${budgetSec}s")
+          case e: Throwable =>
+            Left(Option(Option(e.getCause).getOrElse(e).getMessage)
+              .getOrElse(e.getClass.getName)
+              .linesIterator.take(3).mkString(" ").take(400))
+        }
+      }
+    }
+
+    val suiteT0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - suiteT0) / 1e9
+    // Storm detection (like Bench): two consecutive slow/failed queries
+    // tighten the budget; three consecutive fast ones relax it. At the
+    // driver's sf0.01 a >60s query is ~10x over healthy — VM weather.
+    var stormSignals = 0
+    var calmStreak = 0
+    var storm = false
+
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!keep(name)) ()
-      else {
-      val t0 = System.nanoTime()
-      try {
+      else if (totalBudget > 0 && elapsed() > totalBudget) {
+        errors(name) = s"skipped: verify total budget ${totalBudget}s exceeded"
+        // grace window: spend at most 120s past the budget making the
+        // skipped tail RED-visible in the driver artifact; past that,
+        // only the (cheap) manifests record them
+        if (elapsed() < totalBudget + 120) writeErrorRelation(name, errors(name))
+        flushManifests()
+      } else {
+        val t0 = System.nanoTime()
+        val budget = if (queryBudget <= 0) 0
+          else if (storm) math.min(queryBudget, 120) else queryBudget
         // repartition(1), NOT coalesce(1): coalesce removes the final
         // shuffle boundary, so the whole last stage (joins, windows)
         // collapses onto one thread; repartition keeps the query parallel
         // and only serializes the file write (measured 53s -> 2s on
         // iv_subtract_index at sf0.01)
-        fn(spark, sfDir).repartition(outParts).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        System.err.println(
-          f"[verify] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
-        signature(name)
-      } catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .linesIterator.take(3).mkString(" ").take(400)
-        System.err.println(s"[verify] $name FAILED: ${errors(name)}")
-        // Make the failure VISIBLE to the driver's outDir scan (r6
-        // ADVICE: an erroring gate must surface in the artifact, not
-        // vanish): a one-row relation with the error under a
-        // __verify_error column can never rows/schema/hash-match any
-        // oracle, so the compare records a FAILING entry instead of
-        // omitting the query. Also clobbers any partial write.
-        try {
-          import org.apache.spark.sql.types.{StringType, StructField, StructType}
-          spark.createDataFrame(
-              java.util.Arrays.asList(
-                org.apache.spark.sql.Row(s"$name: ${errors(name)}")),
-              StructType(Seq(StructField("__verify_error", StringType))))
-            .repartition(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        } catch { case _: Throwable => () }
-      }
+        withBudget(name, budget) {
+          fn(spark, sfDir).repartition(outParts).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } match {
+          case Right(_) =>
+            val dt = (System.nanoTime() - t0) / 1e9
+            nCompleted += 1
+            if (dt > 60) { stormSignals += 1; calmStreak = 0 }
+            else if (dt < 15) {
+              calmStreak += 1; stormSignals = 0
+              if (storm && calmStreak >= 3) {
+                storm = false
+                System.err.println("[verify] storm mode OFF")
+              }
+            }
+            if (!storm && stormSignals >= 2) {
+              storm = true
+              System.err.println("[verify] storm mode ON (120s budgets)")
+            }
+            System.err.println(f"[verify] $name%-24s $dt%7.2fs")
+            signature(name)
+          case Left(msg) =>
+            stormSignals += 1; calmStreak = 0
+            if (!storm && stormSignals >= 2) {
+              storm = true
+              System.err.println("[verify] storm mode ON (120s budgets)")
+            }
+            errors(name) = msg
+            System.err.println(s"[verify] $name FAILED: $msg")
+            writeErrorRelation(name, msg)
+        }
+        flushManifests()
       }
     }
-    // signature/bucket dumps for the hash-based oracles go to a SIBLING
-    // dir: the driver's gate scans outDir and must only see query results
-    val auxDir = new java.io.File(outDir).getAbsolutePath + "__aux"
     // full runs dump every aux; a subset run dumps an aux only if its
     // name is listed too (e.g. `Verify sf out emb_semdedup,semdedup_assign`)
     SparkEntry.auxDumps.foreach { case (name, fn) =>
-      if (keep(name))
+      if (keep(name) && !(totalBudget > 0 && elapsed() > totalBudget))
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$auxDir/$name")
       catch { case e: Throwable =>
@@ -112,13 +253,14 @@ object Verify {
       }
     }
     // measured LSH quality: recall of the bucketed ANN vs exact top-k
-    if (rawOnly.isEmpty || invert) try {
+    if ((rawOnly.isEmpty || invert) &&
+        !(totalBudget > 0 && elapsed() > totalBudget)) try {
       import org.apache.spark.sql.functions.col
       val emb = TestTables.table(spark, sfDir, "embeddings")
-      val q = emb.filter(col("vec_id") % 100 === 0)
-      val exact = graft.ann.Ann.bruteForceTopK(emb, q, 5)
+      val qdf = emb.filter(col("vec_id") % 100 === 0)
+      val exact = graft.ann.Ann.bruteForceTopK(emb, qdf, 5)
         .select("query_id", "neighbor_id")
-      val approx = graft.ann.Ann.lshTopK(emb, q, 5, 6)
+      val approx = graft.ann.Ann.lshTopK(emb, qdf, 5, 6)
         .select("query_id", "neighbor_id")
       val hit = exact.intersect(approx).count()
       val tot = exact.count()
@@ -126,38 +268,7 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] recall probe failed: ${e.getMessage}")
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    // {AUX_DIR} marks oracles that read Verify's own signature/bucket
-    // dumps (DuckDB cannot recompute xxhash64) — resolve it here so the
-    // SQL the driver executes carries the real absolute path.
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{AUX_DIR}", auxDir))}" }
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Wired-but-erroring manifest for the LOCAL gate (tools/check.py):
-    // goes to the aux sibling so the driver's outDir scan never sees it.
-    // n_wired lets the gate detect queries that vanished entirely.
-    new java.io.File(auxDir).mkdirs()
-    val errJson = errors
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    val nWired = SparkEntry.queries.count { case (n, _) => keep(n) }
-    Files.writeString(Paths.get(s"$auxDir/verify_errors.json"),
-      s"""{"n_wired":$nWired,"errors":$errJson}""")
-    val sigJson = sigs
-      .map { case (k, (n, s)) => s"""${q(k)}: {"rows":$n,"sig":${q(s)}}""" }
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$auxDir/signatures.json"), sigJson)
+    flushManifests()
     if (errors.nonEmpty) {
       System.err.println(s"[verify] ${errors.size}/$nWired wired queries ERRORED: " +
         errors.keys.mkString(","))

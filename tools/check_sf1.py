@@ -72,7 +72,11 @@ def run_verify(only, timings):
            "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
            "-cp", f"{CLASSES}:{SPARK_JARS}",
            "graft.Verify", sf, out] + ([only] if only else [])
-    env = dict(os.environ, SPARK_GRAFT_CPUS="32", SPARK_GRAFT_OUT_PARTS="32")
+    # sf1 disables Verify's per-query/total wall budgets (added r14 for
+    # the driver's sf0.01 run): the pair-family heavies legitimately run
+    # for many minutes at sf1; the subprocess timeout=7200 is the cap here.
+    env = dict(os.environ, SPARK_GRAFT_CPUS="32", SPARK_GRAFT_OUT_PARTS="32",
+               SPARK_GRAFT_VERIFY_BUDGET="0", SPARK_GRAFT_VERIFY_TOTAL="0")
     r = subprocess.run(cmd, cwd=repo, capture_output=True, text=True,
                        timeout=7200, env=env)
     for line in r.stderr.splitlines():
