@@ -218,6 +218,18 @@ object SparkEntry {
     graft.seq.SeqOps.digest(seqChunks(s), "Arima", SCAN_BUCKET)
       .select(col("chrom"), col("start"), col("end"))
 
+  /** Degenerate-site digest via the full IUPAC matcher (r14): a StyI
+    * (CCWWGG) + HincII (GTYRAC) cocktail exercises the W and Y/R base
+    * classes plus the multi-enzyme cut union on the md5 chunk store
+    * (~25 cut sites across the 8x2570 bp fixture genome — non-vacuous
+    * at every SF because the chunk store is SF-independent). */
+  private def seqDigestIupac(s: SparkSession, dir: String): DataFrame =
+    graft.seq.SeqOps.digestSites(seqChunks(s),
+        graft.seq.Enzymes.resolve("StyI") ++
+          graft.seq.Enzymes.resolve("HincII"),
+        SCAN_BUCKET)
+      .select(col("chrom"), col("start"), col("end"))
+
   /** Scratch paths this process created; deleted best-effort at JVM
     * exit so gate reruns don't accrete index copies in /dev/shm. */
   private val scratchCreated =
@@ -3137,6 +3149,7 @@ FROM enc JOIN ids USING (subword)"""
     "seq_frac_mapped" -> (seqFracMapped _),
     "seq_digest" -> (seqDigest _),
     "seq_digest_arima" -> (seqDigestArima _),
+    "seq_digest_iupac" -> (seqDigestIupac _),
     "io_bigwig" -> (ioBigwig _),
     "io_dsv2_bw" -> (ioDsv2Bw _),
     "io_bigbed" -> (ioBigbed _),
@@ -3865,6 +3878,40 @@ FROM enc JOIN ids USING (subword)"""
          |  SELECT chrom, cstart + i - 1 + 3 AS pos
          |  FROM ext, UNNEST(generate_series(1, length(seq))) u(i)
          |  WHERE substr(extseq, CAST(i AS INT), 5) LIKE 'GA_TC'),
+         |lens AS (SELECT chrom, MAX(cend) AS len FROM chunksq GROUP BY chrom),
+         |cuts AS (SELECT DISTINCT chrom, pos FROM (
+         |  SELECT s.chrom, s.pos FROM sites s JOIN lens l ON s.chrom = l.chrom
+         |    WHERE s.pos > 0 AND s.pos < l.len
+         |  UNION ALL SELECT chrom, CAST(0 AS BIGINT) FROM lens
+         |  UNION ALL SELECT chrom, len FROM lens) z)
+         |SELECT chrom, pos AS start,
+         |  LEAD(pos) OVER (PARTITION BY chrom ORDER BY pos) AS "end"
+         |FROM cuts QUALIFY "end" IS NOT NULL""".stripMargin,
+    // StyI CCWWGG boundary at site+4, HincII GTYRAC at site+5; the
+    // degenerate W/Y/R classes spell as per-position IN lists (the
+    // engine side compiles the same classes to Column.isin)
+    "seq_digest_iupac" ->
+      s"""WITH $seqChunksSql,
+         |ext AS (SELECT c.chrom, c.cstart, c.seq,
+         |    c.seq || COALESCE(n.pref, '') AS extseq
+         |  FROM chunksq c LEFT JOIN
+         |    (SELECT chrom AS nc, cstart AS ns, substr(seq, 1, 5) AS pref
+         |     FROM chunksq) n
+         |    ON c.chrom = n.nc AND c.cend = n.ns),
+         |sites AS (
+         |  SELECT chrom, cstart + i - 1 + 4 AS pos
+         |  FROM ext, UNNEST(generate_series(1, length(seq))) u(i)
+         |  WHERE substr(extseq, CAST(i AS INT), 2) = 'CC'
+         |    AND substr(extseq, CAST(i AS INT) + 2, 1) IN ('A','T')
+         |    AND substr(extseq, CAST(i AS INT) + 3, 1) IN ('A','T')
+         |    AND substr(extseq, CAST(i AS INT) + 4, 2) = 'GG'
+         |  UNION ALL
+         |  SELECT chrom, cstart + i - 1 + 5 AS pos
+         |  FROM ext, UNNEST(generate_series(1, length(seq))) u(i)
+         |  WHERE substr(extseq, CAST(i AS INT), 2) = 'GT'
+         |    AND substr(extseq, CAST(i AS INT) + 2, 1) IN ('C','T')
+         |    AND substr(extseq, CAST(i AS INT) + 3, 1) IN ('A','G')
+         |    AND substr(extseq, CAST(i AS INT) + 4, 2) = 'AC'),
          |lens AS (SELECT chrom, MAX(cend) AS len FROM chunksq GROUP BY chrom),
          |cuts AS (SELECT DISTINCT chrom, pos FROM (
          |  SELECT s.chrom, s.pos FROM sites s JOIN lens l ON s.chrom = l.chrom

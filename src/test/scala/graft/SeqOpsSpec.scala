@@ -204,4 +204,62 @@ class SeqOpsSpec extends SparkSpec {
     assertFrame(SeqOps.digest(tail, "HinfI"), Seq(Seq("chrB", 0L, 5L)),
       "chrom", "start", "end")
   }
+
+  test("degenerate IUPAC classes match their base sets and nothing else") {
+    // StyI CCWWGG (W = A|T, boundary site+4): CCAAGG and CCTTGG cut,
+    // CCGGGG must not (G is outside W)
+    val df = Seq(
+      ("w1", 0L, 10L, "TCCAAGGTTT"),
+      ("w2", 0L, 10L, "TCCTTGGTTT"),
+      ("w3", 0L, 10L, "TCCGGGGTTT")).toDF("chrom", "cstart", "cend", "seq")
+    assertFrame(SeqOps.digest(df, "StyI"),
+      Seq(Seq("w1", 0L, 5L), Seq("w1", 5L, 10L),
+        Seq("w2", 0L, 5L), Seq("w2", 5L, 10L),
+        Seq("w3", 0L, 10L)),
+      "chrom", "start", "end")
+    // HincII GTYRAC (Y = C|T, R = A|G; boundary = site start + fst5+2 =
+    // +5, the same reference search()+1 convention the DpnII parity
+    // test pins): Y/R combinations cut, a non-Y third base does not
+    val h = Seq(
+      ("h1", 0L, 8L, "AGTCAACA"), ("h2", 0L, 8L, "AGTTGACA"),
+      ("h3", 0L, 8L, "AGTAAACA")).toDF("chrom", "cstart", "cend", "seq")
+    assertFrame(SeqOps.digest(h, "HincII"),
+      Seq(Seq("h1", 0L, 6L), Seq("h1", 6L, 8L),
+        Seq("h2", 0L, 6L), Seq("h2", 6L, 8L),
+        Seq("h3", 0L, 8L)),
+      "chrom", "start", "end")
+    // degenerate site crossing a chunk boundary still cuts once
+    val x = Seq(("cx", 0L, 4L, "AGTC"), ("cx", 4L, 8L, "AACA"))
+      .toDF("chrom", "cstart", "cend", "seq")
+    assertFrame(SeqOps.digest(x, "HincII"),
+      Seq(Seq("cx", 0L, 6L), Seq("cx", 6L, 8L)), "chrom", "start", "end")
+    // non-IUPAC site characters are rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      SeqOps.digestSites(df, Seq(("GAXC", 2)))
+    }
+    assert(e.getMessage.contains("non-IUPAC"))
+  }
+
+  test("r14 catalog entries resolve with fst5+2 offsets (spot checks)") {
+    // EcoRV GAT^ATC blunt: boundary site+5
+    assertFrame(SeqOps.digest(
+        Seq(("v", 0L, 10L, "TGATATCTTT")).toDF("chrom", "cstart", "cend", "seq"),
+        "EcoRV"),
+      Seq(Seq("v", 0L, 6L), Seq("v", 6L, 10L)), "chrom", "start", "end")
+    // NotI GC^GGCCGC 8-cutter: boundary site+4
+    assertFrame(SeqOps.digest(
+        Seq(("n", 0L, 12L, "TGCGGCCGCTTT")).toDF("chrom", "cstart", "cend", "seq"),
+        "NotI"),
+      Seq(Seq("n", 0L, 5L), Seq("n", 5L, 12L)), "chrom", "start", "end")
+    // BglI GCCNNNN^NGGC: interior N run, boundary site+9
+    assertFrame(SeqOps.digest(
+        Seq(("b", 0L, 14L, "TGCCAAAAAGGCTT")).toDF("chrom", "cstart", "cend", "seq"),
+        "BglI"),
+      Seq(Seq("b", 0L, 10L), Seq("b", 10L, 14L)), "chrom", "start", "end")
+    // case-insensitive resolve + unknown name lists the catalog
+    assert(graft.seq.Enzymes.resolve("ecorv") ==
+      graft.seq.Enzymes.resolve("EcoRV"))
+    val e = intercept[IllegalArgumentException](graft.seq.Enzymes.resolve("NopeI"))
+    assert(e.getMessage.contains("Unknown enzyme"))
+  }
 }
