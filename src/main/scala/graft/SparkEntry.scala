@@ -3002,9 +3002,15 @@ FROM enc JOIN ids USING (subword)"""
     * k-NN as a window over a chrom-only join would get the same-chrom
     * cross product instead. Same semantics and oracle as iv_closest_k3
     * (k=3, tie on id); PlanContractSpec asserts the plan shape (no
-    * cartesian/nested-loop join, WindowGroupLimit present). */
+    * cartesian/nested-loop join, WindowGroupLimit present). The scan
+    * bucketSize conf mirrors the Scala gates' SCAN_BUCKET argument —
+    * without it the TVF's rank scan ran at the 2^20 genome-scale
+    * default, an 8-way parallelism floor worth ~1.5x wall at sf0.1
+    * (the ext_sql_closest vs iv_closest_k3 gap VERDICT r14 flagged). */
   private def extSqlClosest(s: SparkSession, dir: String): DataFrame = {
     s.conf.set(graft.plans.IntervalJoinRewrite.BinSizeKey, B.toString)
+    s.conf.set(graft.plans.GraftTableFunctions.BucketSizeKey,
+      SCAN_BUCKET.toString)
     iv3(s, dir).createOrReplaceTempView("graft_sql_iv3")
     iv2(s, dir).createOrReplaceTempView("graft_sql_iv2")
     s.sql(
@@ -3090,9 +3096,12 @@ FROM enc JOIN ids USING (subword)"""
     * `graft_closest`'s optional ignore argument (comma-set of
     * overlaps/upstream/downstream — the Scala API's ignore_* flags).
     * ignore='downstream' keeps only upstream neighbors; same semantics
-    * and oracle as iv_closest_upstream. */
+    * and oracle as iv_closest_upstream. bucketSize conf as in
+    * ext_sql_closest (parallelism only; bucket-invariant results). */
   private def extSqlClosestUp(s: SparkSession, dir: String): DataFrame = {
     s.conf.set(graft.plans.IntervalJoinRewrite.BinSizeKey, B.toString)
+    s.conf.set(graft.plans.GraftTableFunctions.BucketSizeKey,
+      SCAN_BUCKET.toString)
     iv3(s, dir).createOrReplaceTempView("graft_sql_iv3")
     iv2(s, dir).createOrReplaceTempView("graft_sql_iv2")
     s.sql(

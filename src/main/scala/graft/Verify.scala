@@ -88,10 +88,25 @@ object Verify {
     // {AUX_DIR} marks oracles that read Verify's own signature/bucket
     // dumps (DuckDB cannot recompute xxhash64) — resolve it here so the
     // SQL the driver executes carries the real absolute path.
+    // Atomic manifest writes (ADVICE r14): Files.writeString is
+    // truncate-then-write, so a driver SIGKILL mid-write — the exact
+    // failure this file defends against — could leave a truncated JSON
+    // that crashes the gate's json.load instead of degrading. Write to
+    // a temp sibling and ATOMIC_MOVE over the target: readers see the
+    // old complete file or the new complete file, never a prefix.
+    def writeAtomic(path: String, content: String): Unit = {
+      val target = Paths.get(path)
+      val tmp = Paths.get(path + ".tmp")
+      Files.writeString(tmp, content)
+      Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
     val oracleJson = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{AUX_DIR}", auxDir))}" }
       .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
+    writeAtomic(s"$outDir/oracle_sql.json", oracleJson)
 
     // A wired query that errors before producing output must stay VISIBLE:
     // with no output dir the downstream compare silently omits it and the
@@ -103,15 +118,22 @@ object Verify {
     // Manifest flush — called after EVERY query so a killed run leaves
     // manifests for its completed prefix (r13: they were written once,
     // at the very end, and the round's artifact arrived empty).
+    // Aux dumps the total budget skipped, recorded so a hash-based
+    // oracle failing on a missing {AUX_DIR} input has a stated reason
+    // in the manifest (ADVICE r14). Kept OUT of `errors`: aux names are
+    // not query names, and the gate counts every `errors` key as a
+    // failing gate — a truncated run must not grow phantom red rows.
+    val auxSkipped = scala.collection.mutable.ArrayBuffer[String]()
     def flushManifests(): Unit = {
       val errJson = errors
         .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-      Files.writeString(Paths.get(s"$auxDir/verify_errors.json"),
-        s"""{"n_wired":$nWired,"n_completed":$nCompleted,"errors":$errJson}""")
+      val auxJson = auxSkipped.map(q).mkString("[", ",", "]")
+      writeAtomic(s"$auxDir/verify_errors.json",
+        s"""{"n_wired":$nWired,"n_completed":$nCompleted,"aux_skipped":$auxJson,"errors":$errJson}""")
       val sigJson = sigs
         .map { case (k, (n, s)) => s"""${q(k)}: {"rows":$n,"sig":${q(s)}}""" }
         .mkString("{", ",", "}")
-      Files.writeString(Paths.get(s"$auxDir/signatures.json"), sigJson)
+      writeAtomic(s"$auxDir/signatures.json", sigJson)
     }
     flushManifests() // skeleton: a kill before query 1 still leaves valid JSON
 
@@ -144,22 +166,37 @@ object Verify {
     // relation with the error under a __verify_error column can never
     // rows/schema/hash-match any oracle, so the compare records a FAILING
     // entry instead of omitting the query. Also clobbers any partial write.
-    def writeErrorRelation(name: String, msg: String): Unit = try {
-      import org.apache.spark.sql.types.{StringType, StructField, StructType}
-      spark.createDataFrame(
-          java.util.Arrays.asList(
-            org.apache.spark.sql.Row(s"$name: $msg")),
-          StructType(Seq(StructField("__verify_error", StringType))))
-        .repartition(1).write.mode("overwrite").parquet(s"$outDir/$name")
-    } catch { case _: Throwable => () }
+    // Budgeted (ADVICE r14): this runs on the main thread exactly when
+    // Spark may be wedged — the condition that triggered the timeout /
+    // total-budget path — so an unbudgeted write here could hang past
+    // the driver's kill window and defeat the "we decide what a
+    // truncated run looks like" guarantee. 30s is ~100x healthy for a
+    // one-row parquet write; on overrun the errors manifest (flushed by
+    // the caller) still records the failure.
+    def writeErrorRelation(name: String, msg: String): Unit = {
+      withBudget(s"err-$name", 30) {
+        import org.apache.spark.sql.types.{StringType, StructField, StructType}
+        spark.createDataFrame(
+            java.util.Arrays.asList(
+              org.apache.spark.sql.Row(s"$name: $msg")),
+            StructType(Seq(StructField("__verify_error", StringType))))
+          .repartition(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }.left.foreach { case (m, _) =>
+        System.err.println(s"[verify] error-relation $name not written: $m") }
+    }
 
     // Run `body` on a daemon thread under `budgetSec`; cancel its Spark
-    // jobs and return Left on timeout (budgetSec <= 0 disables the cap).
-    def withBudget[A](tag: String, budgetSec: Int)(body: => A): Either[String, A] = {
+    // jobs and return Left((msg, zombieAlive)) on failure (budgetSec <= 0
+    // disables the cap). zombieAlive=true means the cancelled worker
+    // outlived the 10s join — its in-flight write to outDir/<name> could
+    // still commit, so callers must NOT overwrite that path (a
+    // later-committing zombie would clobber the error relation or leave
+    // mixed-schema part files — ADVICE r14).
+    def withBudget[A](tag: String, budgetSec: Int)(body: => A): Either[(String, Boolean), A] = {
       if (budgetSec <= 0) {
         try Right(body) catch { case e: Throwable =>
-          Left(Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.take(3).mkString(" ").take(400)) }
+          Left((Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(3).mkString(" ").take(400), false)) }
       } else {
         val task = new FutureTask[A](() => {
           spark.sparkContext.setJobGroup(s"verify-$tag", tag, interruptOnCancel = true)
@@ -172,11 +209,11 @@ object Verify {
             spark.sparkContext.cancelJobGroup(s"verify-$tag")
             t.join(10000L) // let the cancel land so a zombie doesn't poison the next query
             if (t.isAlive) System.err.println(s"[verify] $tag zombie survived cancel")
-            Left(s"timeout after ${budgetSec}s")
+            Left((s"timeout after ${budgetSec}s", t.isAlive))
           case e: Throwable =>
-            Left(Option(Option(e.getCause).getOrElse(e).getMessage)
+            Left((Option(Option(e.getCause).getOrElse(e).getMessage)
               .getOrElse(e.getClass.getName)
-              .linesIterator.take(3).mkString(" ").take(400))
+              .linesIterator.take(3).mkString(" ").take(400), false))
         }
       }
     }
@@ -229,7 +266,7 @@ object Verify {
             }
             System.err.println(f"[verify] $name%-24s $dt%7.2fs")
             signature(name)
-          case Left(msg) =>
+          case Left((msg, zombie)) =>
             stormSignals += 1; calmStreak = 0
             if (!storm && stormSignals >= 2) {
               storm = true
@@ -237,7 +274,14 @@ object Verify {
             }
             errors(name) = msg
             System.err.println(s"[verify] $name FAILED: $msg")
-            writeErrorRelation(name, msg)
+            // a zombie worker may still be writing outDir/<name>;
+            // overwriting it here races that in-flight commit (a
+            // later-committing zombie could clobber the error relation
+            // or leave mixed-schema part files) — the errors manifest
+            // above already records the failure, so skip the relation
+            if (!zombie) writeErrorRelation(name, msg)
+            else System.err.println(
+              s"[verify] $name error relation skipped (zombie may still write)")
         }
         flushManifests()
       }
@@ -245,12 +289,20 @@ object Verify {
     // full runs dump every aux; a subset run dumps an aux only if its
     // name is listed too (e.g. `Verify sf out emb_semdedup,semdedup_assign`)
     SparkEntry.auxDumps.foreach { case (name, fn) =>
-      if (keep(name) && !(totalBudget > 0 && elapsed() > totalBudget))
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-        .parquet(s"$auxDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] aux $name failed: ${e.getMessage}")
-      }
+      if (!keep(name)) ()
+      else if (totalBudget > 0 && elapsed() > totalBudget) {
+        // record WHY the {AUX_DIR} input is missing: hash-based oracles
+        // of already-completed queries read these dumps, and without a
+        // stated reason their compare fails with a raw missing-file
+        // error (ADVICE r14)
+        auxSkipped += s"$name: skipped, verify total budget ${totalBudget}s exceeded"
+        flushManifests()
+      } else
+        try fn(spark, sfDir).repartition(1).write.mode("overwrite")
+          .parquet(s"$auxDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] aux $name failed: ${e.getMessage}")
+        }
     }
     // measured LSH quality: recall of the bucketed ANN vs exact top-k
     if ((rawOnly.isEmpty || invert) &&

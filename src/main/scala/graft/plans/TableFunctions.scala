@@ -88,6 +88,12 @@ object GraftTableFunctions {
         val bad = ignore -- Set("overlaps", "upstream", "downstream")
         require(bad.isEmpty,
           s"$fn: ignore accepts overlaps/upstream/downstream, got $bad")
+        // bucketSize is the same parallelism knob graft_cluster/merge
+        // read (results are bucket-invariant); before r15 it was NOT
+        // passed, so the TVF's rank scan always ran at the 2^20
+        // genome-scale default — an 8-way parallelism floor that held
+        // ext_sql_closest ~1.5x over its Scala twin at sf0.1 (the one
+        // non-weather-shaped gap in three straight bench twins).
         graft.ops.Closest.closest(
             s.table(strLit(args(0), fn, "left_table")),
             Some(s.table(strLit(args(1), fn, "right_table"))),
@@ -96,7 +102,7 @@ object GraftTableFunctions {
             ignoreUpstream = ignore("upstream"),
             ignoreDownstream = ignore("downstream"),
             tieBreakingCol = tie, suffixes = ("_1", "_2"),
-            binSize = binSize(s))
+            binSize = binSize(s), bucketSize = bucketSize(s))
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_merge"),

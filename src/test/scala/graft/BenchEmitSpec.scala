@@ -135,4 +135,23 @@ class BenchEmitSpec extends AnyFunSuite {
     assert(parse(out).num("value") == 0.0)
     assert(parse(full).num("n_queries") == 0.0)
   }
+
+  // VERDICT r14 #1: consecutive weather-truncated driver runs must TILE
+  // the suite rather than measure the same alphabetical prefix forever.
+  test("pass-1 rotation: keys hours apart land a truncated run on a mostly-new prefix") {
+    val suite = (0 until 175).map(i => f"q$i%03d")
+    assert(Bench.rotated(suite, 0L) == suite)                   // legacy order
+    assert(Bench.rotated(suite, 175L) == suite)                 // full wrap
+    assert(Bench.rotated(suite, -1L).head == "q174")            // negative keys normalize
+    assert(Bench.rotated(Seq.empty[String], 7L).isEmpty)
+    assert(Bench.rotated(suite, 3L) == suite.drop(3) ++ suite.take(3))
+    // the production key advances 101 positions per epoch hour: two
+    // driver runs >= 6h apart measure prefixes that overlap on fewer
+    // than half their elements even when both truncate at 83 queries
+    // (the r14 driver shape)
+    val hour = 474500L // arbitrary epoch hour
+    val runA = Bench.rotated(suite, hour * 101L).take(83).toSet
+    val runB = Bench.rotated(suite, (hour + 6L) * 101L).take(83).toSet
+    assert((runB -- runA).size >= 40, s"only ${(runB -- runA).size} new")
+  }
 }

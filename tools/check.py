@@ -76,8 +76,14 @@ try:
     n_wired = em.get("n_wired")
     for k, msg in em.get("errors", {}).items():
         results[k] = f"QUERY-ERRORED {msg[:200]}"
+    for note in em.get("aux_skipped", []):
+        print(f"! aux dump {note}")
 except FileNotFoundError:
     pass
+except json.JSONDecodeError as e:
+    # a truncated manifest (pre-r15 non-atomic write interrupted by a
+    # driver kill) must degrade, not crash the whole gate
+    print(f"! verify_errors.json unreadable ({e}); per-query compare only")
 
 fails = 0
 for k, v in sorted(results.items()):

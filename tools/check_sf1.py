@@ -51,7 +51,11 @@ HEAVY = [
 ]
 
 SPARK_JARS = "/opt/spark/jars/*"
-CLASSES = f"{repo}/target/scala-2.13/classes"
+# GRAFT_CLASSES lets a long heavy run pin a SNAPSHOT of the compiled
+# classes (cp -r target/scala-2.13/classes /tmp/...), so recompiles in
+# the repo while it runs can't swap class files under the live JVM
+CLASSES = os.environ.get("GRAFT_CLASSES",
+                         f"{repo}/target/scala-2.13/classes")
 ADD_OPENS = [x for p in [
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io",
@@ -227,8 +231,13 @@ def main():
         em = json.load(open(out + "__aux/verify_errors.json"))
         for k, msg in em.get("errors", {}).items():
             results.setdefault(k, {})["err"] = f"QUERY-ERRORED {msg[:200]}"
+        for note in em.get("aux_skipped", []):
+            print(f"! aux dump {note}", flush=True)
     except FileNotFoundError:
         pass
+    except json.JSONDecodeError as e:
+        print(f"! verify_errors.json unreadable ({e}); "
+              "per-query compare only", flush=True)
 
     for k, v in results.items():
         if k in timings:
