@@ -340,6 +340,105 @@ object Enzymes {
     "DraIII"  -> Seq(("CACNNNGTG", 8)),
     "AlwNI"   -> Seq(("CAGNNNCTG", 8)),
     "BglI"    -> Seq(("GCCNNNNNGGC", 9)),
+    // r15 catalog extension (VERDICT r14 next-#8): the remaining
+    // commonly-stocked commercial (REBASE/NEB-class) type IIP enzymes.
+    // Offsets stay Biopython fst5 + 2 throughout; the interior-N and
+    // degenerate entries exercise the same IUPAC matcher the r14 gate
+    // (seq_digest_iupac) certifies — this tranche is catalog DATA only.
+    "AatII"   -> Seq(("GACGTC", 7)),
+    "AbsI"    -> Seq(("CCTCGAGG", 4)),
+    "AccI"    -> Seq(("GTMKAC", 4)),
+    "AclI"    -> Seq(("AACGTT", 4)),
+    "AfeI"    -> Seq(("AGCGCT", 5)),
+    "AflIII"  -> Seq(("ACRYGT", 3)),
+    "AhdI"    -> Seq(("GACNNNNNGTC", 8)),
+    "AleI"    -> Seq(("CACNNNNGTG", 7)),
+    "ApaLI"   -> Seq(("GTGCAC", 3)),
+    "ApoI"    -> Seq(("RAATTY", 3)),
+    "AseI"    -> Seq(("ATTAAT", 4)),
+    "AsiSI"   -> Seq(("GCGATCGC", 7)),
+    "AvaII"   -> Seq(("GGWCC", 3)),
+    "BaeGI"   -> Seq(("GKGCMC", 7)),
+    "BanI"    -> Seq(("GGYRCC", 3)),
+    "BanII"   -> Seq(("GRGCYC", 7)),
+    "BfaI"    -> Seq(("CTAG", 3)),
+    "BmtI"    -> Seq(("GCTAGC", 7)),
+    "BsaAI"   -> Seq(("YACGTR", 5)),
+    "BsaBI"   -> Seq(("GATNNNNATC", 7)),
+    "BsaHI"   -> Seq(("GRCGYC", 4)),
+    "BsiEI"   -> Seq(("CGRYCG", 6)),
+    "BsiHKAI" -> Seq(("GWGCWC", 7)),
+    "BsiWI"   -> Seq(("CGTACG", 3)),
+    "BsoBI"   -> Seq(("CYCGRG", 3)),
+    "BspDI"   -> Seq(("ATCGAT", 4)),
+    "BspEI"   -> Seq(("TCCGGA", 3)),
+    "BspHI"   -> Seq(("TCATGA", 3)),
+    "BssHII"  -> Seq(("GCGCGC", 3)),
+    "BstAPI"  -> Seq(("GCANNNNNTGC", 9)),
+    "BstBI"   -> Seq(("TTCGAA", 4)),
+    "BstEII"  -> Seq(("GGTNACC", 3)),
+    "BstNI"   -> Seq(("CCWGG", 4)),
+    "BstXI"   -> Seq(("CCANNNNNNTGG", 10)),
+    "BstYI"   -> Seq(("RGATCY", 3)),
+    "BstZ17I" -> Seq(("GTATAC", 5)),
+    "Bsu36I"  -> Seq(("CCTNAGG", 4)),
+    "BtgI"    -> Seq(("CCRYGG", 3)),
+    "DpnI"    -> Seq(("GATC", 4)),
+    "DrdI"    -> Seq(("GACNNNNNNGTC", 9)),
+    "EaeI"    -> Seq(("YGGCCR", 3)),
+    "EagI"    -> Seq(("CGGCCG", 3)),
+    "Eco53kI" -> Seq(("GAGCTC", 5)),
+    "EcoNI"   -> Seq(("CCTNNNNNAGG", 7)),
+    "EcoO109I" -> Seq(("RGGNCCY", 4)),
+    "Fnu4HI"  -> Seq(("GCNGC", 4)),
+    "FspI"    -> Seq(("TGCGCA", 5)),
+    "HhaI"    -> Seq(("GCGC", 5)),
+    "Hpy166II" -> Seq(("GTNNAC", 5)),
+    "Hpy188I" -> Seq(("TCNGA", 5)),
+    "HpyCH4IV" -> Seq(("ACGT", 3)),
+    "HpyCH4V" -> Seq(("TGCA", 4)),
+    "KasI"    -> Seq(("GGCGCC", 3)),
+    "MluCI"   -> Seq(("AATT", 2)),
+    "MscI"    -> Seq(("TGGCCA", 5)),
+    "MslI"    -> Seq(("CAYNNNNRTG", 7)),
+    "MspI"    -> Seq(("CCGG", 3)),
+    "NaeI"    -> Seq(("GCCGGC", 5)),
+    "NarI"    -> Seq(("GGCGCC", 4)),
+    "NgoMIV"  -> Seq(("GCCGGC", 3)),
+    "NlaIV"   -> Seq(("GGNNCC", 5)),
+    "NruI"    -> Seq(("TCGCGA", 5)),
+    "NspI"    -> Seq(("RCATGY", 7)),
+    "PaeR7I"  -> Seq(("CTCGAG", 3)),
+    "PasI"    -> Seq(("CCCWGGG", 4)),
+    "PciI"    -> Seq(("ACATGT", 3)),
+    "PflMI"   -> Seq(("CCANNNNNTGG", 9)),
+    "PluTI"   -> Seq(("GGCGCC", 7)),
+    "PmlI"    -> Seq(("CACGTG", 5)),
+    "PshAI"   -> Seq(("GACNNNNGTC", 7)),
+    "PsiI"    -> Seq(("TTATAA", 5)),
+    "PspGI"   -> Seq(("CCWGG", 2)),
+    "PspOMI"  -> Seq(("GGGCCC", 3)),
+    "PvuI"    -> Seq(("CGATCG", 6)),
+    "RsaI"    -> Seq(("GTAC", 4)),
+    "SacII"   -> Seq(("CCGCGG", 6)),
+    "Sau96I"  -> Seq(("GGNCC", 3)),
+    "ScrFI"   -> Seq(("CCNGG", 4)),
+    "SexAI"   -> Seq(("ACCWGGT", 3)),
+    "SfcI"    -> Seq(("CTRYAG", 3)),
+    "SfiI"    -> Seq(("GGCCNNNNNGGCC", 10)),
+    "SfoI"    -> Seq(("GGCGCC", 5)),
+    "SgrAI"   -> Seq(("CRCCGGYG", 4)),
+    "SnaBI"   -> Seq(("TACGTA", 5)),
+    "StyD4I"  -> Seq(("CCNGG", 2)),
+    "TaqI"    -> Seq(("TCGA", 3)),
+    "TfiI"    -> Seq(("GAWTC", 3)),
+    "Tsp45I"  -> Seq(("GTSAC", 2)),
+    "Tsp509I" -> Seq(("AATT", 2)),
+    "TspMI"   -> Seq(("CCCGGG", 3)),
+    "Tth111I" -> Seq(("GACNNNGTC", 6)),
+    "XcmI"    -> Seq(("CCANNNNNNNNNTGG", 10)),
+    "XmnI"    -> Seq(("GAANNNNTTC", 7)),
+    "ZraI"    -> Seq(("GACGTC", 5)),
     // the Arima Hi-C kit's two-enzyme cocktail
     "Arima"   -> Seq(("GATC", 2), ("GANTC", 3)))
 

@@ -262,4 +262,54 @@ class SeqOpsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](graft.seq.Enzymes.resolve("NopeI"))
     assert(e.getMessage.contains("Unknown enzyme"))
   }
+
+  test("r15 catalog tranche: whole-catalog invariants + spot checks") {
+    // every entry parses under the matcher's alphabet and its offset
+    // stays within the engine convention's reachable band [0, len+2]
+    // (fst5 ranges 0..len for type IIP cuts, so offset = fst5+2 must
+    // land in [2, len+2]; the original r3 entries also allow 0)
+    graft.seq.Enzymes.catalog.foreach { case (name, specs) =>
+      specs.foreach { case (site, off) =>
+        assert(site.nonEmpty && site.forall("ACGTNRYSWKMBDHV".contains(_)),
+          s"$name site '$site' outside the IUPAC alphabet")
+        assert(off >= 0 && off <= site.length + 2,
+          s"$name offset $off outside [0, ${site.length + 2}]")
+      }
+    }
+    // isoschizomers must carry identical cut specs
+    for (group <- Seq(
+        Seq("DpnII", "MboI", "Sau3AI"), Seq("CviQI", "Csp6I"),
+        Seq("HpaII", "MspI"), Seq("XhoI", "PaeR7I"),
+        Seq("MluCI", "Tsp509I"), Seq("XmaI", "TspMI"),
+        Seq("ClaI", "BspDI"), Seq("AfeI" /* = Eco47III site */)))
+      assert(group.map(graft.seq.Enzymes.resolve).distinct.size == 1,
+        s"isoschizomers disagree: $group")
+    // same site, different cut: the GGCGCC family must NOT collapse
+    assert(Seq("KasI", "NarI", "SfoI", "PluTI")
+      .map(graft.seq.Enzymes.resolve).distinct.size == 4)
+    // TaqI T^CGA (fst5=1 -> boundary site+3)
+    assertFrame(SeqOps.digest(
+        Seq(("t", 0L, 8L, "ATCGATTT")).toDF("chrom", "cstart", "cend", "seq"),
+        "TaqI"),
+      Seq(Seq("t", 0L, 4L), Seq("t", 4L, 8L)), "chrom", "start", "end")
+    // MluCI ^AATT (fst5=0 -> boundary site+2, the DpnII-class shift)
+    assertFrame(SeqOps.digest(
+        Seq(("m", 0L, 8L, "GAATTCGG")).toDF("chrom", "cstart", "cend", "seq"),
+        "MluCI"),
+      Seq(Seq("m", 0L, 3L), Seq("m", 3L, 8L)), "chrom", "start", "end")
+    // BstXI CCANNNNNN^TGG: 6-N interior run, boundary site+10
+    assertFrame(SeqOps.digest(
+        Seq(("x", 0L, 15L, "TCCAGGGGGGTGGAA"))
+          .toDF("chrom", "cstart", "cend", "seq"),
+        "BstXI"),
+      Seq(Seq("x", 0L, 11L), Seq("x", 11L, 15L)), "chrom", "start", "end")
+    // SgrAI CR^CCGGYG: R/Y degenerate 8-cutter, boundary site+4;
+    // CACCGGTG cuts (R=A, Y=T), CTCCGGTG must not (T outside R)
+    assertFrame(SeqOps.digest(
+        Seq(("s1", 0L, 10L, "TCACCGGTGT"), ("s2", 0L, 10L, "TCTCCGGTGT"))
+          .toDF("chrom", "cstart", "cend", "seq"),
+        "SgrAI"),
+      Seq(Seq("s1", 0L, 5L), Seq("s1", 5L, 10L), Seq("s2", 0L, 10L)),
+      "chrom", "start", "end")
+  }
 }
