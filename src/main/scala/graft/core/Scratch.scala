@@ -25,7 +25,20 @@ object Scratch {
     } else None
   }
 
-  /** Apply to a builder: no-op when tmpfs is absent. */
+  /** Apply to a builder: scratch placement plus stall-proof heartbeats.
+    *
+    * The heartbeat settings exist because the sandbox VM's documented
+    * stall phases (D-state storms) can freeze the whole JVM for minutes:
+    * with the stock 120s `spark.network.timeout`, the driver-side
+    * HeartbeatReceiver then "removes" the local executor and shuts the
+    * context down mid-job — observed twice on the sf1
+    * iv_overlap_bucketed cert (a ~138s gap killed an otherwise healthy
+    * 15-minute run; the identical rerun under calm weather passed). A
+    * 10-minute timeout rides out the phase; in local mode there is no
+    * real liveness question for the in-process "executor" anyway. On a
+    * real cluster these would come from the site config, not here. */
   def tune(b: SparkSession.Builder): SparkSession.Builder =
     dir.fold(b)(d => b.config("spark.local.dir", d))
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "20s")
 }
