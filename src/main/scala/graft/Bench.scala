@@ -419,10 +419,15 @@ object Bench {
           // storage hygiene between timings: localCheckpoint blocks
           // (e.g. dedup_components) would otherwise stay pinned in
           // executor memory for the rest of the suite and show up as
-          // multi-second pressure spikes in unrelated later queries
-          if (!sys.env.contains("SPARK_GRAFT_NO_UNPERSIST"))
+          // multi-second pressure spikes in unrelated later queries.
+          // clearCache additionally drops the operators' Barrier entries
+          // (r15): every rep recomputes its barriers from the parquet
+          // inputs — no cross-rep or cross-query reuse distorts a timing.
+          if (!sys.env.contains("SPARK_GRAFT_NO_UNPERSIST")) {
+            try spark.catalog.clearCache() catch { case _: Throwable => () }
             spark.sparkContext.getPersistentRDDs.values
               .foreach(_.unpersist(blocking = false))
+          }
           System.out.flush()
         }
       }

@@ -283,6 +283,15 @@ object Verify {
             else System.err.println(
               s"[verify] $name error relation skipped (zombie may still write)")
         }
+        // cache hygiene (r15): drop the operators' Barrier entries and
+        // any localCheckpoint blocks between queries so a long dump
+        // (sf1 bulk: 160+ queries in one JVM) cannot accumulate cached
+        // slim relations into memory pressure
+        try {
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        } catch { case _: Throwable => () }
         flushManifests()
       }
     }
