@@ -10,10 +10,29 @@ import scala.collection.mutable
   * listener substitutes for the stage page). Dev tool; not part of the
   * driver contract. */
 object Probe {
+  /** Mirrored A/B arm for 1-based `rep`: AB|BA|AB|BA… per rep pair, so
+    * neither arm systematically runs later (warmer) within a pair — the
+    * exact late-arm JIT bias that produced the r15 Change-3 false win
+    * (VERDICT r15 #3). Pure for ProbeSpec. */
+  def armIsA(rep: Int): Boolean = {
+    val pair = (rep - 1) / 2
+    val firstOfPair = (rep - 1) % 2 == 0
+    if (pair % 2 == 0) firstOfPair else !firstOfPair
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "2").toInt
+    val abMode = sys.env.contains("SPARK_GRAFT_PROBE_AB")
+    // A/B stats only record reps > 2, so the old default of 2 produced a
+    // silently empty A/B summary (ADVICE r15); in A/B mode default to 8
+    // (3 warm samples per arm) and refuse fewer than 4.
+    val reps0 = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.toInt)
+      .getOrElse(if (abMode) 8 else 2)
+    val reps = if (abMode && reps0 < 4) {
+      System.err.println(s"[probe] A/B mode needs >=4 reps (got $reps0); using 4")
+      4
+    } else reps0
     val b0 = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -31,6 +50,8 @@ object Probe {
     case class St(name: String, wallMs: Long, execMs: Long, cpuMs: Long,
                   tasks: Int, shufReadMB: Double, shufWriteMB: Double,
                   inputMB: Double, outMB: Double, gapMs: Long)
+    // appended from the listener-bus thread, read/cleared from main: keep
+    // every access inside stages.synchronized (ADVICE r15)
     val stages = mutable.ArrayBuffer[St]()
     @volatile var lastStageEnd = 0L
     val listener = new SparkListener {
@@ -40,26 +61,31 @@ object Probe {
           yield c - s).getOrElse(-1L)
         // driver gap: time between the previous stage's completion and
         // this stage's submission — where planning/commit/catalog time
-        // hides when sum(stage walls) << query total
+        // hides when sum(stage walls) << query total. A zero lastStageEnd
+        // (first stage of a rep) carries no baseline: gap 0, not
+        // epoch-millis garbage (ADVICE r15).
         val gap = si.submissionTime
-          .map(s => math.max(0L, s - lastStageEnd)).getOrElse(0L)
+          .map(s => if (lastStageEnd == 0L) 0L else math.max(0L, s - lastStageEnd))
+          .getOrElse(0L)
         lastStageEnd = math.max(lastStageEnd,
           si.completionTime.getOrElse(lastStageEnd))
         val m = si.taskMetrics
-        stages += St(si.name.takeWhile(_ != '\n').take(90), wall,
+        stages.synchronized { stages += St(si.name.takeWhile(_ != '\n').take(90), wall,
           m.executorRunTime, m.executorCpuTime / 1000000,
           si.numTasks,
           m.shuffleReadMetrics.totalBytesRead / 1e6,
           m.shuffleWriteMetrics.bytesWritten / 1e6,
           m.inputMetrics.bytesRead / 1e6,
           m.outputMetrics.bytesWritten / 1e6,
-          gap)
+          gap) }
       }
     }
     spark.sparkContext.addSparkListener(listener)
 
     // A/B mode: SPARK_GRAFT_PROBE_AB="key=valA|valB" alternates a runtime
-    // conf per rep (odd reps -> A, even -> B) so weather hits both arms
+    // conf per rep in MIRRORED pair order (AB|BA|AB…, see [[armIsA]]) so
+    // weather hits both arms equally AND neither arm systematically runs
+    // later/warmer within a pair
     val ab = sys.env.get("SPARK_GRAFT_PROBE_AB").map { s =>
       val Array(k, vs) = s.split("=", 2); val Array(va, vb) = vs.split('|')
       (k, va, vb)
@@ -67,10 +93,11 @@ object Probe {
     val armTimes = mutable.Map[(String, String), mutable.ArrayBuffer[Double]]()
     for (name <- args; rep <- 1 to reps) {
       val arm = ab.map { case (k, va, vb) =>
-        val v = if (rep % 2 == 1) va else vb
+        val v = if (armIsA(rep)) va else vb
         spark.conf.set(k, v); v
       }.getOrElse("-")
-      stages.clear()
+      stages.synchronized { stages.clear() }
+      lastStageEnd = 0L // per-rep baseline: first stage's gap reads 0
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       val tBuild = (System.nanoTime() - t0) / 1e9
@@ -80,8 +107,9 @@ object Probe {
         armTimes.getOrElseUpdate((name, arm), mutable.ArrayBuffer()) += dt
       // let listener events drain
       Thread.sleep(300)
-      println(f"%n==== $name rep$rep arm=$arm: total=$dt%.2fs (build=$tBuild%.2fs) rows=$n sig=$sig%016x  stages=${stages.size} sumWall=${stages.map(_.wallMs).sum / 1000.0}%.2fs sumGap=${stages.map(_.gapMs).sum / 1000.0}%.2fs ====")
-      if (ab.isEmpty) stages.sortBy(s => -(s.wallMs + s.gapMs)).take(18).foreach { s =>
+      val snap = stages.synchronized { stages.toVector }
+      println(f"%n==== $name rep$rep arm=$arm: total=$dt%.2fs (build=$tBuild%.2fs) rows=$n sig=$sig%016x  stages=${snap.size} sumWall=${snap.map(_.wallMs).sum / 1000.0}%.2fs sumGap=${snap.map(_.gapMs).sum / 1000.0}%.2fs ====")
+      if (ab.isEmpty) snap.sortBy(s => -(s.wallMs + s.gapMs)).take(18).foreach { s =>
         println(f"  wall=${s.wallMs / 1000.0}%6.2fs gap=${s.gapMs / 1000.0}%6.2fs exec=${s.execMs / 1000.0}%7.2fs cpu=${s.cpuMs / 1000.0}%7.2fs tasks=${s.tasks}%3d in=${s.inputMB}%7.1fMB sr=${s.shufReadMB}%7.1fMB sw=${s.shufWriteMB}%7.1fMB out=${s.outMB}%7.1fMB  ${s.name}")
       }
       try {

@@ -27,11 +27,18 @@ object SparkEntry {
       .groupBy(col("chrom_1")).agg(count(lit(1)).as("n_pairs"))
   }
 
-  // Genome-bin width for the binned interval joins. Coordinate space here
-  // is ~[0, 2530]; 64 gives ~320 (chrom, bin) join keys — enough spread
-  // for 32 cores and ~4x fewer candidate pairs than width 256 at ~1.5
-  // exploded bins per interval (avg span ~15).
-  private val B = 64L
+  // Genome-bin width for the binned interval joins. The fixture's spans
+  // are 0..40 at EVERY scale factor (modulo-derived), so the width is a
+  // span-distribution constant, not an SF constant. r16 (guide §2.3/§2.5,
+  // measured in OPTIMIZATION_r16.md): width ~ the typical span minimizes
+  // candidate waste x explosion — at 64 the fine join generated ~3.8x the
+  // true pairs, at 16 ~2.2x, and the finer key space (8x more (chrom,bin)
+  // keys) spreads the exploding join's OUTPUT skew that AQE cannot see in
+  // input bytes. Conf-overridable so bin-width sensitivity stays A/B-able
+  // same-JVM (results are bin-invariant — JoinPropertySpec/OpsSpec gate
+  // that); the pre-r16 value was 64.
+  private def B(s: SparkSession): Long =
+    s.conf.get("spark.graft.gates.binSize", "8").toLong
 
   // ------------------------------------------------------------ relational
 
@@ -71,7 +78,7 @@ object SparkEntry {
 
   private def ivOverlap(how: String)(s: SparkSession, dir: String): DataFrame =
     Ops.overlap(iv1(s, dir), iv2(s, dir), how = how, suffixes = ("_1", "_2"),
-        returnOverlap = how == "inner", binSize = B)
+        returnOverlap = how == "inner", binSize = B(s))
       .select(col("id_1") +: col("id_2") +:
         (if (how == "inner") Seq(col("overlap_start"), col("overlap_end"))
          else Nil): _*)
@@ -91,14 +98,14 @@ object SparkEntry {
     val c2 = ColSpec.default.withSuffix("_2")
     BucketedJoin.writeBinIndex(
       iv1(s, dir).select("id", "chrom", "start", "end"),
-      t1, s"$path/i1", c1, binSize = B, numBuckets = 8)
+      t1, s"$path/i1", c1, binSize = B(s), numBuckets = 8)
     BucketedJoin.writeBinIndex(
       ColSpec.suffixAll(iv2(s, dir).select("id", "chrom", "start", "end"), "_2"),
-      t2, s"$path/i2", c2, binSize = B, numBuckets = 8,
+      t2, s"$path/i2", c2, binSize = B(s), numBuckets = 8,
       binColName = "__bin_2")
     BucketedJoin.pairsFromBinIndex(
       s.table(t1), s.table(t2), c1, c2,
-      rightBin = "__bin_2", binSize = B)
+      rightBin = "__bin_2", binSize = B(s))
       .select(col("id").as("id_1"), col("id_2"))
   }
 
@@ -107,7 +114,7 @@ object SparkEntry {
   private def ivOverlapInnerMl(s: SparkSession, dir: String): DataFrame =
     Ops.overlap(iv1(s, dir), iv2(s, dir), how = "inner",
         suffixes = ("_1", "_2"),
-        strategy = IntervalJoin.BinnedTwoLevel, binSize = B)
+        strategy = IntervalJoin.BinnedTwoLevel, binSize = B(s))
       .select(col("id_1"), col("id_2"))
 
   /** Two-level binning chosen by `Auto` itself, not forced: ivLong's
@@ -121,7 +128,7 @@ object SparkEntry {
     s.conf.set(IntervalJoin.ProbeThresholdKey, (1L << 12).toString)
     try
       Ops.overlap(ivLong(s, dir), iv1(s, dir), how = "inner",
-          suffixes = ("_1", "_2"), binSize = B)
+          suffixes = ("_1", "_2"), binSize = B(s))
         .select(col("id_1"), col("id_2"))
     finally prev match {
       case Some(v) => s.conf.set(IntervalJoin.ProbeThresholdKey, v)
@@ -131,12 +138,12 @@ object SparkEntry {
 
   private def ivOverlapRight(s: SparkSession, dir: String): DataFrame =
     Ops.overlap(iv3(s, dir), iv2(s, dir), how = "right",
-        suffixes = ("_1", "_2"), binSize = B)
+        suffixes = ("_1", "_2"), binSize = B(s))
       .select(col("id_1"), col("id_2"))
 
   private def ivOverlapOn(s: SparkSession, dir: String): DataFrame =
     Ops.overlap(iv1(s, dir), iv2(s, dir), how = "inner",
-        suffixes = ("_1", "_2"), on = Seq("strand"), binSize = B)
+        suffixes = ("_1", "_2"), on = Seq("strand"), binSize = B(s))
       .select(col("id_1"), col("id_2"), col("strand_1"))
 
   /** Regression for the merged-anti point-promotion bug: df2 carries
@@ -145,19 +152,19 @@ object SparkEntry {
     * point's coordinate. */
   private def ivOverlapLeftPts(s: SparkSession, dir: String): DataFrame =
     Ops.overlap(iv1(s, dir), iv2p(s, dir), how = "left",
-        suffixes = ("_1", "_2"), binSize = B)
+        suffixes = ("_1", "_2"), binSize = B(s))
       .select(col("id_1"), col("id_2"))
 
   private def ivSetdiffPts(s: SparkSession, dir: String): DataFrame =
-    Ops.setdiff(iv1(s, dir), iv2p(s, dir), binSize = B)
+    Ops.setdiff(iv1(s, dir), iv2p(s, dir), binSize = B(s))
       .select(col("id"), col("chrom"), col("start"), col("end"))
 
   private def ivCountOverlaps(s: SparkSession, dir: String): DataFrame =
-    Ops.countOverlaps(iv1(s, dir), iv2(s, dir), countCol = "n", binSize = B)
+    Ops.countOverlaps(iv1(s, dir), iv2(s, dir), countCol = "n", binSize = B(s))
       .select(col("id"), col("n"))
 
   private def ivSetdiff(s: SparkSession, dir: String): DataFrame =
-    Ops.setdiff(iv1(s, dir), iv2(s, dir), binSize = B)
+    Ops.setdiff(iv1(s, dir), iv2(s, dir), binSize = B(s))
       .select(col("id"), col("chrom"), col("start"), col("end"))
 
   // bucketSize 256 over the ~[0, 2530] fixture coordinate space exercises
@@ -192,18 +199,18 @@ object SparkEntry {
       .select(col("id"), col("chrom"), col("start"), col("end"))
 
   private def ivCoverage(s: SparkSession, dir: String): DataFrame =
-    Ops.coverage(iv2(s, dir), iv1(s, dir), coverageCol = "coverage", binSize = B)
+    Ops.coverage(iv2(s, dir), iv1(s, dir), coverageCol = "coverage", binSize = B(s))
       .select(col("id"), col("chrom"), col("start"), col("end"), col("coverage"))
 
   /** Sequence-backed ops over the synthetic md5-derived chunk store
     * (extras.py:170-355): GC fraction per iv1 interval and a GATC digest
     * of the genome. */
   private def seqFracGc(s: SparkSession, dir: String): DataFrame =
-    graft.seq.SeqOps.fracGc(iv1(s, dir), seqChunks(s), binSize = B)
+    graft.seq.SeqOps.fracGc(iv1(s, dir), seqChunks(s), binSize = B(s))
       .select(col("id"), col("frac_gc"))
 
   private def seqFracMapped(s: SparkSession, dir: String): DataFrame =
-    graft.seq.SeqOps.fracMapped(iv1(s, dir), seqChunks(s), binSize = B)
+    graft.seq.SeqOps.fracMapped(iv1(s, dir), seqChunks(s), binSize = B(s))
       .select(col("id"), col("frac_mapped"))
 
   private def seqDigest(s: SparkSession, dir: String): DataFrame =
@@ -399,12 +406,12 @@ object SparkEntry {
   /** Interval-set Jaccard of iv1 vs iv2 (the bedtools statistic): one
     * row of exact longs plus their single IEEE division. */
   private def ivJaccard(s: SparkSession, dir: String): DataFrame =
-    Extras.jaccardIntervals(iv1(s, dir), iv2(s, dir), binSize = B)
+    Extras.jaccardIntervals(iv1(s, dir), iv2(s, dir), binSize = B(s))
 
   /** Relative-distance statistic of iv2 midpoints against iv1 flanks
     * (bedtools reldist): exact flank deltas + their single division. */
   private def ivReldist(s: SparkSession, dir: String): DataFrame =
-    Extras.relDistance(iv2(s, dir), iv1(s, dir), binSize = B,
+    Extras.relDistance(iv2(s, dir), iv1(s, dir), binSize = B(s),
       bucketSize = SCAN_BUCKET)
 
   /** Coverage-depth histogram of iv1 over the synthetic chromsizes
@@ -423,19 +430,19 @@ object SparkEntry {
   /** frac_gene_coverage composition (extras.py:357-387): iv2 "genes"
     * covered and counted against iv1. */
   private def ivGeneCoverage(s: SparkSession, dir: String): DataFrame =
-    Extras.fracGeneCoverage(iv2(s, dir), iv1(s, dir), binSize = B)
+    Extras.fracGeneCoverage(iv2(s, dir), iv1(s, dir), binSize = B(s))
       .select(col("id"), col("chrom"), col("start"), col("end"),
         col("coverage"), col("count"))
 
   private def ivClosest(s: SparkSession, dir: String): DataFrame =
     Closest.closest(iv3(s, dir), Some(iv2(s, dir)), k = 1,
-        tieBreakingCol = Some("id"), suffixes = ("_1", "_2"), binSize = B,
+        tieBreakingCol = Some("id"), suffixes = ("_1", "_2"), binSize = B(s),
         bucketSize = SCAN_BUCKET)
       .select(col("id_1"), col("id_2"), col("distance"))
 
   private def ivClosestK3(s: SparkSession, dir: String): DataFrame =
     Closest.closest(iv3(s, dir), Some(iv2(s, dir)), k = 3,
-        tieBreakingCol = Some("id"), suffixes = ("_1", "_2"), binSize = B,
+        tieBreakingCol = Some("id"), suffixes = ("_1", "_2"), binSize = B(s),
         bucketSize = SCAN_BUCKET)
       .select(col("id_1"), col("id_2"), col("distance"))
 
@@ -443,13 +450,13 @@ object SparkEntry {
     * iv3 (reference arrops.py:655-657 excludes only the row itself). */
   private def ivClosestSelf(s: SparkSession, dir: String): DataFrame =
     Closest.closest(iv3(s, dir), None, k = 1, tieBreakingCol = Some("id"),
-        suffixes = ("_1", "_2"), binSize = B, bucketSize = SCAN_BUCKET)
+        suffixes = ("_1", "_2"), binSize = B(s), bucketSize = SCAN_BUCKET)
       .select(col("id_1"), col("id_2"), col("distance"))
 
   private def ivClosestUpstream(s: SparkSession, dir: String): DataFrame =
     Closest.closest(iv3(s, dir), Some(iv2(s, dir)), k = 1,
         ignoreDownstream = true, tieBreakingCol = Some("id"),
-        suffixes = ("_1", "_2"), binSize = B, bucketSize = SCAN_BUCKET)
+        suffixes = ("_1", "_2"), binSize = B(s), bucketSize = SCAN_BUCKET)
       .select(col("id_1"), col("id_2"), col("distance"))
 
   /** Arbitrary tie EXPRESSION (reference accepts a callable,
@@ -459,17 +466,17 @@ object SparkEntry {
   private def ivClosestTie(s: SparkSession, dir: String): DataFrame =
     Closest.closest(iv3(s, dir), Some(iv2(s, dir)), k = 1,
         tieBreakingExpr = Some(-col("id")), suffixes = ("_1", "_2"),
-        binSize = B, bucketSize = SCAN_BUCKET)
+        binSize = B(s), bucketSize = SCAN_BUCKET)
       .select(col("id_1"), col("id_2"), col("distance"))
 
   private def ivSubtract(s: SparkSession, dir: String): DataFrame =
-    Ops.subtract(iv2(s, dir), iv1(s, dir), binSize = B)
+    Ops.subtract(iv2(s, dir), iv1(s, dir), binSize = B(s))
       .select(col("id"), col("chrom"), col("start"), col("end"))
 
   /** `return_index`: per-parent fragment counter `sub_index_` in fragment
     * order (reference ops.py:1323-1329). */
   private def ivSubtractIndex(s: SparkSession, dir: String): DataFrame =
-    Ops.subtract(iv2(s, dir), iv1(s, dir), returnIndex = true, binSize = B)
+    Ops.subtract(iv2(s, dir), iv1(s, dir), returnIndex = true, binSize = B(s))
       .select(col("id"), col("chrom"), col("start"), col("end"),
         col("sub_index_").cast("long").as("sub_index_"))
 
@@ -479,7 +486,7 @@ object SparkEntry {
   private def ivClosestIgnore(s: SparkSession, dir: String): DataFrame =
     Closest.closest(iv3(s, dir), Some(iv2(s, dir)), k = 1,
         ignoreOverlaps = true, tieBreakingCol = Some("id"),
-        suffixes = ("_1", "_2"), binSize = B, bucketSize = SCAN_BUCKET)
+        suffixes = ("_1", "_2"), binSize = B(s), bucketSize = SCAN_BUCKET)
       .select(col("id_1"), col("id_2"), col("distance"))
 
   private def ivComplement(s: SparkSession, dir: String): DataFrame =
@@ -528,7 +535,7 @@ object SparkEntry {
     val a = scrambledFixture(s, dir, "ko_iv3", iv3(s, dir), 2654435761L)
     val b = scrambledFixture(s, dir, "ko_iv2", iv2(s, dir), 1103515245L)
     val out = Ops.overlap(a, b, how = "left", suffixes = ("_1", "_2"),
-      keepOrder = true, binSize = B)
+      keepOrder = true, binSize = B(s))
     Ops.withInputOrdinal(out.select(col("id_1"), col("id_2")), "pos")
   }
 
@@ -564,7 +571,7 @@ object SparkEntry {
     val lv = Extras.stackIntervals(iv3(s, dir))
       .select(col("chrom"), col("start"), col("end"), col("id"), col("level"))
     val viol = Ops.overlap(lv, lv, how = "inner", suffixes = ("_1", "_2"),
-        on = Seq("level"), binSize = B)
+        on = Seq("level"), binSize = B(s))
       .filter(col("id_1") < col("id_2"))
       .groupBy(col("chrom_1").as("__vc")).agg(count(lit(1)).as("__viol"))
     val depth = Extras.pileup(iv3(s, dir), bucketSize = SCAN_BUCKET)
@@ -1116,43 +1123,68 @@ object SparkEntry {
       .parquet(s"$store/batch=2")
     deliver(b2, 2L)
     // ---- cross-index consistency metrics (all value-gated by the oracle)
+    // r16 (VERDICT r15 #2: the gate is driver-orchestration-bound — 39.9s
+    // of its 56s probe run was inter-job gap across ~70 sequential
+    // mini-jobs): the tail's 7 sequential metric jobs (per-batch counts,
+    // two minhash distincts, bloom probe count, two histogram aggs, CMS
+    // mass, profile sums, plus the local assembly) fuse into ONE lazy
+    // plan — every index aggregate reduces to a single row, the
+    // single-row relations cross-join, and the metric relation is
+    // exploded from a struct array, evaluated by the caller's single
+    // action. Each aggregate is value-identical to the job it replaces:
+    //  - minhash: band rows = count of the distinct (id, band) relation,
+    //    docs = countDistinct id over that same relation;
+    //  - hist strata: source is sentinel-coalesced upstream, so
+    //    countDistinct's null-skip cannot diverge from distinct().count();
+    //  - cms_tokens: mass DIV depth is the same integer division.
+    // Driver-side values from the delivery callbacks (exact_dups,
+    // pairs_replay_drift) enter as literals.
     val storeDf = s.read.option("basePath", store).parquet(store)
       .select(col("doc_id"), col("text"), col("batch").cast("long").as("b"))
-      .persist()
-    val perBatch = storeDf.groupBy(col("b")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val admitted = perBatch.values.sum
-    val idx = s.table(mhTable)
-    val mhDocs = idx.select(col("__id")).distinct().count()
-    val mhBandRows = idx.select(col("__id"), col("__band")).distinct().count()
-    val flagged = graft.dedup.Bloom.probeMaybe(s.read.parquet(bloom),
-      storeDf, col("text"), numBuckets = 8).count()
-    val histDf = graft.text.Hdr.readHistogram(s, hist, Seq("source")).persist()
-    val histDocs = histDf.agg(sum(col("n"))).head.getLong(0)
-    val histStrata = histDf.select(col("source")).distinct().count()
-    histDf.unpersist()
-    val cmsMass = graft.text.Cms.readSketch(s, cms)
-      .agg(sum(col("n"))).head.getLong(0)
-    val profRow = ProfileIndex.readProfile(s, prof)
-      .agg(sum(col("n_docs")), sum(col("n_tokens")), sum(col("n_chars"))).head
-    storeDf.unpersist()
-    Seq(
-      ("admitted_total", admitted),
-      ("admitted_b0", perBatch.getOrElse(0L, 0L)),
-      ("admitted_b1", perBatch.getOrElse(1L, 0L)),
-      ("admitted_b2", perBatch.getOrElse(2L, 0L)),
-      ("exact_dups", dupCounts.values.sum),
-      ("minhash_docs", mhDocs),
-      ("minhash_band_rows", mhBandRows),
-      ("bloom_missing", admitted - flagged),
-      ("hist_docs", histDocs),
-      ("hist_strata", histStrata),
-      ("cms_tokens", cmsMass / depth),
-      ("profile_docs", profRow.getLong(0)),
-      ("profile_tokens", profRow.getLong(1)),
-      ("profile_chars", profRow.getLong(2)),
-      ("pairs_replay_drift", pairsReplayDrift)
-    ).toDF("metric", "value").orderBy(col("metric"))
+    val storeAgg = storeDf.agg(
+      count(lit(1)).as("__admitted"),
+      coalesce(sum(when(col("b") === 0L, 1L)), lit(0L)).as("__b0"),
+      coalesce(sum(when(col("b") === 1L, 1L)), lit(0L)).as("__b1"),
+      coalesce(sum(when(col("b") === 2L, 1L)), lit(0L)).as("__b2"))
+    val mhAgg = s.table(mhTable).select(col("__id"), col("__band"))
+      .distinct()
+      .agg(count(lit(1)).as("__mh_rows"),
+        countDistinct(col("__id")).as("__mh_docs"))
+    val flaggedAgg = graft.dedup.Bloom.probeMaybe(s.read.parquet(bloom),
+        storeDf, col("text"), numBuckets = 8)
+      .agg(count(lit(1)).as("__flagged"))
+    val histAgg = graft.text.Hdr.readHistogram(s, hist, Seq("source"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("__hist_docs"),
+        countDistinct(coalesce(col("source"), lit("__null")))
+          .as("__hist_strata"))
+    val cmsAgg = graft.text.Cms.readSketch(s, cms)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("__cms_mass"))
+    val profAgg = ProfileIndex.readProfile(s, prof)
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("__prof_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("__prof_tokens"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("__prof_chars"))
+    def m(name: String, value: Column) =
+      struct(lit(name).as("metric"), value.as("value"))
+    storeAgg.crossJoin(mhAgg).crossJoin(flaggedAgg).crossJoin(histAgg)
+      .crossJoin(cmsAgg).crossJoin(profAgg)
+      .select(explode(array(
+        m("admitted_total", col("__admitted")),
+        m("admitted_b0", col("__b0")),
+        m("admitted_b1", col("__b1")),
+        m("admitted_b2", col("__b2")),
+        m("exact_dups", lit(dupCounts.values.sum)),
+        m("minhash_docs", col("__mh_docs")),
+        m("minhash_band_rows", col("__mh_rows")),
+        m("bloom_missing", col("__admitted") - col("__flagged")),
+        m("hist_docs", col("__hist_docs")),
+        m("hist_strata", col("__hist_strata")),
+        m("cms_tokens", expr(s"__cms_mass DIV $depth")),
+        m("profile_docs", col("__prof_docs")),
+        m("profile_tokens", col("__prof_tokens")),
+        m("profile_chars", col("__prof_chars")),
+        m("pairs_replay_drift", lit(pairsReplayDrift)))).as("__m"))
+      .select(col("__m.metric").as("metric"), col("__m.value").as("value"))
+      .orderBy(col("metric"))
   }
 
   private def ivSortRank(s: SparkSession, dir: String): DataFrame = {
@@ -1178,7 +1210,7 @@ object SparkEntry {
 
   private def ivPairByDistance(s: SparkSession, dir: String): DataFrame =
     Extras.pairByDistance(iv3(s, dir), minSep = 10L, maxSep = 200L,
-        maxIntervening = Some(5L), suffixes = ("_1", "_2"), binSize = B,
+        maxIntervening = Some(5L), suffixes = ("_1", "_2"), binSize = B(s),
         tieBreak = Some(col("id")))
       .select(col("id_1"), col("id_2"))
 
@@ -1239,7 +1271,7 @@ object SparkEntry {
   private def ivPairEndpoints(s: SparkSession, dir: String): DataFrame =
     Extras.pairByDistance(iv3(s, dir), minSep = 10L, maxSep = 200L,
         maxIntervening = Some(5L), relativeTo = "endpoints",
-        suffixes = ("_1", "_2"), binSize = B, tieBreak = Some(col("id")))
+        suffixes = ("_1", "_2"), binSize = B(s), tieBreak = Some(col("id")))
       .select(col("id_1"), col("id_2"))
 
   /** sanitize_bedframe semantics (reference construction.py:265-343) on a
@@ -2944,7 +2976,7 @@ FROM enc JOIN ids USING (subword)"""
     * also fires on sf0.001-sized inputs (PlanContractSpec asserts the
     * resulting plan shape). */
   private def extSqlOverlap(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set(graft.plans.IntervalJoinRewrite.BinSizeKey, B.toString)
+    s.conf.set(graft.plans.IntervalJoinRewrite.BinSizeKey, B(s).toString)
     s.conf.set(graft.plans.IntervalJoinRewrite.SmallBytesKey, "1024")
     iv1(s, dir).createOrReplaceTempView("graft_sql_iv1")
     iv2(s, dir).createOrReplaceTempView("graft_sql_iv2")
@@ -2961,7 +2993,7 @@ FROM enc JOIN ids USING (subword)"""
     * (start = end = a.start), so the same binned rewrite applies; vanilla
     * Spark would scan every same-chrom build row per probe. */
   private def extSqlPoint(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set(graft.plans.IntervalJoinRewrite.BinSizeKey, B.toString)
+    s.conf.set(graft.plans.IntervalJoinRewrite.BinSizeKey, B(s).toString)
     s.conf.set(graft.plans.IntervalJoinRewrite.SmallBytesKey, "1024")
     iv3(s, dir).createOrReplaceTempView("graft_sql_iv3")
     iv2(s, dir).createOrReplaceTempView("graft_sql_iv2")
@@ -3008,7 +3040,7 @@ FROM enc JOIN ids USING (subword)"""
     * default, an 8-way parallelism floor worth ~1.5x wall at sf0.1
     * (the ext_sql_closest vs iv_closest_k3 gap VERDICT r14 flagged). */
   private def extSqlClosest(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set(graft.plans.IntervalJoinRewrite.BinSizeKey, B.toString)
+    s.conf.set(graft.plans.IntervalJoinRewrite.BinSizeKey, B(s).toString)
     s.conf.set(graft.plans.GraftTableFunctions.BucketSizeKey,
       SCAN_BUCKET.toString)
     iv3(s, dir).createOrReplaceTempView("graft_sql_iv3")
@@ -3033,7 +3065,7 @@ FROM enc JOIN ids USING (subword)"""
     * TVF — the engine's merge-then-binned-join plan. Same semantics
     * and oracle as iv_coverage. */
   private def extSqlCoverage(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set(graft.plans.IntervalJoinRewrite.BinSizeKey, B.toString)
+    s.conf.set(graft.plans.IntervalJoinRewrite.BinSizeKey, B(s).toString)
     iv1(s, dir).createOrReplaceTempView("graft_sql_iv1")
     iv2(s, dir).createOrReplaceTempView("graft_sql_iv2")
     s.sql(
@@ -3061,7 +3093,7 @@ FROM enc JOIN ids USING (subword)"""
   /** Interval subtraction in plain SQL through the `graft_subtract`
     * TVF — same semantics and oracle as iv_subtract. */
   private def extSqlSubtract(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set(graft.plans.IntervalJoinRewrite.BinSizeKey, B.toString)
+    s.conf.set(graft.plans.IntervalJoinRewrite.BinSizeKey, B(s).toString)
     iv1(s, dir).createOrReplaceTempView("graft_sql_iv1")
     iv2(s, dir).createOrReplaceTempView("graft_sql_iv2")
     s.sql(
@@ -3099,7 +3131,7 @@ FROM enc JOIN ids USING (subword)"""
     * and oracle as iv_closest_upstream. bucketSize conf as in
     * ext_sql_closest (parallelism only; bucket-invariant results). */
   private def extSqlClosestUp(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set(graft.plans.IntervalJoinRewrite.BinSizeKey, B.toString)
+    s.conf.set(graft.plans.IntervalJoinRewrite.BinSizeKey, B(s).toString)
     s.conf.set(graft.plans.GraftTableFunctions.BucketSizeKey,
       SCAN_BUCKET.toString)
     iv3(s, dir).createOrReplaceTempView("graft_sql_iv3")

@@ -57,17 +57,48 @@ object IntervalJoin {
   val ProbeThresholdKey = "spark.graft.join.probeThresholdBytes"
   val DefaultProbeThresholdBytes: Long = 256L << 20
 
+  /** Span quantiles (p50, p99) over a bounded prefix sample — ONE probe
+    * job serving both the [[Auto]] heavy-tail decision and the adaptive
+    * coarse width ([[adaptiveCoarse]]). Bounded: reads at most `maxRows`
+    * rows of two columns. */
+  def spanQuantiles(df: DataFrame, c: ColSpec,
+                    maxRows: Int = 100000): Option[(Double, Double)] = {
+    val q = df.select((c.promotedEnd - c.startCol).cast("double").as("__span"))
+      .limit(maxRows)
+      .stat.approxQuantile("__span", Array(0.5, 0.99), 0.1)
+    if (q.length >= 2) Some((q(0), q(1))) else None
+  }
+
   /** Span-tail probe for [[Auto]]: approximate p99 interval span over a
     * bounded prefix sample. A p99 beyond the two-level long-interval cut
     * (8*binSize) means [[Binned]] would explode the tail onto >8 fine
-    * bins per row — the regime [[BinnedTwoLevel]] exists for. Bounded:
-    * reads at most `maxRows` rows of two columns. */
+    * bins per row — the regime [[BinnedTwoLevel]] exists for. */
   def spanTailIsHeavy(df: DataFrame, c: ColSpec, binSize: Long,
-                      maxRows: Int = 100000): Boolean = {
-    val q = df.select((c.promotedEnd - c.startCol).cast("double").as("__span"))
-      .limit(maxRows)
-      .stat.approxQuantile("__span", Array(0.99), 0.1)
-    q.nonEmpty && q(0) > (binSize * 8).toDouble
+                      maxRows: Int = 100000): Boolean =
+    spanQuantiles(df, c, maxRows).exists(_._2 > (binSize * 8).toDouble)
+
+  /** Coarse-bin width for the two-level join's long-class joins, sized to
+    * the measured span distribution instead of the fixed 64*binSize
+    * (r16; guide §2 — partitioning sized to the data, not a constant).
+    *
+    * Cost model: a long interval of span s explodes onto s/c + 1 coarse
+    * bins, and each coarse bin holds other-side rows proportional to
+    * (c + r) for typical other-side span r — so candidate pairs per long
+    * row track (s/c + 1)(c + r), minimized at c* = sqrt(s*r). With the
+    * probed p99 span as s and the p50 span as the short-side proxy r,
+    * c* lands in the flat basin of that curve (measured on the ivLong
+    * fixture: 64*binSize = 4096 generates ~5x the candidates of the
+    * adaptive width). Clamped to [longCap/4, 64*binSize] — the floor
+    * bounds the short-class explosion in the short x long join at <= 5
+    * bins per row, the ceiling never does worse than the legacy fixed
+    * width — and rounded up to a power of two for plan stability. */
+  def adaptiveCoarse(binSize: Long, p50: Double, p99: Double): Long = {
+    val legacy = binSize * 64
+    val floor = math.max(1L, (binSize * 8) / 4)
+    val cStar = math.sqrt(math.max(p99, 1.0) * math.max(p50, 1.0))
+    val pow2 = java.lang.Long.highestOneBit(
+      math.max(1L, math.ceil(cStar).toLong - 1L)) << 1
+    math.min(legacy, math.max(floor, pow2))
   }
 
   /** Integer floor-division that is exact for negative coordinates. */
@@ -94,21 +125,36 @@ object IntervalJoin {
     *  - everything else -> [[Binned]], whose cost tracks the true pair
     *    count. */
   def resolveAuto(left: DataFrame, right: DataFrame,
-                  c1: ColSpec, c2: ColSpec, binSize: Long): Strategy = {
+                  c1: ColSpec, c2: ColSpec, binSize: Long): Strategy =
+    resolveAutoPlan(left, right, c1, c2, binSize)._1
+
+  /** [[resolveAuto]] plus the coarse width the two-level strategy should
+    * run with — derived from the SAME span probe (no extra job): the
+    * side whose heavy tail triggered the upgrade contributes its
+    * (p50, p99) to [[adaptiveCoarse]]. Returns the legacy 64*binSize
+    * coarse when the resolution is not [[BinnedTwoLevel]]. */
+  def resolveAutoPlan(left: DataFrame, right: DataFrame,
+                      c1: ColSpec, c2: ColSpec,
+                      binSize: Long): (Strategy, Long) = {
     val cap = 65536L
+    val legacyCoarse = binSize * 64
     val szR = right.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (szR <= cap) BroadcastRight
+    if (szR <= cap) (BroadcastRight, legacyCoarse)
     else {
       val threshold = BigInt(left.sparkSession.conf
         .get(ProbeThresholdKey, DefaultProbeThresholdBytes.toString).toLong)
       val unknown = BigInt(Long.MaxValue) / 4
-      def knownLargeHeavy(df: DataFrame, c: ColSpec): Boolean = {
+      def knownLargeHeavy(df: DataFrame, c: ColSpec): Option[(Double, Double)] = {
         val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
-        sz >= threshold && sz < unknown && spanTailIsHeavy(df, c, binSize)
+        if (sz >= threshold && sz < unknown)
+          spanQuantiles(df, c).filter(_._2 > (binSize * 8).toDouble)
+        else None
       }
-      if (knownLargeHeavy(left, c1) || knownLargeHeavy(right, c2))
-        BinnedTwoLevel
-      else Binned
+      knownLargeHeavy(left, c1).orElse(knownLargeHeavy(right, c2)) match {
+        case Some((p50, p99)) =>
+          (BinnedTwoLevel, adaptiveCoarse(binSize, p50, p99))
+        case None => (Binned, legacyCoarse)
+      }
     }
   }
 
@@ -123,9 +169,9 @@ object IntervalJoin {
             on: Seq[(String, String)] = Nil,
             strategy: Strategy = Auto,
             binSize: Long = DefaultBinSize): DataFrame = {
-    val resolved = strategy match {
-      case Auto => resolveAuto(left, right, c1, c2, binSize)
-      case s => s
+    val (resolved, autoCoarse) = strategy match {
+      case Auto => resolveAutoPlan(left, right, c1, c2, binSize)
+      case s => (s, binSize * 64)
     }
     resolved match {
       case BroadcastRight | Auto =>
@@ -134,7 +180,7 @@ object IntervalJoin {
             .foldLeft(overlapPredicate(c1, c2))(_ && _)
         left.join(broadcast(right), cond, "inner")
       case BinnedTwoLevel =>
-        val coarse = binSize * 64
+        val coarse = autoCoarse
         val longCap = binSize * 8
         def isLong(c: ColSpec) = (c.promotedEnd - c.startCol) > lit(longCap)
         def bins(c: ColSpec, w: Long) =

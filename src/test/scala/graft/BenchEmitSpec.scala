@@ -154,4 +154,21 @@ class BenchEmitSpec extends AnyFunSuite {
     val runB = Bench.rotated(suite, (hour + 6L) * 101L).take(83).toSet
     assert((runB -- runA).size >= 40, s"only ${(runB -- runA).size} new")
   }
+
+  test("probe A/B arm order is mirrored per rep pair (no late-arm bias)") {
+    // AB | BA | AB | BA ... : within every rep pair one arm leads once
+    // and trails once across consecutive pairs (VERDICT r15 #3: the old
+    // odd=A scheme let arm B always run later/warmer)
+    val arms = (1 to 8).map(Probe.armIsA)
+    assert(arms == Seq(true, false, false, true, true, false, false, true))
+    // balance: equal sample counts per arm at any even rep budget
+    (2 to 32 by 2).foreach { n =>
+      val as = (1 to n).count(Probe.armIsA)
+      assert(as == n / 2, s"unbalanced arms at reps=$n: $as")
+    }
+    // warm-rep balance too: discarding reps 1-2 (cold) keeps the lead
+    // position alternating among the remaining pairs
+    val warm = (3 to 10).map(Probe.armIsA)
+    assert(warm.count(identity) == 4)
+  }
 }

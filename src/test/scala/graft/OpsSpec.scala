@@ -414,6 +414,34 @@ class OpsSpec extends SparkSpec {
         .select($"id_1", $"id_2"))
     assert(pairsOf(IntervalJoin.BinnedTwoLevel) ==
       pairsOf(IntervalJoin.Binned))
+    // r16: the adaptive coarse width (any value the clamp can produce)
+    // must leave the pair multiset invariant — the closed-form
+    // overlap-start-bin dedup holds at every width, so exercise the
+    // Auto path (probe-derived width) against the fixed-width strategies
+    val prev = spark.conf.getOption(IntervalJoin.ProbeThresholdKey)
+    spark.conf.set(IntervalJoin.ProbeThresholdKey, "1")
+    try assert(pairsOf(IntervalJoin.Auto) == pairsOf(IntervalJoin.Binned))
+    finally prev match {
+      case Some(v) => spark.conf.set(IntervalJoin.ProbeThresholdKey, v)
+      case None => spark.conf.unset(IntervalJoin.ProbeThresholdKey)
+    }
+  }
+
+  test("adaptiveCoarse: clamped to [longCap/4, 64*binSize], rounded up " +
+    "to a power of two, and tracks sqrt(p99*p50)") {
+    import IntervalJoin.adaptiveCoarse
+    // ivLong-shaped probe at the gates' B=64: sqrt(723*15)=104 -> 128
+    assert(adaptiveCoarse(64, 15.0, 723.0) == 128L)
+    // huge tail clamps at the legacy 64*binSize ceiling
+    assert(adaptiveCoarse(64, 15.0, 1e9) == 64L * 64)
+    // tiny spans clamp at the longCap/4 floor (short x long stays <= 5
+    // bins per short row)
+    assert(adaptiveCoarse(64, 1.0, 1.0) == 128L)
+    // genomic-scale defaults: p99 5e7, p50 1e4 -> sqrt = 7.07e5 -> pow2
+    // 2^20, floored at longCap/4 = 2e6
+    assert(adaptiveCoarse(1000000L, 1e4, 5e7) == 2000000L)
+    // exact power of two stays (no over-rounding)
+    assert(adaptiveCoarse(64, 256.0, 256.0) == 256L)
   }
 
   // ---- brute-force cross-check on random intervals ----
