@@ -1350,8 +1350,31 @@ object SparkEntry {
 
   // ---------------------------------------------------- text / dedup / ann
 
+  /** Scan-parallelism floor for the CPU-heavy gate corpora (r16; guide
+    * §2.5 "input skew — one huge unsplittable file: repartition
+    * immediately after the read"). The driver's fixture parquet holds
+    * 1-2 row groups, so every documents/embeddings scan is capped at
+    * 1-2 tasks while the session has 32 cores — and the tokenize/hash/
+    * codec kernels FUSED into those scan stages are the dominant cost of
+    * the txt_/emb_/mm_ families at scale (r16 probe at sf1: txt_dsir ran
+    * 38s of CPU in 2 tasks, txt_bpe_encode 22s in 1). One round-robin
+    * repartition to the session's core count after the read unlocks the
+    * cores; Catalyst still prunes columns through the exchange, so only
+    * the used columns shuffle. Skipped when the scan already splits to
+    * >= half the cores (real multi-file inputs at cluster scale), and
+    * conf-gated for same-JVM A/B. */
+  private def widen(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (!s.conf.get("spark.graft.gates.widenScan", "true").toBoolean) df
+    else if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target)
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "documents")
+    widen(s, table(s, dir, "documents"))
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    widen(s, table(s, dir, "embeddings"))
 
   private def txtStats(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
@@ -1985,11 +2008,11 @@ object SparkEntry {
     * dimension-sized result on the driver). Every value is a sum of
     * products of `round(x * 1024)` longs, bit-equal across engines. */
   private def embCov(s: SparkSession, dir: String): DataFrame =
-    Ann.covarianceMoments(table(s, dir, "embeddings"))
+    Ann.covarianceMoments(embs(s, dir))
       .select(col("i"), col("j"), col("s"))
 
   private def embCosineTopk(s: SparkSession, dir: String): DataFrame = {
-    val emb = table(s, dir, "embeddings")
+    val emb = embs(s, dir)
     Ann.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
@@ -2000,7 +2023,7 @@ object SparkEntry {
     * rule, same clamp, exact integer dot — so this gates the whole
     * quantization arithmetic, not just the ranking. */
   private def embQuantTopk(s: SparkSession, dir: String): DataFrame = {
-    val emb = table(s, dir, "embeddings")
+    val emb = embs(s, dir)
     Ann.quantizedTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"))
@@ -2010,7 +2033,7 @@ object SparkEntry {
     * int8 first pass over the whole corpus, float cosine only for the
     * top-`rerankDepth` candidates per query). */
   private def embQuantRerank(s: SparkSession, dir: String): DataFrame = {
-    val emb = table(s, dir, "embeddings")
+    val emb = embs(s, dir)
     Ann.quantizedTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5,
         rerankWith = Some(emb), rerankDepth = 20)
       .select(col("query_id"), col("neighbor_id"),
@@ -2026,7 +2049,7 @@ object SparkEntry {
     * shuffle-free `assignCentroid` argmin (must equal `ivfAssign`'s
     * min_by tie rule). */
   private def embIvfIncr(s: SparkSession, dir: String): DataFrame = {
-    val emb = table(s, dir, "embeddings")
+    val emb = embs(s, dir)
     val cents = ivfCents8(s, dir)
     val ivfTable = uniqueTable("graft_ivfidx")
     Ann.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 0), cents,
@@ -2044,7 +2067,7 @@ object SparkEntry {
     * vectors per query — exercises the embeddings table's label column;
     * oracle re-ranks with the identical label-mismatch predicate. */
   private def embHardNeg(s: SparkSession, dir: String): DataFrame = {
-    val emb = table(s, dir, "embeddings")
+    val emb = embs(s, dir)
     Ann.hardNegatives(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
       .select(col("query_id"), col("neighbor_id"),
         col("neighbor_label").cast("long").as("neighbor_label"),
@@ -2052,7 +2075,7 @@ object SparkEntry {
   }
 
   private def embAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val emb = table(s, dir, "embeddings")
+    val emb = embs(s, dir)
     Ann.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5, numPlanes = 6)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"))
@@ -2065,7 +2088,7 @@ object SparkEntry {
     * quantizer assignment, probe selection, self-exclusion, and ranking
     * end to end. */
   private def embIvfTopk(s: SparkSession, dir: String): DataFrame = {
-    val emb = table(s, dir, "embeddings")
+    val emb = embs(s, dir)
     Ann.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5,
         kCentroids = 8, nProbe = 2)
       .select(col("query_id"), col("neighbor_id"),
@@ -2079,7 +2102,7 @@ object SparkEntry {
     * under the label-mismatch predicate — verifying that the corpus is
     * mined list-locally, never cross-joined. */
   private def embHardNegIvf(s: SparkSession, dir: String): DataFrame = {
-    val emb = table(s, dir, "embeddings")
+    val emb = embs(s, dir)
     Ann.hardNegativesIvf(emb, emb.filter(col("vec_id") % 100 === 0), k = 5,
         kCentroids = 8, nProbe = 2)
       .select(col("query_id"), col("neighbor_id"),
@@ -2104,7 +2127,7 @@ object SparkEntry {
     ivfCentsMemo.computeIfAbsent(dir, _ => {
       val p = scratchFile("ivf_cents")
       Ann.saveCentroids(s,
-        Ann.ivfCentroids(table(s, dir, "embeddings"), 8), p)
+        Ann.ivfCentroids(embs(s, dir), 8), p)
       Ann.loadCentroids(s, p)
     })
 
@@ -2118,7 +2141,7 @@ object SparkEntry {
     pqBooksMemo.computeIfAbsent(dir, _ => {
       val p = scratchFile("pq_books_model")
       Ann.savePqBooks(s,
-        Ann.pqCodebooks(table(s, dir, "embeddings"), m = 8, k = 16), p)
+        Ann.pqCodebooks(embs(s, dir), m = 8, k = 16), p)
       Ann.loadPqBooks(s, p)
     })
 
@@ -2127,7 +2150,7 @@ object SparkEntry {
     * longs; the oracle replays the lookup table, the (sub, code) joins,
     * and the ranking from the dumped books/codes. */
   private def embPqTopk(s: SparkSession, dir: String): DataFrame = {
-    val emb = table(s, dir, "embeddings")
+    val emb = embs(s, dir)
     val books = pqBooks(s, dir)
     Ann.pqAdcTopK(Ann.pqEncode(emb, books), books,
       emb.filter(col("vec_id") % 100 === 0), k = 5)
@@ -2146,7 +2169,7 @@ object SparkEntry {
     * assignCentroid projection and the dumped min_by assignment
     * hash-fails. */
   private def embPqIvf(s: SparkSession, dir: String): DataFrame = {
-    val emb = table(s, dir, "embeddings")
+    val emb = embs(s, dir)
     val books = pqBooks(s, dir)
     val cents = ivfCents8(s, dir)
     Ann.pqIvfTopK(Ann.pqIvfEncode(emb, books, cents), books,
@@ -2204,7 +2227,7 @@ object SparkEntry {
       |WHERE rn <= 5""".stripMargin
 
   private def embPqIvfSearch(s: SparkSession, dir: String): DataFrame = {
-    val emb = table(s, dir, "embeddings")
+    val emb = embs(s, dir)
     val books = pqBooks(s, dir)
     val cents = ivfCents8(s, dir)
     val idxTable = uniqueTable("graft_pqivfidx")
@@ -2625,7 +2648,7 @@ FROM enc JOIN ids USING (subword)"""
         array_join(slice(TextOps.tokens(col("text")), 1, 6), " ").as("text"))
     val lex = graft.text.Bm25.topK(d, q, k = 10)
       .select(col("query_id"), col("doc_id"), col("rank"))
-    val emb = table(s, dir, "embeddings")
+    val emb = embs(s, dir)
     val dense = Ann.bruteForceTopK(emb,
         emb.filter(col("vec_id") % 250 === 0), k = 10)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
@@ -2805,7 +2828,7 @@ FROM enc JOIN ids USING (subword)"""
     * (every hyperplane projection is exactly halved) with cosine ~1 — the
     * dedup gate cannot be vacuously green. */
   private def augEmb(s: SparkSession, dir: String): DataFrame = {
-    val emb = table(s, dir, "embeddings")
+    val emb = embs(s, dir)
     emb.select(col("vec_id"), col("embedding")).unionByName(
       emb.filter(col("vec_id") % 50 === 0).select(
         (col("vec_id") + 10000000L).as("vec_id"),
@@ -2829,7 +2852,7 @@ FROM enc JOIN ids USING (subword)"""
     * vector 0, 0.5-scaled (positive scaling preserves every hyperplane
     * projection's sign, so all 500 provably share vector 0's bucket). */
   private def crowdEmb(s: SparkSession, dir: String): DataFrame = {
-    val emb = table(s, dir, "embeddings")
+    val emb = embs(s, dir)
     val crowd = emb.filter(col("vec_id") === 0)
       .select(explode(sequence(lit(20000000L), lit(20000499L))).as("vec_id"),
         transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
@@ -3335,7 +3358,7 @@ FROM enc JOIN ids USING (subword)"""
       Dedup.simhashSigRel(docs(s, dir), "doc_id", "text")
         .select(col("__id").as("doc_id"), col("__sig").as("sig"))),
     "emb_buckets" -> ((s, dir) =>
-      table(s, dir, "embeddings").select(col("vec_id"),
+      embs(s, dir).select(col("vec_id"),
         Ann.lshBucket(col("embedding"), 6).as("bucket"))),
     "emb_dedup_buckets" -> ((s, dir) =>
       augEmb(s, dir).select(col("vec_id"),
@@ -3349,11 +3372,11 @@ FROM enc JOIN ids USING (subword)"""
     // ivfCentroids is deterministic (integer-quantized Lloyd), so the aux
     // dumps and the emb_ivf_topk gate recompute identical centroids
     "ivf_assign" -> ((s, dir) => {
-      val emb = table(s, dir, "embeddings")
+      val emb = embs(s, dir)
       Ann.ivfAssign(emb, ivfCents8(s, dir))
     }),
     "ivf_probes" -> ((s, dir) => {
-      val emb = table(s, dir, "embeddings")
+      val emb = embs(s, dir)
       Ann.ivfProbes(emb.filter(col("vec_id") % 100 === 0),
         ivfCents8(s, dir), nProbe = 2)
     }),
@@ -3363,7 +3386,7 @@ FROM enc JOIN ids USING (subword)"""
       pqBooks(s, dir).toSeq.toDF("sub", "cid", "cv")
     }),
     "pq_codes" -> ((s, dir) =>
-      Ann.pqEncode(table(s, dir, "embeddings"), pqBooks(s, dir))),
+      Ann.pqEncode(embs(s, dir), pqBooks(s, dir))),
     // one-shot full-corpus profile: the fixed point the incremental
     // index must merge to (txt_profile_incr's sketch-column oracle)
     "profile_oneshot" -> ((s, dir) =>
