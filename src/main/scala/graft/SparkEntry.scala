@@ -2049,7 +2049,12 @@ object SparkEntry {
     * shuffle-free `assignCentroid` argmin (must equal `ivfAssign`'s
     * min_by tie rule). */
   private def embIvfIncr(s: SparkSession, dir: String): DataFrame = {
-    val emb = embs(s, dir)
+    // raw (un-widened) reads: this gate's cost is the write+append
+    // orchestration, whose bucketed writes re-shuffle their input
+    // anyway — the widen repartition in embs() is a pure extra exchange
+    // here, measured net-negative at BOTH sf0.1 (1.11->2.11s med A/B)
+    // and sf1 (2.1->2.5s twin) while every sibling gate improved
+    val emb = table(s, dir, "embeddings")
     val cents = ivfCents8(s, dir)
     val ivfTable = uniqueTable("graft_ivfidx")
     Ann.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 0), cents,
